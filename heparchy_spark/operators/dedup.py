@@ -1,0 +1,366 @@
+"""Deduplication operators — [ext] north-star pipeline ops (SURVEY.md §2.12).
+
+All hot paths are JVM-side column algebra (hash/array functions); no Python
+UDFs.  Scale notes:
+
+- exact: map-side partial dedup via groupBy on a 256-bit content hash; one
+  shuffle on the hash (uniform by construction — no skew).
+- MinHash LSH: signatures are computed scan-side (num_perm array transforms),
+  band buckets are exploded (|docs| x bands rows) and candidate pairs come
+  from an equi self-join on (band, band_hash) — never an all-pairs product.
+  Verification (exact Jaccard) touches only candidates.
+- SimHash: 64-bit fingerprint folded from token hashes with bit-count
+  aggregation; near-dups = pairs at Hamming distance <= t, found by the
+  standard pigeonhole block trick (split 64 bits into t+1 blocks; equal pair
+  must share one block exactly) — again an equi join, not a cross join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "normalize_text",
+    "shingles",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_signature_from_hashes",
+    "minhash_near_dup_pairs",
+    "simhash",
+    "simhash_from_hashes",
+    "token_hashes",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, strip non-alphanumerics (dedup canon)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), built JVM-side.
+
+    transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(tokens, i, n)))
+    """
+    toks = _tokens(F.col(col) if isinstance(col, str) else col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, 0) is empty in Spark when count==0? sequence(1,0) yields
+    # [1, 0] descending — guard explicitly.
+    sh = F.when(count >= F.lit(1), sh).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """One representative row id per distinct content hash (min id wins).
+
+    Output: (content_hash string, rep_id, n_copies).
+    """
+    content = normalize_text(text_col) if normalize else F.col(text_col)
+    return (
+        df.select(F.sha2(content, 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature_from_hashes(
+    h1: Column | str, h2: Column | str, num_perm: int = 64
+) -> Column:
+    """Array of num_perm minhash values from two base-hash array columns.
+
+    Broder double-hashing: permutation j minimizes ``h1 + j * h2`` (64-bit
+    wrap is fine for hash semantics).  Callers materialize h1/h2 once via a
+    select so the num_perm zip_withs read columns instead of recomputing the
+    shingle pipeline.
+    """
+    # Mask base hashes to 32 bits so h1 + j*h2 stays well inside int64 under
+    # ANSI overflow checking (j < 2^6, h2 < 2^32 -> sum < 2^39).
+    mask = F.lit((1 << 32) - 1).cast("long")
+    c1 = (F.col(h1) if isinstance(h1, str) else h1)
+    c2 = (F.col(h2) if isinstance(h2, str) else h2)
+    m1 = F.transform(c1, lambda x: x.bitwiseAND(mask))
+    m2 = F.transform(c2, lambda x: x.bitwiseAND(mask))
+
+    def perm_min(j: int) -> Column:
+        return F.array_min(
+            F.zip_with(m1, m2, lambda a, b: a + F.lit(j).cast("long") * b)
+        )
+
+    sig = F.array(*[perm_min(j) for j in range(num_perm)])
+    return F.when(F.size(c1) > 0, sig).otherwise(
+        F.array(*[F.lit(None).cast("long") for _ in range(num_perm)])
+    )
+
+
+def minhash_signature(
+    col: Column | str, num_perm: int = 64, shingle_n: int = 3
+) -> Column:
+    """Inline minhash signature over word-shingles (empty-safe).
+
+    Prefer the materialized two-step (shingles -> base hashes -> signature)
+    used by ``minhash_near_dup_pairs`` in hot paths.
+    """
+    sh = shingles(col, shingle_n)
+    return minhash_signature_from_hashes(
+        F.transform(sh, lambda s: F.xxhash64(s)),
+        F.transform(sh, lambda s: F.xxhash64(s, F.lit(1))),
+        num_perm,
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate id pairs via MinHash + LSH banding + exact verification.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_perm // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingles(text_col, shingle_n).alias("__sh"),
+        )
+        .where(F.size("__sh") > 0)
+        .select(
+            "__id",
+            "__sh",
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h1"),
+            F.transform("__sh", lambda s: F.xxhash64(s, F.lit(1))).alias("__h2"),
+        )
+        .select(
+            "__id",
+            "__sh",
+            minhash_signature_from_hashes("__h1", "__h2", num_perm).alias("__sig"),
+        )
+    )
+
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("__sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sh", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_from_hashes(hashes_col: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint (long) from a token-hash array column.
+
+    For each bit position, count tokens whose hash has that bit set; bit is 1
+    iff the count exceeds half the token count.  Callers materialize the hash
+    array via a select so the per-bit aggregates read a column instead of
+    re-tokenizing (codegen stays linear in ``bits``).
+    """
+    hashes = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    n = F.size(hashes)
+
+    def bit_vote(i: int) -> Column:
+        # closure (not default arg) so the Spark lambda keeps arity 2
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            bit_vote(i) * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def token_hashes(col: Column | str) -> Column:
+    """xxhash64 of each distinct normalized token (simhash input)."""
+    toks = F.array_distinct(_tokens(F.col(col) if isinstance(col, str) else col))
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """Inline SimHash over a raw text column (convenience form)."""
+    return simhash_from_hashes(token_hashes(col), bits)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup id pairs at Hamming distance <= max_hamming on 64-bit SimHash.
+
+    Pigeonhole: split the 64-bit fingerprint into (max_hamming+1) blocks; any
+    pair within distance t agrees exactly on >=1 block -> equi-join per block.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th")
+    ).select("__id", simhash_from_hashes("__th").alias("__sim"))
+    blocks = sh.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftright(F.col("__sim"), k * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("blkval"),
+                    )
+                    for k in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sim", "bb.blk", "bb.blkval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blkval") == F.col("b.blkval"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sim").alias("sim_a"),
+            F.col("b.__sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    prefix_tokens: int | None = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above threshold.
+
+    Candidate generation is an equi self-join on shared shingles (never a
+    cross join).  With ``prefix_tokens`` set, only the first k shingles in a
+    canonical (hash) order are exploded — PPJoin-style prefix filtering that
+    cuts candidates sharply at scale (heuristic recall for short prefixes).
+    ``prefix_tokens=None`` explodes every distinct shingle: full recall,
+    exact result (any pair with Jaccard > 0 shares a shingle).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    if prefix_tokens is None:
+        pref = base.select("__id", "__sh", F.explode("__sh").alias("tok"))
+    else:
+        # Canonical hash order; a fixed-size prefix is conservative for short
+        # docs and verified exactly afterwards.
+        canon = F.array_sort(
+            F.transform(
+                "__sh",
+                lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+            )
+        )
+        pref = base.select(
+            "__id",
+            "__sh",
+            F.explode(
+                F.slice(F.transform(canon, lambda st: st["s"]), 1, prefix_tokens)
+            ).alias("tok"),
+        )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

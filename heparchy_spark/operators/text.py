@@ -1,0 +1,139 @@
+"""Text analysis operators — [ext] north-star pipeline ops (SURVEY.md §2.12).
+
+All pure column algebra (regexp/length/split), whole-stage-codegen friendly;
+no Python in the hot path.  Language ID is an n-gram/stopword heuristic (the
+container has no langdetect libs); quality scoring follows the usual
+Gopher/C4-style cheap signals (length, punctuation ratio, stopword ratio,
+mean word length).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "token_count",
+    "char_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "text_profile",
+]
+
+# Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
+# common words; enough to separate major European languages on real text.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "por", "con", "del"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation marks counted
+    separately (a cheap proxy for BPE token counts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    return F.size(pieces)
+
+
+def char_stats(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(c, r"[^\s]", "")).cast("double")
+    punct = n - alpha - digit - space
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n.cast("long"),
+        "alpha_ratio": alpha / safe_n,
+        "digit_ratio": digit / safe_n,
+        "space_ratio": space / safe_n,
+        "punct_ratio": punct / safe_n,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Cheap document quality score in [0, 1]: length band + alpha ratio +
+    mean word length band (C4-style heuristics, deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stats = char_stats(c)
+    ntok = token_count(c).cast("double")
+    mean_word = F.when(ntok > 0, stats["n_chars"].cast("double") / ntok).otherwise(
+        F.lit(0.0)
+    )
+    nchars = stats["n_chars"].cast("double")
+    len_term = F.when((nchars >= 50) & (nchars <= 100000), 0.4).otherwise(0.0)
+    alpha_term = F.least(stats["alpha_ratio"] / 0.7, F.lit(1.0)) * 0.3
+    word_term = F.when((mean_word >= 3.0) & (mean_word <= 12.0), 0.3).otherwise(0.0)
+    return len_term + alpha_term + word_term
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language guess over {en,de,fr,es}, 'und' if no votes.
+
+    Score per language = number of stopword types present (word-boundary
+    regexp); argmax with deterministic tie-break by language code.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    padded = F.concat(F.lit(" "), F.regexp_replace(c, r"[^a-z]+", " "), F.lit(" "))
+    scores = []
+    for lang in sorted(_STOPWORDS):
+        votes = [
+            F.when(padded.contains(f" {w} "), 1).otherwise(0)
+            for w in _STOPWORDS[lang]
+        ]
+        total = votes[0]
+        for v in votes[1:]:
+            total = total + v
+        scores.append(F.struct(total.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str, ngram: int = 4) -> Column:
+    """64-bit document fingerprint: xxhash64 fold over character n-gram
+    rolling hashes of the normalized text (order-sensitive, locality-free —
+    a content identity, cheaper than sha2 for joins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    from heparchy_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(c)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(ngram - 1), F.lit(0))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(ngram))),
+    )
+    folded = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    )
+    return F.when(n >= ngram, folded).otherwise(F.xxhash64(norm))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass per-document profile: tokens, char stats, quality, language."""
+    stats = char_stats(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        stats["n_chars"].alias("n_chars"),
+        stats["alpha_ratio"].alias("alpha_ratio"),
+        stats["digit_ratio"].alias("digit_ratio"),
+        stats["punct_ratio"].alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+    )

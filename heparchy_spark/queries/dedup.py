@@ -1,0 +1,134 @@
+"""Dedup query corpus over the ``documents`` table (operators.dedup)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from heparchy_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_from_hashes,
+    simhash_near_dup_pairs,
+    token_hashes,
+)
+from heparchy_spark.queries import register
+from heparchy_spark.queries.tables import load
+
+# DuckDB expression mirroring operators.dedup.normalize_text
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# DuckDB expression mirroring operators.dedup.shingles(text, 3)
+_SHINGLES_SQL = f"""
+    list_distinct(
+      list_transform(
+        generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 0)),
+        i -> string_split({_NORM_SQL}, ' ')[i] || ' ' ||
+             string_split({_NORM_SQL}, ' ')[i+1] || ' ' ||
+             string_split({_NORM_SQL}, ' ')[i+2]))
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS rep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: sha256 content hash, min doc_id representative. "
+    "Uniform hash keys -> skew-free shuffle at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_exact_normalized",
+    f"""
+    SELECT sha256({_NORM_SQL}) AS content_hash,
+           MIN(doc_id) AS rep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup on normalized text (lowercase, punct/whitespace folding).",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(
+        load(spark, sf_dir, "documents"), "text", "doc_id", normalize=True
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.6). Spark side uses "
+    "a full-recall set-similarity equi-join on shared shingles (never a "
+    "cross join); the oracle brute-forces pairs (fine at sf0.01).",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.6,
+        prefix_tokens=None,  # full recall -> exact result, oracle-comparable
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    None,  # xxhash64-based signatures are Spark-specific; rows-only check
+    doc="MinHash(64) + LSH(16 bands) candidate pairs verified by exact "
+    "Jaccard >= 0.5.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=64,
+        bands=16,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    None,  # xxhash64-based; rows-only
+    doc="64-bit SimHash fingerprint per document (column algebra, no UDF).",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_hashes("text").alias("__th")).select(
+        "doc_id", simhash_from_hashes("__th").alias("simhash64")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    None,  # xxhash64-based; rows-only
+    doc="SimHash near-dup pairs at Hamming distance <= 6 via pigeonhole "
+    "block equi-join.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6
+    )

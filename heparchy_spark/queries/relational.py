@@ -1,0 +1,733 @@
+"""Relational query corpus over the driver's TPC-H-ish tables.
+
+Covers the analytics layer of SURVEY.md §2: scans, projections, filters,
+every join type, hash/rollup/cube aggregation, windows, sorts/top-k, set ops,
+and scalar functions (string/date/math/json).  The reference has none of these
+as operators (SURVEY.md §2.4-§2.9 mark them [not in reference]/[ext]); they are
+the Spark-native analytics surface the hierarchy data model implies.
+
+Scale notes per query are in the docstrings; the common themes:
+- dimension tables (region/nation/supplier/customer at these SFs) are
+  broadcast explicitly so the fact-table scan never shuffles for them;
+- aggregates are expressed declaratively so Catalyst generates partial
+  (map-side) aggregation;
+- top-k uses sort+limit, which Spark executes as per-partition TakeOrdered
+  (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from heparchy_spark.queries import register
+from heparchy_spark.queries.numeric import davg, dsum, sql_davg, sql_dsum
+from heparchy_spark.queries.tables import load
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: flagship scan + filter + hash aggregate. Partial agg map-side; "
+    "2 grouping keys x ~3 values -> tiny shuffle at any scale.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2025-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure filter+sum; every predicate pushes to the Parquet scan.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "agg_global_stats",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity', 2)} AS total_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {sql_davg('l_extendedprice')} AS avg_price
+    FROM lineitem
+    """,
+    doc="Global (no-key) aggregate: single-stage partial+final reduce.",
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", 2).alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="count(distinct) -> Spark expand+two-phase agg; exact, shuffle on "
+    "(status, custkey) first.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "rollup_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets; Spark Expand operator, still one shuffle.",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over orders.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '2024-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '2024-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: broadcast the filtered customer dim into the orders join, "
+    "then join lineitem on orderkey; top-10 via TakeOrdered (no global sort).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("2024-06-30 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("2024-06-30 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2025-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: 6-way join. region/nation/supplier/customer all broadcast; "
+    "only the orders-lineitem join shuffles (on orderkey) at scale.",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    snr = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(snr), li.l_suppkey == snr.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == snr.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item revenue by customer; nation broadcast.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    doc="Left outer join + count; preserves customers with zero orders.",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_active_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS): customers with at least one big order.",
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_idle_customers",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers without any order.",
+)
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_parts_by_brand_volume",
+    f"""
+    SELECT p_brand,
+           COUNT(*) AS n_lineitems,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_size >= 20
+    GROUP BY p_brand
+    """,
+    doc="Fact-dim join on partkey with dim filter; part broadcast.",
+)
+def join_parts_by_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum("l_quantity", 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point lookup / projection (the reference's R3/R6 access paths)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "point_lookup_order",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 4242
+    """,
+    doc="Point lookup by key — the R3 analog (read/hdf.py:454-466): predicate "
+    "pushes to Parquet row-group stats; at scale, partition pruning.",
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") == 4242).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "projection_filter_pushdown",
+    """
+    SELECT l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'A'
+    """,
+    doc="2-column projection + filter — the R6 lazy-column analog "
+    "(read/hdf.py:262-316): ReadSchema prunes to 3 columns, filters push down.",
+)
+def projection_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "A")).select(
+        "l_orderkey", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) t
+    WHERE rk <= 3
+    """,
+    doc="Per-group top-k via row_number window; one shuffle on custkey. "
+    "Deterministic tiebreak on orderkey.",
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE), 2) AS running_spend
+    FROM orders
+    """,
+    doc="Running-total window (decimal accumulation for cross-engine hash "
+    "stability).",
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_user_events",
+    """
+    SELECT user_id, event_id, value,
+           LAG(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+    doc="lag() over per-user event time — the as-of-previous primitive.",
+)
+def window_lag_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+
+
+@register(
+    "topk_orders_global",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global top-k: orderBy+limit compiles to TakeOrderedAndProject — "
+    "per-partition heap, no full sort, no single-node shuffle of all rows.",
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct) of customer & supplier nation keys.",
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT: nations with both customers and suppliers.",
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT: nations with customers but no suppliers.",
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="DISTINCT — partial dedup map-side, then tiny shuffle.",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / json / conditional
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+    doc="String function battery (upper/lower/length/substr/concat/replace/like).",
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Date extraction + aggregate by (year, month).",
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "math_funcs_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(POWER(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           SQRT(l_extendedprice) AS price_sqrt
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    doc="Math function battery (round/floor/abs/power/sqrt) — all JVM codegen.",
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+        F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+    )
+
+
+@register(
+    "case_when_price_tiers",
+    f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + aggregate.",
+)
+def case_when_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="JSON-in-string extraction (events.props) -> typed column.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )

@@ -1,0 +1,121 @@
+"""Similarity-search query corpus over ``embeddings`` (operators.similarity)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from heparchy_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    l2_norm,
+    lsh_cosine_topk,
+)
+from heparchy_spark.queries import register
+from heparchy_spark.queries.tables import load
+
+DIM = 64  # driver embeddings are 64-dim float arrays (FIXTURES.md)
+
+# Cosine similarity to the vec_id=0 query vector, in DuckDB.  Both engines
+# cast float->double elementwise and fold sequentially, then round to 9
+# decimals to absorb last-ulp summation differences.
+_COSINE_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(
+             list_sum(list_transform(generate_series(1, {dim}),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))),
+             9) AS cosine_sim
+    FROM embeddings e, q
+"""
+
+
+@register(
+    "similarity_cosine_topk",
+    _COSINE_SQL.format(dim=DIM)
+    + " ORDER BY cosine_sim DESC, e.vec_id LIMIT 10",
+    doc="Exact brute-force cosine top-10 vs the vec_id=0 vector: fused "
+    "zip_with/aggregate projection + TakeOrdered; the correctness baseline "
+    "for the ANN variants.",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    out = cosine_topk(emb, "embedding", "vec_id", list(qrow[0]), k=10)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 9).alias("cosine_sim")
+    )
+
+
+@register(
+    "similarity_cosine_all",
+    _COSINE_SQL.format(dim=DIM),
+    doc="Cosine similarity of every vector to the query — the scan-side "
+    "projection without top-k, oracle-checked across all 500 rows.",
+)
+def similarity_cosine_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    q = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    return emb.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), q), 9).alias("cosine_sim"),
+    )
+
+
+@register(
+    "similarity_lsh_topk",
+    None,  # approximate (bucket recall); rows-only check
+    doc="LSH-bucketed ANN top-10 for 5 query vectors (vec_id < 5): "
+    "random-hyperplane signs -> equi-join on bucket, rank within query.",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_cosine_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        queries,
+        "embedding",
+        "vec_id",
+        dim=DIM,
+        k=10,
+        bits=6,
+    ).select("query_id", "match_id", F.round("cosine_sim", 9).alias("cosine_sim"), "rk")
+
+
+@register(
+    "similarity_norms",
+    f"""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))),
+                 9) AS l2
+    FROM embeddings
+    """,
+    doc="L2 norms of all embeddings (vector column algebra sanity).",
+)
+def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 9).alias("l2")
+    )
+
+
+@register(
+    "similarity_embedding_near_dups",
+    None,  # LSH recall is approximate; rows-only
+    doc="Embedding near-dup pairs (cosine >= 0.95) via LSH self-join + "
+    "exact verification.",
+)
+def similarity_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", dim=DIM, threshold=0.95, bits=6
+    ).select("id_a", "id_b", F.round("cosine_sim", 9).alias("cosine_sim"))

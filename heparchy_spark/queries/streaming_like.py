@@ -1,0 +1,156 @@
+"""Event-time window queries over the ``events`` table.
+
+These are the batch-mode equivalents of the Structured Streaming operators in
+``heparchy_spark.streaming`` (same window semantics, same column names) — the
+streaming versions are tested in ``tests/test_streaming.py``; these batch
+twins are oracle-checkable by DuckDB.  The reference's only streaming surface
+is the ingest generator ``event_iter`` (/root/reference/heparchy/write/
+hdf.py:493-516); event-time analytics is [ext] per SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from heparchy_spark.queries import register
+from heparchy_spark.queries.numeric import davg, dsum, sql_davg, sql_dsum
+from heparchy_spark.queries.tables import load
+
+
+@register(
+    "events_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 6)} AS total_value,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window x event_type. Streaming twin: "
+    "groupBy(window(ts, '1 hour'), event_type) with watermark.",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding_6h_daily_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Daily distinct-user rollup (streaming twin uses sliding windows + "
+    "approx_count_distinct; batch oracle keeps it exact).",
+)
+def events_sliding_6h_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_sessionize_30m",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap via gaps-and-islands "
+    "windows. Streaming twin: session_window(ts, '30 minutes').",
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_asof_latest_before_order",
+    """
+    SELECT o.o_orderkey,
+           (SELECT MAX(e.ts) FROM events e
+            WHERE e.user_id = o.o_custkey % 150 AND e.ts <= o.o_orderdate)
+             AS last_event_ts
+    FROM orders o
+    WHERE o.o_orderkey <= 2000
+    """,
+    doc="As-of join: latest event at-or-before each order's date for the "
+    "order's (mapped) user. Spark side uses the engine's asof_join operator "
+    "(union+window, no range explosion).",
+)
+def events_asof_latest_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.asof import asof_join
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    joined = asof_join(
+        left=o,
+        right=ev,
+        on="ts",
+        by="user_id",
+        right_cols={"ts": "last_event_ts"},
+    )
+    return joined.select("o_orderkey", "last_event_ts")

@@ -1,0 +1,161 @@
+"""Text-analysis query corpus over ``documents`` (operators.text)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from heparchy_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    text_profile,
+    token_count,
+)
+from heparchy_spark.queries import register
+from heparchy_spark.queries.numeric import davg, sql_davg
+from heparchy_spark.queries.tables import load
+
+_TOKCOUNT_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST({_TOKCOUNT_SQL} AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Whitespace token + char counts per document.",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_char_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END
+             AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END
+             AS digit_ratio
+    FROM documents
+    """,
+    doc="Character-class ratios (alpha/digit) per document.",
+)
+def text_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (alpha / safe_n).alias("alpha_ratio"),
+        (digit / safe_n).alias("digit_ratio"),
+    )
+
+
+@register(
+    "text_lang_breakdown",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {sql_davg(_TOKCOUNT_SQL)} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Aggregate token stats by the labeled language column.",
+)
+def text_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(token_count("text")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE n_chars >= 100
+      AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            >= 0.6 * length(text)
+      AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+            BETWEEN 20 AND 100000
+    """,
+    doc="Quality gate: length band + alpha ratio + token band (C4-style "
+    "cheap filters); all predicates JVM-side and pushdown-friendly.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    ntok = token_count("text")
+    return docs.where(
+        (F.col("n_chars") >= 100)
+        & (alpha >= 0.6 * F.length("text"))
+        & ntok.between(20, 100000)
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "text_lang_id_heuristic",
+    None,  # argmax-over-struct tie-break is fiddly to mirror exactly in SQL;
+    # covered by unit tests instead (rows-only here)
+    doc="Stopword-vote language guess per document (en/de/fr/es/und).",
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "text_bpe_ish_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+                AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Sub-word-ish token counting (words/digits/punct as separate tokens).",
+)
+def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_fingerprints",
+    None,  # xxhash64 rolling fold is Spark-specific; rows-only
+    doc="64-bit rolling-hash document fingerprint (order-sensitive identity).",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp64"))
+
+
+@register(
+    "text_profile_full",
+    None,  # composite of the above; quality/lang tested individually
+    doc="One-pass per-document profile: tokens, char stats, quality, lang.",
+)
+def text_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
