@@ -1,0 +1,86 @@
+"""Benchmark harness — runs the headline corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes end-to-end into a noop sink (full computation, no
+driver-side materialization cost), timed after a warm-up query has paid the
+session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_left_order_counts",
+    "agg_count_distinct",
+    "window_topk_orders_per_customer",
+    "window_running_customer_spend",
+    "topk_orders_global",
+    "events_tumbling_hourly",
+    "events_sessionize_30m",
+    "events_asof_latest_before_order",
+    "json_extract_events",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "text_profile_full",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from heparchy_spark.queries import spark_queries
+    from heparchy_spark.session import get_spark
+
+    spark = get_spark("heparchy-spark-bench")
+    qs = spark_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("q1_pricing_summary")  # warm-up: JVM/JIT/codegen startup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

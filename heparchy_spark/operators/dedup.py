@@ -28,6 +28,7 @@ __all__ = [
     "minhash_signature_from_hashes",
     "minhash_near_dup_pairs",
     "simhash",
+    "simhash_df",
     "simhash_from_hashes",
     "token_hashes",
     "simhash_near_dup_pairs",
@@ -145,42 +146,54 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            shingles(text_col, shingle_n).alias("__sh"),
-        )
-        .where(F.size("__sh") > 0)
-        .select(
-            "__id",
-            "__sh",
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h1"),
-            F.transform("__sh", lambda s: F.xxhash64(s, F.lit(1))).alias("__h2"),
-        )
-        .select(
-            "__id",
-            "__sh",
-            minhash_signature_from_hashes("__h1", "__h2", num_perm).alias("__sig"),
-        )
+    # Shingle identity is the 64-bit hash of the shingle string: cheap exact
+    # verification on array<long> (collision odds ~1e-19/pair) instead of
+    # array<string> set ops.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("__shh"),
+    ).where(F.size("__shh") > 0)
+
+    # Signature via explode + 64 scalar min-aggregates (map-side partial agg,
+    # one shuffle on id) — scales linearly and keeps codegen small, unlike a
+    # single giant nested-array expression.
+    mask = F.lit((1 << 32) - 1).cast("long")
+    exploded = base.select("__id", F.explode("__shh").alias("__e")).select(
+        "__id",
+        F.col("__e").bitwiseAND(mask).alias("__t1"),
+        F.xxhash64("__e", F.lit(1)).bitwiseAND(mask).alias("__t2"),
+    )
+    sig = exploded.groupBy("__id").agg(
+        *[
+            F.min(F.col("__t1") + F.lit(j).cast("long") * F.col("__t2")).alias(
+                f"__p{j}"
+            )
+            for j in range(num_perm)
+        ]
     )
 
-    banded = base.select(
+    banded = sig.select(
         "__id",
-        "__sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("__sig")[b * rows + r] for r in range(rows)]
+                            *[F.col(f"__p{b * rows + r}") for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("__id", "__sh", "bb.band", "bb.bucket")
+    ).select("__id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -194,15 +207,18 @@ def minhash_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -243,8 +259,45 @@ def token_hashes(col: Column | str) -> Column:
 
 
 def simhash(col: Column | str, bits: int = 64) -> Column:
-    """Inline SimHash over a raw text column (convenience form)."""
+    """Inline SimHash over a raw text column (convenience form).
+
+    For datasets, prefer ``simhash_df`` — explode + scalar aggregates scale
+    linearly with map-side partial aggregation, while this single expression
+    re-walks the hash array per bit.
+    """
     return simhash_from_hashes(token_hashes(col), bits)
+
+
+def simhash_df(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash64) per row via explode + per-bit vote aggregates.
+
+    One shuffle on id; 64 conditional-sum aggregates stay inside whole-stage
+    codegen.  Empty documents fingerprint to 0.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(token_hashes(text_col)).alias("__h"),
+    )
+    votes = ex.groupBy("__id").agg(
+        F.count("__h").alias("__n"),
+        *[
+            F.coalesce(
+                F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))), F.lit(0)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(
+            F.col(f"__b{i}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(
+        F.col("__id").alias(id_col), fp.alias("simhash64")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -260,9 +313,9 @@ def simhash_near_dup_pairs(
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = df.select(
-        F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th")
-    ).select("__id", simhash_from_hashes("__th").alias("__sim"))
+    sh = simhash_df(df, text_col, id_col).select(
+        F.col(id_col).alias("__id"), F.col("simhash64").alias("__sim")
+    )
     blocks = sh.select(
         "__id",
         "__sim",

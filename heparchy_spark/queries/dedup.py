@@ -9,9 +9,8 @@ from heparchy_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
-    simhash_from_hashes,
+    simhash_df,
     simhash_near_dup_pairs,
-    token_hashes,
 )
 from heparchy_spark.queries import register
 from heparchy_spark.queries.tables import load
@@ -116,19 +115,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="64-bit SimHash fingerprint per document (column algebra, no UDF).",
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", token_hashes("text").alias("__th")).select(
-        "doc_id", simhash_from_hashes("__th").alias("simhash64")
-    )
+    return simhash_df(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @register(
     "dedup_simhash_pairs",
     None,  # xxhash64-based; rows-only
-    doc="SimHash near-dup pairs at Hamming distance <= 6 via pigeonhole "
+    doc="SimHash near-dup pairs at Hamming distance <= 3 via pigeonhole "
     "block equi-join.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
-        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6
+        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     )
