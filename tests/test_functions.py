@@ -1,0 +1,90 @@
+"""Physics column expressions vs NumPy ground truth, and HDF5-bridge key
+formatting parity (utils.py:7-14 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import heparchy_spark.functions.physics as phys
+from heparchy_spark.sources.hdf5_bridge import (
+    H5PY_AVAILABLE,
+    chunk_key_format,
+    event_key_format,
+    parse_chunk_key,
+    parse_event_key,
+)
+
+
+@pytest.fixture(scope="module")
+def kin_df(spark):
+    rng = np.random.default_rng(3)
+    n = 200
+    px, py, pz = (rng.normal(0, 40, n) for _ in range(3))
+    e = np.sqrt(px**2 + py**2 + pz**2) + rng.uniform(0.1, 3.0, n)
+    rows = [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(px, py, pz, e)]
+    df = spark.createDataFrame(rows, "px double, py double, pz double, e double")
+    return df, px, py, pz, e
+
+
+def _col(df, expr, name="v"):
+    return np.array([r[0] for r in df.select(expr.alias(name)).collect()])
+
+
+def test_pt(kin_df):
+    df, px, py, pz, e = kin_df
+    np.testing.assert_allclose(_col(df, phys.pt()), np.hypot(px, py), rtol=1e-12)
+
+
+def test_phi(kin_df):
+    df, px, py, pz, e = kin_df
+    np.testing.assert_allclose(_col(df, phys.phi()), np.arctan2(py, px), rtol=1e-12)
+
+
+def test_eta(kin_df):
+    df, px, py, pz, e = kin_df
+    np.testing.assert_allclose(
+        _col(df, phys.eta()), np.arcsinh(pz / np.hypot(px, py)), rtol=1e-9
+    )
+
+
+def test_rapidity(kin_df):
+    df, px, py, pz, e = kin_df
+    np.testing.assert_allclose(
+        _col(df, phys.rapidity()), 0.5 * np.log((e + pz) / (e - pz)), rtol=1e-9
+    )
+
+
+def test_inv_mass(kin_df):
+    df, px, py, pz, e = kin_df
+    m = np.sqrt(np.maximum(e**2 - px**2 - py**2 - pz**2, 0.0))
+    np.testing.assert_allclose(_col(df, phys.inv_mass()), m, rtol=1e-9, atol=1e-12)
+
+
+# -- HDF5 bridge key helpers ----------------------------------------------
+def test_key_formats_match_reference_layout():
+    # reference: evt-set-NNNNNN (6 digits), evt-NNN (pad = digits of epc-1)
+    assert chunk_key_format(0) == "evt-set-000000"
+    assert chunk_key_format(42) == "evt-set-000042"
+    assert event_key_format(5, 1000) == "evt-005"
+    assert event_key_format(1005, 1000) == "evt-005"
+    assert event_key_format(3, 10) == "evt-3"
+
+
+def test_key_parse_roundtrip():
+    for c in (0, 7, 123456):
+        assert parse_chunk_key(chunk_key_format(c)) == c
+    assert parse_event_key("evt-007") == 7
+    with pytest.raises(ValueError):
+        parse_event_key("evt-set-000001")
+    with pytest.raises(ValueError):
+        parse_chunk_key("evt-007")
+
+
+def test_hdf5_gated_cleanly(spark, tmp_path):
+    if H5PY_AVAILABLE:
+        pytest.skip("h5py present; gating not applicable")
+    from heparchy_spark.sources.hdf5_bridge import ingest_hdf5
+
+    with pytest.raises(NotImplementedError, match="h5py"):
+        ingest_hdf5(spark, ["/nonexistent.h5"], tmp_path / "out")

@@ -1,0 +1,165 @@
+"""Round-trip property tests (SURVEY.md §5.1): write heparchy-shaped events
+through the writer facade, read back through the reader facade, require
+exact array equality and reference access semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from heparchy_spark.sources import HepReader, HepWriter
+from tests.conftest import make_event
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """A store with 2 processes; 'higgs' uses evts_per_chunk=4 to force
+    multiple chunks from 10 events."""
+    root = tmp_path_factory.mktemp("hepstore") / "store"
+    rng = np.random.default_rng(7)
+    events = [make_event(rng) for _ in range(10)]
+    with HepWriter(spark, root, evts_per_chunk=4) as w:
+        with w.new_process("higgs") as proc:
+            proc.process_string = "p p > h z"
+            proc.signal_pdgs = [25, 23]
+            proc.com_energy(13.0, "TeV")
+            proc.custom_meta["generator"] = "pythia"
+            for evt_w, data in proc.event_iter(events):
+                evt_w.pmu = data["pmu"]
+                evt_w.pdg = data["pdg"]
+                evt_w.status = data["status"]
+                evt_w.helicity = data["helicity"]
+                evt_w.color = data["color"]
+                evt_w.edges = data["edges"]
+                evt_w.edge_weights = data["edge_weights"]
+                evt_w.masks["final"] = data["final"]
+                evt_w.custom["pt_weight"] = data["pmu"]["x"] ** 2
+                evt_w.custom_meta["mu"] = 1.5
+        with w.new_process("dijet") as proc:
+            proc.process_string = "p p > j j"
+            with proc.new_event() as evt_w:
+                evt_w.pmu = events[0]["pmu"]
+    return root, events
+
+
+def test_process_lookup_and_len(spark, store):
+    root, events = store
+    with HepReader(spark, root) as r:
+        assert sorted(r.keys()) == ["dijet", "higgs"]
+        proc = r["higgs"]
+        assert len(proc) == 10  # metadata-only (read/hdf.py:444-445 parity)
+        assert len(r["dijet"]) == 1
+        with pytest.raises(KeyError):
+            r["nope"]
+
+
+def test_point_lookup_roundtrip_exact(spark, store):
+    root, events = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        for i in (0, 3, 7, 9):  # spans chunk boundaries (epc=4)
+            evt = proc[i]
+            d = events[i]
+            np.testing.assert_array_equal(evt.pmu, d["pmu"])
+            np.testing.assert_array_equal(evt.pdg, d["pdg"])
+            np.testing.assert_array_equal(evt.status, d["status"])
+            np.testing.assert_array_equal(evt.helicity, d["helicity"])
+            np.testing.assert_array_equal(evt.color, d["color"])
+            np.testing.assert_array_equal(evt.edges, d["edges"])
+            np.testing.assert_array_equal(evt.edge_weights, d["edge_weights"])
+            np.testing.assert_array_equal(evt.masks["final"], d["final"])
+            np.testing.assert_allclose(
+                evt.custom["pt_weight"], d["pmu"]["x"] ** 2
+            )
+            assert evt.count == len(d["pdg"])
+            assert evt.custom_meta["mu"] == 1.5
+
+
+def test_dtypes_match_reference(spark, store):
+    root, _ = store
+    with HepReader(spark, root) as r:
+        evt = r["higgs"][0]
+        assert evt.pmu.dtype.names == ("x", "y", "z", "e")
+        assert evt.pdg.dtype == np.dtype("int32")
+        assert evt.status.dtype == np.dtype("int16")
+        assert evt.helicity.dtype == np.dtype("int16")
+        assert evt.color.dtype.names == ("color", "anticolor")
+        assert evt.edges.dtype.names == ("src", "dst")
+        assert evt.edge_weights.dtype == np.dtype("float64")
+        assert evt.masks["final"].dtype == np.dtype("bool")
+
+
+def test_negative_index_and_bounds(spark, store):
+    root, events = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        np.testing.assert_array_equal(proc[-1].pdg, events[9]["pdg"])
+        with pytest.raises(IndexError):
+            proc[10]
+
+
+def test_iteration_covers_all_events_shared_cursor(spark, store):
+    root, events = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        seen = {}
+        held = None
+        for evt in proc:
+            seen[evt._event_id] = evt.count
+            if evt._event_id == 2:
+                held = evt.copy()  # read/hdf.py:356-361 parity
+        assert sorted(seen) == list(range(10))
+        assert all(seen[i] == len(events[i]["pdg"]) for i in range(10))
+        # the shared cursor has moved on, the copy has not
+        np.testing.assert_array_equal(held.pdg, events[2]["pdg"])
+
+
+def test_event_ids_numeric_order(spark, store):
+    root, _ = store
+    with HepReader(spark, root) as r:
+        assert r["higgs"].event_ids() == list(range(10))
+
+
+def test_process_metadata(spark, store):
+    root, _ = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        assert proc.process_string == "p p > h z"
+        np.testing.assert_array_equal(proc.signal_pdgs, [25, 23])
+        assert proc.com_energy == {"energy": 13.0, "unit": "TeV"}
+        assert proc.custom_meta["generator"] == "pythia"
+
+
+def test_available_lists_datasets(spark, store):
+    root, _ = store
+    with HepReader(spark, root) as r:
+        avail = r["higgs"][0].available
+        for name in ("pmu", "pdg", "edges", "masks/final", "custom/pt_weight"):
+            assert name in avail
+
+
+def test_partition_pruning_point_lookup(spark, store):
+    """P3: the point-lookup plan must prune to one (process, chunk_id)
+    partition — PartitionFilters in the scan, not a full-store scan."""
+    root, _ = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        pcls = proc.particles
+        df = pcls.where((pcls.chunk_id == 1) & (pcls.event_id == 5))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+
+def test_spark_native_surface(spark, store):
+    root, _ = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        agg = (
+            proc.particles.where("mask_final")
+            .groupBy("event_id")
+            .count()
+            .collect()
+        )
+        assert len(agg) > 0
+        assert proc.events.count() == 10
+        assert proc.edges.count() > 0
