@@ -54,6 +54,7 @@ def _load_all() -> None:
     # Import side-effect modules that populate REGISTRY.
     from heparchy_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         streaming_like,

@@ -1,0 +1,133 @@
+"""Multimodal-column queries over the ``documents`` table.
+
+No driver table carries real media, so the corpus builds deterministic
+binary payloads from document text — a format magic prefix (chosen by
+doc_id) + the UTF-8 bytes — identically in Spark and DuckDB, then runs the
+multimodal operators on them. Format sniffing + byte length are
+hash-checked against the oracle; mapInPandas paths (entropy, stub decode,
+frame fan-out) are rows-only by nature.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from heparchy_spark.operators.multimodal import (
+    byte_stats,
+    decode_media,
+    payload_embedding,
+    sample_frames,
+    sniff_format,
+)
+from heparchy_spark.queries import register
+from heparchy_spark.queries.tables import load
+
+_MAGICS = ["89504E47", "FFD8FFE0", "52494646", "1A45DFA3"]  # png jpeg riff mkv
+_KINDS = ["image", "image", "audio", "video"]
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> synthetic media table (media_id, kind, payload)."""
+    docs = load(spark, sf_dir, "documents")
+    magic = F.element_at(
+        F.array(*[F.lit(m) for m in _MAGICS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.unhex(magic), F.encode("text", "utf-8")).alias("payload"),
+    )
+
+
+_MAGIC_SQL_CASE = (
+    "CASE doc_id % 4 "
+    + " ".join(
+        f"WHEN {i} THEN from_hex('{m}')" for i, m in enumerate(_MAGICS)
+    )
+    + " END"
+)
+
+
+@register(
+    "multimodal_sniff_profile",
+    f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'riff' WHEN 3 THEN 'matroska' END
+             AS format,
+           octet_length({_MAGIC_SQL_CASE} || encode(text)) AS n_bytes
+    FROM documents
+    """,
+    doc="Binary payload profiling JVM-side: magic-byte format sniffing + "
+    "byte length, no Python, payload column pruned to 4 bytes for the sniff.",
+)
+def multimodal_sniff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    return media.select(
+        "media_id",
+        sniff_format("payload").alias("format"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_crc32",
+    None,  # DuckDB has no crc32; driver records rows-only
+    doc="JVM-side CRC32 content checksum per payload (exact-dup primitive "
+    "for binary columns).",
+)
+def multimodal_crc32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    return media.select("media_id", F.crc32("payload").alias("crc32"))
+
+
+@register(
+    "multimodal_byte_stats",
+    None,
+    doc="Arrow-batched mapInPandas byte statistics: length, Shannon "
+    "entropy, CRC32 per payload.",
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_stats(_media_df(spark, sf_dir))
+
+
+@register(
+    "multimodal_decode_meta",
+    None,
+    doc="STUB-decoded media properties (deterministic fake decoder behind "
+    "real mapInPandas plumbing — see operators/multimodal.py).",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(_media_df(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+    doc="Video frame sampling fan-out: one row per sampled frame via "
+    "mapInPandas (stub frame extraction, real 1->N batch shape).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir).where(F.col("kind") == "video")
+    return sample_frames(media, every_n=60).select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+    )
+
+
+@register(
+    "multimodal_payload_embedding",
+    None,
+    doc="Byte-histogram content embedding (real, not stubbed) — feeds the "
+    "similarity operators.",
+)
+def multimodal_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = payload_embedding(_media_df(spark, sf_dir), dim=16)
+    return emb.select(
+        "media_id", F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias("embedding_sum")
+    )

@@ -1,2 +1,38 @@
-"""Structured Streaming surface: ingest (the ``event_iter`` analog) and
-event-time analytics (watermarks, tumbling/sliding/session windows)."""
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's only streaming construct is the ingest generator
+``event_iter`` (``/root/reference/heparchy/write/hdf.py:493-516``) —
+an unbounded producer committed incrementally. Here that becomes
+``readStream -> transform -> writeStream`` with event-time semantics the
+reference never had: watermarks, tumbling/sliding/session windows,
+in-stream dedup, and custom stateful operators.
+
+Every transformation is expressed on a DataFrame so the SAME function works
+in batch and streaming mode (the batch twins in
+``heparchy_spark.queries.streaming_like`` are the DuckDB-oracle-checked
+versions of these).
+"""
+
+from heparchy_spark.streaming.analytics import (
+    dedup_within_watermark,
+    running_user_totals,
+    sessionize,
+    sliding_user_counts,
+    tumbling_counts,
+)
+from heparchy_spark.streaming.ingest import (
+    EVENT_STREAM_SCHEMA,
+    read_event_stream,
+    stream_to_store,
+)
+
+__all__ = [
+    "EVENT_STREAM_SCHEMA",
+    "read_event_stream",
+    "stream_to_store",
+    "tumbling_counts",
+    "sliding_user_counts",
+    "sessionize",
+    "dedup_within_watermark",
+    "running_user_totals",
+]

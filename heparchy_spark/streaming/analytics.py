@@ -1,0 +1,162 @@
+"""Event-time analytics — batch/streaming-agnostic DataFrame transforms.
+
+Each function takes any events-shaped DataFrame (batch or streaming) and
+returns the transformed DataFrame; watermarks are applied only when given,
+so the batch twins in ``queries/streaming_like.py`` share semantics and
+stay DuckDB-oracle-checkable (SURVEY.md §5.3).
+
+Scale notes: all of these are keyed stateful aggregations — state lives in
+the executors' state store keyed by (window x group) or user, bounded by
+the watermark; there is exactly one shuffle on the grouping key per op.
+"""
+
+from __future__ import annotations
+
+import typing as ty
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_user_counts",
+    "sessionize",
+    "dedup_within_watermark",
+    "running_user_totals",
+]
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark else df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window x event_type: count + sum(value).
+    Streaming twin of ``events_tumbling_hourly``."""
+    return (
+        _maybe_watermark(events, ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_counts(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding window distinct-ish user activity. Exact distinct is
+    unsupported in streaming aggregation, so this uses
+    ``approx_count_distinct`` (HLL) — the scale answer in batch too."""
+    return (
+        _maybe_watermark(events, ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_users_approx",
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows with an inactivity gap — the native
+    ``session_window`` operator (merging-window state store); batch twin is
+    the gaps-and-islands SQL in ``events_sessionize_30m``."""
+    return (
+        _maybe_watermark(events, ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: ty.Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """In-stream exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for older keys is evicted.
+    (Batch analog: ``dropDuplicates`` — unbounded, exact.)"""
+    df = events.withWatermark(ts_col, watermark)
+    if hasattr(df, "dropDuplicatesWithinWatermark") and events.isStreaming:
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+_RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum(value)) across micro-batches — the kind of
+    imperative per-key accumulator the reference's single-process ingest
+    loop did implicitly, distributed over the state store."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
+    ) -> ty.Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

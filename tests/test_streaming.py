@@ -1,0 +1,133 @@
+"""Structured Streaming tests: each streaming op must agree with its batch
+twin on the same data, run as a real streaming query (file source, multiple
+micro-batches via maxFilesPerTrigger, memory/parquet sinks)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from heparchy_spark.queries.tables import load
+from heparchy_spark.streaming import (
+    dedup_within_watermark,
+    read_event_stream,
+    running_user_totals,
+    sessionize,
+    stream_to_store,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    """Stage sf0.001 events as two arrival files → two+ micro-batches."""
+    d = tmp_path_factory.mktemp("landing")
+    ev = load(spark, SF_DIR, "events")
+    half = ev.count() // 2
+    ev.where(F.col("event_id") < half).coalesce(1).write.parquet(str(d / "b0"))
+    ev.where(F.col("event_id") >= half).coalesce(1).write.parquet(str(d / "b1"))
+    # flatten: file source wants a flat dir of files
+    flat = tmp_path_factory.mktemp("flat")
+    i = 0
+    for sub in sorted(d.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(flat / f"part-{i:03d}.parquet")
+            i += 1
+    return str(flat)
+
+
+def _run_to_memory(stream_df, name: str, mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_to_store(spark, landing, tmp_path):
+    """event_iter analog: landing files -> incremental partitioned append."""
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    q = stream_to_store(
+        stream.withColumn("day", F.to_date("ts")),
+        dest,
+        ckpt,
+        partition_by=["day"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(dest)
+    want = load(spark, SF_DIR, "events")
+    assert got.count() == want.count()
+    assert set(got.columns) == set(want.columns) | {"day"}
+
+
+def test_tumbling_counts_matches_batch(spark, landing):
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(tumbling_counts(stream), "t_tumbling", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from t_tumbling").collect()
+    }
+    batch = tumbling_counts(load(spark, SF_DIR, "events"))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+def test_sessionize_matches_batch(spark, landing):
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(sessionize(stream, gap="30 minutes"), "t_sessions", "complete")
+    got = spark.sql("select * from t_sessions")
+    batch = sessionize(load(spark, SF_DIR, "events"), gap="30 minutes")
+    assert got.count() == batch.count()
+    g = got.agg(F.sum("n_events")).first()[0]
+    b = batch.agg(F.sum("n_events")).first()[0]
+    assert g == b
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events").limit(200)
+    dup_dir = str(tmp_path / "dup")
+    ev.union(ev).coalesce(1).write.parquet(dup_dir)
+    stream = read_event_stream(spark, dup_dir)
+    out = dedup_within_watermark(stream, keys=["event_id"], watermark="1 hour")
+    _run_to_memory(out, "t_dedup", "append")
+    assert spark.sql("select * from t_dedup").count() == 200
+
+
+def test_running_user_totals_stateful(spark, landing):
+    """applyInPandasWithState across micro-batches: the last update per user
+    must equal the batch per-user totals."""
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(running_user_totals(stream), "t_running", "update")
+    # update mode appends one row per user per batch; last row wins
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from t_running").collect()
+        # rows arrive in batch order; dict update keeps the last
+    }
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
