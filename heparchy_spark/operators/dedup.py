@@ -18,12 +18,14 @@ UDFs.  Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
     "normalize_text",
     "shingles",
     "exact_dedup",
+    "shingle_hash_stream",
+    "hashed_shingles_df",
     "minhash_signature",
     "minhash_signature_from_hashes",
     "minhash_near_dup_pairs",
@@ -132,6 +134,58 @@ def minhash_signature(
     )
 
 
+def shingle_hash_stream(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded (``__id``, ``__shh``) stream of 64-bit shingle hashes (with
+    duplicates) — the scale-safe shingle primitive.
+
+    Shape: posexplode(split) -> per-token xxhash64 -> window ``lead`` over
+    (id, pos) -> hash-compose n consecutive token hashes. Every expression
+    is whole-stage-codegen'd; there are NO higher-order array functions.
+    (An earlier array-based formulation was ~15x slower end-to-end: HOF
+    lambdas are interpreted, and Catalyst rewrites — projection collapse,
+    InferFiltersFromGenerate + pushdown — re-inline such expressions into
+    filters/operators where they are re-evaluated per array element.)
+
+    No shingle *strings* are built: shingle identity is the hash
+    composition, so set similarity equals string-shingle similarity up to
+    64-bit collisions (~1e-19 per pair). One shuffle on id (the window);
+    downstream per-id aggregations reuse that partitioning.  Duplicate
+    shingles are left in: min() (MinHash) and collect_set (Jaccard) are
+    insensitive to them, and dropping them early would cost a shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    hashed = tok.select("__id", "__pos", F.xxhash64("__tok").alias("__h0"))
+    lead_cols = [
+        F.lead("__h0", k).over(w).alias(f"__h{k}") for k in range(1, n)
+    ]
+    sh = hashed.select("__id", "__h0", *lead_cols)
+    if n > 1:
+        sh = sh.where(F.col(f"__h{n - 1}").isNotNull())
+    return sh.select(
+        "__id", F.xxhash64(*[f"__h{k}" for k in range(n)]).alias("__shh")
+    )
+
+
+def hashed_shingles_df(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(__id, __shh): sorted distinct shingle-hash array per document —
+    ``shingle_hash_stream`` folded back to one row per doc."""
+    return (
+        shingle_hash_stream(df, text_col, id_col, n)
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("__shh")).alias("__shh"))
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -146,28 +200,19 @@ def minhash_near_dup_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    # Shingle identity is the 64-bit hash of the shingle string: cheap exact
-    # verification on array<long> (collision odds ~1e-19/pair) instead of
-    # array<string> set ops.
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-                )
-            )
-        ).alias("__shh"),
-    ).where(F.size("__shh") > 0)
+    # The exploded shingle stream is the only scan-side work; its window
+    # exchange on __id is shared by every consumer below (signature + both
+    # verification sides) via ReusedExchange — the stream is shuffled once
+    # per query.
+    stream = shingle_hash_stream(df, text_col, id_col, shingle_n)
 
-    # Signature via explode + 64 scalar min-aggregates (map-side partial agg,
-    # one shuffle on id) — scales linearly and keeps codegen small, unlike a
-    # single giant nested-array expression.
+    # Signature: num_perm scalar min-aggregates over the stream (map-side
+    # partial agg; duplicates in the stream are harmless to min()).
     mask = F.lit((1 << 32) - 1).cast("long")
-    exploded = base.select("__id", F.explode("__shh").alias("__e")).select(
+    exploded = stream.select(
         "__id",
-        F.col("__e").bitwiseAND(mask).alias("__t1"),
-        F.xxhash64("__e", F.lit(1)).bitwiseAND(mask).alias("__t2"),
+        F.col("__shh").bitwiseAND(mask).alias("__t1"),
+        F.xxhash64("__shh", F.lit(1)).bitwiseAND(mask).alias("__t2"),
     )
     sig = exploded.groupBy("__id").agg(
         *[
@@ -210,8 +255,11 @@ def minhash_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+    sets = stream.groupBy("__id").agg(
+        F.sort_array(F.collect_set("__shh")).alias("__shh")
+    )
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
     verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (
@@ -271,14 +319,27 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
 def simhash_df(
     df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
-    """(id, simhash64) per row via explode + per-bit vote aggregates.
+    """(id, simhash64) per row via an exploded token stream + per-bit vote
+    aggregates — no higher-order functions in the plan (see
+    ``shingle_hash_stream`` for why that matters).
 
-    One shuffle on id; 64 conditional-sum aggregates stay inside whole-stage
-    codegen.  Empty documents fingerprint to 0.
+    Token distinct-ness matches ``token_hashes`` (array_distinct) via a
+    dropDuplicates on (id, hash). Empty documents fingerprint to 0.
     """
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode_outer(token_hashes(text_col)).alias("__h"),
+    ex = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(
+                F.split(normalize_text(text_col), " ")
+            ).alias("__tok"),
+        )
+        .select(
+            "__id",
+            F.when(
+                F.col("__tok").isNotNull(), F.xxhash64("__tok")
+            ).alias("__h"),
+        )
+        .dropDuplicates(["__id", "__h"])
     )
     votes = ex.groupBy("__id").agg(
         F.count("__h").alias("__n"),
@@ -374,26 +435,16 @@ def ngram_jaccard_pairs(
     ``prefix_tokens=None`` explodes every distinct shingle: full recall,
     exact result (any pair with Jaccard > 0 shares a shingle).
     """
-    base = df.select(
-        F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh")
-    ).where(F.size("__sh") > 0)
+    # hashed_shingles_df ends in an aggregation whose input exchange is
+    # shared (ReusedExchange) by all three consumers below; __shh is in
+    # canonical sorted-hash order, so the PPJoin-style prefix is a slice.
+    base = hashed_shingles_df(df, text_col, id_col, n)
     if prefix_tokens is None:
-        pref = base.select("__id", "__sh", F.explode("__sh").alias("tok"))
+        pref = base.select("__id", F.explode("__shh").alias("tok"))
     else:
-        # Canonical hash order; a fixed-size prefix is conservative for short
-        # docs and verified exactly afterwards.
-        canon = F.array_sort(
-            F.transform(
-                "__sh",
-                lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
-            )
-        )
         pref = base.select(
             "__id",
-            "__sh",
-            F.explode(
-                F.slice(F.transform(canon, lambda st: st["s"]), 1, prefix_tokens)
-            ).alias("tok"),
+            F.explode(F.slice("__shh", 1, prefix_tokens)).alias("tok"),
         )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -402,18 +453,18 @@ def ngram_jaccard_pairs(
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from heparchy_spark.operators.text import (
     bpe_ish_token_count,
-    fingerprint,
+    fingerprint_df,
     lang_id,
     text_profile,
     token_count,
@@ -149,7 +149,7 @@ def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint("text").alias("fp64"))
+    return fingerprint_df(docs, "text", "doc_id")
 
 
 @register(
