@@ -42,7 +42,7 @@ from heparchy_spark.queries.tables import load
            {sql_davg('l_discount')} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1: flagship scan + filter + hash aggregate. Partial agg map-side; "
@@ -53,7 +53,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
@@ -73,8 +73,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '2025-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -84,8 +84,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -190,8 +190,8 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey
       AND l_orderkey = o_orderkey
-      AND o_orderdate < TIMESTAMP '2024-06-30 00:00:00'
-      AND l_shipdate > TIMESTAMP '2024-06-30 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
@@ -202,10 +202,10 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("2024-06-30 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-06-30 00:00:00").cast("timestamp")
     )
     li = load(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("2024-06-30 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-06-30 00:00:00").cast("timestamp")
     )
     return (
         li.join(
@@ -236,8 +236,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND s_nationkey = n_nationkey
       AND n_regionkey = r_regionkey
       AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '2025-01-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
     doc="TPC-H Q5: 6-way join. region/nation/supplier/customer all broadcast; "
@@ -249,8 +249,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -280,8 +280,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
-      AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
       AND l_returnflag = 'R'
       AND c_nationkey = n_nationkey
     GROUP BY c_custkey, c_name, c_acctbal, n_name
@@ -293,8 +293,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
@@ -355,13 +355,19 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                        AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00')
     """,
-    doc="Left-anti join (NOT EXISTS): customers without any order.",
+    doc="Left-anti join (NOT EXISTS): customers with no order in early 1997.",
 )
 def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -577,20 +583,20 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except_nations",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
     """,
-    doc="EXCEPT: nations with customers but no suppliers.",
+    doc="EXCEPT: customers whose every order predates 1999.",
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)  # EXCEPT DISTINCT semantics
+    o = load(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return all_c.subtract(recent)  # EXCEPT DISTINCT semantics
 
 
 @register(

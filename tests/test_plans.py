@@ -1,0 +1,89 @@
+"""Scale-property assertions over real query plans (BASELINE.md §measurable
+properties): partition pruning, predicate pushdown, column pruning,
+broadcast joins, shuffle audit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from heparchy_spark.plans import (
+    has_broadcast_join,
+    has_partition_filters,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from heparchy_spark.queries.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def hepstore(spark, tmp_path_factory):
+    from heparchy_spark.sources import HepWriter
+    from tests.conftest import make_event
+
+    root = tmp_path_factory.mktemp("planstore") / "s"
+    rng = np.random.default_rng(11)
+    with HepWriter(spark, root, evts_per_chunk=3) as w:
+        with w.new_process("p") as proc:
+            for evt_w, data in proc.event_iter(
+                [make_event(rng) for _ in range(9)]
+            ):
+                evt_w.pmu = data["pmu"]
+                evt_w.pdg = data["pdg"]
+    return root
+
+
+def test_point_lookup_prunes_partitions(spark, hepstore):
+    """P3: proc[n] plan must carry PartitionFilters on process+chunk_id."""
+    from heparchy_spark.sources import HepReader
+
+    with HepReader(spark, hepstore) as r:
+        evt = r["p"][5]
+        assert has_partition_filters(evt.df, "process", "chunk_id")
+
+
+def test_metadata_count_no_particle_scan(spark, hepstore):
+    """P5: len(proc) touches only the processes table (no particles scan)."""
+    from heparchy_spark.sources import HepReader
+
+    with HepReader(spark, hepstore) as r:
+        proc = r["p"]
+        assert len(proc) == 9  # collect()s only the processes row at open
+
+
+def test_column_pruning_reaches_scan(spark, hepstore):
+    """P1: a 2-column projection reads exactly those columns + partitions."""
+    from heparchy_spark.sources import HepReader
+
+    with HepReader(spark, hepstore) as r:
+        df = r["p"].particles.select("event_id", "e")
+        cols = scan_columns(df)
+        assert cols and set(cols[0]) <= {"event_id", "e"}
+
+
+def test_predicate_pushdown_lineitem(spark):
+    li = load(spark, SF_DIR, "lineitem").where(F.col("l_quantity") > 30).select("l_orderkey")
+    pf = pushed_filters(li)
+    assert any("l_quantity" in f for f in pf)
+
+
+def test_small_dim_join_broadcasts(spark):
+    n = load(spark, SF_DIR, "nation")
+    c = load(spark, SF_DIR, "customer")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey)
+    joined.collect()
+    assert has_broadcast_join(joined)
+    assert shuffle_count(joined) == 0  # broadcast -> no shuffle exchange
+
+
+def test_q1_single_shuffle(spark):
+    """TPC-H Q1 is scan -> partial agg -> one exchange -> final agg."""
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    assert shuffle_count(df) <= 2  # agg exchange + tiny sort exchange
