@@ -12,6 +12,7 @@ deterministic and broadcast-free.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -23,6 +24,9 @@ __all__ = [
     "hyperplane_bucket",
     "lsh_cosine_topk",
     "embedding_near_dup_pairs",
+    "train_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -156,3 +160,112 @@ def embedding_near_dup_pairs(
         cosine(F.col("a.__v"), F.col("b.__v")).alias("cosine_sim"),
     )
     return cand.where(F.col("cosine_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the ANN scale path beside LSH.
+# ---------------------------------------------------------------------------
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 64,
+    sample_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """Coarse-quantizer centroids via seeded Lloyd iterations on a bounded
+    driver-side sample (the standard IVF training shape: train small,
+    assign big). Returns (n_centroids, dim) float64."""
+    pdf = df.select(vec_col).limit(sample_size).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    out_col: str = "__cent",
+) -> DataFrame:
+    """Attach nearest-centroid id(s). Vectorized Arrow-batched pandas UDF —
+    one BLAS matmul per batch; centroids ride along in the task closure
+    (tiny: C x dim doubles). nprobe=1 labels base vectors; nprobe>1 emits
+    an array for query-side multi-probing."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.ascontiguousarray(centroids, dtype="float64")
+    cn2 = (cents**2).sum(axis=1)
+
+    if nprobe == 1:
+
+        @pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            x = np.stack(v.to_numpy()).astype("float64")
+            d2 = cn2[None, :] - 2.0 * (x @ cents.T)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+    @pandas_udf("array<int>")
+    def nearest_k(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype("float64")
+        d2 = cn2[None, :] - 2.0 * (x @ cents.T)
+        idx = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(idx))
+
+    return df.withColumn(out_col, nearest_k(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    q_vec_col: str,
+    q_id_col: str,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate per-query top-k via IVF: base vectors live in one
+    centroid cell; each query probes its nprobe nearest cells — an equi
+    join on cell id replaces the all-pairs product (cost ~ nprobe/C of
+    brute force). Output: (query_id, match_id, cosine_sim, rk).
+    """
+    base = ivf_assign(
+        df.select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("__v")
+        ),
+        "__v",
+        centroids,
+        nprobe=1,
+    )
+    qs = ivf_assign(
+        queries.select(
+            F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("__q")
+        ),
+        "__q",
+        centroids,
+        nprobe=nprobe,
+    ).select("query_id", "__q", F.explode("__cent").alias("__cent"))
+    joined = base.join(F.broadcast(qs), "__cent").select(
+        "query_id",
+        "match_id",
+        cosine(F.col("__v"), F.col("__q")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("match_id")
+    )
+    return joined.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )

@@ -737,3 +737,131 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
+
+
+@register(
+    "agg_percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, both linear interpolation). The scale path is "
+    "approx_percentile (t-digest) — see agg_approx_percentile.",
+)
+def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
+            "price_p90"
+        ),
+    )
+
+
+@register(
+    "pivot_qty_by_status",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum('CASE WHEN l_linestatus = chr(70) THEN l_quantity END', 2)} AS qty_F,
+           {sql_dsum('CASE WHEN l_linestatus = chr(79) THEN l_quantity END', 2)} AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (long->wide): sum(quantity) per returnflag x linestatus. "
+    "Spark native pivot(); oracle uses conditional aggregation.",
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity", 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           ROUND(CAST(list_aggregate(list_slice(embedding, 1, 4), 'sum') AS DOUBLE), 6) AS head4_sum
+    FROM embeddings
+    WHERE vec_id <= 100
+    """,
+    doc="Array/list scalar functions over array<float> embeddings: size, "
+    "aggregate-sum, max, indexing, slice (JVM-side, no UDF).",
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 100)
+    dsum_arr = lambda c, g: F.round(  # noqa: E731
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ),
+        g,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        dsum_arr(F.col("embedding"), 4).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_component"
+        ),
+        dsum_arr(F.slice("embedding", 1, 4), 6).alias("head4_sum"),
+    )
+
+
+@register(
+    "window_ntile_rank_customers",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS total_spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           ROUND(total_spend, 2) AS total_spend,
+           n_orders,
+           NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile,
+           DENSE_RANK() OVER (ORDER BY n_orders DESC) AS order_count_rank,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total_spend), 6) AS spend_pctl
+    FROM spend
+    """,
+    doc="Ranking-family window functions (ntile, dense_rank, percent_rank) "
+    "over a pre-aggregated spend table.",
+)
+def window_ntile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_spend = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        F.round("total_spend", 2).alias("total_spend"),
+        "n_orders",
+        F.ntile(10).over(w_spend).alias("decile"),
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("n_orders")))
+        .alias("order_count_rank"),
+        F.round(
+            F.percent_rank().over(Window.orderBy(F.asc("total_spend"))), 6
+        ).alias("spend_pctl"),
+    )

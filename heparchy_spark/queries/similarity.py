@@ -119,3 +119,37 @@ def similarity_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     return embedding_near_dup_pairs(
         emb, "embedding", "vec_id", dim=DIM, threshold=0.95, bits=6
     ).select("id_a", "id_b", F.round("cosine_sim", 9).alias("cosine_sim"))
+
+
+@register(
+    "similarity_ivf_topk",
+    None,  # approximate (IVF probe recall) + kmeans training; rows-only
+    doc="IVF ANN top-10 for 5 query vectors: seeded Lloyd coarse quantizer "
+    "(driver-side sample), vectorized pandas-UDF cell assignment, equi-join "
+    "on cell id with nprobe=2 multi-probing — the nprobe/C-cost scale path "
+    "beside LSH.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import ivf_topk, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        emb, "embedding", n_centroids=16, sample_size=2000, iters=4, seed=7
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        queries,
+        "embedding",
+        "vec_id",
+        cents,
+        k=10,
+        nprobe=2,
+    ).select(
+        "query_id",
+        "match_id",
+        F.round("cosine_sim", 9).alias("cosine_sim"),
+        "rk",
+    )

@@ -1,0 +1,86 @@
+"""Similarity-search operator tests: exact cosine ground truth, LSH and IVF
+recall against brute force at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from heparchy_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    ivf_topk,
+    train_centroids,
+)
+from heparchy_spark.queries.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings")
+
+
+def _brute_topk(emb_pdf, qvec, k=10):
+    X = np.stack(emb_pdf["embedding"].to_numpy()).astype("float64")
+    q = np.asarray(qvec, dtype="float64")
+    sims = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((emb_pdf["vec_id"].to_numpy(), -sims))
+    return [int(emb_pdf["vec_id"].iloc[i]) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    qvec = list(pdf[pdf.vec_id == 0]["embedding"].iloc[0])
+    got = [
+        r["vec_id"]
+        for r in cosine_topk(emb, "embedding", "vec_id", qvec, k=10).collect()
+    ]
+    assert got == _brute_topk(pdf, qvec, 10)
+
+
+def test_cosine_column_matches_numpy(spark, emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    qvec = list(pdf[pdf.vec_id == 3]["embedding"].iloc[0])
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    got = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", cosine(F.col("embedding"), q).alias("c")
+        ).collect()
+    }
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    qv = np.asarray(qvec, dtype="float64")
+    want = (X @ qv) / (np.linalg.norm(X, axis=1) * np.linalg.norm(qv))
+    for vid, w in zip(pdf["vec_id"], want):
+        assert got[int(vid)] == pytest.approx(w, rel=1e-9)
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF with nprobe=2 over 8 cells must recover most of the exact top-10
+    (embeddings are clustered by construction)."""
+    cents = train_centroids(
+        emb, "embedding", n_centroids=8, sample_size=500, iters=4, seed=7
+    )
+    assert cents.shape[0] == 8
+    queries = emb.where(F.col("vec_id") < 3)
+    got = ivf_topk(
+        emb, "embedding", "vec_id", queries, "embedding", "vec_id",
+        cents, k=10, nprobe=2,
+    ).collect()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        qvec = list(pdf[pdf.vec_id == qid]["embedding"].iloc[0])
+        exact = set(_brute_topk(pdf, qvec, 10))
+        approx = {r["match_id"] for r in got if r["query_id"] == qid}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivf_deterministic(spark, emb):
+    c1 = train_centroids(emb, "embedding", n_centroids=8, sample_size=500, seed=7)
+    c2 = train_centroids(emb, "embedding", n_centroids=8, sample_size=500, seed=7)
+    np.testing.assert_array_equal(c1, c2)
