@@ -32,12 +32,18 @@ HEADLINE = [
     "events_sessionize_30m",
     "events_asof_latest_before_order",
     "json_extract_events",
+    "agg_percentiles_quantity",
+    "pivot_qty_by_status",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
     "text_profile_full",
+    "text_fingerprints",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "multimodal_byte_stats",
 ]
 
 
