@@ -1,0 +1,70 @@
+"""HepMC3 ASCII bridge: pure-parser unit tests + distributed ingest."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from heparchy_spark.sources.hepmc import ingest_hepmc, parse_hepmc_ascii
+
+SAMPLE = textwrap.dedent(
+    """\
+    HepMC::Version 3.02.05
+    HepMC::Asciiv3-START_EVENT_LISTING
+    E 0 2 4
+    U GEV MM
+    V -1 0 [1,2]
+    P 1 -1 2212 0.0 0.0 7000.0 7000.0 0.938 4
+    P 2 -1 2212 0.0 0.0 -7000.0 7000.0 0.938 4
+    P 3 -1 25 1.2 3.4 5.6 125.3 125.0 22
+    V -2 0 [3]
+    P 4 -2 22 0.6 1.7 2.8 62.6 0.0 1
+    E 1 1 2
+    U GEV MM
+    V -1 0 [1]
+    P 1 -1 21 0.1 0.2 0.3 1.0 0.0 4
+    P 2 -1 22 0.1 0.2 0.3 1.0 0.0 1
+    HepMC::Asciiv3-END_EVENT_LISTING
+    """
+).splitlines()
+
+
+def test_parser_events_and_linkage():
+    rows = list(parse_hepmc_ascii(SAMPLE))
+    by_key = {(r["event_id"], r["pcl_id"]): r for r in rows}
+    assert len(rows) == 6
+    # beams 1,2 of event 0 end at vertex -1, produced nowhere tracked (src 0)
+    assert by_key[(0, 1)]["dst"] == -1 and not by_key[(0, 1)]["mask_final"]
+    # higgs (pcl 3): produced at -1, decays at -2
+    assert by_key[(0, 3)]["src"] == -1 and by_key[(0, 3)]["dst"] == -2
+    # photon (pcl 4): produced at -2, final state
+    assert by_key[(0, 4)]["src"] == -2
+    assert by_key[(0, 4)]["dst"] == 0 and by_key[(0, 4)]["mask_final"]
+    assert by_key[(0, 4)]["pdg"] == 22
+    assert by_key[(0, 3)]["e"] == pytest.approx(125.3)
+    # second event parsed independently
+    assert by_key[(1, 2)]["mask_final"]
+    assert by_key[(1, 1)]["dst"] == -1
+
+
+def test_parser_beam_src_is_current_vertex_rule():
+    # P before any V: src falls back to 0 (no production vertex)
+    rows = list(parse_hepmc_ascii(["E 5 0 1", "P 1 0 11 0 0 1 1 0 1"]))
+    assert rows[0]["src"] == 0 and rows[0]["event_id"] == 5
+
+
+def test_distributed_ingest(spark, tmp_path):
+    f1 = tmp_path / "a.hepmc"
+    f1.write_text("\n".join(SAMPLE))
+    f2 = tmp_path / "b.hepmc"
+    f2.write_text("\n".join(SAMPLE).replace("E 0 2 4", "E 2 2 4").replace("E 1 1 2", "E 3 1 2"))
+    df = ingest_hepmc(spark, [str(f1), str(f2)], process="test", evts_per_chunk=2)
+    rows = df.collect()
+    assert len(rows) == 12
+    assert {r["event_id"] for r in rows} == {0, 1, 2, 3}
+    assert {r["chunk_id"] for r in rows} == {0, 1}
+    finals = [r for r in rows if r["mask_final"]]
+    assert all(r["dst"] == 0 for r in finals)
+    assert all(r["process"] == "test" for r in rows)
+    assert all(r["e_unit"] == "GEV" for r in rows)
