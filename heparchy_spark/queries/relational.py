@@ -865,3 +865,49 @@ def window_ntile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(Window.orderBy(F.asc("total_spend"))), 6
         ).alias("spend_pctl"),
     )
+
+
+@register(
+    "join_range_events_after_order",
+    """
+    WITH win AS (
+      SELECT o_orderkey, o_custkey % 150 AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (o_orderkey % 28) DAY AS start_ts
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT w.o_orderkey, COUNT(*) AS n_events
+    FROM win w
+    JOIN events e
+      ON e.user_id = w.user_id
+     AND e.ts >= w.start_ts
+     AND e.ts < w.start_ts + INTERVAL 2 DAY
+    GROUP BY w.o_orderkey
+    """,
+    doc="Range/interval join: events within 2 days after each order, "
+    "equi-key on user + range condition on ts. The equi key carries the "
+    "shuffle; the range predicate filters within matched groups (no "
+    "cross-join explosion).",
+)
+def join_range_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    start = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        days=(F.col("o_orderkey") % 28).cast("int")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("user_id"),
+            start.alias("start_ts"),
+            (start + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+        )
+    )
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    joined = o.join(
+        e,
+        (o.user_id == e.user_id)
+        & (e.ts >= o.start_ts)
+        & (e.ts < o.end_ts),
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_events"))

@@ -122,12 +122,18 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_asof_latest_before_order",
     """
-    SELECT o.o_orderkey,
+    WITH anchors AS (
+      SELECT o_orderkey, o_custkey % 150 AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (o_orderkey % 28) DAY
+               + INTERVAL (o_custkey % 24) HOUR AS anchor_ts
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT a.o_orderkey,
            (SELECT MAX(e.ts) FROM events e
-            WHERE e.user_id = o.o_custkey % 150 AND e.ts <= o.o_orderdate)
+            WHERE e.user_id = a.user_id AND e.ts <= a.anchor_ts)
              AS last_event_ts
-    FROM orders o
-    WHERE o.o_orderkey <= 2000
+    FROM anchors a
     """,
     doc="As-of join: latest event at-or-before each order's date for the "
     "order's (mapped) user. Spark side uses the engine's asof_join operator "
@@ -136,13 +142,18 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_asof_latest_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.asof import asof_join
 
+    anchor = (
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(days=(F.col("o_orderkey") % 28).cast("int"))
+        + F.make_interval(hours=(F.col("o_custkey") % 24).cast("int"))
+    )
     o = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") <= 2000)
         .select(
             "o_orderkey",
             (F.col("o_custkey") % 150).alias("user_id"),
-            F.col("o_orderdate").alias("ts"),
+            anchor.alias("ts"),
         )
     )
     ev = load(spark, sf_dir, "events").select("user_id", "ts")

@@ -163,3 +163,39 @@ def test_spark_native_surface(spark, store):
         assert len(agg) > 0
         assert proc.events.count() == 10
         assert proc.edges.count() > 0
+
+
+def test_dag_traversal_edges_join(spark, store):
+    """SURVEY.md §2.5: particles <-> edges correlation by event
+    co-residence — a per-event self-equi-join on the DAG table."""
+    import pyspark.sql.functions as F
+
+    root, events = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        e1, e2 = proc.edges.alias("e1"), proc.edges.alias("e2")
+        # two-hop DAG walk: edges sharing an interior vertex, per event
+        hops = e1.join(
+            e2,
+            (F.col("e1.event_id") == F.col("e2.event_id"))
+            & (F.col("e1.dst") == F.col("e2.src")),
+        ).select(
+            F.col("e1.event_id").alias("event_id"),
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+        got = {
+            (r["event_id"], r["a"], r["b"], r["c"]) for r in hops.collect()
+        }
+        # NumPy ground truth from the fixture arrays
+        want = set()
+        for eid, d in enumerate(events):
+            ed = d["edges"]
+            for i in range(len(ed)):
+                for j in range(len(ed)):
+                    if ed["dst"][i] == ed["src"][j]:
+                        want.add(
+                            (eid, int(ed["src"][i]), int(ed["dst"][i]), int(ed["dst"][j]))
+                        )
+        assert got == want
