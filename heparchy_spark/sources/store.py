@@ -34,6 +34,8 @@ __all__ = [
     "read_marker",
     "is_store",
     "read_table",
+    "save_table_schema",
+    "schema_sidecar_path",
     "chunk_of",
 ]
 
@@ -73,14 +75,49 @@ def is_store(root: str | Path) -> bool:
     return marker_path(root).exists()
 
 
+def schema_sidecar_path(root: str | Path, name: str) -> Path:
+    return Path(root) / name / "_heparchy_schema.json"
+
+
+def save_table_schema(root: str | Path, name: str, schema) -> None:
+    """Persist (merge) the table's full Spark schema beside the data.
+
+    The registry the reference keeps in attrs (``write/hdf.py:263-265``)
+    becomes an explicit schema file: readers skip Parquet footer
+    ``mergeSchema`` entirely (O(files) metadata reads at scale) and empty
+    tables — e.g. a store whose events all have zero particles — stay
+    readable. Merge is union-by-name, first type wins.
+    """
+    import pyspark.sql.types as T
+
+    p = schema_sidecar_path(root, name)
+    if p.exists():
+        old = T.StructType.fromJson(json.loads(p.read_text()))
+        have = {f.name for f in old.fields}
+        merged = T.StructType(
+            list(old.fields)
+            + [f for f in schema.fields if f.name not in have]
+        )
+    else:
+        merged = schema
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(merged.jsonValue()))
+
+
 def read_table(spark: SparkSession, root: str | Path, name: str) -> DataFrame:
     """Scan one store table; Catalyst owns pruning/pushdown from here.
 
-    ``mergeSchema`` because dynamic mask/custom columns may differ across
-    chunks (the reference's per-event key registries, ``write/hdf.py:263-265``,
-    allow the same). At cluster scale, pin an explicit schema from the
-    registry columns in ``events`` instead of paying the footer merge.
+    With a schema sidecar (facade-written stores), the scan gets an explicit
+    schema — no footer merging, and zero-file tables read as empty. Bridge-
+    written stores without a sidecar fall back to ``mergeSchema`` because
+    dynamic mask/custom columns may differ across chunks.
     """
+    import pyspark.sql.types as T
+
+    sidecar = schema_sidecar_path(root, name)
+    if sidecar.exists():
+        schema = T.StructType.fromJson(json.loads(sidecar.read_text()))
+        return spark.read.schema(schema).parquet(table_path(root, name))
     return spark.read.option("mergeSchema", "true").parquet(table_path(root, name))
 
 

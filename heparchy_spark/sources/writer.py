@@ -511,6 +511,7 @@ class HepWriter:
             self._append(edge_pdf, EDGES_SCHEMA, "edges")
 
     def _append(self, pdf: pd.DataFrame, schema: T.StructType, table: str) -> None:
+        store_mod.save_table_schema(self.path, table, schema)
         df = self.spark.createDataFrame(pdf, schema=schema)
         (
             df.repartition(1)
@@ -522,6 +523,7 @@ class HepWriter:
         )
 
     def _append_rows(self, rows: list[tuple], schema: T.StructType, table: str) -> None:
+        store_mod.save_table_schema(self.path, table, schema)
         df = self.spark.createDataFrame(rows, schema=schema)
         (
             df.repartition(1)
