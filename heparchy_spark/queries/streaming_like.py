@@ -165,3 +165,38 @@ def events_asof_latest_before_order(spark: SparkSession, sf_dir: str) -> DataFra
         right_cols={"ts": "last_event_ts"},
     )
     return joined.select("o_orderkey", "last_event_ts")
+
+
+@register(
+    "events_stream_join_view_purchase",
+    """
+    SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+           ROUND(p.value, 6) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+    """,
+    doc="Batch twin of the stream-stream join (streaming.purchase_view_join):"
+    " views within 2h before a same-user purchase. Streaming version bounds "
+    "state with watermarks + the time-range condition.",
+)
+def events_stream_join_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.streaming import purchase_view_join
+
+    ev = load(spark, sf_dir, "events")
+    out = purchase_view_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        watermark=None,
+        horizon="2 hours",
+    )
+    return out.select(
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

@@ -15,6 +15,7 @@ versions of these).
 
 from heparchy_spark.streaming.analytics import (
     dedup_within_watermark,
+    purchase_view_join,
     running_user_totals,
     sessionize,
     sliding_user_counts,
@@ -35,4 +36,5 @@ __all__ = [
     "sessionize",
     "dedup_within_watermark",
     "running_user_totals",
+    "purchase_view_join",
 ]

@@ -25,6 +25,7 @@ __all__ = [
     "sessionize",
     "dedup_within_watermark",
     "running_user_totals",
+    "purchase_view_join",
 ]
 
 
@@ -159,4 +160,43 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def purchase_view_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's views
+    within ``horizon`` before the purchase. In streaming mode both sides
+    carry watermarks and the time-range condition bounds join state (rows
+    older than watermark+horizon are evicted); the same expression runs in
+    batch for the oracle-checkable twin.
+
+    Output: (user_id, view_ts, purchase_ts, purchase_value).
+    """
+    v = _maybe_watermark(views, ts_col, watermark).select(
+        F.col("user_id").alias("v_user"), F.col(ts_col).alias("view_ts")
+    )
+    p = _maybe_watermark(purchases, ts_col, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
     )

@@ -131,3 +131,33 @@ def test_running_user_totals_stateful(spark, landing):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+def test_stream_stream_join_matches_batch(spark, landing):
+    """Stream-stream inner join with watermarks on both sides must produce
+    the batch join's rows once all data is processed."""
+    from heparchy_spark.streaming import purchase_view_join
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    out = purchase_view_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        watermark="1 hour",
+        horizon="2 hours",
+    )
+    _run_to_memory(out, "t_ssjoin", "append")
+    got = {
+        (r["user_id"], r["view_ts"], r["purchase_ts"])
+        for r in spark.sql("select * from t_ssjoin").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        (r["user_id"], r["view_ts"], r["purchase_ts"])
+        for r in purchase_view_join(
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type") == "purchase"),
+            watermark=None,
+            horizon="2 hours",
+        ).collect()
+    }
+    assert got == want
