@@ -10,10 +10,16 @@ from heparchy_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_spark(
         "heparchy-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_conf={
+            # keep saveAsTable (bucketing tests) out of the repo tree
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield s
 
