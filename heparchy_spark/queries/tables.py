@@ -28,6 +28,12 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown test table: {name}")
+    try:
+        # the driver runs queries on ITS session; timestamp semantics must
+        # match the timezone-naive DuckDB oracle regardless of its config
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         return _load_events(spark, path)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 
 __all__ = [
     "LAYOUT_NAME",
@@ -37,6 +37,7 @@ __all__ = [
     "save_table_schema",
     "schema_sidecar_path",
     "chunk_of",
+    "nested_events",
 ]
 
 LAYOUT_NAME = "heparchy"  # mirrors the file attr at write/hdf.py:571
@@ -125,3 +126,27 @@ def chunk_of(event_id: int, evts_per_chunk: int) -> int:
     """Chunk assignment — ``chunk_idx = evt_num // evts_per_chunk``
     (``read/hdf.py:455``)."""
     return event_id // evts_per_chunk
+
+
+def nested_events(particles: DataFrame) -> DataFrame:
+    """Optional compact export (SURVEY.md §1.6): one row per event with the
+    particle list as array<struct> — ``collect_list`` over the long format.
+    The nested form is for export/interchange only; the long format remains
+    the query layout (pruning/pushdown don't reach inside arrays).
+    """
+    import pyspark.sql.functions as F
+
+    payload = [
+        c
+        for c in particles.columns
+        if c not in ("process", "event_id", "chunk_id", "pcl_idx")
+    ]
+    return (
+        particles.groupBy("process", "event_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pcl_idx", *payload))
+            ).alias("particles"),
+            F.count(F.lit(1)).alias("num_pcls"),
+        )
+    )

@@ -199,3 +199,20 @@ def test_dag_traversal_edges_join(spark, store):
                             (eid, int(ed["src"][i]), int(ed["dst"][i]), int(ed["dst"][j]))
                         )
         assert got == want
+
+
+def test_nested_events_export(spark, store):
+    """SURVEY.md §1.6: compact array<struct> export round-trips counts and
+    per-particle values in pcl_idx order."""
+    from heparchy_spark.sources.store import nested_events
+
+    root, events = store
+    with HepReader(spark, root) as r:
+        nested = nested_events(r["higgs"].particles)
+        rows = {r2["event_id"]: r2 for r2 in nested.collect()}
+        assert len(rows) == 10
+        for eid, d in enumerate(events):
+            row = rows[eid]
+            assert row["num_pcls"] == len(d["pdg"])
+            got_pdg = [p["pdg"] for p in row["particles"]]
+            np.testing.assert_array_equal(got_pdg, d["pdg"])

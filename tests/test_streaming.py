@@ -161,3 +161,61 @@ def test_stream_stream_join_matches_batch(spark, landing):
         ).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark horizon,
+    arriving in a later micro-batch, must be EXCLUDED from append-mode
+    windowed aggregation output. Two sequential checkpointed runs guarantee
+    the late row arrives after the watermark advanced (the checkpoint
+    persists the watermark between runs)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows_b0 = [
+        (1, base + dt.timedelta(minutes=m), 7, "view", 1.0, "{}")
+        for m in (0, 10, 20)
+    ] + [(2, base + dt.timedelta(hours=6), 7, "view", 1.0, "{}")]
+    rows_b1 = [
+        (3, base + dt.timedelta(hours=6, minutes=10), 7, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=30), 7, "view", 1.0, "{}"),  # late 5.5h
+    ]
+
+    land = tmp_path / "land"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(rows, name):
+        tmp = tmp_path / (name + ".d")
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        i = len(list(land.glob("*.parquet")))
+        for f in sorted(tmp.glob("*.parquet")):
+            f.rename(land / f"part-{i:03d}.parquet")
+            i += 1
+
+    def run_once():
+        stream = read_event_stream(spark, str(land))
+        agg = tumbling_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stage(rows_b0, "b0")
+    run_once()  # watermark advances to 6:00 - 1h = 5:00 in the checkpoint
+    stage(rows_b1, "b1")
+    run_once()  # late event (0:30 < 5:00) must be dropped on entry
+
+    out = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # hour-0 window finalized with ONLY the 3 on-time events; event 4 dropped
+    assert out.get(0) == 3
