@@ -67,19 +67,35 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
-             AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(a.s) > 0 AND len(b.s) > 0
-      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+    WITH toks0 AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM toks0
+    ),
+    toks AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_shared AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - c.n_shared) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.n_shared AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.6
     """,
-    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.6). Spark side uses "
-    "a full-recall set-similarity equi-join on shared shingles (never a "
-    "cross join); the oracle brute-forces pairs (fine at sf0.01).",
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.6), full recall: "
+    "candidates from an equi-join on shared shingles (any pair with "
+    "Jaccard > 0 shares one), verified by exact set sizes — the oracle "
+    "mirrors the same near-linear shape instead of brute-forcing pairs.",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
