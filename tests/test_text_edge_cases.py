@@ -1,0 +1,100 @@
+"""Adversarial text inputs through every text/dedup pipeline: nulls,
+empties, unicode, emoji, whitespace-only, single-token, huge-token — no
+crashes, sane outputs, deterministic results."""
+
+from __future__ import annotations
+
+import pytest
+
+from heparchy_spark.operators.dedup import (
+    exact_dedup,
+    hashed_shingles_df,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_df,
+    simhash_near_dup_pairs,
+)
+from heparchy_spark.operators.text import fingerprint_df, text_profile
+
+ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, ""),  # empty
+    (3, None),  # null
+    (4, "   \t\n  "),  # whitespace only
+    (5, "word"),  # single token (< shingle width)
+    (6, "naïve café über straße 北京 🚀🚀 emoji"),  # unicode + emoji
+    (7, "a" * 5000),  # one huge token
+    (8, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (9, "!!! ??? ... ,,,"),  # punctuation only
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_exact_dedup_handles_all(docs):
+    out = exact_dedup(docs, "text", "doc_id").collect()
+    # 0 and 8 collapse; null text hashes to null group
+    reps = {r["rep_id"]: r["n_copies"] for r in out}
+    assert reps.get(0) == 2
+    total = sum(r["n_copies"] for r in out)
+    assert total == len(ROWS)
+
+
+def test_shingles_empty_for_degenerate_docs(docs):
+    sets = {r["__id"]: r["__shh"] for r in hashed_shingles_df(docs, "text", "doc_id").collect()}
+    # degenerate docs either produce no row or an empty/small set, never crash
+    assert len(sets[0]) > 0
+    for did in (2, 4, 5, 7, 9):
+        assert len(sets.get(did, [])) <= 1
+
+
+def test_minhash_pairs_on_edge_corpus(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 8) in pairs  # exact dup must survive LSH + verification
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_pairs_on_edge_corpus(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, prefix_tokens=None
+        ).collect()
+    }
+    assert pairs[(0, 8)] == pytest.approx(1.0)
+    assert (0, 1) in pairs  # near dup (one word differs)
+
+
+def test_simhash_on_edge_corpus(docs):
+    fps = {r["doc_id"]: r["simhash64"] for r in simhash_df(docs, "text", "doc_id").collect()}
+    assert fps[0] == fps[8]  # identical docs -> identical fingerprints
+    assert fps[3] == 0  # null text -> 0 fingerprint
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert (0, 8) in pairs
+
+
+def test_fingerprints_deterministic(docs):
+    a = {r["doc_id"]: r["fp64"] for r in fingerprint_df(docs, "text", "doc_id").collect()}
+    b = {r["doc_id"]: r["fp64"] for r in fingerprint_df(docs, "text", "doc_id").collect()}
+    assert a == b
+    assert a[0] == a[8] and a[0] != a[1]
+
+
+def test_text_profile_no_crash(docs):
+    out = {r["doc_id"]: r for r in text_profile(docs, "text", "doc_id").collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["n_chars"] == 0
+    assert out[6]["n_tokens"] > 0  # unicode text still tokenizes
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    assert out[0]["lang_guess"] == "en"
