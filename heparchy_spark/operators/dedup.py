@@ -194,25 +194,36 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate id pairs via MinHash + LSH banding + exact verification.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    ``materialize`` persists the shingle stream (MEMORY_AND_DISK) for the
+    duration of the query since three consumers read it; pass False for
+    a purely lazy plan (recomputes the stream per consumer).
     """
     rows = num_perm // bands
-    # The exploded shingle stream is the only scan-side work; its window
-    # exchange on __id is shared by every consumer below (signature + both
-    # verification sides) via ReusedExchange — the stream is shuffled once
-    # per query.
-    stream = shingle_hash_stream(df, text_col, id_col, shingle_n)
+    # Multi-consumer staging: the banding self-join reads the signature
+    # twice and verification reads the shingle sets twice; exchange reuse
+    # does NOT cover this (AQE may broadcast one join side, and aggregates
+    # above a reused exchange re-run). Persist the small per-doc AGGREGATES
+    # (one row per doc — not the fat exploded stream, whose cache write
+    # costs more than its recompute): sets once, signature derived from the
+    # cached sets. The same staging MLlib's LSH does.
+    sets = hashed_shingles_df(df, text_col, id_col, shingle_n)
+    if materialize:
+        from pyspark import StorageLevel
 
-    # Signature: num_perm scalar min-aggregates over the stream (map-side
-    # partial agg; duplicates in the stream are harmless to min()).
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Signature: num_perm scalar min-aggregates over the set explode (the
+    # array is a materialized column, so the explode is cheap and safe).
     mask = F.lit((1 << 32) - 1).cast("long")
-    exploded = stream.select(
+    exploded = sets.select("__id", F.explode("__shh").alias("__e")).select(
         "__id",
-        F.col("__shh").bitwiseAND(mask).alias("__t1"),
-        F.xxhash64("__shh", F.lit(1)).bitwiseAND(mask).alias("__t2"),
+        F.col("__e").bitwiseAND(mask).alias("__t1"),
+        F.xxhash64("__e", F.lit(1)).bitwiseAND(mask).alias("__t2"),
     )
     sig = exploded.groupBy("__id").agg(
         *[
@@ -254,9 +265,6 @@ def minhash_near_dup_pairs(
             F.col("b.__id").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sets = stream.groupBy("__id").agg(
-        F.sort_array(F.collect_set("__shh")).alias("__shh")
     )
     sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
     sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
@@ -366,6 +374,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup id pairs at Hamming distance <= max_hamming on 64-bit SimHash.
 
@@ -377,6 +386,10 @@ def simhash_near_dup_pairs(
     sh = simhash_df(df, text_col, id_col).select(
         F.col(id_col).alias("__id"), F.col("simhash64").alias("__sim")
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sh.select(
         "__id",
         "__sim",
@@ -424,23 +437,37 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    prefix_tokens: int | None = 8,
+    prefix_tokens: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above threshold.
 
     Candidate generation is an equi self-join on shared shingles (never a
-    cross join).  With ``prefix_tokens`` set, only the first k shingles in a
-    canonical (hash) order are exploded — PPJoin-style prefix filtering that
-    cuts candidates sharply at scale (heuristic recall for short prefixes).
-    ``prefix_tokens=None`` explodes every distinct shingle: full recall,
-    exact result (any pair with Jaccard > 0 shares a shingle).
+    cross join), over the EXACT prefix-filter bound (AllPairs/PPJoin): in a
+    canonical global token order, two sets with J(A,B) >= t must share a
+    token within each set's first ``|S| - ceil(t*|S|) + 1`` tokens — so only
+    that prefix is exploded (~``(1-t)*|S|`` tokens), the result is still
+    exact, and candidate volume drops ~(1-t)^2. ``prefix_tokens`` overrides
+    with a fixed-length prefix (heuristic recall) when set.
     """
     # hashed_shingles_df ends in an aggregation whose input exchange is
     # shared (ReusedExchange) by all three consumers below; __shh is in
-    # canonical sorted-hash order, so the PPJoin-style prefix is a slice.
+    # canonical sorted-hash order, so prefixes are slices.
     base = hashed_shingles_df(df, text_col, id_col, n)
+    if materialize:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if prefix_tokens is None:
-        pref = base.select("__id", F.explode("__shh").alias("tok"))
+        # exact bound: |S| - ceil(t|S|) + 1
+        plen = (
+            F.size("__shh")
+            - F.ceil(F.size("__shh") * F.lit(float(threshold))).cast("int")
+            + F.lit(1)
+        )
+        pref = base.select(
+            "__id", F.explode(F.slice("__shh", F.lit(1), plen)).alias("tok")
+        )
     else:
         pref = base.select(
             "__id",

@@ -104,7 +104,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=3,
         threshold=0.6,
-        prefix_tokens=None,  # full recall -> exact result, oracle-comparable
+        prefix_tokens=None,  # exact PPJoin prefix bound -> oracle-comparable
     )
 
 
