@@ -332,12 +332,31 @@ class HepProcessReader:
         return self.process_string
 
     @property
+    def decay(self) -> dict[str, np.ndarray]:
+        """Deprecated in/out PDG dict (``read/hdf.py:482-485``): reads
+        ``in_pcls``/``out_pcls`` from process custom metadata."""
+        warnings.warn(
+            "decay is deprecated; use custom_meta['in_pcls'/'out_pcls']",
+            DeprecationWarning,
+        )
+        return {
+            k: np.asarray(self.custom_meta[k], dtype="int32")
+            for k in ("in_pcls", "out_pcls")
+        }
+
+    def read_event(self, evt_num: int) -> HepEventReader:
+        """Deprecated point-lookup alias (``read/hdf.py:468-471``)."""
+        warnings.warn("read_event is deprecated; use proc[n]", DeprecationWarning)
+        return self[evt_num]
+
+    @property
     def signal_pdgs(self) -> np.ndarray:
         return np.asarray(self._meta["signal_pdgs"], dtype="int32")
 
     @property
-    def com_energy(self) -> dict[str, ty.Any]:
-        return {"energy": self._meta["com_e"], "unit": self._meta["e_unit"]}
+    def com_energy(self) -> tuple[float, str]:
+        """(energy, unit) tuple — reference shape (``read/hdf.py:491-496``)."""
+        return (self._meta["com_e"], self._meta["e_unit"])
 
     @property
     def custom_meta(self) -> MapReader:

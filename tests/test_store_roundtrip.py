@@ -24,6 +24,8 @@ def store(spark, tmp_path_factory):
             proc.signal_pdgs = [25, 23]
             proc.com_energy(13.0, "TeV")
             proc.custom_meta["generator"] = "pythia"
+            proc.custom_meta["in_pcls"] = [2212, 2212]
+            proc.custom_meta["out_pcls"] = [25, 23]
             for evt_w, data in proc.event_iter(events):
                 evt_w.pmu = data["pmu"]
                 evt_w.pdg = data["pdg"]
@@ -126,8 +128,14 @@ def test_process_metadata(spark, store):
         proc = r["higgs"]
         assert proc.process_string == "p p > h z"
         np.testing.assert_array_equal(proc.signal_pdgs, [25, 23])
-        assert proc.com_energy == {"energy": 13.0, "unit": "TeV"}
+        assert proc.com_energy == (13.0, "TeV")
         assert proc.custom_meta["generator"] == "pythia"
+        with pytest.warns(DeprecationWarning):
+            d = proc.decay
+        np.testing.assert_array_equal(d["in_pcls"], [2212, 2212])
+        np.testing.assert_array_equal(d["out_pcls"], [25, 23])
+        with pytest.warns(DeprecationWarning):
+            assert proc.read_event(0).count == proc[0].count
 
 
 def test_available_lists_datasets(spark, store):

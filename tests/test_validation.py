@@ -149,3 +149,17 @@ def test_open_file_dispatch(spark, tmp_path, rng):
     with pytest.raises(ValueError, match="mode"):
         with hs.open_file(root, "x", spark=spark):
             pass
+
+
+@pytest.mark.parametrize("codec", ["gzip", "zstd", "snappy", "lzf"])
+def test_compression_codecs_roundtrip(spark, tmp_path, rng, codec):
+    """S4: every codec knob (incl. the lzf->zstd mapping) writes a readable
+    store with identical data."""
+    root = tmp_path / codec
+    data = make_event(rng, 8)
+    with HepWriter(spark, root, compression=codec) as w:
+        with w.new_process("p") as proc:
+            with proc.new_event() as evt:
+                evt.pmu = data["pmu"]
+    with HepReader(spark, root) as r:
+        np.testing.assert_array_equal(r["p"][0].pmu, data["pmu"])
