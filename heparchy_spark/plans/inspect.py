@@ -91,8 +91,12 @@ def shuffle_count(df: DataFrame) -> int:
 
 def wholestage_codegen_ids(df: DataFrame) -> set[int]:
     """The distinct WholeStageCodegen span ids — wider spans, fewer
-    interpreted boundaries."""
-    return {
+    interpreted boundaries. Matches both the verbose node name and the
+    compact ``*(n)`` operator prefix."""
+    plan = executed_plan(df)
+    ids = {
         int(m.group(1))
-        for m in re.finditer(r"WholeStageCodegen \((\d+)\)", executed_plan(df))
+        for m in re.finditer(r"WholeStageCodegen \((\d+)\)", plan)
     }
+    ids |= {int(m.group(1)) for m in re.finditer(r"\*\((\d+)\)", plan)}
+    return ids
