@@ -22,6 +22,56 @@ _TOKCOUNT_SQL = (
 )
 
 
+def _lang_scores_sql() -> tuple[str, dict[str, str]]:
+    """(padded-text expr, per-language stopword-vote score exprs) mirroring
+    ``operators.text.lang_id`` exactly: votes are word-boundary contains on
+    the space-padded alpha-normalized text."""
+    from heparchy_spark.operators.text import _STOPWORDS
+
+    padded = "' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '"
+    scores = {
+        lang: " + ".join(
+            f"CASE WHEN contains(__p, ' {w} ') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        for lang, words in sorted(_STOPWORDS.items())
+    }
+    return padded, scores
+
+
+def _lang_guess_case_sql() -> str:
+    """CASE expr over per-language score columns replicating Spark's
+    ``array_max`` over (score, lang) structs: max score, ties to the
+    lexicographically LARGER language code; 'und' when all scores are 0."""
+    from heparchy_spark.operators.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    best = "greatest(" + ", ".join(f"__s_{lang}" for lang in langs) + ")"
+    arms = " ".join(
+        f"WHEN __s_{lang} = {best} THEN '{lang}'"
+        for lang in reversed(langs)  # larger code wins ties
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {arms} END"
+
+
+def _lang_id_oracle() -> str:
+    padded, scores = _lang_scores_sql()
+    score_cols = ",\n           ".join(
+        f"{expr} AS __s_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+    WITH __padded AS (
+      SELECT doc_id, {padded} AS __p FROM documents
+    ), __scored AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM __padded
+    )
+    SELECT doc_id, {_lang_guess_case_sql()} AS lang_guess
+    FROM __scored
+    """
+
+
 @register(
     "text_token_counts",
     f"""
@@ -116,9 +166,9 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lang_id_heuristic",
-    None,  # argmax-over-struct tie-break is fiddly to mirror exactly in SQL;
-    # covered by unit tests instead (rows-only here)
-    doc="Stopword-vote language guess per document (en/de/fr/es/und).",
+    _lang_id_oracle(),
+    doc="Stopword-vote language guess per document (en/de/fr/es/und); "
+    "oracle replicates the struct-argmax tie-break as an ordered CASE.",
 )
 def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -152,10 +202,53 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_df(docs, "text", "doc_id")
 
 
+def _profile_oracle() -> str:
+    padded, scores = _lang_scores_sql()
+    safe_n = "(CASE WHEN __n > 0 THEN __n ELSE 1.0 END)"
+    quality = (
+        "(CASE WHEN __n >= 50 AND __n <= 100000 THEN 0.4 ELSE 0.0 END) "
+        f"+ least((__alpha / {safe_n}) / 0.7, 1.0) * 0.3 "
+        "+ (CASE WHEN __ntok > 0 AND (__n / __ntok) >= 3.0 "
+        "AND (__n / __ntok) <= 12.0 THEN 0.3 ELSE 0.0 END)"
+    )
+    score_cols = ",\n           ".join(
+        f"{expr} AS __s_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+    WITH __base AS (
+      SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS __n,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             AS __alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             AS __digit,
+           CAST(length(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+             AS __space,
+           CAST({_TOKCOUNT_SQL} AS DOUBLE) AS __ntok,
+           {padded} AS __p
+      FROM documents
+    ), __scored AS (
+      SELECT doc_id, __n, __alpha, __digit, __space, __ntok,
+           {score_cols}
+      FROM __base
+    )
+    SELECT doc_id,
+           CAST(__ntok AS INTEGER) AS n_tokens,
+           CAST(__n AS BIGINT) AS n_chars,
+           __alpha / {safe_n} AS alpha_ratio,
+           __digit / {safe_n} AS digit_ratio,
+           (__n - __alpha - __digit - __space) / {safe_n} AS punct_ratio,
+           {quality} AS quality,
+           {_lang_guess_case_sql()} AS lang_guess
+    FROM __scored
+    """
+
+
 @register(
     "text_profile_full",
-    None,  # composite of the above; quality/lang tested individually
-    doc="One-pass per-document profile: tokens, char stats, quality, lang.",
+    _profile_oracle(),
+    doc="One-pass per-document profile: tokens, char stats, quality, lang; "
+    "oracle mirrors each term's double arithmetic order exactly.",
 )
 def text_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
