@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "text_profile_full",
     "text_fingerprints",
+    "text_repetition_signals",
+    "text_token_freqs",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",

@@ -10,7 +10,7 @@ mean word length).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
     "token_count",
@@ -20,6 +20,13 @@ __all__ = [
     "fingerprint",
     "fingerprint_df",
     "text_profile",
+    "token_stream",
+    "repetition_signals",
+    "stopword_ratio_df",
+    "token_frequencies",
+    "PII_PATTERNS",
+    "pii_counts",
+    "pii_redact",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
@@ -157,3 +164,144 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         quality_score(text_col).alias("quality"),
         lang_id(text_col).alias("lang_guess"),
     )
+
+
+def token_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(``__id``, ``__pos``, ``__tok``) exploded normalized token stream —
+    the shared primitive under the repetition / stopword / vocabulary
+    operators.
+
+    Same exploded-stream shape as ``dedup.shingle_hash_stream`` (and for the
+    same reason: scalar aggregates over a generator column stay in
+    whole-stage codegen; per-row array HOFs do not).  Empty tokens are
+    dropped, so empty/whitespace/null documents contribute no rows — one
+    partial-aggregable scan, no driver involvement, linear at 100 TB.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "__pos", "__tok"
+        ),
+    ).where(F.length("__tok") > 0)
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Output: (id, n_tokens, distinct_ratio, top_token_fraction,
+    top_bigram_fraction).  High top-fractions / low distinct-ratio flag
+    boilerplate and degenerate repetition — standard pretraining quality
+    gates.  Plan shape: one exploded stream, two (id, gram) partial
+    aggregates, one id-level rollup each, one join on id — every
+    aggregation is map-side combinable, and the id join is
+    shuffle-partitioned on the same key both sides.
+    """
+    tok = token_stream(df, text_col, id_col)
+
+    per_tok = tok.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    token_sig = per_tok.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+        F.max("__c").alias("__top"),
+    )
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    bigram = (
+        tok.select(
+            "__id",
+            F.concat_ws(" ", "__tok", F.lead("__tok", 1).over(w)).alias("__bg"),
+            F.lead("__tok", 1).over(w).alias("__nxt"),
+        )
+        .where(F.col("__nxt").isNotNull())
+        .groupBy("__id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(F.sum("__c").alias("__nbg"), F.max("__c").alias("__topbg"))
+    )
+
+    joined = token_sig.join(bigram, "__id", "left")
+    nt = F.col("n_tokens").cast("double")
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens"),
+        (F.col("__n_distinct").cast("double") / nt).alias("distinct_ratio"),
+        (F.col("__top").cast("double") / nt).alias("top_token_fraction"),
+        F.coalesce(
+            F.col("__topbg").cast("double") / F.col("__nbg").cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_fraction"),
+    )
+
+
+def stopword_ratio_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, stopword_ratio): fraction of tokens in the combined
+    stopword vocabulary — the Gopher 'has enough function words' signal
+    (too-low ratio flags non-prose).  Broadcast-free: the 40-word set is a
+    literal IN predicate evaluated scan-side."""
+    vocab = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    tok = token_stream(df, text_col, id_col)
+    hit = F.col("__tok").isin(vocab).cast("long")
+    return (
+        tok.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit).alias("__nstop"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (
+                F.col("__nstop").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("stopword_ratio"),
+        )
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-wide vocabulary table: (token, n_occurrences, n_docs).
+
+    The classic wordcount shape — explode, partial-aggregate per partition,
+    one shuffle on token.  ``n_docs`` is an exact distinct count (the
+    (token, id) pre-aggregate IS the distinct step, so no count-distinct
+    expansion); at 100 TB swap in ``approx_count_distinct`` per the
+    SCALE.md note.
+    """
+    tok = token_stream(df, text_col, id_col)
+    per_doc = tok.groupBy("__tok", "__id").agg(F.count(F.lit(1)).alias("__c"))
+    return per_doc.groupBy("__tok").agg(
+        F.sum("__c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(F.col("__tok").alias("token"), "n_occurrences", "n_docs")
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no lookaround, no backreferences, ASCII classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]?\d{0,4}",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (email / ipv4 / phone), JVM-side regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder like ``[EMAIL]``.
+
+    Order matters: emails first (an address would otherwise partially match
+    the phone pattern's digit runs), then ipv4, then phone.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ipv4", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c

@@ -252,3 +252,144 @@ def _profile_oracle() -> str:
 )
 def text_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---- repetition / vocabulary / PII family (exploded-stream operators) ----
+
+from heparchy_spark.operators.text import (  # noqa: E402
+    PII_PATTERNS,
+    pii_counts,
+    pii_redact,
+    repetition_signals,
+    stopword_ratio_df,
+    token_frequencies,
+)
+from heparchy_spark.queries.dedup import _NORM_SQL  # noqa: E402
+
+_TOK_CTE = f"""
+    __tok AS (
+      SELECT doc_id, unnest(__l) AS __tok,
+             unnest(range(1, len(__l) + 1)) AS __pos
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS __l
+            FROM documents)
+    ), __tokf AS (
+      SELECT * FROM __tok WHERE length(__tok) > 0
+    )"""
+
+
+@register(
+    "text_repetition_signals",
+    f"""
+    WITH {_TOK_CTE}, __pertok AS (
+      SELECT doc_id, __tok, count(*) AS __c
+      FROM __tokf GROUP BY doc_id, __tok
+    ), __toksig AS (
+      SELECT doc_id, CAST(sum(__c) AS BIGINT) AS n_tokens,
+             count(*) AS __nd, max(__c) AS __top
+      FROM __pertok GROUP BY doc_id
+    ), __bg AS (
+      SELECT doc_id,
+             __tok || ' ' || lead(__tok) OVER w AS __bg,
+             lead(__tok) OVER w AS __nxt
+      FROM __tokf
+      WINDOW w AS (PARTITION BY doc_id ORDER BY __pos)
+    ), __perbig AS (
+      SELECT doc_id, __bg, count(*) AS __c
+      FROM __bg WHERE __nxt IS NOT NULL GROUP BY doc_id, __bg
+    ), __bigsig AS (
+      SELECT doc_id, CAST(sum(__c) AS BIGINT) AS __nbg, max(__c) AS __topbg
+      FROM __perbig GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(t.__nd AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             AS distinct_ratio,
+           CAST(t.__top AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             AS top_token_fraction,
+           coalesce(CAST(b.__topbg AS DOUBLE) / CAST(b.__nbg AS DOUBLE), 0.0)
+             AS top_bigram_fraction
+    FROM __toksig t LEFT JOIN __bigsig b USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals: distinct-token ratio, "
+    "top-token and top-bigram mass fractions per document.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", "doc_id")
+
+
+def _stopword_in_list() -> str:
+    from heparchy_spark.operators.text import _STOPWORDS
+
+    vocab = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    return ", ".join(f"'{w}'" for w in vocab)
+
+
+@register(
+    "text_stopword_ratio",
+    f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(CAST(sum(CASE WHEN __tok IN ({_stopword_in_list()})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS stopword_ratio
+    FROM __tokf GROUP BY doc_id
+    """,
+    doc="Gopher 'function word' signal: fraction of tokens in the combined "
+    "stopword vocabulary per document.",
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return stopword_ratio_df(docs, "text", "doc_id")
+
+
+@register(
+    "text_token_freqs",
+    f"""
+    WITH {_TOK_CTE}
+    SELECT __tok AS token,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM __tokf GROUP BY __tok
+    """,
+    doc="Corpus-wide vocabulary table (wordcount shape): per-token "
+    "occurrence and document frequencies via two-level aggregation.",
+)
+def text_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return token_frequencies(docs, "text", "doc_id")
+
+
+def _pii_scan_oracle() -> str:
+    cnt = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+        f" AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for kind in ("email", "ipv4", "phone"):
+        red = (
+            f"regexp_replace({red}, '{PII_PATTERNS[kind]}', "
+            f"'[{kind.upper()}]', 'g')"
+        )
+    return f"""
+    SELECT doc_id, {cnt},
+           CAST(length({red}) AS BIGINT) AS n_chars_redacted
+    FROM documents
+    """
+
+
+@register(
+    "text_pii_scan",
+    _pii_scan_oracle(),
+    doc="PII scrubbing scan: per-kind match counts (email/ipv4/phone) and "
+    "redacted length; patterns restricted to the Java-regex/RE2 common "
+    "subset so both engines match identically.",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
+        F.length(pii_redact("text")).cast("long").alias("n_chars_redacted"),
+    )

@@ -1,0 +1,142 @@
+"""Unit tests for the repetition / stopword / vocabulary / PII operators on
+hand-computable inputs (the synthetic corpus has no PII, so these tests are
+the real correctness check for the scrubber)."""
+
+from __future__ import annotations
+
+import pytest
+
+from heparchy_spark.operators.text import (
+    pii_counts,
+    pii_redact,
+    repetition_signals,
+    stopword_ratio_df,
+    token_frequencies,
+)
+
+import pyspark.sql.functions as F
+
+PII_ROWS = [
+    (0, "contact me at alice.smith+work@example.co.uk for details"),
+    (1, "server at 192.168.1.254 port open"),
+    (2, "call +1 555 867 5309 now"),
+    (3, "bob@test.org and carol@test.org and 10.0.0.1"),
+    (4, "no sensitive content here"),
+    (5, ""),
+    (6, None),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    return spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+
+
+def test_pii_counts(pii_docs):
+    counts = pii_counts("text")
+    rows = {
+        r["doc_id"]: r
+        for r in pii_docs.select(
+            "doc_id",
+            *[counts[k].alias(k) for k in ("email", "ipv4", "phone")],
+        ).collect()
+    }
+    assert (rows[0]["email"], rows[0]["ipv4"], rows[0]["phone"]) == (1, 0, 0)
+    assert (rows[1]["email"], rows[1]["ipv4"], rows[1]["phone"]) == (0, 1, 0)
+    assert (rows[2]["email"], rows[2]["ipv4"], rows[2]["phone"]) == (0, 0, 1)
+    assert (rows[3]["email"], rows[3]["ipv4"], rows[3]["phone"]) == (2, 1, 0)
+    assert (rows[4]["email"], rows[4]["ipv4"], rows[4]["phone"]) == (0, 0, 0)
+    assert (rows[5]["email"], rows[5]["ipv4"], rows[5]["phone"]) == (0, 0, 0)
+    # null text propagates null sizes (size(null) = -1 under legacy, null
+    # under ansi) — either way, no crash and no false positives
+    assert rows[6]["email"] in (None, -1, 0)
+
+
+def test_pii_redact(pii_docs):
+    red = {
+        r["doc_id"]: r["redacted"]
+        for r in pii_docs.select(
+            "doc_id", pii_redact("text").alias("redacted")
+        ).collect()
+    }
+    assert red[0] == "contact me at [EMAIL] for details"
+    assert red[1] == "server at [IPV4] port open"
+    assert red[2] == "call [PHONE] now"
+    assert red[3] == "[EMAIL] and [EMAIL] and [IPV4]"
+    assert red[4] == "no sensitive content here"
+    assert red[5] == ""
+    assert red[6] is None
+
+
+REP_ROWS = [
+    (0, "a a a a"),
+    (1, "a b c d"),
+    (2, "x"),
+    (3, ""),
+    (4, "go go stop go go"),
+]
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    return spark.createDataFrame(REP_ROWS, "doc_id long, text string")
+
+
+def test_repetition_signals(rep_docs):
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_signals(rep_docs, "text", "doc_id").collect()
+    }
+    # empty doc contributes no tokens -> absent
+    assert set(rows) == {0, 1, 2, 4}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 4
+    assert r0["distinct_ratio"] == pytest.approx(0.25)
+    assert r0["top_token_fraction"] == pytest.approx(1.0)
+    assert r0["top_bigram_fraction"] == pytest.approx(1.0)  # "a a" x3
+    r1 = rows[1]
+    assert r1["distinct_ratio"] == pytest.approx(1.0)
+    assert r1["top_token_fraction"] == pytest.approx(0.25)
+    assert r1["top_bigram_fraction"] == pytest.approx(1 / 3)
+    r2 = rows[2]
+    assert r2["n_tokens"] == 1
+    assert r2["top_bigram_fraction"] == 0.0  # no bigrams
+    r4 = rows[4]
+    # tokens: go x4, stop -> top fraction 0.8; bigrams: "go go" x2 of 4
+    assert r4["top_token_fraction"] == pytest.approx(0.8)
+    assert r4["top_bigram_fraction"] == pytest.approx(0.5)
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "zebra quokka")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in stopword_ratio_df(df, "text", "doc_id").collect()
+    }
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["stopword_ratio"] == pytest.approx(0.6)  # the, and, the
+    assert rows[1]["stopword_ratio"] == 0.0
+
+
+def test_token_frequencies(rep_docs):
+    rows = {
+        r["token"]: r
+        for r in token_frequencies(rep_docs, "text", "doc_id").collect()
+    }
+    assert rows["a"]["n_occurrences"] == 5  # 4 in doc0 + 1 in doc1
+    assert rows["a"]["n_docs"] == 2
+    assert rows["go"]["n_occurrences"] == 4
+    assert rows["go"]["n_docs"] == 1
+    assert rows["stop"]["n_docs"] == 1
+
+
+def test_redact_idempotent(pii_docs):
+    once = pii_docs.select(
+        "doc_id", pii_redact("text").alias("text")
+    )
+    twice = once.select("doc_id", pii_redact("text").alias("text"))
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
