@@ -35,6 +35,7 @@ __all__ = [
     "token_hashes",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "incremental_exact_dedup",
 ]
 
 
@@ -494,4 +495,38 @@ def ngram_jaccard_pairs(
         verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalize: bool = False,
+) -> DataFrame:
+    """Content-new rows from an incoming batch: first-wins dedup WITHIN the
+    batch, then a left-anti join against the already-ingested corpus.
+
+    Output: (id, content_hash) — one row per batch-unique, corpus-unseen
+    content hash (min id represents).  The standard incremental-ingest
+    shape for a training corpus that grows by crawl snapshot: both sides
+    shuffle once on the 256-bit hash (uniform by construction), the seen
+    side needs only its hash column (column-pruned scan), and no state is
+    held on the driver.  At 100 TB the seen side is the hash index table
+    you maintain as a by-product of ``exact_dedup``.
+    """
+
+    def hashed(df: DataFrame) -> Column:
+        content = normalize_text(text_col) if normalize else F.col(text_col)
+        return F.sha2(content, 256)
+
+    batch = (
+        new_df.select(hashed(new_df).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    seen = seen_df.select(hashed(seen_df).alias("content_hash"))
+    return batch.join(seen, "content_hash", "left_anti").select(
+        id_col, "content_hash"
     )

@@ -27,6 +27,7 @@ __all__ = [
     "train_centroids",
     "ivf_assign",
     "ivf_topk",
+    "int8_quantize_stats",
 ]
 
 
@@ -268,4 +269,65 @@ def ivf_topk(
     )
     return joined.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= k
+    )
+
+
+def int8_quantize_stats(
+    df: DataFrame, vec_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """Per-vector int8 scalar-quantization parameters + reconstruction error.
+
+    Output: (id, vmin, vmax, scale, mse) — the affine-quantizer codebook
+    (x ≈ vmin + q * scale, q ∈ [0, 255]) and its mean squared error, the
+    standard storage-shrink step before ANN serving (4x smaller vectors).
+
+    All arithmetic in double with explicit staging selects: the element
+    array and the min/max/scale scalars are materialized as columns BEFORE
+    the per-element lambdas reference them, so interpreted HOF evaluation
+    reads a column instead of recomputing an array aggregate per element
+    (same pitfall as ``text.fingerprint`` — see that docstring).
+    Constant vectors (scale == 0) quantize to q = 0 with zero error.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__e"),
+    ).select(
+        id_col,
+        "__e",
+        F.array_min("__e").alias("vmin"),
+        F.array_max("__e").alias("vmax"),
+        ((F.array_max("__e") - F.array_min("__e")) / F.lit(255.0)).alias(
+            "scale"
+        ),
+    )
+
+    def sq_err(x: Column) -> Column:
+        q = F.round((x - F.col("vmin")) / F.col("scale"))
+        recon = F.col("vmin") + q * F.col("scale")
+        return (x - recon) * (x - recon)
+
+    mse = (
+        F.aggregate(
+            F.col("__e"), F.lit(0.0), lambda acc, x: acc + sq_err(x)
+        )
+        / F.lit(float(dim))
+    )
+    # The rounding lives in its OWN projection: aliasing round(vmin) AS
+    # "vmin" in the same select whose other expressions reference
+    # F.col("vmin") resolves those references to the rounded LATERAL alias
+    # (Spark 4 implicit lateral-column-alias resolution), silently feeding
+    # rounded inputs into the mse arithmetic.
+    exact = staged.select(
+        id_col,
+        "vmin",
+        "vmax",
+        "scale",
+        F.when(F.col("scale") > 0, mse).otherwise(F.lit(0.0)).alias("mse"),
+    )
+    return exact.select(
+        id_col,
+        F.round("vmin", 9).alias("vmin"),
+        F.round("vmax", 9).alias("vmax"),
+        F.round("scale", 9).alias("scale"),
+        F.round("mse", 9).alias("mse"),
     )

@@ -144,3 +144,37 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     )
+
+
+@register(
+    "dedup_incremental_new_docs",
+    """
+    WITH __old AS (
+      SELECT sha256(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+    ), __new AS (
+      SELECT doc_id, sha256(text) AS content_hash
+      FROM documents WHERE doc_id % 2 = 1
+    ), __batch AS (
+      SELECT content_hash, min(doc_id) AS doc_id
+      FROM __new GROUP BY content_hash
+    )
+    SELECT doc_id, content_hash
+    FROM __batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM __old o WHERE o.content_hash = b.content_hash
+    )
+    """,
+    doc="Incremental ingest dedup: odd doc_ids are the incoming snapshot, "
+    "even doc_ids the already-ingested corpus; batch-first-wins then "
+    "left-anti join on the content hash.",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import incremental_exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return incremental_exact_dedup(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+    )

@@ -153,3 +153,39 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 9).alias("cosine_sim"),
         "rk",
     )
+
+
+@register(
+    "similarity_int8_quantize",
+    f"""
+    WITH __e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), __s AS (
+      SELECT vec_id, v,
+             list_min(v) AS vmin, list_max(v) AS vmax,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM __e
+    )
+    SELECT vec_id,
+           ROUND(vmin, 9) AS vmin,
+           ROUND(vmax, 9) AS vmax,
+           ROUND(scale, 9) AS scale,
+           ROUND(CASE WHEN scale > 0 THEN
+             list_sum(list_transform(v,
+               x -> (x - (vmin + round((x - vmin) / scale) * scale))
+                  * (x - (vmin + round((x - vmin) / scale) * scale))))
+             / {DIM}.0
+           ELSE 0.0 END, 9) AS mse
+    FROM __s
+    """,
+    doc="Int8 scalar-quantization codebook per embedding (affine min/max "
+    "quantizer) + reconstruction MSE — the 4x storage-shrink step before "
+    "ANN serving.",
+)
+def similarity_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import int8_quantize_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    return int8_quantize_stats(emb, "embedding", "vec_id", dim=DIM)

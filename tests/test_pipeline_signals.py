@@ -140,3 +140,53 @@ def test_redact_idempotent(pii_docs):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_int8_quantize_matches_numpy(spark):
+    import numpy as np
+
+    from heparchy_spark.operators.similarity import int8_quantize_stats
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=8).astype("float32") for _ in range(20)]
+    vecs.append(np.zeros(8, dtype="float32"))  # constant vector -> scale 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in int8_quantize_stats(df, "embedding", "vec_id", dim=8).collect()
+    }
+    for i, v in enumerate(vecs):
+        v = v.astype("float64")
+        vmin, vmax = v.min(), v.max()
+        scale = (vmax - vmin) / 255.0
+        r = rows[i]
+        assert r["vmin"] == pytest.approx(vmin, abs=1e-9)
+        assert r["vmax"] == pytest.approx(vmax, abs=1e-9)
+        if scale > 0:
+            q = np.round((v - vmin) / scale)
+            mse = float(((v - (vmin + q * scale)) ** 2).mean())
+            assert r["mse"] == pytest.approx(mse, abs=1e-8)
+            assert np.all(q >= 0) and np.all(q <= 255)
+        else:
+            assert r["mse"] == 0.0
+
+
+def test_incremental_exact_dedup(spark):
+    from heparchy_spark.operators.dedup import incremental_exact_dedup
+
+    seen = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(new, seen, "text", "doc_id").collect()
+    }
+    # alpha already seen; gamma deduped within batch to min id 11
+    assert out == {11, 13}
