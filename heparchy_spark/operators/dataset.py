@@ -1,0 +1,136 @@
+"""Dataset-assembly operators — [ext] north-star pipeline ops (SURVEY.md
+§2.12 family): deterministic splits, stratified sampling, sequence packing.
+
+All randomness is derived from content hashes (sha256 hex prefixes), never
+``rand()``: runs are reproducible, re-runs over a grown corpus keep every
+previously-assigned row in the same split, and duplicate documents land in
+the same split — which is exactly the leakage guarantee a train/test split
+needs.  Everything is column algebra + windows; no Python, no driver state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+__all__ = [
+    "hash_bucket",
+    "split_assign",
+    "stratified_sample",
+    "pack_sequences",
+]
+
+#: hex digits of the sha256 prefix used for bucketing (48 bits fits long)
+_HEX_DIGITS = 12
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from a content column.
+
+    sha256 prefix -> integer: uniform, engine-portable (the same expression
+    is writable in ANSI SQL), and stable across runs/corpus growth — the
+    properties ``rand()`` sampling lacks at pipeline scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.sha2(F.concat(c, F.lit(salt)), 256)
+    return (
+        F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("long")
+        % _BUCKETS
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    content_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split with
+    the given weights (summing to 1), by content hash bucket.
+
+    Duplicate contents always co-assign (no cross-split leakage); adding
+    rows never reassigns existing ones.  Pure per-row projection — no
+    shuffle, scales trivially.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(content_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    *head, (last_name, _) = list(weights.items())
+    for name, w in head:
+        cum += w
+        bound = int(round(cum * _BUCKETS))
+        arm = (bucket < F.lit(bound), F.lit(name))
+        expr = F.when(*arm) if expr is None else expr.when(*arm)
+    split = (
+        F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    content_col: str,
+    id_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Exact-quota per-stratum sample: ``ceil(fraction * |stratum|)`` rows
+    from each stratum, chosen by content-hash order.
+
+    Hash order makes the choice deterministic and engine-portable; the id
+    tiebreak gives a total order even under duplicate contents.  One
+    shuffle on the stratum key; per-stratum quota needs no second pass
+    (window count over the same partitioning).  Skewed strata inherit the
+    window's partitioning — at 100 TB, pre-split giant strata with a salt
+    on the window key if one stratum dominates.
+    """
+    h = F.sha2(F.col(content_col), 256)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    wc = Window.partitionBy(strata_col)
+    rn = F.row_number().over(w)
+    quota = F.ceil(F.lit(fraction) * F.count(F.lit(1)).over(wc))
+    return (
+        df.withColumn("__rn", rn)
+        .withColumn("__quota", quota)
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    length_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Assign rows to fixed-budget bins per shard (sequence packing).
+
+    Output: (id, shard, seq_len, bin_id) where ``bin_id`` is the running
+    ``floor((cumsum - len)/budget)`` in id order within the shard — the
+    streaming-friendly approximation of first-fit packing (each bin holds
+    consecutive rows whose lengths sum to ~budget; oversized rows take a
+    bin alone).  Packing WITHIN shards, not globally: a global cumulative
+    sum would serialize on one partition at 100 TB, while per-shard windows
+    parallelize across shards and match how packed batches are written out
+    (one file per shard).
+    """
+    length = F.col(length_col) if isinstance(length_col, str) else length_col
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(length).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        length.cast("long").alias("seq_len"),
+        F.floor(
+            (cum - length).cast("double") / F.lit(float(budget))
+        ).cast("long").alias("bin_id"),
+    )
