@@ -18,6 +18,8 @@ __all__ = [
     "split_assign",
     "stratified_sample",
     "pack_sequences",
+    "mix_sources",
+    "shuffle_shards",
 ]
 
 #: hex digits of the sha256 prefix used for bucketing (48 bits fits long)
@@ -98,6 +100,106 @@ def stratified_sample(
         .withColumn("__quota", quota)
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    content_col: str,
+    id_col: str,
+    weights_permille: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample to a target source mix (data-mixing for training sets).
+
+    ``weights_permille`` maps source -> integer per-mille target share
+    (must sum to 1000).  The output is the LARGEST corpus achievable at
+    exactly that mix without upsampling any source:
+    ``N* = min_s floor(1000 * n_s / w_s)`` rows total, with
+    ``quota_s = floor(w_s * N* / 1000)`` rows per source, chosen by
+    content-hash order (deterministic, stable under corpus growth for the
+    non-binding sources).  Rows from unlisted sources are dropped.
+
+    Integer weights keep the quota arithmetic engine-portable (no float
+    grid effects in the oracle comparison).  Scale shape: per-source counts
+    are a tiny aggregate (|sources| rows) broadcast back; the single-row
+    ``N*`` reduction is likewise broadcast; the only full-data shuffle is
+    the per-source ranking window, which skew-inherits — at 100 TB, a
+    dominant source should be pre-bucketed on the hash so the window sorts
+    within buckets (the quota rule is order-based, not position-based, so
+    any equal-depth refinement preserves the selection).
+    """
+    if sum(weights_permille.values()) != 1000:
+        raise ValueError("mix weights must sum to 1000 per-mille")
+    pairs: list[Column] = []
+    for src, w in weights_permille.items():
+        pairs += [F.lit(src), F.lit(int(w))]
+    w_col = F.create_map(*pairs)[F.col(source_col)]
+    c = F.col(content_col)
+    h = F.sha2(F.concat(c, F.lit(salt)), 256)
+
+    cnt = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", w_col)
+        .where(F.col("__w").isNotNull())
+    )
+    nstar = cnt.agg(
+        F.min(
+            F.floor(F.lit(1000.0) * F.col("__n") / F.col("__w"))
+        ).alias("__nstar")
+    )
+    win = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    ranked = df.withColumn("__rn", F.row_number().over(win))
+    return (
+        ranked.join(F.broadcast(cnt.select(source_col, "__w")), source_col)
+        .crossJoin(F.broadcast(nstar))
+        .where(
+            F.col("__rn")
+            <= F.floor(F.col("__w") * F.col("__nstar") / F.lit(1000.0))
+        )
+        .drop("__rn", "__w", "__nstar")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training output.
+
+    Every row gets ``(shard_id, pos)``: shard from a content-hash bucket,
+    position from hash order within the shard — a reproducible random
+    permutation of the corpus (same salt -> same order), sharded so that no
+    global sort is needed.  Emitting per-shard ordered runs is exactly how
+    packed training shards are written (one file per shard); a global
+    ``row_number`` would serialize on one partition, while per-shard
+    windows parallelize across ``n_shards``.
+
+    Output: ``(id, shard_id, pos)`` — join back on id to materialize the
+    shuffled corpus, or ``repartition(shard_id).sortWithinPartitions(pos)``
+    to write it.
+    """
+    c = F.col(content_col)
+    h = F.sha2(F.concat(c, F.lit(salt)), 256)
+    shard = (
+        F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    )
+    keyed = df.select(
+        F.col(id_col),
+        shard.alias("shard_id"),
+        h.alias("__h"),
+    )
+    win = Window.partitionBy("shard_id").orderBy("__h", id_col)
+    return keyed.select(
+        id_col,
+        "shard_id",
+        F.row_number().over(win).cast("long").alias("pos"),
     )
 
 

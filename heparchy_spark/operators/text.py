@@ -27,6 +27,7 @@ __all__ = [
     "PII_PATTERNS",
     "pii_counts",
     "pii_redact",
+    "contamination_report",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
@@ -305,3 +306,56 @@ def pii_redact(col: Column | str) -> Column:
     for kind in ("email", "ipv4", "phone"):
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return c
+
+
+def contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-doc overlap with an eval set.
+
+    For each training document, counts how many of its distinct word
+    ``n``-gram shingles also occur anywhere in ``eval_df`` (the benchmark /
+    held-out corpus).  Output: ``(id, n_shingles, n_overlap, contaminated)``
+    with ``contaminated = n_overlap > 0`` — the standard n-gram-collision
+    decontamination check used before training-set release.
+
+    Scale shape: shingle identity is the 64-bit hash composition from
+    ``shingle_hash_stream`` (codegen'd, no shingle strings).  The eval
+    shingle set is tiny relative to the corpus (benchmarks are ~MBs vs TBs),
+    so it is broadcast — the training stream is never shuffled for the join;
+    the only shuffle is the stream's own per-doc window, whose partitioning
+    the final per-doc aggregation reuses.
+    """
+    from heparchy_spark.operators.dedup import shingle_hash_stream
+
+    tr = shingle_hash_stream(train_df, text_col, id_col, n)
+    ev = (
+        shingle_hash_stream(eval_df, text_col, id_col, n)
+        .select("__shh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        tr.join(F.broadcast(ev), "__shh", "left")
+        .groupBy("__id")
+        .agg(
+            F.count_distinct("__shh").alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("__hit") == 1, F.col("__shh"))
+            ).alias("n_overlap"),
+        )
+    )
+    ids = train_df.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(per, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )

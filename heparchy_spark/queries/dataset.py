@@ -87,3 +87,74 @@ def dataset_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, "lang", "doc_id", token_count("text"), budget=512
     )
+
+
+@register(
+    "dataset_mix_sources",
+    """
+    WITH __cnt AS (
+      SELECT lang, count(*) AS __n,
+             CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+                       WHEN 'es' THEN 150 WHEN 'fr' THEN 100
+                       WHEN 'zh' THEN 50 END AS __w
+      FROM documents GROUP BY lang
+    ), __ns AS (
+      SELECT min(floor(CAST(1000 AS DOUBLE) * __n / __w)) AS __nstar
+      FROM __cnt WHERE __w IS NOT NULL
+    ), __ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY sha256(text || 'mix'), doc_id
+             ) AS __rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM __ranked r JOIN __cnt USING (lang) CROSS JOIN __ns
+    WHERE __w IS NOT NULL
+      AND r.__rn <= floor(__w * __nstar / CAST(1000 AS DOUBLE))
+    """,
+    doc="Data mixing: downsample to a 50/20/15/10/5 en/de/es/fr/zh target "
+    "mix — the largest corpus reaching that mix with no upsampling "
+    "(N* = min_s floor(1000*n_s/w_s)), rows picked by content-hash order. "
+    "Integer per-mille weights keep quotas engine-portable.",
+)
+def dataset_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import mix_sources
+
+    docs = load(spark, sf_dir, "documents")
+    out = mix_sources(
+        docs,
+        "lang",
+        "text",
+        "doc_id",
+        {"en": 500, "de": 200, "es": 150, "fr": 100, "zh": 50},
+        salt="mix",
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "dataset_shuffle_shards",
+    """
+    WITH __k AS (
+      SELECT doc_id,
+             (('0x' || substr(sha256(text || 'shuffle'), 1, 12))::BIGINT % 8)
+               AS shard_id,
+             sha256(text || 'shuffle') AS __h
+      FROM documents
+    )
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard_id ORDER BY __h, doc_id) AS BIGINT) AS pos
+    FROM __k
+    """,
+    doc="Deterministic global shuffle into 8 training shards: shard from a "
+    "content-hash bucket, position from hash order within the shard — a "
+    "reproducible permutation with per-shard (not global) ordering, so no "
+    "single-partition sort at scale.",
+)
+def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "text", "doc_id", n_shards=8, salt="shuffle")

@@ -20,15 +20,23 @@ _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
-# DuckDB expression mirroring operators.dedup.shingles(text, 3)
-_SHINGLES_SQL = f"""
+def _shingles_sql(n: int) -> str:
+    """DuckDB expression mirroring operators.dedup.shingles(text, n)."""
+    words = " || ' ' || ".join(
+        f"string_split({_NORM_SQL}, ' ')[i+{k}]" if k else
+        f"string_split({_NORM_SQL}, ' ')[i]"
+        for k in range(n)
+    )
+    return f"""
     list_distinct(
       list_transform(
-        generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 0)),
-        i -> string_split({_NORM_SQL}, ' ')[i] || ' ' ||
-             string_split({_NORM_SQL}, ' ')[i+1] || ' ' ||
-             string_split({_NORM_SQL}, ' ')[i+2]))
+        generate_series(
+          1, greatest(len(string_split({_NORM_SQL}, ' ')) - {n - 1}, 0)),
+        i -> {words}))
 """
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 
 @register(
@@ -177,4 +185,57 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),
         "text",
         "doc_id",
+    )
+
+
+# Reuses the dataset-split bucketing rule (queries.dataset._BUCKET_SQL) to
+# carve an eval set out of `documents`; inlined here to keep the module
+# import graph acyclic (dataset -> text -> dedup).
+_SPLIT_BUCKET_SQL = (
+    "(('0x' || substr(sha256(text || 'split'), 1, 12))::BIGINT % 10000)"
+)
+
+
+@register(
+    "dedup_contamination_check",
+    f"""
+    WITH __b AS (
+      SELECT doc_id, text, {_SPLIT_BUCKET_SQL} AS __bk FROM documents
+    ), __tr AS (
+      SELECT doc_id, {_shingles_sql(5)} AS sh FROM __b WHERE __bk < 9000
+    ), __ev AS (
+      SELECT DISTINCT s
+      FROM (SELECT unnest({_shingles_sql(5)}) AS s FROM __b WHERE __bk >= 9000)
+    ), __tx AS (
+      SELECT doc_id, unnest(sh) AS s FROM __tr
+    ), __hits AS (
+      SELECT doc_id,
+             count(*) AS n_shingles,
+             count(CASE WHEN s IN (SELECT s FROM __ev) THEN 1 END)
+               AS n_overlap
+      FROM __tx GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM __tr t LEFT JOIN __hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination: training docs (split buckets < 9000) "
+    "checked for 5-gram shingle collisions with the held-out eval split "
+    "(buckets >= 9000). Eval shingle set is broadcast; the train stream "
+    "is never shuffled for the join.",
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import hash_bucket
+    from heparchy_spark.operators.text import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    b = docs.withColumn("__bk", hash_bucket("text", "split"))
+    return contamination_report(
+        b.where(F.col("__bk") < 9000),
+        b.where(F.col("__bk") >= 9000),
+        "text",
+        "doc_id",
+        n=5,
     )

@@ -107,3 +107,59 @@ def test_pack_bins_fill_close_to_budget(spark):
     for r in fills[:-1]:
         assert r["fill"] >= 801  # cannot close a bin while under budget - max_len
         assert r["fill"] <= 1000 + 200  # cannot exceed budget + max_len
+
+
+def test_mix_sources_quotas_and_mix(docs):
+    from heparchy_spark.operators.dataset import mix_sources
+
+    # docs: ~2/3 en, ~1/3 de.  Target a 50/50 mix: de is the binding
+    # source, so the output keeps every de row's quota and downsamples en.
+    out = mix_sources(docs, "lang", "text", "doc_id", {"en": 500, "de": 500})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    n_de = docs.where(F.col("lang") == "de").count()
+    n_star = (1000 * n_de) // 500  # de binds: floor(1000*n_de/500)
+    assert counts["de"] == (500 * n_star) // 1000
+    assert counts["en"] == (500 * n_star) // 1000
+    # determinism
+    again = mix_sources(docs, "lang", "text", "doc_id", {"en": 500, "de": 500})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mix_sources_drops_unlisted_and_validates(docs):
+    from heparchy_spark.operators.dataset import mix_sources
+
+    out = mix_sources(docs, "lang", "text", "doc_id", {"en": 1000})
+    assert out.where(F.col("lang") == "de").count() == 0
+    with pytest.raises(ValueError):
+        mix_sources(docs, "lang", "text", "doc_id", {"en": 700, "de": 200})
+
+
+def test_shuffle_shards_permutation(docs):
+    from heparchy_spark.operators.dataset import shuffle_shards
+
+    out = shuffle_shards(docs, "text", "doc_id", n_shards=4).collect()
+    assert len(out) == docs.count()
+    # every row assigned a shard in range, positions are 1..n per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 4
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_salt_changes_order(docs):
+    from heparchy_spark.operators.dataset import shuffle_shards
+
+    a = {
+        (r["doc_id"], r["shard_id"], r["pos"])
+        for r in shuffle_shards(docs, "text", "doc_id", 4, salt="a").collect()
+    }
+    b = {
+        (r["doc_id"], r["shard_id"], r["pos"])
+        for r in shuffle_shards(docs, "text", "doc_id", 4, salt="b").collect()
+    }
+    assert a != b  # different permutation
+    assert {t[0] for t in a} == {t[0] for t in b}  # same rows

@@ -190,3 +190,30 @@ def test_incremental_exact_dedup(spark):
     }
     # alpha already seen; gamma deduped within batch to min id 11
     assert out == {11, 13}
+
+
+def test_contamination_report(spark):
+    from heparchy_spark.operators.text import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated content about spark partitions here"),
+            (3, "short doc"),  # < 5 tokens -> zero shingles
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a sleeping cat")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_report(train, ev, "text", "doc_id", n=5).collect()
+    }
+    assert len(rows) == 3
+    # doc 1 shares the 5-gram "the quick brown fox jumps" (and one more:
+    # "quick brown fox jumps over") with the eval doc
+    assert rows[1]["n_overlap"] == 2 and rows[1]["contaminated"]
+    assert rows[2]["n_overlap"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_shingles"] == 0 and not rows[3]["contaminated"]
