@@ -38,6 +38,7 @@ HEADLINE = [
     "agg_percentiles_quantity",
     "pivot_qty_by_status",
     "dedup_exact",
+    "dedup_contamination_check",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -45,6 +46,8 @@ HEADLINE = [
     "text_fingerprints",
     "text_repetition_signals",
     "text_token_freqs",
+    "text_filter_funnel",
+    "dataset_shuffle_shards",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",

@@ -28,6 +28,7 @@ __all__ = [
     "pii_counts",
     "pii_redact",
     "contamination_report",
+    "filter_funnel",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
@@ -306,6 +307,43 @@ def pii_redact(col: Column | str) -> Column:
     for kind in ("email", "ipv4", "phone"):
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return c
+
+
+def filter_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Cumulative filter-funnel survivor counts (pipeline observability).
+
+    ``stages`` is an ordered list of (name, predicate).  A row survives
+    stage k iff it passes predicates 1..k — the output reports, per stage,
+    how many rows remain, plus a leading ``total`` row.  This is the
+    standard yield report a filtering pipeline emits before committing a
+    training-set build (where did the data go?).
+
+    Output: ``(stage_idx, stage, n_pass)``, ``stage_idx`` 0 = total.
+
+    Scale shape: ONE scan + one map-side partial aggregate — every stage
+    is a conditional sum in the same ``agg``, so adding stages costs no
+    extra passes; the final reduce moves |stages|+1 longs per task.  The
+    unpivot (``stack``) runs on the single aggregated row.
+    """
+    conds: list[tuple[str, Column]] = []
+    acc: Column | None = None
+    for name, pred in stages:
+        acc = pred if acc is None else (acc & pred)
+        conds.append((name, acc))
+    aggs = [F.count(F.lit(1)).alias("__c0")] + [
+        F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(f"__c{i + 1}")
+        for i, (_, c) in enumerate(conds)
+    ]
+    row = df.agg(*aggs)
+    parts = ["CAST(0 AS BIGINT)", "'total'", "__c0"]
+    for i, (name, _) in enumerate(conds):
+        parts += [f"CAST({i + 1} AS BIGINT)", f"'{name}'", f"__c{i + 1}"]
+    n = len(conds) + 1
+    return row.selectExpr(
+        f"stack({n}, {', '.join(parts)}) AS (stage_idx, stage, n_pass)"
+    )
 
 
 def contamination_report(

@@ -78,8 +78,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (BroadcastExchange is not a
-    shuffle; ReusedExchange reads an already-written one and is excluded)."""
-    plan = executed_plan(df)
+    shuffle; ReusedExchange reads an already-written one and is excluded).
+
+    An executed ``AdaptiveSparkPlan`` prints both its final and initial
+    plans; only the final one (printed first) is counted, or every
+    exchange would be double-counted."""
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
     return len(
         re.findall(
             r"(?<!Reused)Exchange (?:hashpartitioning|rangepartitioning|"

@@ -393,3 +393,53 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
         F.length(pii_redact("text")).cast("long").alias("n_chars_redacted"),
     )
+
+
+_EMAIL_RE = PII_PATTERNS["email"]
+
+
+@register(
+    "text_filter_funnel",
+    f"""
+    WITH __p AS (
+      SELECT n_chars >= 100 AS p1,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               >= 0.6 * length(text) AS p2,
+             ({_TOKCOUNT_SQL}) BETWEEN 20 AND 100000 AS p3,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) = 0 AS p4
+      FROM documents
+    ), __a AS (
+      SELECT count(*) AS c0,
+             sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS c4
+      FROM __p
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+           CAST(c0 AS BIGINT) AS n_pass FROM __a
+    UNION ALL SELECT 1, 'min_chars', CAST(c1 AS BIGINT) FROM __a
+    UNION ALL SELECT 2, 'alpha_ratio', CAST(c2 AS BIGINT) FROM __a
+    UNION ALL SELECT 3, 'token_band', CAST(c3 AS BIGINT) FROM __a
+    UNION ALL SELECT 4, 'no_email_pii', CAST(c4 AS BIGINT) FROM __a
+    """,
+    doc="Filter-funnel yield report: cumulative survivor counts through the "
+    "quality gates (length, alpha ratio, token band, email-PII-free) — one "
+    "scan, one map-side partial aggregate, stages unpivoted from a single "
+    "aggregated row.",
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import filter_funnel
+
+    docs = load(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    stages = [
+        ("min_chars", F.col("n_chars") >= 100),
+        ("alpha_ratio", alpha >= 0.6 * F.length("text")),
+        ("token_band", token_count("text").between(20, 100000)),
+        (
+            "no_email_pii",
+            F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)) == 0,
+        ),
+    ]
+    return filter_funnel(docs, stages)

@@ -217,3 +217,34 @@ def test_contamination_report(spark):
     assert rows[1]["n_overlap"] == 2 and rows[1]["contaminated"]
     assert rows[2]["n_overlap"] == 0 and not rows[2]["contaminated"]
     assert rows[3]["n_shingles"] == 0 and not rows[3]["contaminated"]
+
+
+def test_filter_funnel_cumulative(spark):
+    from heparchy_spark.operators.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+    )
+    out = {
+        r["stage"]: (r["stage_idx"], r["n_pass"])
+        for r in filter_funnel(
+            df,
+            [("ge20", F.col("v") >= 20), ("le30", F.col("v") <= 30)],
+        ).collect()
+    }
+    # cumulative: le30 counts rows passing BOTH gates, not just its own
+    assert out == {"total": (0, 4), "ge20": (1, 3), "le30": (2, 2)}
+
+
+def test_filter_funnel_single_scan(spark):
+    from heparchy_spark.operators.text import filter_funnel
+    from heparchy_spark.plans.inspect import executed_plan, shuffle_count
+    from heparchy_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = filter_funnel(docs, [("min_chars", F.col("n_chars") >= 100)])
+    out.collect()
+    # one scan, one global-agg exchange; stages never add passes
+    final_plan = executed_plan(out).split("== Initial Plan ==")[0]
+    assert final_plan.count("FileScan") == 1
+    assert shuffle_count(out) <= 1

@@ -87,3 +87,38 @@ def test_q1_single_shuffle(spark):
     df = spark_queries()["q1_pricing_summary"](spark, SF_DIR)
     df.collect()
     assert shuffle_count(df) <= 2  # agg exchange + tiny sort exchange
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The eval shingle set must broadcast: the training stream is never
+    shuffled for the overlap join (SCALE.md — eval ~MBs vs corpus ~TBs)."""
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["dedup_contamination_check"](spark, SF_DIR)
+    df.collect()
+    assert has_broadcast_join(df)
+
+
+def test_mix_sources_broadcasts_quotas(spark):
+    """Per-source counts and the single-row N* must broadcast back onto the
+    ranked stream — the only full-data shuffle is the ranking window."""
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["dataset_mix_sources"](spark, SF_DIR)
+    df.collect()
+    assert has_broadcast_join(df)
+    # the ranked stream is exchanged exactly once (the window); the other
+    # exchanges move only tiny per-source count aggregates
+    assert shuffle_count(df) <= 4
+
+
+def test_shuffle_shards_no_global_sort(spark):
+    """Shard positions come from per-shard windows: one hash exchange on
+    shard_id, never a global (single-partition) sort."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["dataset_shuffle_shards"](spark, SF_DIR)
+    df.collect()
+    assert shuffle_count(df) == 1
+    assert "SinglePartition" not in physical_plan(df)
