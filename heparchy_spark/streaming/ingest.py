@@ -11,11 +11,18 @@ from __future__ import annotations
 
 import typing as ty
 
+import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
-__all__ = ["EVENT_STREAM_SCHEMA", "read_event_stream", "stream_to_store"]
+__all__ = [
+    "EVENT_STREAM_SCHEMA",
+    "read_event_stream",
+    "stream_to_store",
+    "stream_dedup_ingest",
+]
 
 # The driver's events-table shape (TESTDATA.md) — the stream vehicle.
 EVENT_STREAM_SCHEMA = T.StructType(
@@ -64,6 +71,67 @@ def stream_to_store(
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    dest: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Dedup-at-ingest: append only never-before-seen content to the store.
+
+    The streaming twin of ``operators.dedup.incremental_exact_dedup``: each
+    micro-batch is (1) deduplicated within itself (first id wins per
+    content hash), (2) anti-joined against the compact hash sidecar of
+    everything already ingested, and (3) appended — data rows to ``dest``,
+    surviving hashes to the ``<dest>_hashes`` sidecar.
+
+    Scale shape: the sidecar holds one 64-hex-char hash per corpus row —
+    ~1/1000th the bytes of a text corpus — and is the only state re-read
+    per batch; hash keys are uniform so the anti-join shuffle is skew-free.
+    At very large corpora, bucket the sidecar by hash so the join
+    co-locates without shuffling the sidecar each batch.
+
+    Consistency: ``foreachBatch`` is at-least-once — a batch retried after
+    writing data but before its hashes commit could append duplicates.
+    The batch operator is the backstop (re-runnable compaction); a
+    transactional table format would close the gap, but plain Parquet has
+    no multi-table commit.
+    """
+    sidecar = dest.rstrip("/") + "_hashes"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hashed = batch.withColumn("__ch", F.sha2(F.col(content_col), 256))
+        w = Window.partitionBy("__ch").orderBy(id_col)
+        first = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = spark.read.parquet(sidecar).select("__ch")
+            first = first.join(seen, "__ch", "left_anti")
+        except AnalysisException:
+            pass  # first batch: no sidecar yet
+        fresh = first.persist()
+        try:
+            fresh.drop("__ch").write.mode("append").parquet(dest)
+            fresh.select("__ch").write.mode("append").parquet(sidecar)
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -219,3 +219,50 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     # hour-0 window finalized with ONLY the 3 on-time events; event 4 dropped
     assert out.get(0) == 3
+
+
+def test_stream_dedup_ingest(spark, tmp_path):
+    """Dedup-at-ingest: duplicate content across micro-batches is dropped;
+    only first-seen rows reach the store."""
+    from heparchy_spark.streaming.ingest import stream_dedup_ingest
+
+    land = tmp_path / "land"
+    land.mkdir()
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "gamma")], schema
+    )
+    b0.coalesce(1).write.parquet(str(tmp_path / "s0"))
+    b1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    i = 0
+    for sub in ("s0", "s1"):
+        for f in sorted((tmp_path / sub).glob("*.parquet")):
+            f.rename(land / f"part-{i:03d}.parquet")
+            i += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_dedup_ingest(
+        stream,
+        "text",
+        "doc_id",
+        str(tmp_path / "dest"),
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    out = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(tmp_path / "dest")).collect()
+    }
+    # first id per content wins; cross-batch duplicate (beta) dropped
+    assert out == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+    hashes = spark.read.parquet(str(tmp_path / "dest") + "_hashes")
+    assert hashes.distinct().count() == 3
