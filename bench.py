@@ -25,7 +25,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_nation_volume",
     "q10_returned_items",
+    "q18_large_orders",
     "join_left_order_counts",
     "agg_count_distinct",
     "window_topk_orders_per_customer",

@@ -28,6 +28,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "int8_quantize_stats",
+    "label_centroids",
 ]
 
 
@@ -330,4 +331,32 @@ def int8_quantize_stats(
         F.round("vmax", 9).alias("vmax"),
         F.round("scale", 9).alias("scale"),
         F.round("mse", 9).alias("mse"),
+    )
+
+
+def label_centroids(
+    df: DataFrame, emb_col: str, label_col: str
+) -> DataFrame:
+    """Per-label mean embedding via a grouped-aggregate pandas UDF — the
+    UDAF extension point of the surface (SURVEY.md §2.11).
+
+    Each group's vectors arrive as one Arrow batch; the mean is a single
+    NumPy reduction.  The JVM twin (posexplode + per-position avg) is
+    algebraically identical and is what the oracle-checked corpus entry
+    uses — this UDAF form exists for (a) the extension-point coverage and
+    (b) pipelines that already hold NumPy-side per-group logic (class
+    prototypes, nearest-centroid classifiers).
+
+    Scale: one shuffle on the label key; groups stream through the Python
+    worker in Arrow batches, so executor memory bounds the *batch*, not
+    the group count.  Label skew inherits the groupBy partitioning —
+    salt + two-phase mean (sum/count) if one label dominates.
+    """
+
+    @F.pandas_udf("array<double>")
+    def centroid(v: pd.Series) -> list:
+        return [float(x) for x in np.mean(np.stack(v.to_numpy()), axis=0)]
+
+    return df.groupBy(label_col).agg(
+        centroid(F.col(emb_col).cast("array<double>")).alias("centroid")
     )

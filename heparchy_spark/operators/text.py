@@ -397,3 +397,45 @@ def contamination_report(
         )
         .withColumn("contaminated", F.col("n_overlap") > 0)
     )
+
+
+def sentence_split_udtf():
+    """Python UDTF splitting documents into sentences — the UDTF extension
+    point of the surface (SURVEY.md §2.11): one input row fans out to N
+    output rows with per-sentence stats.
+
+    The split/token patterns use explicit ASCII whitespace classes so the
+    semantics are portable to the DuckDB oracle (RE2 ``\\s`` is ASCII-only
+    while Python's is Unicode — the one place the engines' regex dialects
+    would silently diverge).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string, n_tokens int")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            if text is None:
+                return
+            for i, s in enumerate(re.split(r"\.[ \t\r\n]+", text)):
+                yield doc_id, i, s, len(re.findall(r"[^ \t\r\n]+", s))
+
+    return SentenceSplit
+
+
+def split_sentences(spark, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Lateral-join the sentence UDTF against a document DataFrame.
+
+    Scale: UDTFs run row-at-a-time in the Python worker — this is
+    deliberately the slow-path demonstration of the extension point; the
+    hot text operators in this module stay JVM-side.  The fan-out itself
+    is partition-local (no shuffle).
+    """
+    SentenceSplit = sentence_split_udtf()
+    spark.udtf.register("__sentence_split", SentenceSplit)
+    df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))\
+        .createOrReplaceTempView("__sent_in")
+    return spark.sql(
+        "SELECT s.* FROM __sent_in, LATERAL __sentence_split(doc_id, text) s"
+    )

@@ -189,3 +189,36 @@ def similarity_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return int8_quantize_stats(emb, "embedding", "vec_id", dim=DIM)
+
+
+@register(
+    "similarity_label_centroids",
+    f"""
+    SELECT label, i - 1 AS pos,
+           ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_v
+    FROM embeddings, generate_series(1, {DIM}) AS t(i)
+    GROUP BY label, i
+    """,
+    doc="Per-label mean embedding (class centroids), exploded to one row "
+    "per (label, position): posexplode + per-position decimal-accumulated "
+    "avg — one shuffle on (label, pos), all JVM. The UDAF twin "
+    "(grouped-agg pandas UDF returning the centroid array) is "
+    "operators.similarity.label_centroids, pytest-asserted equal.",
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "__v"
+        ),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("__v").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v")
+    )

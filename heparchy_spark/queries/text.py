@@ -443,3 +443,32 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return filter_funnel(docs, stages)
+
+
+@register(
+    "text_sentence_split",
+    r"""
+    SELECT doc_id,
+           CAST(u['i'] - 1 AS INTEGER) AS sent_idx,
+           u['s'] AS sentence,
+           CAST(len(regexp_extract_all(u['s'], '[^ \t\r\n]+')) AS INTEGER)
+             AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(arr)),
+               i -> {'i': i, 's': arr[i]})) AS u
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, '\.[ \t\r\n]+') AS arr
+            FROM documents)
+    )
+    """,
+    doc="Sentence fan-out via a Python UDTF (one doc row -> N sentence "
+    "rows with per-sentence token counts); ASCII whitespace classes keep "
+    "Python-regex and RE2 split semantics identical.",
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import split_sentences
+
+    docs = load(spark, sf_dir, "documents")
+    return split_sentences(spark, docs, "text", "doc_id")

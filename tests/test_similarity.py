@@ -84,3 +84,34 @@ def test_ivf_deterministic(spark, emb):
     c1 = train_centroids(emb, "embedding", n_centroids=8, sample_size=500, seed=7)
     c2 = train_centroids(emb, "embedding", n_centroids=8, sample_size=500, seed=7)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_label_centroids_udaf_matches_jvm(spark):
+    """Grouped-agg pandas UDF centroid == posexplode + avg (JVM twin)."""
+    from heparchy_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    udaf = {
+        r["label"]: r["centroid"]
+        for r in label_centroids(emb, "embedding", "label").collect()
+    }
+    jvm = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    expect: dict[int, dict[int, float]] = {}
+    for r in jvm:
+        expect.setdefault(r["label"], {})[r["pos"]] = r["m"]
+    for label, cent in udaf.items():
+        for pos, v in enumerate(cent):
+            assert abs(v - expect[label][pos]) < 1e-12
+    assert udaf[0] == [2.0, 3.0] and udaf[1] == [10.0, 20.0]

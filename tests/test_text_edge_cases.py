@@ -98,3 +98,27 @@ def test_text_profile_no_crash(docs):
     assert out[6]["n_tokens"] > 0  # unicode text still tokenizes
     assert 0.0 <= out[0]["quality"] <= 1.0
     assert out[0]["lang_guess"] == "en"
+
+
+def test_sentence_udtf_edge_cases(spark):
+    from heparchy_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two.  Three"),
+            (2, ""),            # one empty sentence, 0 tokens
+            (3, "No terminator"),
+            (4, None),          # null doc -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tuple(r) for r in split_sentences(spark, df, "text", "doc_id").collect()
+    )
+    assert rows == [
+        (1, 0, "One", 1),
+        (1, 1, "Two", 1),
+        (1, 2, "Three", 1),
+        (2, 0, "", 0),
+        (3, 0, "No terminator", 2),
+    ]
