@@ -36,6 +36,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "incremental_exact_dedup",
+    "connected_components",
 ]
 
 
@@ -530,3 +531,70 @@ def incremental_exact_dedup(
     return batch.join(seen, "content_hash", "left_anti").select(
         id_col, "content_hash"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected graph — dedup cluster
+    assignment: every node gets the MIN node id reachable from it.
+
+    Min-label propagation: each round, a node's label becomes the min of
+    its own and its neighbors' labels; fixpoint when a round changes
+    nothing.  Rounds are pure DataFrame jobs (join + groupBy-min), the
+    driver only counts changes — O(graph diameter) rounds, and near-dup
+    graphs are shallow (clusters are cliques-ish, diameter 2-3).
+
+    Scale shape: each round shuffles on the node id (uniform). Labels
+    persist per round (lineage would otherwise double each iteration) and
+    the previous round unpersists.  For adversarial deep graphs at 100 TB
+    the large-star/small-star variant bounds rounds to O(log n) with the
+    same join primitives; near-dup clustering never needs it.
+
+    Output: ``(node, component)`` for every node in ``nodes`` (singletons
+    keep their own id).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")
+            )
+        )
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["__a"] == labels["node"])
+            .groupBy("__b")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["__b"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

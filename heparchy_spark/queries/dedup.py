@@ -72,9 +72,8 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    f"""
+# Shared by the pairs query and the components query below.
+_JACCARD_PAIRS_06_SQL = f"""
     WITH toks0 AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
     ),
@@ -99,7 +98,12 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sh sb ON sb.doc_id = c.id_b
     WHERE CAST(c.n_shared AS DOUBLE)
             / (len(sa.s) + len(sb.s) - c.n_shared) >= 0.6
-    """,
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _JACCARD_PAIRS_06_SQL,
     doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.6), full recall: "
     "candidates from an equi-join on shared shingles (any pair with "
     "Jaccard > 0 shares one), verified by exact set sizes — the oracle "
@@ -239,3 +243,39 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=5,
     )
+
+
+@register(
+    "dedup_jaccard_components",
+    f"""
+    WITH RECURSIVE
+    __pairs AS ({_JACCARD_PAIRS_06_SQL}),
+    __sym AS (
+      SELECT id_a AS a, id_b AS b FROM __pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM __pairs
+    ),
+    __reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.lab FROM __reach r JOIN __sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+    FROM __reach GROUP BY node
+    """,
+    doc="Dedup cluster assignment: connected components of the 3-gram "
+    "Jaccard >= 0.6 near-dup graph via min-label propagation (join + "
+    "groupBy-min per round, O(diameter) rounds); the oracle computes the "
+    "same fixpoint with a recursive CTE. Singleton docs keep their own id.",
+)
+def dedup_jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6, prefix_tokens=None
+    )
+    out = connected_components(
+        pairs, "id_a", "id_b", docs, "doc_id", max_iter=25
+    )
+    return out.select(F.col("node").alias("doc_id"), "component")

@@ -1,0 +1,107 @@
+"""Store maintenance — small-file compaction.
+
+The reference never needs this: HDF5 is one file per store
+(``/root/reference/heparchy/write/hdf.py:567-569``).  A Parquet store
+accretes a file per writer task per append — per-event ingest
+(``HepEventWriter`` commits, mirroring ``write/hdf.py:257-266``) and
+streaming micro-batches both produce many tiny files, and at cluster scale
+small files dominate scan cost (footer reads + task scheduling overwhelm
+actual IO).  Compaction rewrites each ``(process, chunk_id)`` partition
+into ``files_per_partition`` files without changing a single row.
+
+The rewrite stages to a sibling temp directory and swaps via rename, so a
+reader never observes a half-compacted table locally; on an object store
+the swap would be a manifest flip (table formats do this transactionally —
+plain Parquet has no atomic multi-file commit, same caveat as the
+streaming sidecar).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from heparchy_spark.sources import store as store_mod
+
+__all__ = ["compact_table", "compact_store"]
+
+
+def _parquet_files(path: str | Path) -> list[Path]:
+    return [
+        p
+        for p in Path(path).rglob("*.parquet")
+        if not p.name.startswith("_") and not p.name.startswith(".")
+    ]
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str | Path,
+    name: str,
+    files_per_partition: int = 1,
+) -> dict:
+    """Rewrite one store table with ``files_per_partition`` files per
+    Hive partition (``processes`` is unpartitioned -> that many total).
+
+    Returns ``{"files_before", "files_after", "rows"}``.  Row-identical by
+    construction: the rewrite is a repartition of the same DataFrame; a
+    count sanity-checks it before the swap.
+    """
+    path = Path(store_mod.table_path(root, name))
+    df = store_mod.read_table(spark, root, name)
+    rows_before = df.count()
+    files_before = len(_parquet_files(path))
+
+    parted = name != "processes"
+    cols = store_mod.PARTITION_COLS if parted else []
+    if parted:
+        # one shuffle keyed on the partition tuple: every output partition
+        # is written by one task -> exactly one file per partition dir
+        # (files_per_partition > 1 salts the key for huge partitions).
+        if files_per_partition == 1:
+            out = df.repartition(*[c for c in cols])
+        else:
+            import pyspark.sql.functions as F
+
+            salt = (F.crc32(F.col(cols[-1]).cast("string")) % files_per_partition)
+            out = df.repartition(*cols, salt)
+    else:
+        out = df.coalesce(max(1, files_per_partition))
+
+    tmp = path.with_name(path.name + "__compacting")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    writer = out.write.mode("overwrite")
+    if parted:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(str(tmp))
+
+    rows_after = spark.read.parquet(str(tmp)).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row mismatch for {name}: "
+            f"{rows_before} -> {rows_after}; aborted, original untouched"
+        )
+    shutil.rmtree(path)
+    tmp.rename(path)
+    return {
+        "files_before": files_before,
+        "files_after": len(_parquet_files(path)),
+        "rows": rows_after,
+    }
+
+
+def compact_store(
+    spark: SparkSession, root: str | Path, files_per_partition: int = 1
+) -> dict[str, dict]:
+    """Compact every table in a hep store; returns per-table stats."""
+    if not store_mod.is_store(root):
+        raise ValueError(f"not a heparchy store: {root}")
+    return {
+        name: compact_table(spark, root, name, files_per_partition)
+        for name in store_mod.TABLE_NAMES
+        if Path(store_mod.table_path(root, name)).exists()
+    }

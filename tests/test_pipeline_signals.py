@@ -248,3 +248,20 @@ def test_filter_funnel_single_scan(spark):
     final_plan = executed_plan(out).split("== Initial Plan ==")[0]
     assert final_plan.count("FileScan") == 1
     assert shuffle_count(out) <= 1
+
+
+def test_connected_components_known_graph(spark):
+    from heparchy_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "src", "dst", nodes, "id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}

@@ -224,3 +224,43 @@ def test_nested_events_export(spark, store):
             assert row["num_pcls"] == len(d["pdg"])
             got_pdg = [p["pdg"] for p in row["particles"]]
             np.testing.assert_array_equal(got_pdg, d["pdg"])
+
+
+def test_compact_store_preserves_data(spark, tmp_path):
+    """Compaction collapses per-event small files to one per partition and
+    changes no rows; pruned point lookups still work afterwards."""
+    import numpy as np
+
+    from heparchy_spark.sources import HepReader, HepWriter
+    from heparchy_spark.sources.maintenance import _parquet_files, compact_store
+    from tests.conftest import make_event
+
+    root = tmp_path / "s"
+    rng = np.random.default_rng(23)
+    events = [make_event(rng) for _ in range(6)]
+    with HepWriter(spark, root, evts_per_chunk=3) as w:
+        with w.new_process("p") as proc:
+            for evt_w, data in proc.event_iter(events):
+                evt_w.pmu = data["pmu"]
+                evt_w.pdg = data["pdg"]
+
+    with HepReader(spark, root) as r:
+        before = {
+            i: (r["p"][i].pmu.tolist(), r["p"][i].pdg.tolist())
+            for i in range(6)
+        }
+    files_before = len(_parquet_files(root / "particles"))
+
+    stats = compact_store(spark, root)
+
+    assert stats["particles"]["files_before"] == files_before
+    assert stats["particles"]["files_after"] <= files_before
+    # 2 chunk partitions for one process -> exactly 2 files
+    assert stats["particles"]["files_after"] == 2
+    with HepReader(spark, root) as r:
+        assert len(r["p"]) == 6
+        for i in range(6):
+            assert (
+                r["p"][i].pmu.tolist(),
+                r["p"][i].pdg.tolist(),
+            ) == before[i]
