@@ -557,7 +557,8 @@ def connected_components(
     same join primitives; near-dup clustering never needs it.
 
     Output: ``(node, component)`` for every node in ``nodes`` (singletons
-    keep their own id).
+    keep their own id).  The returned DataFrame is persisted (the final
+    round's labels); callers should ``unpersist()`` once consumed.
     """
     sym = (
         edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))

@@ -1091,3 +1091,47 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+@register(
+    "window_user_value_zscore",
+    """
+    WITH __m AS (
+      SELECT user_id, event_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(38,10)))
+                  OVER (PARTITION BY user_id) AS DOUBLE) AS __s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,10)))
+                  OVER (PARTITION BY user_id) AS DOUBLE) AS __s2,
+             CAST(COUNT(value) OVER (PARTITION BY user_id) AS DOUBLE) AS __n
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN __n > 1
+                 AND (__s2 - __s1 * __s1 / __n) / (__n - 1) > 1e-12
+                THEN ROUND((value - __s1 / __n)
+                     / sqrt((__s2 - __s1 * __s1 / __n) / (__n - 1)), 6)
+           END AS zscore
+    FROM __m
+    """,
+    doc="Per-user value z-score (windowed anomaly signal). Moments come "
+    "from decimal-accumulated window sums so both engines derive identical "
+    "doubles before the identical IEEE mean/variance arithmetic; "
+    "single-event users and ~zero variance yield NULL.",
+)
+def window_user_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("value").over(w).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.round((F.col("value") - s1 / n) / F.sqrt(var), 6)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when((n > 1) & (var > 1e-12), z).alias("zscore"),
+    )
