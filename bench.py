@@ -50,6 +50,7 @@ HEADLINE = [
     "text_token_freqs",
     "text_filter_funnel",
     "dataset_shuffle_shards",
+    "dataset_training_corpus",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",

@@ -158,3 +158,76 @@ def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return shuffle_shards(docs, "text", "doc_id", n_shards=8, salt="shuffle")
+
+
+@register(
+    "dataset_training_corpus",
+    f"""
+    WITH __f AS (
+      SELECT doc_id, text FROM documents
+      WHERE n_chars >= 100
+        AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              >= 0.6 * length(text)
+        AND ({_TOKCOUNT_SQL}) BETWEEN 20 AND 100000
+    ), __r AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY sha256(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS __rn
+      FROM __f
+    ), __d AS (
+      SELECT doc_id, text FROM __r WHERE __rn = 1
+    ), __s AS (
+      SELECT doc_id, text,
+             CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM __d
+    ), __t AS (
+      SELECT doc_id, split, CAST({_TOKCOUNT_SQL} AS BIGINT) AS seq_len
+      FROM __s
+    )
+    SELECT doc_id, split, seq_len,
+           CAST(floor(CAST(__cum - seq_len AS DOUBLE) / 1024.0) AS BIGINT)
+             AS bin_id
+    FROM (
+      SELECT doc_id, split, seq_len,
+             sum(seq_len) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS __cum
+      FROM __t
+    )
+    """,
+    doc="End-to-end training-corpus assembly as ONE declarative plan: "
+    "quality gates (pushdown-friendly) -> exact dedup first-wins on the "
+    "normalized content hash -> leakage-safe hash split -> 1024-token "
+    "sequence packing per split. Composition of the individual operators "
+    "with no materialization between stages — Catalyst fuses the filter "
+    "into the scan and pipelines the three window stages.",
+)
+def dataset_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import normalize_text
+    from heparchy_spark.operators.dataset import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    filt = docs.where(
+        (F.col("n_chars") >= 100)
+        & (alpha >= 0.6 * F.length("text"))
+        & token_count("text").between(20, 100000)
+    )
+    w = Window.partitionBy(F.sha2(normalize_text("text"), 256)).orderBy(
+        "doc_id"
+    )
+    rep = (
+        filt.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sp = split_assign(
+        rep, "text", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return pack_sequences(sp, "split", "doc_id", token_count("text"), 1024)
