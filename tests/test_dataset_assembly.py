@@ -163,3 +163,60 @@ def test_shuffle_shards_salt_changes_order(docs):
     }
     assert a != b  # different permutation
     assert {t[0] for t in a} == {t[0] for t in b}  # same rows
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def mix_corpora(draw):
+    n_sources = draw(st.integers(min_value=1, max_value=4))
+    sources = [f"s{i}" for i in range(n_sources)]
+    rows = []
+    for si, s in enumerate(sources):
+        n = draw(st.integers(min_value=1, max_value=30))
+        rows += [(len(rows) + j, f"doc {si} {j}", s) for j in range(n)]
+    # random integer weights summing to 1000
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=999),
+                min_size=n_sources - 1,
+                max_size=n_sources - 1,
+                unique=True,
+            )
+        )
+    )
+    bounds = [0, *cuts, 1000]
+    weights = {
+        s: bounds[i + 1] - bounds[i] for i, s in enumerate(sources)
+    }
+    return rows, weights
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=mix_corpora())
+def test_mix_sources_quota_invariants(spark, case):
+    """Property: output counts equal floor(w_s * N* / 1000) with
+    N* = min_s floor(1000 * n_s / w_s); no source is upsampled."""
+    from heparchy_spark.operators.dataset import mix_sources
+
+    rows, weights = case
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = mix_sources(df, "src", "text", "doc_id", weights)
+    got = {
+        r["src"]: r["count"] for r in out.groupBy("src").count().collect()
+    }
+    n_by_src: dict[str, int] = {}
+    for _, _, s in rows:
+        n_by_src[s] = n_by_src.get(s, 0) + 1
+    n_star = min(1000 * n_by_src[s] // w for s, w in weights.items())
+    for s, w in weights.items():
+        expect = w * n_star // 1000
+        assert got.get(s, 0) == expect
+        assert expect <= n_by_src[s]  # never upsampled
