@@ -279,3 +279,62 @@ def dedup_jaccard_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, "id_a", "id_b", docs, "doc_id", max_iter=25
     )
     return out.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE
+    __pairs AS ({_JACCARD_PAIRS_06_SQL}),
+    __sym AS (
+      SELECT id_a AS a, id_b AS b FROM __pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM __pairs
+    ),
+    __reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.lab FROM __reach r JOIN __sym s ON s.a = r.node
+    ),
+    __comp AS (
+      SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+      FROM __reach GROUP BY node
+    )
+    SELECT component, doc_id AS rep_id, n_docs
+    FROM (
+      SELECT c.component, c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id) AS __rn,
+             count(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM __comp c JOIN documents d USING (doc_id)
+    )
+    WHERE __rn = 1
+    """,
+    doc="Survivor selection per near-dup cluster: keep-longest (ties to "
+    "min doc_id) over the Jaccard components — the policy step that turns "
+    "cluster ids into the actual deduplicated corpus.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6, prefix_tokens=None
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", docs, "doc_id", max_iter=25
+    ).select(F.col("node").alias("doc_id"), "component")
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rn") == 1)
+        .select("component", F.col("doc_id").alias("rep_id"), "n_docs")
+    )

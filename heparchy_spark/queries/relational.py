@@ -1135,3 +1135,76 @@ def window_user_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when((n > 1) & (var > 1e-12), z).alias("zscore"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           count(*) AS n_rows,
+           {sql_dsum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (flag-only, status-only, grand total) with "
+    "grouping_id disambiguation — the general form under cube/rollup; one "
+    "Expand + one shuffle, partial aggregation preserved.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
+
+
+@register(
+    "join_full_outer_daily_types",
+    """
+    WITH __c AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), __p AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT coalesce(__c.day, __p.day) AS day,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(n_purchases, 0) AS n_purchases
+    FROM __c FULL OUTER JOIN __p ON __c.day = __p.day
+    """,
+    doc="Full-outer join of two per-day aggregates (clicks vs purchases): "
+    "days where either side is absent survive with zero-filled counts — "
+    "the one outer-join shape the corpus didn't already cover.",
+)
+def join_full_outer_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        c.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )

@@ -122,3 +122,33 @@ def test_sentence_udtf_edge_cases(spark):
         (2, 0, "", 0),
         (3, 0, "No terminator", 2),
     ]
+
+
+def test_normalize_url_rules(spark):
+    from heparchy_spark.operators.web import normalize_url, url_domain
+
+    cases = [
+        # (input, canonical, domain)
+        ("HTTPS://WWW.Foo.COM:443/a?utm_source=x&q=1#f",
+         "https://www.foo.com/a?q=1", "foo.com"),
+        ("http://Foo.com:80/b?q=2&utm_campaign=y",
+         "http://foo.com/b?q=2", "foo.com"),
+        ("https://foo.com:8443/c",  # non-default port kept
+         "https://foo.com:8443/c", "foo.com"),
+        ("http://bar.org/?utm_a=1&utm_b=2",  # all params tracking
+         "http://bar.org/", "bar.org"),
+        ("ftp://Baz.net/d#x", "ftp://baz.net/d", "baz.net"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
+    )
+    rows = {
+        r["i"]: (r["n"], r["d"])
+        for r in df.select(
+            "i",
+            normalize_url("url").alias("n"),
+            url_domain("url").alias("d"),
+        ).collect()
+    }
+    for i, (_, want_norm, want_dom) in enumerate(cases):
+        assert rows[i] == (want_norm, want_dom), (i, rows[i])
