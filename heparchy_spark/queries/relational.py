@@ -1208,3 +1208,65 @@ def join_full_outer_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH __f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), __a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT)
+             AS days_since,
+           count(*) AS n_users
+    FROM __f JOIN __a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen day, "
+    "counted on each later active day. Two aggregates on user_id reuse "
+    "one partitioning; the cohort join is an equi join on the same key.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day")
+            .cast("long")
+            .alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "orders_above_avg_value",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {sql_davg('o_totalprice')} FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery: filter against a whole-table "
+    "aggregate. The single-row average broadcasts (cross join) under the "
+    "filter — two passes over orders, no shuffle of the filtered stream; "
+    "the decimal-accumulated average makes the threshold engine-identical.",
+)
+def orders_above_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    avg_row = o.agg(davg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .where(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
