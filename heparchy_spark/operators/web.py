@@ -53,7 +53,12 @@ def normalize_url(col: Column | str) -> Column:
     rest = F.regexp_replace(rest, r"utm_[^&#]*$", "")  # utm param last
     rest = F.regexp_replace(rest, r"[?&]+$", "")  # dangling separators
     rest = F.regexp_replace(rest, r"\?&", "?")  # "?&rest" -> "?rest"
-    return F.concat(scheme, F.lit("://"), host, rest)
+    c = F.col(col) if isinstance(col, str) else col
+    # relative / schemeless input: pass through untouched rather than
+    # emitting a mangled "://..." composite
+    return F.when(scheme == "", c).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
 
 
 def url_domain(col: Column | str) -> Column:

@@ -152,3 +152,17 @@ def test_normalize_url_rules(spark):
     }
     for i, (_, want_norm, want_dom) in enumerate(cases):
         assert rows[i] == (want_norm, want_dom), (i, rows[i])
+
+
+def test_normalize_url_relative_passthrough(spark):
+    from heparchy_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame(
+        [(0, "/just/a/path?q=1"), (1, "no-scheme.com/x"), (2, "")],
+        "i long, url string",
+    )
+    rows = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url("url").alias("n")).collect()
+    }
+    assert rows == {0: "/just/a/path?q=1", 1: "no-scheme.com/x", 2: ""}
