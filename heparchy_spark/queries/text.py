@@ -472,3 +472,57 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return split_sentences(spark, docs, "text", "doc_id")
+
+
+@register(
+    "text_top_bigram_transitions",
+    f"""
+    WITH __w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), __bg AS (
+      SELECT u['a'] AS token, u['b'] AS next_token
+      FROM (
+        SELECT unnest(list_transform(
+          generate_series(1, greatest(len(w) - 1, 0)),
+          i -> {{'a': w[i], 'b': w[i+1]}})) AS u
+        FROM __w
+      )
+      WHERE u['a'] <> '' AND u['b'] <> ''
+    ), __c AS (
+      SELECT token, next_token, count(*) AS n_pairs,
+             row_number() OVER (
+               PARTITION BY token
+               ORDER BY count(*) DESC, next_token) AS __rn
+      FROM __bg GROUP BY token, next_token
+    )
+    SELECT token, next_token, n_pairs
+    FROM __c WHERE __rn = 1 AND n_pairs >= 5
+    """,
+    doc="Corpus bigram language-model stats: the most frequent next token "
+    "per token (ties broken lexicographically), support >= 5. Exploded "
+    "token stream + lead window + two aggregations — the shape n-gram LM "
+    "count collection takes at corpus scale.",
+)
+def text_top_bigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.text import token_stream
+
+    docs = load(spark, sf_dir, "documents")
+    ts = token_stream(docs, "text", "doc_id")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    bg = ts.select(
+        F.col("__tok").alias("token"),
+        F.lead("__tok").over(w).alias("next_token"),
+    ).where(F.col("next_token").isNotNull())
+    counts = bg.groupBy("token", "next_token").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    rk = Window.partitionBy("token").orderBy(
+        F.desc("n_pairs"), F.asc("next_token")
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(rk))
+        .where((F.col("__rn") == 1) & (F.col("n_pairs") >= 5))
+        .select("token", "next_token", "n_pairs")
+    )
