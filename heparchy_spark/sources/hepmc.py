@@ -24,7 +24,6 @@ Python, line-streaming, and unit-testable without Spark.
 from __future__ import annotations
 
 import typing as ty
-from pathlib import Path
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
