@@ -52,6 +52,18 @@ def asof_join(
     # visible to the left row, i.e. sort before it (either direction); the
     # strict variant sorts it after.
     exact = 0 if allow_exact_matches else 1
+    # All right payload columns travel as ONE struct: the struct itself is
+    # non-null for every right row even when individual fields are null, so
+    # last(ignorenulls=True) picks the whole matched row atomically.
+    # Per-column last() would skip a null field and substitute the value
+    # from an OLDER right row (pandas merge_asof returns the matched row's
+    # null instead — and different columns could even come from different
+    # right rows).
+    from pyspark.sql.types import StructField, StructType
+
+    r_struct_type = StructType(
+        [StructField(rc, right.schema[rc].dataType) for rc in right_cols]
+    )
     l_tag = (
         left.select(
             *by_cols,
@@ -59,8 +71,7 @@ def asof_join(
             F.lit(1 - exact).alias("__side"),
             F.lit(True).alias("__is_left"),
             *[F.col(c) for c in left_payload],
-            *[F.lit(None).cast(right.schema[rc].dataType).alias(f"__r_{rc}")
-              for rc in right_cols],
+            F.lit(None).cast(r_struct_type).alias("__r_row"),
         )
     )
     r_tag = (
@@ -71,7 +82,9 @@ def asof_join(
             F.lit(False).alias("__is_left"),
             *[F.lit(None).cast(left.schema[c].dataType).alias(c)
               for c in left_payload],
-            *[F.col(rc).alias(f"__r_{rc}") for rc in right_cols],
+            F.struct(
+                *[F.col(rc).alias(rc) for rc in right_cols]
+            ).alias("__r_row"),
         )
     )
     unioned = l_tag.unionByName(r_tag)
@@ -84,13 +97,14 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last(F.col("__r_row"), ignorenulls=True).over(w)
     carried = unioned.select(
         *by_cols,
         "__on",
         "__is_left",
         *left_payload,
         *[
-            F.last(F.col(f"__r_{rc}"), ignorenulls=True).over(w).alias(alias)
+            matched.getField(rc).alias(alias)
             for rc, alias in right_cols.items()
         ],
     )

@@ -57,11 +57,20 @@ def bucketed_join_ready(spark, left_table: str, right_table: str, on: str):
     return lt.join(rt, on)
 
 
-def _salt(col: Column | str, factor: int) -> Column:
-    """Deterministic pseudo-random salt in [0, factor): stable across
-    retries (no rand() — retried tasks must re-salt identically)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.xxhash64(c, F.monotonically_increasing_id()), F.lit(factor))
+def _salt(df: DataFrame, factor: int, seed: int = 0x5A17) -> Column:
+    """Deterministic salt in [0, factor) derived from the full row CONTENT
+    (seeded xxhash64 over every column).  Content hashing — never
+    ``rand()`` and never ``monotonically_increasing_id()``, which depends
+    on partition layout — means a retried/recomputed task re-salts every
+    row identically regardless of how AQE re-split the input, so salted
+    aggregates cannot double-count under lineage recompute.  Rows of one
+    hot key spread across salts because their non-key columns differ
+    (fully identical duplicate rows share a salt; they are combinable
+    anyway)."""
+    return F.pmod(
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns]),
+        F.lit(factor),
+    )
 
 
 def salted_groupby_count(
@@ -76,7 +85,7 @@ def salted_groupby_count(
     where map-side combine cannot shrink the hot key's data.
     """
     partial = (
-        df.select(F.col(key), _salt(key, factor).alias("__salt"))
+        df.withColumn("__salt", _salt(df, factor))
         .groupBy(key, "__salt")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -98,7 +107,7 @@ def salted_join(
 
     The replicated side multiplies ``factor``x — keep it the smaller input.
     """
-    salted_left = skewed.withColumn("__salt", _salt(on, factor))
+    salted_left = skewed.withColumn("__salt", _salt(skewed, factor))
     replicated = small.withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(factor)])),

@@ -49,10 +49,12 @@ def normalize_url(col: Column | str) -> Column:
     )
     rest = parts["rest"]
     rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
-    rest = F.regexp_replace(rest, r"utm_[^&#]*&", "")  # utm param mid-list
-    rest = F.regexp_replace(rest, r"utm_[^&#]*$", "")  # utm param last
+    # utm_* removal is anchored at a ?/& param boundary so that "utm_"
+    # substrings inside paths or values survive; the repeated group eats
+    # consecutive utm params in one pass.
+    rest = F.regexp_replace(rest, r"([?&])(utm_[^&#]*&)+", r"$1")  # mid-list
+    rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*$", "")  # utm param last
     rest = F.regexp_replace(rest, r"[?&]+$", "")  # dangling separators
-    rest = F.regexp_replace(rest, r"\?&", "?")  # "?&rest" -> "?rest"
     c = F.col(col) if isinstance(col, str) else col
     # relative / schemeless input: pass through untouched rather than
     # emitting a mangled "://..." composite

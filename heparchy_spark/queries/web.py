@@ -67,12 +67,11 @@ def _synth_url() -> F.Column:
                  WHEN __scheme = 'http'
                  THEN regexp_replace(__hostport, ':80$', '')
                  ELSE __hostport END) ||
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
              regexp_replace(__rest, '#.*$', ''),
-             'utm_[^&#]*&', '', 'g'),
-             'utm_[^&#]*$', ''),
-             '[?&]+$', ''),
-             '\\?&', '?') AS url_norm,
+             '([?&])(utm_[^&#]*&)+', '\\1', 'g'),
+             '[?&]utm_[^&#]*$', ''),
+             '[?&]+$', '') AS url_norm,
            regexp_replace(regexp_replace(__hostport, ':[0-9]+$', ''),
                           '^www\\.', '') AS domain
     FROM __p

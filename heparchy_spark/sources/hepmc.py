@@ -117,25 +117,44 @@ def ingest_hepmc(
 ) -> DataFrame:
     """Distributed HepMC ingest: one task per file, long-format particle
     rows out. Join-ready with the hep-store model: ``(process, event_id,
-    chunk_id)`` keys, ``src``/``dst`` DAG columns, ``mask_final``."""
+    chunk_id)`` keys, ``src``/``dst`` DAG columns, ``mask_final``.
+
+    HepMC files each number their events from 0, so ingesting several
+    files would collide on ``(process, event_id, chunk_id)`` and merge
+    particle sets downstream.  Events are therefore renumbered with a
+    per-file base: ``event_id = file_ord * 2^32 + in-file id`` (file 0
+    keeps its raw ids — single-file ingest is unchanged); the raw in-file
+    id is preserved as ``file_event_id`` alongside ``file_ord``.
+    """
     files_df = spark.createDataFrame(
-        [(str(p),) for p in paths], schema="path string"
+        [(str(p), i) for i, p in enumerate(paths)],
+        schema="path string, file_ord int",
     ).repartition(max(len(paths), 1))
 
     def read_files(batches: ty.Iterator) -> ty.Iterator:
         import pandas as pd
 
         for pdf in batches:
-            for path in pdf["path"]:
+            for path, ford in zip(pdf["path"], pdf["file_ord"]):
                 rows = list(parse_hepmc_ascii(open(path, encoding="utf-8")))
                 if rows:
-                    yield pd.DataFrame(rows)
+                    out = pd.DataFrame(rows)
+                    out["file_ord"] = int(ford)
+                    yield out
 
-    particles = files_df.mapInPandas(read_files, schema=HEPMC_PARTICLE_SCHEMA)
+    schema = T.StructType(
+        [*HEPMC_PARTICLE_SCHEMA, T.StructField("file_ord", T.IntegerType())]
+    )
+    particles = files_df.mapInPandas(read_files, schema=schema)
+    global_eid = F.col("file_ord").cast("long") * F.lit(2**32) + F.col(
+        "event_id"
+    )
     return particles.select(
         F.lit(process).alias("process"),
-        "event_id",
-        (F.col("event_id") / evts_per_chunk).cast("long").alias("chunk_id"),
+        global_eid.alias("event_id"),
+        (global_eid / evts_per_chunk).cast("long").alias("chunk_id"),
+        F.col("event_id").alias("file_event_id"),
+        "file_ord",
         "pcl_id",
         "px",
         "py",

@@ -42,8 +42,9 @@ def compact_table(
     name: str,
     files_per_partition: int = 1,
 ) -> dict:
-    """Rewrite one store table with ``files_per_partition`` files per
-    Hive partition (``processes`` is unpartitioned -> that many total).
+    """Rewrite one store table compacted: the largest Hive partition gets
+    ``files_per_partition`` files, smaller ones proportionally fewer
+    (``processes`` is unpartitioned -> that many files total).
 
     Returns ``{"files_before", "files_after", "rows"}``.  Row-identical by
     construction: the rewrite is a repartition of the same DataFrame; a
@@ -56,17 +57,31 @@ def compact_table(
 
     parted = name != "processes"
     cols = store_mod.PARTITION_COLS if parted else []
+    max_records_per_file: int | None = None
     if parted:
         # one shuffle keyed on the partition tuple: every output partition
-        # is written by one task -> exactly one file per partition dir
-        # (files_per_partition > 1 salts the key for huge partitions).
-        if files_per_partition == 1:
-            out = df.repartition(*[c for c in cols])
-        else:
+        # is written by one task -> one file per partition dir.
+        out = df.repartition(*[c for c in cols])
+        if files_per_partition > 1:
+            # Splitting a huge partition cannot rely on hash-salting the
+            # shuffle key: AQE coalesces the small shuffle partitions back
+            # into one task, whose writer emits ONE file per directory
+            # regardless of salt.  maxRecordsPerFile is deterministic
+            # instead: roll files at ceil(max_partition_rows / fpp)
+            # records, so the LARGEST partition splits into exactly
+            # files_per_partition files and smaller ones proportionally
+            # fewer — which is the actual goal (bound file size).
+            import math
+
             import pyspark.sql.functions as F
 
-            salt = (F.crc32(F.col(cols[-1]).cast("string")) % files_per_partition)
-            out = df.repartition(*cols, salt)
+            m = (
+                df.groupBy(*cols)
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+            ) or 1
+            max_records_per_file = max(1, math.ceil(m / files_per_partition))
     else:
         out = df.coalesce(max(1, files_per_partition))
 
@@ -74,6 +89,8 @@ def compact_table(
     if tmp.exists():
         shutil.rmtree(tmp)
     writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if parted:
         writer = writer.partitionBy(*cols)
     writer.parquet(str(tmp))

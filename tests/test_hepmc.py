@@ -62,9 +62,28 @@ def test_distributed_ingest(spark, tmp_path):
     df = ingest_hepmc(spark, [str(f1), str(f2)], process="test", evts_per_chunk=2)
     rows = df.collect()
     assert len(rows) == 12
-    assert {r["event_id"] for r in rows} == {0, 1, 2, 3}
-    assert {r["chunk_id"] for r in rows} == {0, 1}
+    # per-file base of 2^32: file 0 keeps raw ids, file 1 is offset
+    assert {r["event_id"] for r in rows} == {0, 1, 2**32 + 2, 2**32 + 3}
+    assert {r["file_event_id"] for r in rows} == {0, 1, 2, 3}
     finals = [r for r in rows if r["mask_final"]]
     assert all(r["dst"] == 0 for r in finals)
     assert all(r["process"] == "test" for r in rows)
     assert all(r["e_unit"] == "GEV" for r in rows)
+
+
+def test_ingest_colliding_event_ids_across_files(spark, tmp_path):
+    # HepMC files typically number events from 0 — two files with the SAME
+    # in-file ids must NOT merge into one event downstream.
+    f1 = tmp_path / "a.hepmc"
+    f1.write_text("\n".join(SAMPLE))
+    f2 = tmp_path / "b.hepmc"
+    f2.write_text("\n".join(SAMPLE))
+    df = ingest_hepmc(spark, [str(f1), str(f2)], process="test")
+    per_event = {
+        r["event_id"]: r["n"]
+        for r in df.groupBy("event_id").count().withColumnRenamed("count", "n").collect()
+    }
+    # 4 distinct events (2 per file), each with its own particle count
+    assert len(per_event) == 4
+    assert per_event[0] == 4 and per_event[1] == 2
+    assert per_event[2**32] == 4 and per_event[2**32 + 1] == 2

@@ -72,3 +72,44 @@ def test_salted_join_matches_plain(spark):
     g = got.agg(F.sum("l_quantity"), F.sum("o_totalprice")).first()
     w = want.agg(F.sum("l_quantity"), F.sum("o_totalprice")).first()
     assert g[0] == pytest.approx(w[0]) and g[1] == pytest.approx(w[1])
+
+
+def test_salt_is_content_stable_and_spreads(spark):
+    # Re-running the same salted aggregation twice yields identical results
+    # (content-derived salt, no rand/monotonic id), and a hot key's rows
+    # actually spread across salts.
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.layout import _salt, salted_groupby_count
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    a = {r["k"]: r["n"] for r in salted_groupby_count(df, "k", 8).collect()}
+    b = {r["k"]: r["n"] for r in salted_groupby_count(df, "k", 8).collect()}
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert a == b == plain
+    n_salts = (
+        df.withColumn("s", _salt(df, 8))
+        .where(F.col("k") == 0)
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8  # hot key spread over every salt bucket
+
+
+def test_salted_join_rerun_identical(spark):
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.layout import salted_join
+
+    skewed = spark.range(0, 3000).select(
+        F.when(F.col("id") < 2800, F.lit(7)).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    c1 = salted_join(skewed, small, "k", factor=4).count()
+    c2 = salted_join(skewed, small, "k", factor=4).count()
+    plain = skewed.join(small, "k").count()
+    assert c1 == c2 == plain

@@ -264,3 +264,30 @@ def test_compact_store_preserves_data(spark, tmp_path):
                 r["p"][i].pmu.tolist(),
                 r["p"][i].pdg.tolist(),
             ) == before[i]
+
+
+def test_compact_files_per_partition_actually_splits(spark, tmp_path):
+    """files_per_partition > 1 must salt on a ROW-VARYING column so each
+    Hive partition really splits into that many files (regression: salting
+    on the partition column itself was a silent no-op)."""
+    import numpy as np
+
+    from heparchy_spark.sources import HepWriter
+    from heparchy_spark.sources.maintenance import _parquet_files, compact_table
+    from tests.conftest import make_event
+
+    root = tmp_path / "s"
+    rng = np.random.default_rng(29)
+    events = [make_event(rng) for _ in range(8)]
+    with HepWriter(spark, root, evts_per_chunk=8) as w:
+        with w.new_process("p") as proc:
+            for evt_w, data in proc.event_iter(events):
+                evt_w.pmu = data["pmu"]
+                evt_w.pdg = data["pdg"]
+
+    rows_before = spark.read.parquet(str(root / "particles")).count()
+    stats = compact_table(spark, root, "particles", files_per_partition=2)
+    # one (process, chunk_id) partition, asked for 2 files -> exactly 2
+    assert stats["files_after"] == 2
+    assert len(_parquet_files(root / "particles")) == 2
+    assert spark.read.parquet(str(root / "particles")).count() == rows_before

@@ -138,6 +138,13 @@ def test_normalize_url_rules(spark):
         ("http://bar.org/?utm_a=1&utm_b=2",  # all params tracking
          "http://bar.org/", "bar.org"),
         ("ftp://Baz.net/d#x", "ftp://baz.net/d", "baz.net"),
+        # utm_ substrings in path / values are NOT params — must survive
+        ("http://a.io/utm_page?a=1", "http://a.io/utm_page?a=1", "a.io"),
+        ("http://a.io/p?a=utm_b&c=d", "http://a.io/p?a=utm_b&c=d", "a.io"),
+        # consecutive utm params all stripped in one pass
+        ("http://a.io/p?utm_a=1&utm_b=2&utm_c=3&q=9",
+         "http://a.io/p?q=9", "a.io"),
+        ("http://a.io/p?q=1&utm_x", "http://a.io/p?q=1", "a.io"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
