@@ -37,6 +37,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "incremental_exact_dedup",
     "connected_components",
+    "connected_components_star",
 ]
 
 
@@ -351,19 +352,40 @@ def simhash_df(
         )
         .dropDuplicates(["__id", "__h"])
     )
+    # Bit-vote packing: 3 counters of 21 bits per aggregate long, so the
+    # 64 per-bit votes cost ceil(64/3)=22 sum-aggregates instead of 64.
+    # Safe while a document has < 2^20 distinct tokens (a >6 MB all-unique
+    # doc) — beyond that the top counter would overflow int64, which ANSI
+    # mode turns into a loud error, not silent corruption.
+    slots = 3
+    slot_width = 21
+    groups = (bits + slots - 1) // slots
+
+    def packed_votes(g: int) -> Column:
+        term = F.lit(0).cast("long")
+        for s in range(slots):
+            i = g * slots + s
+            if i >= bits:
+                break
+            term = term + F.shiftleft(
+                F.shiftright("__h", i).bitwiseAND(F.lit(1)).cast("long"),
+                s * slot_width,
+            )
+        return F.coalesce(F.sum(term), F.lit(0).cast("long")).alias(f"__g{g}")
+
     votes = ex.groupBy("__id").agg(
         F.count("__h").alias("__n"),
-        *[
-            F.coalesce(
-                F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))), F.lit(0)
-            ).alias(f"__b{i}")
-            for i in range(bits)
-        ],
+        *[packed_votes(g) for g in range(groups)],
     )
+    slot_mask = F.lit((1 << slot_width) - 1).cast("long")
     fp = F.lit(0).cast("long")
     for i in range(bits):
+        g, s = divmod(i, slots)
+        count_i = F.shiftright(F.col(f"__g{g}"), s * slot_width).bitwiseAND(
+            slot_mask
+        )
         fp = fp + F.when(
-            F.col(f"__b{i}") * 2 > F.col("__n"),
+            count_i * 2 > F.col("__n"),
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
     return votes.select(
@@ -550,11 +572,20 @@ def connected_components(
     driver only counts changes — O(graph diameter) rounds, and near-dup
     graphs are shallow (clusters are cliques-ish, diameter 2-3).
 
-    Scale shape: each round shuffles on the node id (uniform). Labels
-    persist per round (lineage would otherwise double each iteration) and
-    the previous round unpersists.  For adversarial deep graphs at 100 TB
-    the large-star/small-star variant bounds rounds to O(log n) with the
-    same join primitives; near-dup clustering never needs it.
+    Scale shape: each round shuffles on the node id (uniform). Labels are
+    ``localCheckpoint``-ed per round — each round references the previous
+    labels three times (neighbor-min join, merge, change count), so keeping
+    the full logical lineage would double the plan tree every round and
+    choke the driver after ~15 rounds; checkpointing caches the rows AND
+    truncates the plan (on a real cluster, prefer a reliable checkpoint
+    dir for fault tolerance).  For adversarial deep graphs (chains deeper
+    than ``max_iter``) use ``connected_components_star`` — O(log n)
+    rounds with the same join primitives.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds elapse before the
+    fixpoint: truncated labels are silently WRONG (a chain of depth
+    ``max_iter+1`` would split one component in two), so non-convergence
+    must be loud.
 
     Output: ``(node, component)`` for every node in ``nodes`` (singletons
     keep their own id).  The returned DataFrame is persisted (the final
@@ -570,8 +601,8 @@ def connected_components(
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["__a"] == labels["node"])
@@ -586,7 +617,7 @@ def connected_components(
                     F.col("component"), F.coalesce("__nbr_min", "component")
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -598,4 +629,137 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — labels would be wrong; "
+            "raise max_iter or use connected_components_star (O(log n) "
+            "rounds) for deep graphs"
+        )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — O(log n) rounds regardless of graph diameter (the
+    adversarial-depth path; ``connected_components`` is O(diameter)).
+
+    Public algorithm (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014):
+
+    - **large-star** (per node u, neighborhood Γ(u)): connect every
+      neighbor v > u to m = min(Γ(u) ∪ {u}).
+    - **small-star**: connect every neighbor v <= u (and u itself) to
+      m = min of that non-larger neighborhood.
+
+    Both rounds are one shuffle each (groupBy node -> min, rejoin to the
+    symmetric edge list) over a monotonically shrinking edge set; the edge
+    set converges to a star forest whose centers are the component minima.
+    Fixpoint detection is an order-insensitive checksum (count +
+    xor-of-pair-hashes), one tiny aggregate per round.
+
+    Each round's frame is ``localCheckpoint``-ed: a star round references
+    its input several times (symmetrize + min-join), so the logical plan
+    would grow geometrically and choke the analyzer after ~6 rounds.
+    Checkpointing bounds the plan at one round's depth — on a real cluster
+    use ``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint``
+    for fault tolerance instead of the executor-local variant.
+
+    Same output contract as ``connected_components``: ``(node, component)``
+    for every node in ``nodes``; persisted, caller unpersists.
+    """
+    cur = (
+        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+        .where(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .dropDuplicates(["__a", "__b"])
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold (order-insensitive, overflow-free under ANSI); the
+            # pair set is deduped so xor cancellation cannot occur
+            F.coalesce(F.bit_xor(F.xxhash64("__a", "__b")), F.lit(0)).alias(
+                "h"
+            ),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # per node u: connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+        sym = e.select(
+            F.col("__a").alias("__u"), F.col("__b").alias("__v")
+        ).union(e.select(F.col("__b").alias("__u"), F.col("__a").alias("__v")))
+        mins = sym.groupBy("__u").agg(
+            F.least(F.min("__v"), F.col("__u")).alias("__m")
+        )
+        return (
+            sym.join(mins, "__u")
+            .where(F.col("__v") > F.col("__u"))
+            .where(F.col("__v") != F.col("__m"))
+            .select(F.col("__m").alias("__a"), F.col("__v").alias("__b"))
+            .dropDuplicates(["__a", "__b"])
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # key each (canonical a<b) edge by its LARGER endpoint u=b; per u
+        # with non-larger neighborhood N: connect N ∪ {u} to m = min(N)
+        keyed = e.select(
+            F.col("__b").alias("__u"), F.col("__a").alias("__v")
+        )
+        mins = keyed.groupBy("__u").agg(F.min("__v").alias("__m"))
+        nbr = (
+            keyed.join(mins, "__u")
+            .where(F.col("__v") != F.col("__m"))
+            .select(F.col("__m").alias("__a"), F.col("__v").alias("__b"))
+        )
+        selfe = mins.select(
+            F.col("__m").alias("__a"), F.col("__u").alias("__b")
+        )
+        return nbr.union(selfe).dropDuplicates(["__a", "__b"])
+
+    prev_sum = checksum(cur)
+    converged = False
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        cur_sum = checksum(nxt)
+        cur.unpersist()
+        cur = nxt
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        cur.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — pathological input (or max_iter too low for n)"
+        )
+    # Fixpoint edge set is a star forest (child > center): child -> center.
+    mapping = cur.groupBy(F.col("__b").alias("node")).agg(
+        F.min("__a").alias("component")
+    )
+    out = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(mapping, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+        .persist()
+    )
+    out.count()
+    cur.unpersist()
+    return out

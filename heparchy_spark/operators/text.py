@@ -142,7 +142,19 @@ def fingerprint_df(
 ) -> DataFrame:
     """(id, fp64): rolling-hash fingerprints with the normalized text
     materialized in its own projection, so the rolling fold reads a column
-    instead of re-normalizing per character position (measured ~25x)."""
+    instead of re-normalizing per character position (measured ~25x).
+
+    Deliberately stays the shuffle-free per-row expression.  Exploded
+    rewrites were built and MEASURED at sf0.1 (5000 docs, 3.2M grams, warm
+    min-of-3 noop sink): inline HOF 1.53 s; posexplode+window-lead +
+    ordered collect_list + fold 1.7 s; substr-position explode + fold
+    2.14 s; position-salted xor-fold (codegen aggregate) 1.52 s.  The cost
+    is the 3.2M gram hashes themselves, not HOF interpretation — the
+    re-inline pathology (see ``dedup.shingle_hash_stream``) is already
+    avoided by materializing ``__norm`` first, and every exploded variant
+    adds a shuffle of the gram stream that the per-row form never pays.
+    At cluster scale zero-data-movement wins: this is a pure map, so it
+    scales with scan bandwidth."""
     from heparchy_spark.operators.dedup import normalize_text
 
     normed = df.select(

@@ -265,3 +265,84 @@ def test_connected_components_known_graph(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def _unionfind_components(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node of the set
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 30), (2, 60, 90), (3, 25, 5)])
+def test_star_cc_matches_minlabel_and_unionfind(spark, seed, n, m):
+    import numpy as np
+
+    from heparchy_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(seed)
+    edge_list = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        if a != b
+    ]
+    want = _unionfind_components(n, edge_list)
+    edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    got_star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            edges, "src", "dst", nodes, "node"
+        ).collect()
+    }
+    got_min = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "src", "dst", nodes, "node"
+        ).collect()
+    }
+    assert got_star == want
+    assert got_min == want
+
+
+def test_star_cc_deep_chain_and_minlabel_raises(spark):
+    # chain 0-1-2-...-59: diameter 59 — min-label at max_iter=10 must now
+    # raise loudly (silent truncation was the bug); star contraction
+    # converges in O(log n) rounds.
+    from heparchy_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    edge_list = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            edges, "src", "dst", nodes, "node", max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, "src", "dst", nodes, "node", max_iter=10
+        )

@@ -92,6 +92,25 @@ def test_fingerprints_deterministic(docs):
     assert a[0] == a[8] and a[0] != a[1]
 
 
+def test_fingerprint_df_matches_inline_expression(docs):
+    # fingerprint_df is the exploded-stream rewrite; the inline
+    # fingerprint() HOF expression is the reference — values must be
+    # bit-identical on every doc (incl. empty, short, unicode, null).
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dedup import normalize_text
+    from heparchy_spark.operators.text import fingerprint
+
+    fast = {r["doc_id"]: r["fp64"] for r in fingerprint_df(docs, "text", "doc_id").collect()}
+    ref = {
+        r["doc_id"]: r["fp64"]
+        for r in docs.select("doc_id", normalize_text("text").alias("__norm"))
+        .select("doc_id", fingerprint(F.col("__norm")).alias("fp64"))
+        .collect()
+    }
+    assert fast == ref
+
+
 def test_text_profile_no_crash(docs):
     out = {r["doc_id"]: r for r in text_profile(docs, "text", "doc_id").collect()}
     assert out[2]["n_tokens"] == 0 and out[2]["n_chars"] == 0
@@ -173,3 +192,25 @@ def test_normalize_url_relative_passthrough(spark):
         for r in df.select("i", normalize_url("url").alias("n")).collect()
     }
     assert rows == {0: "/just/a/path?q=1", 1: "no-scheme.com/x", 2: ""}
+
+
+def test_simhash_packed_votes_match_inline_expression(docs):
+    # simhash_df packs 3 bit-counters per aggregate long; the inline
+    # simhash() expression is the unpacked reference — fingerprints must be
+    # bit-identical on every doc (empty, unicode, dup, long).
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dedup import simhash
+
+    packed = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash_df(docs, "text", "doc_id").collect()
+    }
+    inline = {
+        r["doc_id"]: r["fp"]
+        for r in docs.where(F.col("text").isNotNull())
+        .select("doc_id", simhash("text").alias("fp"))
+        .collect()
+    }
+    for did, fp in inline.items():
+        assert packed[did] == fp, did
