@@ -19,10 +19,42 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["QuerySpec", "REGISTRY", "register", "spark_queries", "oracle_map"]
+__all__ = [
+    "QuerySpec",
+    "REGISTRY",
+    "register",
+    "spark_queries",
+    "oracle_map",
+    "expected_fixture_sql",
+]
+
+_EXPECTED_DIR = (
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "expected_sf0_01"
+)
+
+
+def expected_fixture_sql(name: str) -> str:
+    """Oracle SQL for queries whose expected values cannot be recomputed in
+    portable SQL (xxhash64 signatures, zlib CRCs, NumPy byte statistics).
+
+    The values are precomputed ONCE in plain Python — no Spark — by
+    ``tools/build_expected.py`` (pure-Python xxHash-64 pinned against
+    Spark's, stdlib zlib, the same NumPy reductions) at sf0.01, the
+    driver's correctness scale, and committed as parquet under
+    ``tests/fixtures``.  Reading them back IS the independent check: the
+    driver's row-count + schema + value-hash comparison now runs against
+    an implementation that shares no code with the Spark query.
+    """
+    path = _EXPECTED_DIR / f"{name}.parquet"
+    return (
+        f"-- expected values precomputed in plain Python at sf0.01\n"
+        f"-- (tools/build_expected.py); independent of the Spark runtime\n"
+        f"SELECT * FROM read_parquet('{path}')"
+    )
 
 SparkBuilder = Callable[[SparkSession, str], DataFrame]
 

@@ -12,7 +12,7 @@ from heparchy_spark.operators.dedup import (
     simhash_df,
     simhash_near_dup_pairs,
 )
-from heparchy_spark.queries import register
+from heparchy_spark.queries import expected_fixture_sql, register
 from heparchy_spark.queries.tables import load
 
 # DuckDB expression mirroring operators.dedup.normalize_text
@@ -122,9 +122,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    None,  # xxhash64-based signatures are Spark-specific; rows-only check
+    expected_fixture_sql("dedup_minhash_lsh_pairs"),
     doc="MinHash(64) + LSH(16 bands) candidate pairs verified by exact "
-    "Jaccard >= 0.5.",
+    "Jaccard >= 0.5; oracle = plain-Python mirror of the whole signature/"
+    "banding/verification pipeline, precomputed.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
@@ -139,8 +140,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_fingerprints",
-    None,  # xxhash64-based; rows-only
-    doc="64-bit SimHash fingerprint per document (column algebra, no UDF).",
+    expected_fixture_sql("dedup_simhash_fingerprints"),
+    doc="64-bit SimHash fingerprint per document (column algebra, no UDF); "
+    "oracle = plain-Python majority-vote mirror, precomputed.",
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_df(load(spark, sf_dir, "documents"), "text", "doc_id")
@@ -148,9 +150,10 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    None,  # xxhash64-based; rows-only
+    expected_fixture_sql("dedup_simhash_pairs"),
     doc="SimHash near-dup pairs at Hamming distance <= 3 via pigeonhole "
-    "block equi-join.",
+    "block equi-join (exact by pigeonhole); oracle = brute-force Hamming "
+    "over plain-Python fingerprints, precomputed.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(

@@ -20,7 +20,7 @@ from heparchy_spark.operators.multimodal import (
     sample_frames,
     sniff_format,
 )
-from heparchy_spark.queries import register
+from heparchy_spark.queries import expected_fixture_sql, register
 from heparchy_spark.queries.tables import load
 
 _MAGICS = ["89504E47", "FFD8FFE0", "52494646", "1A45DFA3"]  # png jpeg riff mkv
@@ -78,9 +78,9 @@ def multimodal_sniff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_crc32",
-    None,  # DuckDB has no crc32; driver records rows-only
+    expected_fixture_sql("multimodal_crc32"),
     doc="JVM-side CRC32 content checksum per payload (exact-dup primitive "
-    "for binary columns).",
+    "for binary columns); oracle = stdlib zlib.crc32, precomputed.",
 )
 def multimodal_crc32(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_df(spark, sf_dir)
@@ -89,9 +89,10 @@ def multimodal_crc32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_stats",
-    None,
+    expected_fixture_sql("multimodal_byte_stats"),
     doc="Arrow-batched mapInPandas byte statistics: length, Shannon "
-    "entropy, CRC32 per payload.",
+    "entropy, CRC32 per payload; oracle = plain-Python/NumPy mirror, "
+    "precomputed.",
 )
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(_media_df(spark, sf_dir))
@@ -122,9 +123,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_payload_embedding",
-    None,
+    expected_fixture_sql("multimodal_payload_embedding"),
     doc="Byte-histogram content embedding (real, not stubbed) — feeds the "
-    "similarity operators.",
+    "similarity operators; oracle = plain-Python/NumPy mirror, precomputed.",
 )
 def multimodal_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = payload_embedding(_media_df(spark, sf_dir), dim=16)

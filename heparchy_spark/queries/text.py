@@ -12,7 +12,7 @@ from heparchy_spark.operators.text import (
     text_profile,
     token_count,
 )
-from heparchy_spark.queries import register
+from heparchy_spark.queries import expected_fixture_sql, register
 from heparchy_spark.queries.numeric import davg, sql_davg
 from heparchy_spark.queries.tables import load
 
@@ -194,8 +194,9 @@ def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprints",
-    None,  # xxhash64 rolling fold is Spark-specific; rows-only
-    doc="64-bit rolling-hash document fingerprint (order-sensitive identity).",
+    expected_fixture_sql("text_fingerprints"),
+    doc="64-bit rolling-hash document fingerprint (order-sensitive "
+    "identity); oracle = plain-Python xxhash64 mirror, precomputed.",
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

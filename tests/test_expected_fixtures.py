@@ -1,0 +1,130 @@
+"""Pin the plain-Python expected-value toolchain against Spark.
+
+The fixtures under ``tests/fixtures/expected_sf0_01`` are the oracle for
+corpus queries whose semantics aren't expressible in portable SQL.  Their
+credibility rests on two mirrors staying exact; both are pinned here:
+
+- ``tools/xxh64.py`` == Spark's ``xxhash64`` (all input widths + chaining);
+- ``tools/build_expected.normalize_text`` == ``dedup.normalize_text``
+  (Java ``\\s`` is ASCII; trim/collapse semantics).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+EDGE_STRINGS = [
+    "",
+    "a",
+    "hello world",
+    "x" * 7,
+    "y" * 8,
+    "z" * 31,
+    "w" * 32,
+    "v" * 33,
+    "unicode £é€ emoji \U0001f600 done",
+    "tabs\tand\nnewlines\x0b\x0c\r mixed",
+    "  MIXED Case!  punct.,;  42 ",
+    "t" * 100,
+]
+
+
+def test_python_xxh64_matches_spark(spark):
+    from xxh64 import xxhash64
+
+    longs = [0, 1, -5, 123456789, 2**40, -(2**40), 2**62, -(2**62), -1, 7]
+    rows = list(zip(range(len(EDGE_STRINGS)), EDGE_STRINGS, longs))
+    df = spark.createDataFrame(rows, "i long, s string, n long")
+    got = {
+        r["i"]: (r["hs"], r["hn"], r["hni"], r["hsn"])
+        for r in df.select(
+            "i",
+            F.xxhash64("s").alias("hs"),
+            F.xxhash64("n").alias("hn"),
+            F.xxhash64("n", F.lit(1)).alias("hni"),
+            F.xxhash64("s", "n").alias("hsn"),
+        ).collect()
+    }
+    for i, s, n in rows:
+        assert got[i] == (
+            xxhash64(s),
+            xxhash64(n),
+            xxhash64(n, ("int", 1)),
+            xxhash64(s, n),
+        ), (i, s)
+
+
+def test_python_normalize_matches_spark(spark):
+    from build_expected import normalize_text as py_norm
+
+    from heparchy_spark.operators.dedup import normalize_text
+
+    rows = list(enumerate(EDGE_STRINGS))
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("s").alias("n")).collect()
+    }
+    for i, s in rows:
+        assert got[i] == py_norm(s), (i, s)
+
+
+def test_python_fingerprint_matches_spark(spark):
+    from build_expected import fingerprint as py_fp
+
+    from heparchy_spark.operators.text import fingerprint_df
+
+    rows = list(enumerate(EDGE_STRINGS)) + [(len(EDGE_STRINGS), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp64"]
+        for r in fingerprint_df(df, "text", "doc_id").collect()
+    }
+    for i, s in rows:
+        assert got[i] == py_fp(s), (i, s)
+
+
+def test_python_simhash_matches_spark(spark):
+    from build_expected import simhash64 as py_sim
+
+    from heparchy_spark.operators.dedup import simhash_df
+
+    rows = list(enumerate(EDGE_STRINGS)) + [(len(EDGE_STRINGS), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash_df(df, "text", "doc_id").collect()
+    }
+    for i, s in rows:
+        assert got[i] == py_sim(s), (i, s)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_fingerprints",
+        "dedup_simhash_fingerprints",
+        "dedup_simhash_pairs",
+        "dedup_minhash_lsh_pairs",
+        "multimodal_crc32",
+        "multimodal_byte_stats",
+        "multimodal_payload_embedding",
+    ],
+)
+def test_fixture_committed_and_nonempty(name):
+    import pyarrow.parquet as pq
+
+    path = (
+        Path(__file__).resolve().parent
+        / "fixtures"
+        / "expected_sf0_01"
+        / f"{name}.parquet"
+    )
+    assert path.exists(), f"run tools/build_expected.py ({name} missing)"
+    assert pq.read_table(path).num_rows > 0

@@ -1,0 +1,310 @@
+"""Build expected-value parquet fixtures for corpus queries whose oracle
+cannot be expressed in portable SQL (xxhash64 signatures, zlib CRCs,
+NumPy byte stats).
+
+Run:  python tools/build_expected.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 -> tests/fixtures/expected_sf0_01/
+
+Everything here is PLAIN PYTHON — pyarrow to read the input tables,
+``tools/xxh64.py`` (pure-Python xxHash-64, pinned equal to Spark's
+``xxhash64`` in tests), ``zlib``/``numpy`` for byte stats — no Spark.
+The oracle SQL for these queries is then a ``read_parquet`` of the
+committed fixture, which turns the driver's rows-only check into a full
+row-count + schema + value-hash match against an independent
+implementation.  The committed files are bound to sf0.01 (the driver's
+correctness scale).
+
+Semantics mirrored (cross-checked by the driver and
+``tests/test_expected_fixtures.py``):
+
+- ``normalize_text``: Java-regex ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``;
+  lower -> strip non-alnum -> collapse whitespace -> trim.
+- MinHash/LSH: 3-token shingle hashes composed from chained per-token
+  xxhash64; 64 perms via (h & 2^32-1) + j * (xxhash64(h, int 1) & 2^32-1);
+  16 bands of 4 rows, band bucket = chained xxhash64 of the 4 perms;
+  candidates from shared (band, bucket); exact Jaccard >= 0.5 on distinct
+  shingle-hash sets.
+- SimHash: majority vote per bit over DISTINCT token hashes; pairs =
+  all pairs at Hamming <= 3 (the pigeonhole block join is exact).
+- Fingerprint: xxhash64 fold over 4-char-gram hashes of the normalized
+  text; whole-string hash when shorter than 4 chars.
+- Multimodal: payload = magic(doc_id % 4) + UTF-8 text (the corpus'
+  deterministic synthesis); CRC32 via zlib; Shannon entropy via the same
+  NumPy reduction the Arrow UDF runs; 16-bucket byte histogram embedding,
+  L2-normalized in float32, summed in double, Spark HALF_UP round(6).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import zlib
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from xxh64 import xxhash64  # noqa: E402
+
+_WS = " \t\n\x0b\x0c\r"
+_NON_ALNUM = re.compile(f"[^a-z0-9{_WS}]")
+_WS_RUN = re.compile(f"[{_WS}]+")
+
+
+def normalize_text(s: str | None) -> str | None:
+    if s is None:
+        return None
+    s = s.lower()
+    s = _NON_ALNUM.sub(" ", s)
+    s = _WS_RUN.sub(" ", s)
+    return s.strip(" ")
+
+
+def tokens(s: str | None) -> list[str]:
+    n = normalize_text(s)
+    if n is None:
+        return []
+    return n.split(" ")
+
+
+def spark_round(x: float, scale: int = 6) -> float:
+    """Spark's Round on double: BigDecimal.valueOf(x).setScale(HALF_UP)."""
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text / dedup expected values
+# --------------------------------------------------------------------------
+def fingerprint(text: str | None, ngram: int = 4) -> int:
+    norm = normalize_text(text)
+    if norm is None:
+        return 42  # Spark xxhash64 of an all-null input returns the seed
+    if len(norm) < ngram:
+        return xxhash64(norm)
+    acc = 0
+    for i in range(len(norm) - ngram + 1):
+        acc = xxhash64(acc, xxhash64(norm[i : i + ngram]))
+    return acc
+
+
+def simhash64(text: str | None) -> int:
+    if text is None:
+        return 0
+    hashes = {xxhash64(t) for t in tokens(text)}
+    n = len(hashes)
+    fp = 0
+    for i in range(64):
+        cnt = sum((h >> i) & 1 for h in hashes)
+        if 2 * cnt > n:
+            fp |= 1 << i
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def shingle_hash_set(text: str | None, n: int = 3) -> set[int]:
+    toks = tokens(text)
+    hs = [xxhash64(t) for t in toks]
+    return {
+        xxhash64(*hs[i : i + n]) for i in range(len(hs) - n + 1)
+    }
+
+
+def minhash_pairs(
+    docs: list[tuple[int, str | None]],
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> list[tuple[int, int, float]]:
+    rows = num_perm // bands
+    mask = (1 << 32) - 1
+    sets: dict[int, set[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, text in docs:
+        sh = shingle_hash_set(text)
+        if not sh:
+            continue
+        sets[did] = sh
+        t1 = [h & mask for h in sh]
+        t2 = [xxhash64(h, ("int", 1)) & mask for h in sh]
+        sig = [
+            min(a + j * b for a, b in zip(t1, t2)) for j in range(num_perm)
+        ]
+        sigs[did] = sig
+        for b in range(bands):
+            bucket = xxhash64(*sig[b * rows : (b + 1) * rows])
+            buckets.setdefault((b, bucket), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        inter = float(len(sets[a] & sets[b]))
+        union = float(len(sets[a])) + float(len(sets[b])) - inter
+        jac = inter / union
+        if jac >= threshold:
+            out.append((a, b, jac))
+    return out
+
+
+def simhash_pairs(
+    fps: dict[int, int], max_hamming: int = 3
+) -> list[tuple[int, int, int]]:
+    ids = sorted(fps)
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            x = (fps[ids[i]] ^ fps[ids[j]]) & ((1 << 64) - 1)
+            h = bin(x).count("1")
+            if h <= max_hamming:
+                out.append((ids[i], ids[j], h))
+    return out
+
+
+# --------------------------------------------------------------------------
+# multimodal expected values (mirror of queries/multimodal._media_df synth)
+# --------------------------------------------------------------------------
+_MAGICS = ["89504E47", "FFD8FFE0", "52494646", "1A45DFA3"]
+
+
+def payload_for(doc_id: int, text: str | None) -> bytes:
+    magic = bytes.fromhex(_MAGICS[doc_id % 4])
+    return magic + (text or "").encode("utf-8")
+
+
+def byte_stats(buf: bytes) -> tuple[int, float, int]:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256) if arr.size else np.zeros(1)
+    p = counts[counts > 0] / max(arr.size, 1)
+    entropy = float(-(p * np.log2(p)).sum()) if arr.size else 0.0
+    return len(buf), entropy, zlib.crc32(buf)
+
+
+def payload_embedding_sum(buf: bytes, dim: int = 16) -> float:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+    norm = np.linalg.norm(hist)
+    vec = (hist / norm if norm else hist).astype("float32")
+    acc = 0.0
+    for v in vec:  # sequential fold, like F.aggregate
+        acc = acc + float(v)
+    return spark_round(acc, 6)
+
+
+# --------------------------------------------------------------------------
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else Path(__file__).resolve().parent.parent
+        / "tests/fixtures/expected_sf0_01"
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def write(name: str, table: pa.Table) -> None:
+        pq.write_table(table, out_dir / f"{name}.parquet")
+        print(f"{name}: {table.num_rows} rows")
+
+    # text_fingerprints
+    write(
+        "text_fingerprints",
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "fp64": pa.array([fingerprint(t) for _, t in docs], pa.int64()),
+            }
+        ),
+    )
+
+    # dedup_simhash_fingerprints + pairs
+    fps = {d: simhash64(t) for d, t in docs}
+    write(
+        "dedup_simhash_fingerprints",
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(fps), pa.int64()),
+                "simhash64": pa.array(
+                    [fps[d] for d in sorted(fps)], pa.int64()
+                ),
+            }
+        ),
+    )
+    sp = simhash_pairs(fps)
+    write(
+        "dedup_simhash_pairs",
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _, _ in sp], pa.int64()),
+                "id_b": pa.array([b for _, b, _ in sp], pa.int64()),
+                "hamming": pa.array([h for _, _, h in sp], pa.int32()),
+            }
+        ),
+    )
+
+    # dedup_minhash_lsh_pairs
+    mp = minhash_pairs(docs)
+    write(
+        "dedup_minhash_lsh_pairs",
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _, _ in mp], pa.int64()),
+                "id_b": pa.array([b for _, b, _ in mp], pa.int64()),
+                "jaccard": pa.array([j for _, _, j in mp], pa.float64()),
+            }
+        ),
+    )
+
+    # multimodal
+    payloads = [(d, payload_for(d, t)) for d, t in docs]
+    write(
+        "multimodal_crc32",
+        pa.table(
+            {
+                "media_id": pa.array([d for d, _ in payloads], pa.int64()),
+                "crc32": pa.array(
+                    [zlib.crc32(p) for _, p in payloads], pa.int64()
+                ),
+            }
+        ),
+    )
+    stats = [(d, *byte_stats(p)) for d, p in payloads]
+    write(
+        "multimodal_byte_stats",
+        pa.table(
+            {
+                "media_id": pa.array([s[0] for s in stats], pa.int64()),
+                "n_bytes": pa.array([s[1] for s in stats], pa.int64()),
+                "entropy": pa.array([s[2] for s in stats], pa.float64()),
+                "crc32": pa.array([s[3] for s in stats], pa.int64()),
+            }
+        ),
+    )
+    write(
+        "multimodal_payload_embedding",
+        pa.table(
+            {
+                "media_id": pa.array([d for d, _ in payloads], pa.int64()),
+                "embedding_sum": pa.array(
+                    [payload_embedding_sum(p) for _, p in payloads],
+                    pa.float64(),
+                ),
+            }
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()
