@@ -139,29 +139,81 @@ def embedding_near_dup_pairs(
     id_col: str,
     dim: int,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
+    tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join + exact verify.
+    """Embedding-cosine near-duplicate pairs via multi-table LSH candidate
+    generation + exact cosine verification.
 
     Output: (id_a, id_b, cosine_sim) with id_a < id_b, sim >= threshold.
+    Approximate in recall only — every emitted pair is exact-verified, so
+    precision is 1 by construction.
+
+    Scale shape: per-table the bucket self-join is quadratic in bucket
+    occupancy, so ``bits`` must grow with n.  ``bits=None`` auto-scales to
+    a ~32-row expected occupancy (``log2(n/32)``, clamped to [4, 24]) at
+    the cost of one count job.  Recall is tuned independently by
+    ``tables``: a pair at angle theta collides per-table with
+    ``p = (1 - theta/pi)^bits`` and overall ``1 - (1-p)^tables`` — more
+    tables buys recall linearly in candidate volume without touching
+    occupancy.  Candidate pairs are distinct-ed (one shuffle on the pair
+    key) BEFORE vectors are re-attached, so the verify joins move
+    ``O(pairs)`` vectors, not ``O(candidates)``.  Hot buckets (mirror-image
+    content) are handled by AQE skew-join; the id tiebreak keeps the join
+    triangular.
     """
-    base = df.select(
+    if bits is None:
+        n = df.count()
+        bits = min(24, max(4, int(np.ceil(np.log2(max(n, 2) / 32.0)))))
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    sig = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        hyperplane_bucket(F.col(vec_col), dim, bits, seed).alias("__bucket"),
+        *[
+            hyperplane_bucket(F.col(vec_col), dim, bits, seed + t).alias(
+                f"__b{t}"
+            )
+            for t in range(tables)
+        ],
     )
-    a, b = base.alias("a"), base.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.__bucket") == F.col("b.__bucket"))
-        & (F.col("a.__id") < F.col("b.__id")),
-    ).select(
-        F.col("a.__id").alias("id_a"),
-        F.col("b.__id").alias("id_b"),
-        cosine(F.col("a.__v"), F.col("b.__v")).alias("cosine_sim"),
+    # (id, table, bucket) stream: one self-join keyed on (table, bucket)
+    # covers all tables in a single shuffle.
+    tabs = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"__b{t}").alias("b")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select("__id", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+    a, b = tabs.alias("a"), tabs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
     )
-    return cand.where(F.col("cosine_sim") >= threshold)
+    pairs = (
+        cand.join(vecs.alias("va"), F.col("id_a") == F.col("va.__id"))
+        .join(vecs.alias("vb"), F.col("id_b") == F.col("vb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va.__v"), F.col("vb.__v")).alias("cosine_sim"),
+        )
+    )
+    return pairs.where(F.col("cosine_sim") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from heparchy_spark.operators.psl import PSL_2LABEL, PSL_3LABEL
+
 __all__ = ["url_parts", "normalize_url", "url_domain"]
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
@@ -64,9 +66,35 @@ def normalize_url(col: Column | str) -> Column:
 
 
 def url_domain(col: Column | str) -> Column:
-    """Registrable-domain approximation: lowercase host, port and a
-    leading ``www.`` stripped (no public-suffix list in-container; the
-    approximation is documented and deterministic)."""
+    """Registrable domain per the public-suffix list snapshot
+    (``operators.psl``): the matched public suffix plus one label.
+
+    Suffix resolution follows PSL semantics over the committed snapshot —
+    longest listed suffix wins (3-label, then 2-label), any unlisted TLD
+    falls back to the standard single-label rule.  A host that IS a public
+    suffix (or a single label, e.g. ``localhost``) is returned whole.
+
+    All column algebra: ``split`` + null-safe ``get`` + ``isin`` (compiles
+    to a constant-folded ``InSet`` hash probe, whole-stage codegen, no
+    shuffle/join/UDF).  At the full ~10k-entry PSL, swap the ``isin`` for a
+    broadcast suffix table join — the operator's output contract is
+    unchanged.
+    """
     hostport = url_parts(col)["hostport"]
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
-    return F.regexp_replace(host, r"^www\.", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    # F.get is 0-based and returns NULL (no ANSI error) when out of range;
+    # concat_ws skips NULLs, and every listed suffix contains a dot, so a
+    # short host can never false-match a longer suffix.
+    last2 = F.concat_ws(".", F.get(parts, n - 2), F.get(parts, n - 1))
+    last3 = F.concat_ws(
+        ".", F.get(parts, n - 3), F.get(parts, n - 2), F.get(parts, n - 1)
+    )
+    sfx = (
+        F.when((n >= 3) & last3.isin(*PSL_3LABEL), F.lit(3))
+        .when((n >= 2) & last2.isin(*PSL_2LABEL), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    keep = F.least(n, sfx + 1)
+    return F.concat_ws(".", F.slice(parts, n - keep + 1, keep))

@@ -96,15 +96,52 @@ def _load_all() -> None:
     )
 
 
+# Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
+# The driver checks a bounded window of the registry in iteration order, so
+# queries it has NOT yet verified are surfaced first — every registered
+# query accumulates at least one driver-green row across rounds.
+_PRIOR_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "agg_count_distinct", "agg_global_stats", "cube_status_priority",
+    "dataset_mix_sources", "dataset_pack_bins", "dataset_shuffle_shards",
+    "dataset_split_assign", "dataset_stratified_sample",
+    "dataset_training_corpus", "dedup_cluster_representatives",
+    "dedup_contamination_check", "dedup_exact", "dedup_exact_normalized",
+    "dedup_incremental_new_docs", "dedup_jaccard_components",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints", "dedup_simhash_pairs",
+    "join_anti_idle_customers", "join_left_order_counts",
+    "join_parts_by_brand_volume", "join_semi_active_customers",
+    "multimodal_byte_stats", "multimodal_crc32", "multimodal_decode_meta",
+    "multimodal_frame_sample", "multimodal_payload_embedding",
+    "multimodal_sniff_profile", "q10_returned_items", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "rollup_flag_status", "text_bpe_ish_tokens", "text_char_stats",
+    "text_filter_funnel", "text_fingerprints", "text_lang_breakdown",
+    "text_lang_id_heuristic", "text_pii_scan", "text_profile_full",
+    "text_quality_filter", "text_repetition_signals", "text_sentence_split",
+    "text_stopword_ratio", "text_token_counts", "text_token_freqs",
+    "text_top_bigram_transitions",
+})
+
+
+def _ordered_names() -> list[str]:
+    """Registry names with never-driver-checked queries first (stable
+    within each group: registration order)."""
+    names = list(REGISTRY)
+    fresh = [n for n in names if n not in _PRIOR_DRIVER_CHECKED]
+    seen = [n for n in names if n in _PRIOR_DRIVER_CHECKED]
+    return fresh + seen
+
+
 def spark_queries() -> dict[str, SparkBuilder]:
     _load_all()
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_map() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }

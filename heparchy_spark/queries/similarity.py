@@ -108,17 +108,70 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted-near-dup harness: the driver embeddings are random (max pairwise
+# cosine ~0.51 at sf0.01), so a 0.95-threshold near-dup query over the raw
+# table is vacuously empty.  Both engines therefore augment the table with
+# deterministic perturbed copies of vec_id < 25 (elementwise scale by
+# 1 + 0.0005*((vec_id + pos) % 3), id offset +1_000_000): cosine(original,
+# copy) ~ 1-1e-8 while every cross pair stays < 0.52, so the >= 0.95 result
+# set is exactly the 25 planted pairs.  The oracle is EXACT brute-force
+# cosine over all (n+25 choose 2) pairs — the LSH path must achieve full
+# recall on the planted set to hash-match (seeds fixed, data fixed:
+# deterministic; verified at sf0.01).
+_PLANT_K = 25
+_PLANT_OFFSET = 1_000_000
+
+
 @register(
     "similarity_embedding_near_dups",
-    None,  # LSH recall is approximate; rows-only
-    doc="Embedding near-dup pairs (cosine >= 0.95) via LSH self-join + "
-    "exact verification.",
+    f"""
+    WITH __aug AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET},
+             list_transform(generate_series(1, {DIM}),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * (1.0 + 0.0005 * CAST((vec_id + i - 1) % 3 AS DOUBLE)))
+      FROM embeddings WHERE vec_id < {_PLANT_K}
+    ),
+    __n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM __aug
+    ),
+    __p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS __sim
+      FROM __n a JOIN __n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(__sim, 6) AS cosine_sim
+    FROM __p WHERE __sim >= 0.95
+    """,
+    doc="Embedding near-dup pairs (cosine >= 0.95): multi-table LSH "
+    "candidate generation + exact verification, validated against an "
+    "exact all-pairs oracle on a planted-duplicate augmentation (recall "
+    "must be 100% on the planted set to hash-match).",
 )
 def similarity_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    planted = emb.where(vid < _PLANT_K).select(
+        (vid + _PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.0005) * ((vid + i) % 3).cast("double")),
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(
+        planted
+    )
     return embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", dim=DIM, threshold=0.95, bits=6
-    ).select("id_a", "id_b", F.round("cosine_sim", 9).alias("cosine_sim"))
+        aug, "embedding", "vec_id", dim=DIM, threshold=0.95, bits=6, tables=4
+    ).select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 @register(

@@ -99,9 +99,12 @@ def events_sliding_6h_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame
 def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # Interval-typed difference: valid for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (Spark 4 forbids casting TIMESTAMP_NTZ straight to a numeric epoch).
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.col("ts") - prev
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        prev.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), F.lit(1)
     ).otherwise(F.lit(0))
     numbered = ev.withColumn(
         "session_id",

@@ -180,6 +180,40 @@ def test_normalize_url_rules(spark):
         assert rows[i] == (want_norm, want_dom), (i, rows[i])
 
 
+def test_url_domain_public_suffix_cases(spark):
+    from heparchy_spark.operators.web import url_domain
+
+    cases = [
+        # multi-label ICANN suffixes: suffix + one label
+        ("https://www.shop.example.co.uk/x", "example.co.uk"),
+        ("http://a.b.site.co.jp/", "site.co.jp"),
+        ("https://news.com.au:8080/y", "news.com.au"),
+        # private-section platform suffixes
+        ("https://user.github.io/repo", "user.github.io"),
+        ("http://myblog.blogspot.com/post", "myblog.blogspot.com"),
+        # 3-label suffix
+        ("https://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+        # plain TLD fallback
+        ("https://www.example.com/", "example.com"),
+        ("https://deep.sub.tree.example.org/", "example.org"),
+        # host IS a public suffix / single label: returned whole
+        ("https://co.uk/", "co.uk"),
+        ("https://github.io/", "github.io"),
+        ("http://localhost:8000/x", "localhost"),
+        # case-folded before matching
+        ("https://WWW.Example.CO.UK/", "example.co.uk"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    rows = {
+        r["i"]: r["d"]
+        for r in df.select("i", url_domain("url").alias("d")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert rows[i] == want, (i, cases[i][0], rows[i])
+
+
 def test_normalize_url_relative_passthrough(spark):
     from heparchy_spark.operators.web import normalize_url
 
