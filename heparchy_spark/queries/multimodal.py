@@ -4,8 +4,9 @@ No driver table carries real media, so the corpus builds deterministic
 binary payloads from document text — a format magic prefix (chosen by
 doc_id) + the UTF-8 bytes — identically in Spark and DuckDB, then runs the
 multimodal operators on them. Format sniffing + byte length are
-hash-checked against the oracle; mapInPandas paths (entropy, stub decode,
-frame fan-out) are rows-only by nature.
+hash-checked against a portable-SQL oracle; every mapInPandas path
+(entropy, decode, frame fan-out, embedding) hash-checks against
+plain-Python expected-value fixtures (tools/build_expected.py).
 """
 
 from __future__ import annotations
@@ -100,9 +101,11 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_meta",
-    None,
-    doc="STUB-decoded media properties (deterministic fake decoder behind "
-    "real mapInPandas plumbing — see operators/multimodal.py).",
+    expected_fixture_sql("multimodal_decode_meta"),
+    doc="Decoded media properties via real mapInPandas plumbing: stdlib "
+    "PNG/WAV decode where the container allows, labeled deterministic "
+    "fake elsewhere (corpus payloads all take the fake path); oracle = "
+    "plain-Python mirror of the fake decoder, precomputed.",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(_media_df(spark, sf_dir))
@@ -110,9 +113,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    None,
+    expected_fixture_sql("multimodal_frame_sample"),
     doc="Video frame sampling fan-out: one row per sampled frame via "
-    "mapInPandas (stub frame extraction, real 1->N batch shape).",
+    "mapInPandas (stub frame extraction, real 1->N batch shape); oracle = "
+    "plain-Python mirror of the fan-out, precomputed.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_df(spark, sf_dir).where(F.col("kind") == "video")

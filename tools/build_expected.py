@@ -174,11 +174,54 @@ def simhash_pairs(
 # multimodal expected values (mirror of queries/multimodal._media_df synth)
 # --------------------------------------------------------------------------
 _MAGICS = ["89504E47", "FFD8FFE0", "52494646", "1A45DFA3"]
+_KINDS = ["image", "image", "audio", "video"]
 
 
 def payload_for(doc_id: int, text: str | None) -> bytes:
     magic = bytes.fromhex(_MAGICS[doc_id % 4])
     return magic + (text or "").encode("utf-8")
+
+
+def fake_decode(buf: bytes, kind: str) -> dict:
+    """Plain-Python mirror of the labeled deterministic fake decoder
+    (operators/multimodal._fake_decode): crc32-seeded NumPy Generator,
+    identical draw order.  Corpus payloads are magic+text and never form a
+    valid PNG/WAV, so the fake path is the only one the corpus exercises —
+    mirroring it freezes the full decode_meta/frame_sample outputs."""
+    h = zlib.crc32(buf) if buf else 0
+    rng = np.random.default_rng(h)
+    if kind == "audio":
+        return {
+            "width": None,
+            "height": None,
+            "channels": int(1 + h % 2),
+            "sample_rate": int([8000, 16000, 44100][h % 3]),
+            "n_frames": int(1000 + h % 9000),
+            "mean_amplitude": float(rng.uniform(0.01, 0.5)),
+        }
+    w, hh = int(16 + h % 1024), int(16 + (h >> 10) % 1024)
+    return {
+        "width": w,
+        "height": hh,
+        "channels": 3,
+        "sample_rate": None,
+        "n_frames": 1 if kind == "image" else int(24 * (1 + h % 300)),
+        "mean_amplitude": float(rng.uniform(0.0, 1.0)),
+    }
+
+
+def frame_rows(
+    media_id: int, buf: bytes, every_n: int = 60
+) -> list[tuple[int, int, int]]:
+    """Mirror of operators/multimodal.sample_frames slicing: (media_id,
+    frame_idx, frame_bytes) per sampled frame."""
+    n_frames = fake_decode(buf, "video")["n_frames"]
+    step = max(len(buf) // max(n_frames, 1), 1)
+    out = []
+    for fi in range(0, n_frames, every_n):
+        off = (fi * step) % max(len(buf), 1)
+        out.append((media_id, fi, len(buf[off : off + step])))
+    return out
 
 
 def byte_stats(buf: bytes) -> tuple[int, float, int]:
@@ -301,6 +344,56 @@ def main() -> None:
                     [payload_embedding_sum(p) for _, p in payloads],
                     pa.float64(),
                 ),
+            }
+        ),
+    )
+
+    # multimodal_decode_meta: fake-decode properties per payload
+    decoded = [
+        (d, _KINDS[d % 4], fake_decode(p, _KINDS[d % 4])) for d, p in payloads
+    ]
+    write(
+        "multimodal_decode_meta",
+        pa.table(
+            {
+                "media_id": pa.array([d for d, _, _ in decoded], pa.int64()),
+                "kind": pa.array([k for _, k, _ in decoded], pa.string()),
+                "width": pa.array(
+                    [m["width"] for _, _, m in decoded], pa.int32()
+                ),
+                "height": pa.array(
+                    [m["height"] for _, _, m in decoded], pa.int32()
+                ),
+                "channels": pa.array(
+                    [m["channels"] for _, _, m in decoded], pa.int32()
+                ),
+                "sample_rate": pa.array(
+                    [m["sample_rate"] for _, _, m in decoded], pa.int32()
+                ),
+                "n_frames": pa.array(
+                    [m["n_frames"] for _, _, m in decoded], pa.int32()
+                ),
+                "mean_amplitude": pa.array(
+                    [m["mean_amplitude"] for _, _, m in decoded], pa.float64()
+                ),
+            }
+        ),
+    )
+
+    # multimodal_frame_sample: video payload frame fan-out (every 60th)
+    frames = [
+        row
+        for d, p in payloads
+        if d % 4 == 3
+        for row in frame_rows(d, p)
+    ]
+    write(
+        "multimodal_frame_sample",
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in frames], pa.int64()),
+                "frame_idx": pa.array([r[1] for r in frames], pa.int32()),
+                "frame_bytes": pa.array([r[2] for r in frames], pa.int64()),
             }
         ),
     )
