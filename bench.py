@@ -29,8 +29,10 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q9_product_profit",
     "q10_returned_items",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "join_left_order_counts",
     "agg_count_distinct",
     "window_topk_orders_per_customer",

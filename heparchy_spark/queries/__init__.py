@@ -92,6 +92,7 @@ def _load_all() -> None:
         similarity,
         streaming_like,
         text,
+        tpch,
         web,
     )
 
