@@ -24,6 +24,9 @@ __all__ = [
     "bucketed_join_ready",
     "salted_groupby_count",
     "salted_join",
+    "equiwidth_bucket",
+    "zorder_key",
+    "cluster_by_zorder",
 ]
 
 
@@ -114,3 +117,90 @@ def salted_join(
     )
     out = salted_left.join(replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-column data skipping)
+# ---------------------------------------------------------------------------
+
+
+def equiwidth_bucket(
+    col: Column | str, lo: float, hi: float, bits: int
+) -> Column:
+    """Equi-width bucket id in [0, 2**bits) for a numeric column.
+
+    Plain arithmetic (identical IEEE doubles on every engine, so the
+    bucket — and therefore the z-key — is oracle-checkable): values at or
+    below ``lo`` map to 0, at or above ``hi`` to 2**bits - 1.  Equi-width
+    is one stats pass (min/max); for heavily skewed columns substitute
+    equi-depth cut points from ``approxQuantile`` upstream — the
+    interleave below is bucket-scheme-agnostic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = 1 << bits
+    raw = F.floor(
+        (c.cast("double") - F.lit(float(lo)))
+        / F.lit((float(hi) - float(lo)) / n)
+    ).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+
+
+def zorder_key(bucket_cols: ty.Sequence[Column], bits_per_col: int) -> Column:
+    """Morton (Z-order) key: bit-interleave k bucket ids into one long.
+
+    Bit j of column i lands at position ``j * k + i``, so a range of
+    z-keys is a k-dimensional bounding box — sorting by the key clusters
+    rows that are close in EVERY dimension, which is what makes per-file
+    min/max stats selective for predicates on ANY of the columns (single-
+    column sort gives skipping on the leading column only).
+
+    Pure shift/mask column algebra — ``bits_per_col * k`` codegen'd terms,
+    no UDF.  k * bits_per_col must fit in 63 bits.
+    """
+    k = len(bucket_cols)
+    if k * bits_per_col > 63:
+        raise ValueError("zorder_key: k * bits_per_col must be <= 63")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(bucket_cols):
+        for j in range(bits_per_col):
+            out = out + F.shiftleft(
+                F.shiftright(c, j).bitwiseAND(F.lit(1).cast("long")),
+                j * k + i,
+            )
+    return out
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: ty.Sequence[str],
+    bits_per_col: int = 12,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Re-layout a DataFrame in Z-order over ``cols`` for multi-column
+    data skipping: one tiny min/max stats pass, equi-width buckets, Morton
+    interleave, then range-repartition + in-partition sort on the key.
+
+    Writing the result gives every file a tight bounding box in all
+    ``cols``, so Parquet row-group/file pruning works for predicates on
+    any clustered column — the OPTIMIZE ZORDER play, as a plain
+    DataFrame-to-DataFrame operator.  Cost at 100 TB: one stats aggregate
+    (bytes), one range shuffle of the data (unavoidable — re-layout IS
+    data movement), no global sort barrier (sortWithinPartitions).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+    ).first()
+    buckets = [
+        equiwidth_bucket(
+            c, stats[f"__lo_{c}"], stats[f"__hi_{c}"], bits_per_col
+        )
+        for c in cols
+    ]
+    keyed = df.withColumn("__zkey", zorder_key(buckets, bits_per_col))
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(parts, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

@@ -113,3 +113,66 @@ def test_salted_join_rerun_identical(spark):
     c2 = salted_join(skewed, small, "k", factor=4).count()
     plain = skewed.join(small, "k").count()
     assert c1 == c2 == plain
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from heparchy_spark.operators.layout import zorder_key
+
+    df = spark.range(1).select(
+        F.lit(0b1011).cast("long").alias("a"), F.lit(0b0110).cast("long").alias("b")
+    )
+    got = df.select(zorder_key([F.col("a"), F.col("b")], 4).alias("z")).first()["z"]
+    # interleave LSB-first: bit j of col i -> position j*2 + i
+    want = 0
+    for j in range(4):
+        want |= ((0b1011 >> j) & 1) << (j * 2 + 0)
+        want |= ((0b0110 >> j) & 1) << (j * 2 + 1)
+    assert got == want
+
+
+def test_cluster_by_zorder_tightens_file_stats(spark, tmp_path):
+    """Writing in z-order must shrink every clustered column's per-file
+    extent vs the natural layout — the property Parquet min/max skipping
+    feeds on."""
+    import pyarrow.parquet as pq
+
+    from heparchy_spark.operators.layout import cluster_by_zorder
+
+    o = load(spark, SF_DIR, "orders")
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    # natural order, same file count for a fair comparison
+    o.repartition(8).write.mode("overwrite").parquet(plain_dir)
+    cluster_by_zorder(
+        o, ["o_custkey", "o_totalprice"], bits_per_col=10, num_files=8
+    ).write.mode("overwrite").parquet(z_dir)
+
+    def mean_extent(d: str, col: str) -> float:
+        import pathlib
+
+        extents = []
+        for f in pathlib.Path(d).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                extents.append(float(hi) - float(lo))
+        assert extents
+        return sum(extents) / len(extents)
+
+    for col in ["o_custkey", "o_totalprice"]:
+        plain_e = mean_extent(plain_dir, col)
+        z_e = mean_extent(z_dir, col)
+        assert z_e < plain_e * 0.7, (col, z_e, plain_e)
+
+    # content preserved
+    assert (
+        spark.read.parquet(z_dir).count() == o.count()
+    )
