@@ -17,6 +17,8 @@ UDFs.  Scale notes:
 
 from __future__ import annotations
 
+import typing as ty
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -38,6 +40,8 @@ __all__ = [
     "incremental_exact_dedup",
     "connected_components",
     "connected_components_star",
+    "bloom_filter_build",
+    "bloom_filter_probe",
 ]
 
 
@@ -763,3 +767,82 @@ def connected_components_star(
     out.count()
     cur.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (incremental dedup at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def bloom_filter_build(
+    df: DataFrame, pos_cols: ty.Sequence[Column], m_bits: int
+) -> DataFrame:
+    """Build a Bloom filter as a tiny (word_idx, word) DataFrame.
+
+    ``pos_cols`` are k precomputed bit positions in [0, m_bits) per row
+    (callers derive them from a content hash; the corpus query uses
+    portable sha256 slices so an independent engine reproduces the exact
+    filter).  The build is one explode + one bit_or aggregate: the
+    shuffle moves only set-bit words — at most m_bits/64 rows total,
+    regardless of input size.
+
+    Scale shape: this is the anti-join-avoidance play for incremental
+    dedup against a 100 TB seen-corpus.  The seen side is scanned ONCE to
+    build a filter of m_bits/8 bytes (e.g. 2^30 bits = 128 MiB — one
+    broadcast), instead of being shuffled for every incoming batch.
+    Probing then touches only the broadcast words; the exact verification
+    anti-join runs on the (tiny) surviving candidate set.  False-positive
+    rate ~ (set_bits/m)^k; false negatives impossible, so the pre-filter
+    never drops a genuinely-new document.
+    """
+    ex = df.select(F.explode(F.array(*pos_cols)).alias("__pos"))
+    # 32 bits per word: shifts never reach the int64 sign bit, so strict-
+    # overflow engines (DuckDB mirrors) compute the identical words.
+    # shiftleft by a COLUMN amount needs the SQL form (the PySpark helper
+    # only takes a literal shift).
+    return (
+        ex.select(
+            F.shiftright("__pos", 5).alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast((__pos & 31) as int))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_filter_probe(
+    df: DataFrame,
+    id_col: str,
+    pos_cols: ty.Sequence[Column],
+    bloom: DataFrame,
+) -> DataFrame:
+    """(id, maybe_present): True iff every position's bit is set.
+
+    The filter side broadcasts (bounded by m_bits/64 rows); the probe is
+    a broadcast left join per exploded position plus a per-id aggregate —
+    the incoming batch never shuffles except on its own id (combinable
+    map-side, k rows per id).
+    """
+    k = len(pos_cols)
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*pos_cols)).alias("__pos")
+    )
+    joined = ex.join(
+        F.broadcast(bloom),
+        F.shiftright(ex["__pos"], 5) == bloom["word_idx"],
+        "left",
+    )
+    hit = (
+        F.expr(
+            "shiftright(word, cast((__pos & 31) as int)) & 1"
+        )
+        == 1
+    )
+    present = F.when(F.col("word").isNotNull() & hit, 1).otherwise(0)
+    return (
+        joined.groupBy("__id")
+        .agg((F.sum(present) == F.lit(k)).alias("maybe_present"))
+        .select(F.col("__id").alias(id_col), "maybe_present")
+    )

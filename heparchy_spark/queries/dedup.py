@@ -341,3 +341,95 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("__rn") == 1)
         .select("component", F.col("doc_id").alias("rep_id"), "n_docs")
     )
+
+
+_BLOOM_M = 1 << 20  # bits
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(h: str, i: int) -> str:
+    """Position i from sha256 hex slice (15 hex chars = 60 bits, positive)."""
+    return (
+        f"CAST(CONCAT('0x', substr({h}, {1 + 15 * i}, 15)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_spark(h, i: int):
+    return F.pmod(
+        F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"),
+        F.lit(_BLOOM_M),
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    f"""
+    WITH seen AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    pos AS (
+      {" UNION ALL ".join(
+          f"SELECT {_bloom_pos_sql('h', i)} AS p FROM seen"
+          for i in range(_BLOOM_K))}
+    ),
+    flt AS (
+      SELECT p >> 5 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ),
+    inc AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1
+    ),
+    ipos AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, h, {_bloom_pos_sql('h', i)} AS p FROM inc"
+          for i in range(_BLOOM_K))}
+    ),
+    probe AS (
+      SELECT ipos.doc_id,
+             SUM(CASE WHEN flt.word IS NOT NULL
+                       AND ((flt.word >> CAST(ipos.p & 31 AS INTEGER)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS hits
+      FROM ipos LEFT JOIN flt ON (ipos.p >> 5) = flt.word_idx
+      GROUP BY 1
+    )
+    SELECT probe.doc_id,
+           hits = {_BLOOM_K} AS maybe_dup,
+           EXISTS (SELECT 1 FROM seen WHERE seen.h = inc.h) AS is_dup
+    FROM probe JOIN inc ON inc.doc_id = probe.doc_id
+    """,
+    doc="Bloom-filter pre-filter for incremental dedup: the seen half of "
+    "the corpus builds a 2^20-bit filter (sha256-slice positions, k=3) "
+    "that the incoming half probes — the scale pattern that avoids "
+    "shuffling a 100 TB seen-corpus per batch (operators/dedup.py "
+    "bloom_filter_build/probe). maybe_dup is the filter verdict, is_dup "
+    "the exact truth; no false negatives by construction. Oracle "
+    "recomputes the identical filter in portable SQL.",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    seen = hashed.where(F.col("doc_id") % 2 == 0)
+    inc = hashed.where(F.col("doc_id") % 2 == 1)
+    flt = bloom_filter_build(
+        seen, [_bloom_pos_spark(F.col("h"), i) for i in range(_BLOOM_K)], _BLOOM_M
+    )
+    probed = bloom_filter_probe(
+        inc, "doc_id", [_bloom_pos_spark(F.col("h"), i) for i in range(_BLOOM_K)], flt
+    ).withColumnRenamed("maybe_present", "maybe_dup")
+    truth = inc.join(
+        seen.select(F.col("h").alias("__sh")).distinct(),
+        F.col("h") == F.col("__sh"),
+        "left",
+    ).select(
+        "doc_id", F.col("__sh").isNotNull().alias("is_dup")
+    )
+    return probed.join(truth, "doc_id").select("doc_id", "maybe_dup", "is_dup")

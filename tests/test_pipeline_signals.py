@@ -346,3 +346,37 @@ def test_star_cc_deep_chain_and_minlabel_raises(spark):
         connected_components(
             edges, "src", "dst", nodes, "node", max_iter=10
         )
+
+
+def test_bloom_filter_no_false_negatives_and_filters(spark):
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dedup import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    m = 1 << 16
+    k = 3
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)
+        ]
+
+    seen = spark.range(0, 500).select(F.col("id").alias("v"))
+    # incoming: 0..249 overlap seen; 10_000..10_249 are new
+    inc = (
+        spark.range(0, 250)
+        .select(F.col("id").alias("v"))
+        .union(spark.range(10_000, 10_250).select(F.col("id").alias("v")))
+    )
+    flt = bloom_filter_build(seen, positions(F.col("v")), m)
+    got = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_filter_probe(inc, "v", positions(F.col("v")), flt).collect()
+    }
+    # no false negatives: every genuinely-seen value flagged
+    assert all(got[v] for v in range(250))
+    # the filter actually filters: most new values pass through as unseen
+    new_flagged = sum(1 for v in range(10_000, 10_250) if got[v])
+    assert new_flagged < 25  # fp rate at this fill ~(1500/65536)^3 << 1%
