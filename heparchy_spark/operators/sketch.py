@@ -1,0 +1,104 @@
+"""Mergeable sketch operators (Count-Min) — [ext] pipeline ops.
+
+Count-Min (Cormode & Muthukrishnan 2005): d rows of w counters; each key
+increments counter ``h_i(key) % w`` in every row; the estimate is the MIN
+over rows — always an OVERestimate (one-sided error <= 2N/w with
+probability 1 - (1/2)^d).  The sketch is a tiny (row_idx, col_idx, cnt)
+DataFrame: at most d*w rows regardless of input size, built with one
+explode + one count aggregate — the same shuffle shape as the Bloom
+filter build (`operators/dedup.py`), and mergeable across batches/streams
+by summing counters.
+
+At 100 TB: heavy-hitter detection without carrying the full key
+cardinality through a shuffle.  The exact groupBy needs |distinct keys|
+state; the sketch needs d*w counters (e.g. 3 x 2^20 = 24 MiB of longs)
+and still answers point frequency queries within eN.  Positions derive
+from sha256 slices so an independent engine (the DuckDB oracle)
+reconstructs the identical sketch.
+"""
+
+from __future__ import annotations
+
+import typing as ty
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["cm_positions", "count_min_build", "count_min_estimate"]
+
+
+def cm_positions(key: Column, width: int, depth: int) -> list[Column]:
+    """Portable row positions: sha256 hex slices (15 chars = 60 bits each,
+    depth <= 4), one column per sketch row."""
+    if depth > 4:
+        raise ValueError("cm_positions: sha256 provides at most 4 slices")
+    h = F.sha2(key.cast("string"), 256)
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"),
+            F.lit(width),
+        )
+        for i in range(depth)
+    ]
+
+
+def count_min_build(
+    df: DataFrame, pos_cols: ty.Sequence[Column], weight: Column | None = None
+) -> DataFrame:
+    """Build the sketch: (row_idx, col_idx, cnt), at most d*w rows.
+
+    ``weight`` (default 1 per input row) supports weighted frequency.
+    One explode (d rows per input row) + one combinable aggregate.
+    """
+    d = len(pos_cols)
+    w8 = weight if weight is not None else F.lit(1).cast("long")
+    ex = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"), p.alias("col_idx")
+                    )
+                    for i, p in enumerate(pos_cols)
+                ]
+            )
+        ).alias("__rc"),
+        w8.alias("__w"),
+    )
+    return (
+        ex.select("__rc.row_idx", "__rc.col_idx", "__w")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    probes: DataFrame,
+    key_col: str,
+    pos_cols: ty.Sequence[Column],
+    sketch: DataFrame,
+) -> DataFrame:
+    """(key, cm_est): min-over-rows counter lookup for each probe key.
+
+    The sketch broadcasts (bounded d*w rows); probes explode to d rows,
+    join the broadcast, and aggregate min per key — probe cost is
+    independent of the sketched corpus size.
+    """
+    d = len(pos_cols)
+    ex = probes.select(
+        F.col(key_col).alias("__key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row_idx"), p.alias("col_idx"))
+                    for i, p in enumerate(pos_cols)
+                ]
+            )
+        ).alias("__rc"),
+    ).select("__key", "__rc.row_idx", "__rc.col_idx")
+    joined = ex.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+    return (
+        joined.groupBy("__key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+        .select(F.col("__key").alias(key_col), "cm_est")
+    )

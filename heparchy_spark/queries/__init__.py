@@ -91,6 +91,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         similarity,
+        sketch,
         streaming_like,
         text,
         tpch,

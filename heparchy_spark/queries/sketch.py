@@ -1,0 +1,85 @@
+"""Sketch corpus queries (Count-Min heavy hitters).
+
+The sketch is deterministic given the data (sha256-slice positions), so
+the DuckDB oracle rebuilds the identical d x w counter table in portable
+SQL and the whole query hash-checks — estimate column included.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from heparchy_spark.operators.sketch import (
+    cm_positions,
+    count_min_build,
+    count_min_estimate,
+)
+from heparchy_spark.queries import register
+from heparchy_spark.queries.tables import load
+
+_W = 1 << 14
+_D = 3
+_TOPK = 20
+
+
+def _pos_sql(h: str, i: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr({h}, {1 + 15 * i}, 15)) AS BIGINT) % {_W}"
+    )
+
+
+@register(
+    "sketch_count_min_users",
+    f"""
+    WITH hashed AS (
+      SELECT user_id, sha256(CAST(user_id AS VARCHAR)) AS h FROM events
+    ),
+    pos AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS row_idx, {_pos_sql('h', i)} AS col_idx, user_id"
+          f" FROM hashed" for i in range(_D))}
+    ),
+    sketch AS (
+      SELECT row_idx, col_idx, COUNT(*) AS cnt FROM pos GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events
+      GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT {_TOPK}
+    ),
+    thashed AS (
+      SELECT user_id, exact_n, sha256(CAST(user_id AS VARCHAR)) AS h FROM top
+    ),
+    tpos AS (
+      {" UNION ALL ".join(
+          f"SELECT user_id, exact_n, {i} AS row_idx,"
+          f" {_pos_sql('h', i)} AS col_idx FROM thashed"
+          for i in range(_D))}
+    )
+    SELECT tpos.user_id, tpos.exact_n, MIN(sketch.cnt) AS cm_est
+    FROM tpos JOIN sketch
+      ON sketch.row_idx = tpos.row_idx AND sketch.col_idx = tpos.col_idx
+    GROUP BY tpos.user_id, tpos.exact_n
+    """,
+    doc="Count-Min heavy hitters over the events stream: a 3 x 2^14 "
+    "counter sketch (one explode + one combinable aggregate — at most "
+    "d*w rows shuffle, independent of input size) estimates the top-20 "
+    "users' event counts; exact counts sit alongside for the one-sided "
+    "error contract (cm_est >= exact_n). Oracle rebuilds the identical "
+    "sketch in portable SQL (operators/sketch.py).",
+)
+def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sketch = count_min_build(
+        ev, cm_positions(F.col("user_id"), _W, _D)
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(_TOPK)
+    )
+    est = count_min_estimate(
+        top, "user_id", cm_positions(F.col("user_id"), _W, _D), sketch
+    )
+    return top.join(est, "user_id").select("user_id", "exact_n", "cm_est")

@@ -380,3 +380,39 @@ def test_bloom_filter_no_false_negatives_and_filters(spark):
     # the filter actually filters: most new values pass through as unseen
     new_flagged = sum(1 for v in range(10_000, 10_250) if got[v])
     assert new_flagged < 25  # fp rate at this fill ~(1500/65536)^3 << 1%
+
+
+def test_count_min_overestimates_and_merges(spark):
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import (
+        cm_positions,
+        count_min_build,
+        count_min_estimate,
+    )
+
+    w, d = 1 << 10, 3
+    # zipf-ish: key k appears 1000//(k+1) times
+    rows = [(k,) for k in range(50) for _ in range(1000 // (k + 1))]
+    df = spark.createDataFrame(rows, ["k"])
+    pos = cm_positions(F.col("k"), w, d)
+    sketch = count_min_build(df, pos)
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["cm_est"] for r in count_min_estimate(probes, "k", pos, sketch).collect()}
+    # one-sided: never underestimates
+    assert all(est[k] >= exact[k] for k in exact)
+    # tight at this fill (1150 increments into 3x1024 counters)
+    assert sum(est[k] - exact[k] for k in exact) <= 5 * len(exact)
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B) counter-wise
+    a, b = df.where(F.col("k") % 2 == 0), df.where(F.col("k") % 2 == 1)
+    merged = (
+        count_min_build(a, pos)
+        .unionByName(count_min_build(b, pos))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_build(df, pos)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
