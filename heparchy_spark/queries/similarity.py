@@ -12,7 +12,7 @@ from heparchy_spark.operators.similarity import (
     l2_norm,
     lsh_cosine_topk,
 )
-from heparchy_spark.queries import register
+from heparchy_spark.queries import expected_fixture_sql, register
 from heparchy_spark.queries.tables import load
 
 DIM = 64  # driver embeddings are 64-dim float arrays (FIXTURES.md)
@@ -70,9 +70,11 @@ def similarity_cosine_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_lsh_topk",
-    None,  # approximate (bucket recall); rows-only check
+    expected_fixture_sql("similarity_lsh_topk"),
     doc="LSH-bucketed ANN top-10 for 5 query vectors (vec_id < 5): "
-    "random-hyperplane signs -> equi-join on bucket, rank within query.",
+    "random-hyperplane signs -> equi-join on bucket, rank within query. "
+    "Approximate but deterministic (seeded hyperplanes); oracle = plain-"
+    "Python mirror with sequential-fold dots, precomputed.",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -176,8 +178,11 @@ def similarity_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "similarity_ivf_topk",
-    None,  # approximate (IVF probe recall) + kmeans training; rows-only
-    doc="IVF ANN top-10 for 5 query vectors: seeded Lloyd coarse quantizer "
+    expected_fixture_sql("similarity_ivf_topk"),
+    doc="IVF ANN top-10 for 5 query vectors (oracle = plain-NumPy mirror "
+    "of the full train/assign/probe pipeline, precomputed — the seeded "
+    "sample covers the whole sf0.01 table, so the quantizer trajectory "
+    "is deterministic): seeded Lloyd coarse quantizer "
     "(driver-side sample), vectorized pandas-UDF cell assignment, equi-join "
     "on cell id with nprobe=2 multi-probing — the nprobe/C-cost scale path "
     "beside LSH.",

@@ -380,6 +380,9 @@ def main() -> None:
         ),
     )
 
+    # ANN top-k expected values (similarity_lsh_topk / similarity_ivf_topk)
+    write_ann_fixtures(sf_dir, write)
+
     # multimodal_frame_sample: video payload frame fan-out (every 60th)
     frames = [
         row
@@ -398,6 +401,136 @@ def main() -> None:
         ),
     )
 
+
+
+
+# --------------------------------------------------------------------------
+# ANN expected values (mirrors of operators/similarity — plain Python/NumPy)
+# --------------------------------------------------------------------------
+# The two ANN corpus queries are APPROXIMATE but fully DETERMINISTIC at
+# fixture scale: hyperplanes come from RandomState(7), the IVF sample
+# (limit 2000) covers the whole 500-row sf0.01 embeddings table in file
+# order, and every Spark-side float op is either a sequential
+# zip_with/aggregate fold (mirrored as a left-to-right Python loop —
+# identical IEEE doubles) or the very NumPy expressions copied below.
+
+
+def _seq_dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _seq_norm(a) -> float:
+    s = 0.0
+    for x in a:
+        s += float(x) * float(x)
+    return s**0.5
+
+
+def _cosine(a, b) -> float:
+    return _seq_dot(a, b) / (_seq_norm(a) * _seq_norm(b))
+
+
+def _topk_rows(cands, k=10):
+    """(query_id, match_id, cosine) -> ranked rows, Spark tie-break."""
+    out = []
+    for qid in sorted({c[0] for c in cands}):
+        mine = sorted(
+            (c for c in cands if c[0] == qid),
+            key=lambda c: (-c[2], c[1]),
+        )
+        for rk, (q, m, cos) in enumerate(mine[:k], start=1):
+            out.append((q, m, spark_round(cos, 9), rk))
+    return out
+
+
+def ann_lsh_topk(
+    vec_ids, vecs, dim=64, bits=6, seed=7, k=10, n_queries=5
+) -> list[tuple]:
+    """Mirror of operators.similarity.lsh_cosine_topk (bits=6, seed=7)."""
+    planes = np.random.RandomState(seed).standard_normal((bits, dim))
+
+    def bucket(v) -> int:
+        b = 0
+        for i in range(bits):
+            if _seq_dot(v, planes[i]) > 0:
+                b += 1 << i
+        return b
+
+    buckets = [bucket(v) for v in vecs]
+    cands = []
+    for qi, qid in enumerate(vec_ids):
+        if qid >= n_queries:
+            continue
+        for mi, mid in enumerate(vec_ids):
+            if buckets[mi] == buckets[qi]:
+                cands.append((qid, mid, _cosine(vecs[mi], vecs[qi])))
+    return _topk_rows(cands, k)
+
+
+def ann_ivf_topk(
+    vec_ids,
+    vecs,
+    n_centroids=16,
+    sample_size=2000,
+    iters=4,
+    seed=7,
+    nprobe=2,
+    k=10,
+    n_queries=5,
+) -> list[tuple]:
+    """Mirror of train_centroids + ivf_topk: identical NumPy expressions,
+    so the k-means trajectory and cell assignments reproduce exactly."""
+    x_all = np.stack([np.asarray(v) for v in vecs]).astype("float64")
+    x = x_all[:sample_size]
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    cents = np.ascontiguousarray(cents, dtype="float64")
+    cn2 = (cents**2).sum(axis=1)
+    base_cell = (cn2[None, :] - 2.0 * (x_all @ cents.T)).argmin(axis=1)
+    qidx = [i for i, v in enumerate(vec_ids) if v < n_queries]
+    xq = x_all[qidx]
+    d2q = cn2[None, :] - 2.0 * (xq @ cents.T)
+    probes = np.argsort(d2q, axis=1)[:, :nprobe]
+    cands = []
+    for row, qi in enumerate(qidx):
+        cells = set(int(c) for c in probes[row])
+        for mi, mid in enumerate(vec_ids):
+            if int(base_cell[mi]) in cells:
+                cands.append((vec_ids[qi], mid, _cosine(vecs[mi], vecs[qi])))
+    return _topk_rows(cands, k)
+
+
+def write_ann_fixtures(sf_dir: str, write) -> None:
+    et = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec_ids = et["vec_id"].to_pylist()
+    vecs = [np.asarray(v, dtype="float32") for v in et["embedding"].to_pylist()]
+    for name, rows in [
+        ("similarity_lsh_topk", ann_lsh_topk(vec_ids, vecs)),
+        ("similarity_ivf_topk", ann_ivf_topk(vec_ids, vecs)),
+    ]:
+        write(
+            name,
+            pa.table(
+                {
+                    "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "match_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "cosine_sim": pa.array([r[2] for r in rows], pa.float64()),
+                    "rk": pa.array([r[3] for r in rows], pa.int32()),
+                }
+            ),
+        )
 
 if __name__ == "__main__":
     main()
