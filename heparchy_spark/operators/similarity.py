@@ -29,6 +29,9 @@ __all__ = [
     "ivf_topk",
     "int8_quantize_stats",
     "label_centroids",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -411,4 +414,138 @@ def label_centroids(
 
     return df.groupBy(label_col).agg(
         centroid(F.col(emb_col).cast("array<double>")).alias("centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN via asymmetric distance
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 4,
+    seed: int = 7,
+) -> np.ndarray:
+    """PQ codebooks: per-subspace seeded Lloyd k-means on a bounded
+    driver sample (train small, encode big — same shape as IVF training).
+
+    Returns (m, n_codes, dim//m) float64.  Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011.
+    """
+    pdf = df.select(vec_col).limit(sample_size).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cents = xs[
+            rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)
+        ]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: np.ndarray, out_col: str = "__codes"
+) -> DataFrame:
+    """Attach the m-byte PQ code (array<int>) per vector — one vectorized
+    pandas UDF, one argmin per subspace per Arrow batch.  At 100 TB this
+    is the 4-32x storage shrink that makes the candidate scan memory-
+    resident; codebooks ride in the task closure (m * n_codes * sub
+    doubles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(codebooks, dtype="float64")
+    m, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype("float64")
+        codes = np.empty((len(x), m), dtype="int32")
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    q_vec_col: str,
+    q_id_col: str,
+    codebooks: np.ndarray,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): each query
+    precomputes a (sub_idx, code) -> partial-d2 lookup table; a candidate's
+    distance is the sum of m table entries addressed by its code.
+
+    Spark shape: the LUT is a tiny DataFrame (|Q| * m * n_codes rows,
+    broadcast); base codes posexplode to m rows and equi-join the LUT; one
+    combinable aggregate sums the partials per (query, match).  The fat
+    side never moves except its own (query,match) aggregation — no vector
+    arithmetic touches the scan.  Queries are the SMALL side by contract
+    (collected to build the LUT).
+
+    Partials accumulate in decimal and round to 6dp so the ranking is
+    engine-independent (`queries/numeric.py` rationale).  Output:
+    (query_id, match_id, adc_d2, rk) — smaller d2 = closer.
+    """
+    spark = df.sparkSession
+    books = np.ascontiguousarray(codebooks, dtype="float64")
+    m, n_codes, sub = books.shape
+    encoded = pq_encode(
+        df.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__v")),
+        "__v",
+        books,
+    ).select("match_id", "__codes")
+    qrows = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("__q")
+    ).collect()
+    lut = []
+    for r in qrows:
+        q = np.asarray(r["__q"], dtype="float64")
+        for s in range(m):
+            qs = q[s * sub : (s + 1) * sub]
+            d2 = ((books[s] - qs[None, :]) ** 2).sum(axis=1)
+            for c in range(n_codes):
+                lut.append((r["query_id"], s, c, float(d2[c])))
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, sub_idx int, code int, part double"
+    )
+    ex = encoded.select(
+        "match_id", F.posexplode("__codes").alias("sub_idx", "code")
+    )
+    joined = ex.join(F.broadcast(lut_df), ["sub_idx", "code"])
+    dist = joined.groupBy("query_id", "match_id").agg(
+        F.round(
+            F.sum(F.col("part").cast("decimal(38,10)")).cast("double"), 6
+        ).alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("match_id")
+    )
+    return dist.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
     )

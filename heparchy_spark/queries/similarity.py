@@ -280,3 +280,26 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_v")
     )
+
+
+@register(
+    "similarity_pq_topk",
+    expected_fixture_sql("similarity_pq_topk"),
+    doc="Product-quantization ADC top-10 for 5 query vectors: per-subspace "
+    "seeded Lloyd codebooks (8 x 16, trained driver-side on the bounded "
+    "sample), pandas-UDF encoding, broadcast LUT join + decimal-summed "
+    "partial distances (operators/similarity.py pq_*). Deterministic at "
+    "fixture scale; oracle = plain-NumPy mirror of the whole train/encode/"
+    "ADC pipeline, precomputed.",
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, "embedding", m=8, n_codes=16, sample_size=2000, iters=4, seed=7
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_adc_topk(
+        emb, "embedding", "vec_id", queries, "embedding", "vec_id", books, k=10
+    )

@@ -519,18 +519,83 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
     for name, rows in [
         ("similarity_lsh_topk", ann_lsh_topk(vec_ids, vecs)),
         ("similarity_ivf_topk", ann_ivf_topk(vec_ids, vecs)),
+        ("similarity_pq_topk", ann_pq_topk(vec_ids, vecs)),
     ]:
+        val_col = "adc_d2" if name == "similarity_pq_topk" else "cosine_sim"
         write(
             name,
             pa.table(
                 {
                     "query_id": pa.array([r[0] for r in rows], pa.int64()),
                     "match_id": pa.array([r[1] for r in rows], pa.int64()),
-                    "cosine_sim": pa.array([r[2] for r in rows], pa.float64()),
+                    val_col: pa.array([r[2] for r in rows], pa.float64()),
                     "rk": pa.array([r[3] for r in rows], pa.int32()),
                 }
             ),
         )
+
+
+
+def ann_pq_topk(
+    vec_ids,
+    vecs,
+    m=8,
+    n_codes=16,
+    sample_size=2000,
+    iters=4,
+    seed=7,
+    k=10,
+    n_queries=5,
+) -> list[tuple]:
+    """Mirror of pq_train + pq_encode + pq_adc_topk (identical NumPy
+    expressions; ADC partials decimal-summed like queries/numeric)."""
+    x_all = np.stack([np.asarray(v) for v in vecs]).astype("float64")
+    x = x_all[:sample_size]
+    dim = x.shape[1]
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cents = xs[
+            rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)
+        ]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    books = np.ascontiguousarray(np.stack(books), dtype="float64")
+    codes = np.empty((len(x_all), m), dtype="int32")
+    for s in range(m):
+        xs = x_all[:, s * sub : (s + 1) * sub]
+        d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1).astype("int32")
+    rows = []
+    for qi, qid in enumerate(vec_ids):
+        if qid >= n_queries:
+            continue
+        q = x_all[qi]
+        lut = np.empty((m, n_codes))
+        for s in range(m):
+            qs = q[s * sub : (s + 1) * sub]
+            lut[s] = ((books[s] - qs[None, :]) ** 2).sum(axis=1)
+        cands = []
+        for mi, mid in enumerate(vec_ids):
+            acc = Decimal(0)
+            for s in range(m):
+                acc += Decimal(repr(float(lut[s][codes[mi, s]]))).quantize(
+                    Decimal(1).scaleb(-10), rounding=ROUND_HALF_UP
+                )
+            cands.append((mid, spark_round(float(acc), 6)))
+        cands.sort(key=lambda c: (c[1], c[0]))
+        for rk, (mid, d2v) in enumerate(cands[:k], start=1):
+            rows.append((qid, mid, d2v, rk))
+    return rows
+
 
 if __name__ == "__main__":
     main()
