@@ -59,6 +59,9 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "sketch_count_min_users",
+    "dedup_bloom_prefilter",
     "multimodal_byte_stats",
 ]
 

@@ -128,3 +128,39 @@ def test_fixture_committed_and_nonempty(name):
     )
     assert path.exists(), f"run tools/build_expected.py ({name} missing)"
     assert pq.read_table(path).num_rows > 0
+
+
+def test_python_seq_fold_matches_spark_dot(spark):
+    """The ANN fixture mirrors (tools/build_expected._seq_dot/_seq_norm)
+    assume Spark's zip_with/aggregate fold is a sequential left-to-right
+    double accumulation — pin bit-identity on rounding-hostile float32
+    vectors."""
+    import numpy as np
+
+    from heparchy_spark.operators.similarity import dot, l2_norm
+
+    rng = np.random.RandomState(3)
+    vecs = [
+        [float(x) for x in np.float32(rng.standard_normal(64) * s)]
+        for s in (1e-8, 1.0, 1e8, 3.7)
+    ]
+    rows = [(i, a, b) for i, (a, b) in enumerate(zip(vecs, vecs[::-1]))]
+    df = spark.createDataFrame(
+        rows, "i long, a array<float>, b array<float>"
+    )
+    got = {
+        r["i"]: (r["d"], r["n"])
+        for r in df.select(
+            "i",
+            dot(F.col("a"), F.col("b")).alias("d"),
+            l2_norm(F.col("a")).alias("n"),
+        ).collect()
+    }
+    for i, a, b in rows:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(np.float32(x)) * float(np.float32(y))
+        n = 0.0
+        for x in a:
+            n += float(np.float32(x)) * float(np.float32(x))
+        assert got[i] == (s, n**0.5), i  # bit-identical, no approx
