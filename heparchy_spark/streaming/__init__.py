@@ -19,6 +19,7 @@ from heparchy_spark.streaming.analytics import (
     running_user_totals,
     sessionize,
     sliding_user_counts,
+    streaming_count_min,
     tumbling_counts,
 )
 from heparchy_spark.streaming.ingest import (
@@ -29,6 +30,7 @@ from heparchy_spark.streaming.ingest import (
 
 __all__ = [
     "EVENT_STREAM_SCHEMA",
+    "streaming_count_min",
     "read_event_stream",
     "stream_to_store",
     "tumbling_counts",

@@ -26,6 +26,7 @@ __all__ = [
     "dedup_within_watermark",
     "running_user_totals",
     "purchase_view_join",
+    "streaming_count_min",
 ]
 
 
@@ -200,3 +201,25 @@ def purchase_view_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def streaming_count_min(
+    events: DataFrame,
+    key_col: str,
+    width: int = 1 << 14,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-Min counters over a (possibly streaming) event frame.
+
+    The sketch build IS a streaming-safe stateful aggregation: state =
+    the (row_idx, col_idx) counters — bounded at d*w regardless of key
+    cardinality or stream length, which is the whole point (exact
+    per-key counting holds |distinct keys| state; the sketch holds 3 x
+    2^14 here).  Counters merge across micro-batches by summing, so
+    complete/update output modes both give the true running sketch.
+    Batch twin: `operators/sketch.count_min_build` on the same data —
+    identical counters (asserted in tests).
+    """
+    from heparchy_spark.operators.sketch import cm_positions, count_min_build
+
+    return count_min_build(events, cm_positions(F.col(key_col), width, depth))

@@ -266,3 +266,25 @@ def test_stream_dedup_ingest(spark, tmp_path):
     assert out == {(1, "alpha"), (2, "beta"), (5, "gamma")}
     hashes = spark.read.parquet(str(tmp_path / "dest") + "_hashes")
     assert hashes.distinct().count() == 3
+
+
+def test_streaming_count_min_matches_batch_sketch(spark, landing):
+    """The Count-Min build run as a real streaming aggregation over 2+
+    micro-batches must land on the exact counters of the batch sketch —
+    sketch state is bounded (d*w) and merges by summing."""
+    from heparchy_spark.streaming import read_event_stream, streaming_count_min
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    sk = streaming_count_min(stream, "user_id", width=1 << 12, depth=3)
+    _run_to_memory(sk, "cm_sketch", "complete")
+    got = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in spark.sql("select * from cm_sketch").collect()
+    }
+    batch = streaming_count_min(
+        load(spark, SF_DIR, "events"), "user_id", width=1 << 12, depth=3
+    )
+    want = {
+        (r["row_idx"], r["col_idx"]): r["cnt"] for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
