@@ -84,12 +84,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    # Two consumers (per-part min + the equality join back) would re-run
+    # the lineitem aggregation; the supply relation is one row per
+    # (part, supplier) pair in-region — small enough to stage
+    # (same multi-consumer persist rationale as the MinHash staging).
     eu_supply = (
         _supply(spark, sf_dir)
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .where(F.col("r_name") == "EUROPE")
+        .persist()
     )
     min_cost = eu_supply.groupBy(
         F.col("l_partkey").alias("__mc_pk")

@@ -122,3 +122,59 @@ def test_shuffle_shards_no_global_sort(spark):
     df.collect()
     assert shuffle_count(df) == 1
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_bloom_prefilter_broadcasts_filter(spark):
+    """The Bloom words must broadcast to the probe side: the incoming
+    batch never shuffles against the seen-corpus for the membership test
+    (SCALE.md — that is the operator's entire reason to exist)."""
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["dedup_bloom_prefilter"](spark, SF_DIR)
+    df.collect()
+    assert has_broadcast_join(df)
+
+
+def test_pq_adc_lut_broadcasts_no_cartesian(spark):
+    """PQ-ADC: the (query, subspace, code) LUT broadcasts onto the
+    exploded code stream; distances come from one combinable aggregate —
+    no cartesian product anywhere."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["similarity_pq_topk"](spark, SF_DIR)
+    df.collect()
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "Cartesian" not in plan
+
+
+def test_tpch_q21_no_cartesian_dims_broadcast(spark):
+    """Q21's EXISTS/NOT EXISTS pair must compile to semi/anti joins with
+    broadcast dimensions — never a per-row subquery or cross product."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["q21_waiting_suppliers"](spark, SF_DIR)
+    df.collect()
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan
+    assert has_broadcast_join(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_zorder_layout_range_partitions_no_global_sort(spark):
+    """cluster_by_zorder must range-partition on the key and sort only
+    within partitions — a global sort barrier would serialize the write."""
+    from heparchy_spark.operators.layout import cluster_by_zorder
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries.tables import load
+
+    df = cluster_by_zorder(
+        load(spark, SF_DIR, "orders"), ["o_custkey", "o_totalprice"],
+        bits_per_col=8, num_files=4,
+    )
+    df.collect()
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
