@@ -42,6 +42,7 @@ __all__ = [
     "connected_components_star",
     "bloom_filter_build",
     "bloom_filter_probe",
+    "cdc_chunk_stream",
 ]
 
 
@@ -846,3 +847,66 @@ def bloom_filter_probe(
         .agg((F.sum(present) == F.lit(k)).alias("maybe_present"))
         .select(F.col("__id").alias(id_col), "maybe_present")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (shift-robust chunk-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunk_stream(
+    df: DataFrame, text_col: str, id_col: str, divisor: int = 16
+) -> DataFrame:
+    """(__id, __chunk_idx, __chunk_hash, __n_toks): content-defined chunks.
+
+    Chunk boundaries fall where ``xxhash64(token) % divisor == 0`` — a
+    property of the CONTENT, not the position, so inserting a paragraph
+    shifts chunk ids but leaves every other chunk's hash unchanged (the
+    rsync/LBFS trick).  Whole-document hashing misses such edits; shingle
+    near-dup finds them at ~quadratic candidate cost; CDC spots shared
+    spans with one groupBy on chunk hash.
+
+    Shape: exploded token stream -> boundary flags -> running-sum window
+    (the one shuffle, on doc id) -> per-chunk ordered hash fold.  The
+    fold is an F.aggregate over the per-chunk array — interpreted, but
+    per CHUNK (~divisor tokens), not per token, and the array is
+    materialized first (the `fingerprint_df` re-inline lesson).
+    Expected chunk length = ``divisor`` tokens.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "__pos", "__tok"
+        ),
+    ).select("__id", "__pos", F.xxhash64("__tok").alias("__th"))
+    bound = F.when(
+        (F.pmod("__th", F.lit(divisor)) == 0) | (F.col("__pos") == 0), 1
+    ).otherwise(0)
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = tok.select(
+        "__id", "__pos", "__th", F.sum(bound).over(w).alias("__chunk_idx")
+    )
+    per_chunk = (
+        chunked.groupBy("__id", "__chunk_idx")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__th"))),
+                lambda s: s["__th"],
+            ).alias("__hs")
+        )
+        .select(
+            "__id",
+            "__chunk_idx",
+            F.aggregate(
+                F.col("__hs"),
+                F.lit(0).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            ).alias("__chunk_hash"),
+            F.size("__hs").alias("__n_toks"),
+        )
+    )
+    return per_chunk

@@ -433,3 +433,30 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("__sh").isNotNull().alias("is_dup")
     )
     return probed.join(truth, "doc_id").select("doc_id", "maybe_dup", "is_dup")
+
+
+@register(
+    "dedup_cdc_shared_chunks",
+    expected_fixture_sql("dedup_cdc_shared_chunks"),
+    doc="Content-defined chunking: chunk boundaries where xxhash64(token) "
+    "% 16 == 0 (content property -> insert-shift-robust), per-chunk "
+    "ordered hash fold, then chunks appearing in 2+ documents — shared-"
+    "span detection with ONE groupBy on chunk hash instead of quadratic "
+    "near-dup candidates (operators/dedup.py cdc_chunk_stream). Oracle = "
+    "plain-Python mirror via the pinned xxh64, precomputed.",
+)
+def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import cdc_chunk_stream
+
+    chunks = cdc_chunk_stream(
+        load(spark, sf_dir, "documents"), "text", "doc_id", divisor=16
+    )
+    return (
+        chunks.groupBy(F.col("__chunk_hash").alias("chunk_hash"))
+        .agg(
+            F.count_distinct("__id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("__n_toks").alias("chunk_len"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -416,3 +416,23 @@ def test_count_min_overestimates_and_merges(spark):
     whole = count_min_build(df, pos)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    """Inserting a paragraph mid-document must leave most chunk hashes
+    unchanged (boundaries are content-defined, not position-defined) —
+    whole-document hashing finds nothing, CDC finds the shared spans."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dedup import cdc_chunk_stream
+
+    base = " ".join(f"word{i} token{i * 7 % 91} item{i * 13 % 57}" for i in range(200))
+    words = base.split(" ")
+    edited = " ".join(words[:300] + ["brand", "new", "inserted", "paragraph", "here"] + words[300:])
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    chunks = cdc_chunk_stream(df, "text", "doc_id", divisor=16).collect()
+    h1 = {r["__chunk_hash"] for r in chunks if r["__id"] == 1}
+    h2 = {r["__chunk_hash"] for r in chunks if r["__id"] == 2}
+    assert len(h1) >= 10  # enough chunks to be meaningful
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, (shared, len(h1), len(h2))

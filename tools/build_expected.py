@@ -383,6 +383,22 @@ def main() -> None:
     # ANN top-k expected values (similarity_lsh_topk / similarity_ivf_topk)
     write_ann_fixtures(sf_dir, write)
 
+    # dedup_cdc_shared_chunks: content-defined chunking shared spans
+    cdc_rows = cdc_shared_chunks(docs)
+    write(
+        "dedup_cdc_shared_chunks",
+        pa.table(
+            {
+                "chunk_hash": pa.array([r[0] for r in cdc_rows], pa.int64()),
+                "n_docs": pa.array([r[1] for r in cdc_rows], pa.int64()),
+                "n_occurrences": pa.array(
+                    [r[2] for r in cdc_rows], pa.int64()
+                ),
+                "chunk_len": pa.array([r[3] for r in cdc_rows], pa.int32()),
+            }
+        ),
+    )
+
     # multimodal_frame_sample: video payload frame fan-out (every 60th)
     frames = [
         row
@@ -594,6 +610,43 @@ def ann_pq_topk(
         cands.sort(key=lambda c: (c[1], c[0]))
         for rk, (mid, d2v) in enumerate(cands[:k], start=1):
             rows.append((qid, mid, d2v, rk))
+    return rows
+
+
+
+
+def cdc_shared_chunks(docs, divisor=16) -> list[tuple]:
+    """Mirror of cdc_chunk_stream + the shared-chunks aggregation."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)  # chunk_hash -> [(doc_id, n_toks)]
+    for doc_id, text in docs:
+        toks = [t for t in normalize_text(text or "").split(" ")]
+        if toks == [""]:
+            toks = [""]
+        hs = [xxhash64(t) for t in toks]
+        chunks = []
+        cur = []
+        for pos, h in enumerate(hs):
+            if pos == 0 or h % divisor == 0:
+                if cur:
+                    chunks.append(cur)
+                cur = []
+            cur.append(h)
+        if cur:
+            chunks.append(cur)
+        for ch in chunks:
+            acc = 0
+            for h in ch:
+                acc = xxhash64(acc, h)
+            occ[acc].append((doc_id, len(ch)))
+    rows = []
+    for chash, hits in occ.items():
+        n_docs = len({d for d, _ in hits})
+        if n_docs >= 2:
+            rows.append(
+                (chash, n_docs, len(hits), min(n for _, n in hits))
+            )
     return rows
 
 
