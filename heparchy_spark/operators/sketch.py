@@ -24,7 +24,13 @@ import typing as ty
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["cm_positions", "count_min_build", "count_min_estimate"]
+__all__ = [
+    "cm_positions",
+    "count_min_build",
+    "count_min_estimate",
+    "hll_registers",
+    "hll_estimate",
+]
 
 
 def cm_positions(key: Column, width: int, depth: int) -> list[Column]:
@@ -102,3 +108,63 @@ def count_min_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
         .select(F.col("__key").alias(key_col), "cm_est")
     )
+
+
+def hll_registers(
+    df: DataFrame, key: Column, b: int = 12
+) -> DataFrame:
+    """HyperLogLog register state: (register_idx, max_rank), <= 2^b rows.
+
+    Flajolet et al. 2007: a 60-bit hash splits into a ``b``-bit register
+    index and the rest; each register keeps the MAX leading-zero rank
+    seen.  This is the mergeable STATE behind approx_count_distinct,
+    exposed as a DataFrame so it can be persisted, merged across
+    batches/partitions/days (max per register), and diffed — the
+    cardinality ledger pattern at 100 TB (exact distinct needs a shuffle
+    of every key; the ledger is 2^b rows, mergeable with one max).
+
+    The hash is a sha256 slice (portable — the DuckDB oracle rebuilds
+    the registers bit-for-bit); rank = position of the first 1-bit in
+    the low 60-b bits, computed with floor(log2) column algebra.
+    Estimation (the biased harmonic mean + corrections) is a driver-side
+    formality over <= 4096 rows — see tests; the scale-relevant artifact
+    is the register state itself.
+    """
+    h = F.sha2(key.cast("string"), 256)
+    v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")  # 60 bits
+    idx = F.shiftright(v, 60 - b)  # top b bits
+    rest = v.bitwiseAND(F.lit((1 << (60 - b)) - 1).cast("long"))
+    # rank = leading position of the first 1-bit in the (60-b)-wide rest
+    # (rest == 0 -> max rank 60-b+1).  Bit length comes from the binary
+    # string representation — exact at any width, unlike floor(log2())
+    # which loses integer exactness past double's 53-bit mantissa.
+    # (Neither Spark nor DuckDB zero-pads bin() for positive inputs.)
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    rank = (F.lit(60 - b + 1) - bitlen).cast("int")
+    return (
+        df.select(idx.alias("register_idx"), rank.alias("rank"))
+        .groupBy("register_idx")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 12) -> float:
+    """Driver-side cardinality estimate from the register ledger
+    (<= 2^b rows): standard HLL harmonic mean with the small-range
+    linear-counting correction."""
+    import math
+
+    m = 1 << b
+    rows = {r["register_idx"]: r["max_rank"] for r in registers.collect()}
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0.0
+    zeros = 0
+    for i in range(m):
+        reg = rows.get(i, 0)
+        if reg == 0:
+            zeros += 1
+        s += 2.0 ** (-reg)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -83,3 +83,39 @@ def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         top, "user_id", cm_positions(F.col("user_id"), _W, _D), sketch
     )
     return top.join(est, "user_id").select("user_id", "exact_n", "cm_est")
+
+
+_HLL_B = 12
+
+
+@register(
+    "sketch_hll_registers_users",
+    f"""
+    WITH hashed AS (
+      SELECT CAST(CONCAT('0x', substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS v
+      FROM events
+    ),
+    split AS (
+      SELECT v >> {60 - _HLL_B} AS register_idx,
+             v & {(1 << (60 - _HLL_B)) - 1} AS rest
+      FROM hashed
+    )
+    SELECT register_idx,
+           MAX(CASE WHEN rest = 0 THEN {60 - _HLL_B + 1}
+                    ELSE {60 - _HLL_B + 1} - length(bin(rest)) END) AS max_rank
+    FROM split GROUP BY register_idx
+    """,
+    doc="HyperLogLog register ledger over event user_ids: 2^12 registers "
+    "of max leading-zero rank — the mergeable distinct-count STATE "
+    "(merge = per-register max), exposed as rows so it can be persisted "
+    "and diffed instead of re-shuffling every key for exact distinct "
+    "(operators/sketch.py hll_registers). Integer-deterministic; oracle "
+    "rebuilds the registers bit-for-bit in portable SQL.",
+)
+def sketch_hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sketch import hll_registers
+
+    return hll_registers(
+        load(spark, sf_dir, "events"), F.col("user_id"), b=_HLL_B
+    )

@@ -436,3 +436,28 @@ def test_cdc_chunks_survive_insertion(spark):
     assert len(h1) >= 10  # enough chunks to be meaningful
     shared = len(h1 & h2) / len(h1)
     assert shared >= 0.8, (shared, len(h1), len(h2))
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import hll_estimate, hll_registers
+
+    b = 12
+    n = 20_000
+    df = spark.range(0, n).select(F.col("id"))
+    regs = hll_registers(df, F.col("id"), b=b)
+    est = hll_estimate(regs, b=b)
+    # standard error ~1.04/sqrt(2^12) = 1.6%; allow 4 sigma
+    assert abs(est - n) / n < 0.065, est
+
+    # merge = per-register max: merging halves must equal the whole
+    a = hll_registers(df.where(F.col("id") % 2 == 0), F.col("id"), b=b)
+    c = hll_registers(df.where(F.col("id") % 2 == 1), F.col("id"), b=b)
+    merged = (
+        a.unionByName(c)
+        .groupBy("register_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert merged.exceptAll(regs).count() == 0
+    assert regs.exceptAll(merged).count() == 0
