@@ -22,6 +22,10 @@ from heparchy_spark.streaming.analytics import (
     streaming_count_min,
     tumbling_counts,
 )
+from heparchy_spark.streaming.pipeline import (
+    corpus_gates,
+    stream_corpus_pipeline,
+)
 from heparchy_spark.streaming.ingest import (
     EVENT_STREAM_SCHEMA,
     read_event_stream,
@@ -30,6 +34,8 @@ from heparchy_spark.streaming.ingest import (
 
 __all__ = [
     "EVENT_STREAM_SCHEMA",
+    "corpus_gates",
+    "stream_corpus_pipeline",
     "streaming_count_min",
     "read_event_stream",
     "stream_to_store",

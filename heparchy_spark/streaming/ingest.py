@@ -18,6 +18,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
 __all__ = [
+    "dedup_append_batch",
     "EVENT_STREAM_SCHEMA",
     "read_event_stream",
     "stream_to_store",
@@ -76,6 +77,41 @@ def stream_to_store(
     return writer.start()
 
 
+def dedup_append_batch(
+    batch: DataFrame,
+    content_col: str,
+    id_col: str,
+    dest: str,
+    sidecar: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """One micro-batch of dedup-at-ingest: in-batch first-id-wins dedup,
+    anti-join vs the hash sidecar, append data + surviving hashes.
+    Shared by ``stream_dedup_ingest`` and ``stream_corpus_pipeline``."""
+    spark = batch.sparkSession
+    hashed = batch.withColumn("__ch", F.sha2(F.col(content_col), 256))
+    w = Window.partitionBy("__ch").orderBy(id_col)
+    first = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        seen = spark.read.parquet(sidecar).select("__ch")
+        first = first.join(seen, "__ch", "left_anti")
+    except AnalysisException:
+        pass  # first batch: no sidecar yet
+    fresh = first.persist()
+    try:
+        data = fresh.drop("__ch").write.mode("append")
+        if partition_by:
+            data = data.partitionBy(*partition_by)
+        data.parquet(dest)
+        fresh.select("__ch").write.mode("append").parquet(sidecar)
+    finally:
+        fresh.unpersist()
+
+
 def stream_dedup_ingest(
     stream_df: DataFrame,
     content_col: str,
@@ -107,25 +143,7 @@ def stream_dedup_ingest(
     sidecar = dest.rstrip("/") + "_hashes"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        hashed = batch.withColumn("__ch", F.sha2(F.col(content_col), 256))
-        w = Window.partitionBy("__ch").orderBy(id_col)
-        first = (
-            hashed.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        try:
-            seen = spark.read.parquet(sidecar).select("__ch")
-            first = first.join(seen, "__ch", "left_anti")
-        except AnalysisException:
-            pass  # first batch: no sidecar yet
-        fresh = first.persist()
-        try:
-            fresh.drop("__ch").write.mode("append").parquet(dest)
-            fresh.select("__ch").write.mode("append").parquet(sidecar)
-        finally:
-            fresh.unpersist()
+        dedup_append_batch(batch, content_col, id_col, dest, sidecar)
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

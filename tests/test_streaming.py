@@ -288,3 +288,73 @@ def test_streaming_count_min_matches_batch_sketch(spark, landing):
         (r["row_idx"], r["col_idx"]): r["cnt"] for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_corpus_pipeline_matches_batch_twin(spark, tmp_path):
+    """The full streaming corpus pipeline (gates -> dedup-at-ingest ->
+    sharded append) over multiple micro-batches must land exactly the
+    documents the batch-computed twin selects, in the same shards —
+    including cross-batch duplicate suppression."""
+    from heparchy_spark.streaming import corpus_gates, stream_corpus_pipeline
+
+    docs = load(spark, SF_DIR, "documents")
+    # two arrival files; the second re-delivers some of the first's docs
+    # under new ids (cross-batch dups) plus genuinely new docs
+    half = docs.where(F.col("doc_id") < 250)
+    rest = docs.where(F.col("doc_id") >= 250)
+    redelivered = half.limit(40).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    landing = tmp_path / "landing"
+    half.coalesce(1).write.parquet(str(landing / "b0"))
+    rest.unionByName(redelivered).coalesce(1).write.parquet(str(landing / "b1"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    i = 0
+    for sub in sorted(landing.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(flat / f"part-{i:03d}.parquet")
+            i += 1
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    dest, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    q = stream_corpus_pipeline(
+        stream, "text", "doc_id", dest, ckpt,
+        min_quality=0.5, langs=("en", "de"), n_shards=4,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(dest)
+    # batch twin: same gates, first-id-wins exact dedup over ALL docs
+    twin = corpus_gates(
+        docs.unionByName(redelivered), "text",
+        min_quality=0.5, langs=("en", "de"), n_shards=4,
+    )
+    w_ch = F.sha2(F.col("text"), 256)
+    from pyspark.sql import Window as W
+
+    twin_dedup = (
+        twin.withColumn("__ch", w_ch)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__ch").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    got_set = {
+        (r["doc_id"], r["shard"]) for r in got.select("doc_id", "shard").collect()
+    }
+    want_set = {
+        (r["doc_id"], r["shard"])
+        for r in twin_dedup.select("doc_id", "shard").collect()
+    }
+    assert got_set == want_set and len(want_set) > 100
+    # redelivered duplicates were suppressed
+    assert not any(d >= 100_000 for d, _ in got_set)
