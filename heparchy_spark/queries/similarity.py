@@ -303,3 +303,95 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, "embedding", "vec_id", queries, "embedding", "vec_id", books, k=10
     )
+
+
+@register(
+    "similarity_knn_label_vote",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < 20
+    ),
+    sims AS (
+      SELECT q.query_id, q.true_label, e.vec_id AS match_id, e.label,
+             ROUND(
+               list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))),
+               9) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    nn AS (
+      SELECT query_id, true_label, label, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, match_id
+             ) AS rk
+      FROM sims
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS n_votes,
+             MAX(cos) AS best_cos
+      FROM nn WHERE rk <= 10 GROUP BY query_id, true_label, label
+    ),
+    winner AS (
+      SELECT query_id, true_label, label AS knn_label, n_votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY n_votes DESC, best_cos DESC, label
+             ) AS vrk
+      FROM votes
+    )
+    SELECT query_id, true_label, knn_label, n_votes,
+           knn_label = true_label AS correct
+    FROM winner WHERE vrk = 1
+    """,
+    doc="k-NN label-vote classification for 20 held-out queries: exact "
+    "cosine top-10 per query (the queries side broadcasts; the base scan "
+    "is one fused projection), majority label with deterministic "
+    "tie-break, compared to the true label. The evaluation harness shape "
+    "for embedding-quality checks over a labeled corpus.",
+)
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("match_id"),
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    nn = sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.max("cos").alias("best_cos")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.desc("best_cos"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(vw))
+        .where(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("knn_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -527,3 +527,72 @@ def text_top_bigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("__rn") == 1) & (F.col("n_pairs") >= 5))
         .select("token", "next_token", "n_pairs")
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, tok
+             ) AS rk
+      FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: exploded token stream -> per-doc "
+    "term counts -> document frequencies -> idf join -> windowed top-k. "
+    "The df table is vocabulary-sized (broadcastable); the only fat "
+    "shuffles are the two token aggregations, both map-side combinable. "
+    "ln() on a double ratio is IEEE-identical across engines; round(6) "
+    "guards the last ulp.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.text import token_stream
+
+    docs = load(spark, sf_dir, "documents")
+    ts = token_stream(docs, "text", "doc_id")
+    tf = ts.groupBy(
+        F.col("__id").alias("doc_id"), F.col("__tok").alias("tok")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rk")
+    )
