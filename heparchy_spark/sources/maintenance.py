@@ -41,10 +41,18 @@ def compact_table(
     root: str | Path,
     name: str,
     files_per_partition: int = 1,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite one store table compacted: the largest Hive partition gets
     ``files_per_partition`` files, smaller ones proportionally fewer
     (``processes`` is unpartitioned -> that many files total).
+
+    ``sort_cols`` additionally sorts rows WITHIN each output partition
+    (no extra shuffle — the partition is already one task): row-group
+    min/max stats on those columns become tight, so point lookups
+    (e.g. by ``event_id``) prune row groups inside an already
+    partition-pruned chunk file — the 1-D sibling of
+    ``operators.layout.cluster_by_zorder``.
 
     Returns ``{"files_before", "files_after", "rows"}``.  Row-identical by
     construction: the rewrite is a repartition of the same DataFrame; a
@@ -62,6 +70,8 @@ def compact_table(
         # one shuffle keyed on the partition tuple: every output partition
         # is written by one task -> one file per partition dir.
         out = df.repartition(*[c for c in cols])
+        if sort_cols:
+            out = out.sortWithinPartitions(*cols, *sort_cols)
         if files_per_partition > 1:
             # Splitting a huge partition cannot rely on hash-salting the
             # shuffle key: AQE coalesces the small shuffle partitions back
@@ -84,6 +94,8 @@ def compact_table(
             max_records_per_file = max(1, math.ceil(m / files_per_partition))
     else:
         out = df.coalesce(max(1, files_per_partition))
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
 
     tmp = path.with_name(path.name + "__compacting")
     if tmp.exists():
@@ -112,13 +124,28 @@ def compact_table(
 
 
 def compact_store(
-    spark: SparkSession, root: str | Path, files_per_partition: int = 1
+    spark: SparkSession,
+    root: str | Path,
+    files_per_partition: int = 1,
+    sort_by_event: bool = False,
 ) -> dict[str, dict]:
-    """Compact every table in a hep store; returns per-table stats."""
+    """Compact every table in a hep store; returns per-table stats.
+    ``sort_by_event`` orders rows by event_id within each partition for
+    row-group-pruned point lookups."""
     if not store_mod.is_store(root):
         raise ValueError(f"not a heparchy store: {root}")
     return {
-        name: compact_table(spark, root, name, files_per_partition)
+        name: compact_table(
+            spark,
+            root,
+            name,
+            files_per_partition,
+            sort_cols=(
+                ["event_id"]
+                if sort_by_event and name != "processes"
+                else None
+            ),
+        )
         for name in store_mod.TABLE_NAMES
         if Path(store_mod.table_path(root, name)).exists()
     }

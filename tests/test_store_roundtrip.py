@@ -291,3 +291,38 @@ def test_compact_files_per_partition_actually_splits(spark, tmp_path):
     assert stats["files_after"] == 2
     assert len(_parquet_files(root / "particles")) == 2
     assert spark.read.parquet(str(root / "particles")).count() == rows_before
+
+
+def test_compact_store_event_sorted(spark, tmp_path):
+    """sort_by_event compaction must keep data identical AND leave every
+    file internally ordered by event_id (tight row-group stats for
+    point-lookup pruning within a chunk)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from heparchy_spark.sources import HepReader, HepWriter
+    from heparchy_spark.sources.maintenance import _parquet_files, compact_store
+    from tests.conftest import make_event
+
+    root = tmp_path / "s"
+    rng = np.random.default_rng(31)
+    events = [make_event(rng) for _ in range(6)]
+    with HepWriter(spark, root, evts_per_chunk=3) as w:
+        with w.new_process("p") as proc:
+            # write out of order so sorting has something to do
+            for evt_w, data in proc.event_iter(events):
+                evt_w.pmu = data["pmu"]
+                evt_w.pdg = data["pdg"]
+
+    with HepReader(spark, root) as r:
+        before = {i: r["p"][i].pdg.tolist() for i in range(6)}
+
+    compact_store(spark, root, sort_by_event=True)
+
+    for f in _parquet_files(root / "particles"):
+        ids = pq.read_table(f, columns=["event_id"])["event_id"].to_pylist()
+        assert ids == sorted(ids), f
+    with HepReader(spark, root) as r:
+        assert len(r["p"]) == 6
+        for i in range(6):
+            assert r["p"][i].pdg.tolist() == before[i]
