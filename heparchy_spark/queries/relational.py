@@ -1270,3 +1270,41 @@ def orders_above_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "window_trailing_30d_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE), 2) AS spend_30d
+    FROM orders
+    """,
+    doc="RANGE-frame window: per order, the customer's trailing-30-day "
+    "spend by EVENT TIME (peers at the same timestamp aggregate "
+    "together, so the result is deterministic under ties — unlike a "
+    "ROWS frame over a non-unique order key). One shuffle on custkey; "
+    "decimal accumulation for cross-engine hash stability.",
+)
+def window_trailing_30d_customer_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("spend_30d"),
+    )
