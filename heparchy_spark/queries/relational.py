@@ -1308,3 +1308,34 @@ def window_trailing_30d_customer_spend(
             2,
         ).alias("spend_30d"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS value
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber,
+                      l_quantity, l_extendedprice, l_discount
+               FROM lineitem WHERE l_orderkey < 100)
+      ON l_quantity, l_extendedprice, l_discount
+      INTO NAME measure VALUE value
+    )
+    """,
+    doc="UNPIVOT (stack): wide measure columns to long (measure, value) "
+    "rows — the inverse of pivot, a pure generator projection (no "
+    "shuffle).  Spark expresses it as the stack() table function.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity,"
+            " 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount) AS (measure, value)"
+        ),
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("value", 2).alias("value")
+    )

@@ -178,3 +178,35 @@ def test_zorder_layout_range_partitions_no_global_sort(spark):
     plan = physical_plan(df)
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_corpus_wide_no_scale_killers(spark):
+    """Every registered corpus query must plan free of scale-killers:
+    no cartesian products anywhere; no row-at-a-time Python UDFs except
+    the one labeled UDTF slow-path demo (text_sentence_split); any
+    BroadcastNestedLoopJoin must come from the scalar-subquery pattern
+    (a broadcast side of at most a few rows), which the known-list below
+    pins so new queries can't silently add one."""
+    from heparchy_spark.queries import spark_queries
+
+    ROW_UDF_OK = {"text_sentence_split"}
+    BNLJ_OK = {
+        # single-row (or <=20-row) broadcast aggregate joins by design
+        "text_tfidf_top_terms",
+        "layout_zorder_key",
+        "orders_above_avg_value",
+        "similarity_knn_label_vote",
+        "q11_important_parts",
+        "q22_global_sales_opportunity",
+        "dataset_mix_sources",
+    }
+    offenders = []
+    for name, fn in spark_queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BatchEvalPython" in plan and name not in ROW_UDF_OK:
+            offenders.append((name, "row-python-udf"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.append((name, "unexpected-BNLJ"))
+    assert not offenders, offenders
