@@ -111,7 +111,10 @@ def count_min_estimate(
 
 
 def hll_registers(
-    df: DataFrame, key: Column, b: int = 12
+    df: DataFrame,
+    key: Column,
+    b: int = 12,
+    group_cols: ty.Sequence[str] = (),
 ) -> DataFrame:
     """HyperLogLog register state: (register_idx, max_rank), <= 2^b rows.
 
@@ -129,6 +132,10 @@ def hll_registers(
     Estimation (the biased harmonic mean + corrections) is a driver-side
     formality over <= 4096 rows — see tests; the scale-relevant artifact
     is the register state itself.
+
+    ``group_cols`` keys the ledger per group (e.g. per day): <= 2^b rows
+    PER GROUP, and any group roll-up (days -> weeks) is again one max —
+    the distinct-count cube without ever recounting keys.
     """
     h = F.sha2(key.cast("string"), 256)
     v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")  # 60 bits
@@ -141,9 +148,10 @@ def hll_registers(
     # (Neither Spark nor DuckDB zero-pads bin() for positive inputs.)
     bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
     rank = (F.lit(60 - b + 1) - bitlen).cast("int")
+    gcols = list(group_cols)
     return (
-        df.select(idx.alias("register_idx"), rank.alias("rank"))
-        .groupBy("register_idx")
+        df.select(*gcols, idx.alias("register_idx"), rank.alias("rank"))
+        .groupBy(*gcols, "register_idx")
         .agg(F.max("rank").alias("max_rank"))
     )
 

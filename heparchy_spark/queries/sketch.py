@@ -119,3 +119,36 @@ def sketch_hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(
         load(spark, sf_dir, "events"), F.col("user_id"), b=_HLL_B
     )
+
+
+@register(
+    "sketch_hll_daily_user_registers",
+    f"""
+    WITH hashed AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(CONCAT('0x', substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS v
+      FROM events
+    ),
+    split AS (
+      SELECT day, v >> {60 - _HLL_B} AS register_idx,
+             v & {(1 << (60 - _HLL_B)) - 1} AS rest
+      FROM hashed
+    )
+    SELECT day, register_idx,
+           MAX(CASE WHEN rest = 0 THEN {60 - _HLL_B + 1}
+                    ELSE {60 - _HLL_B + 1} - length(bin(rest)) END) AS max_rank
+    FROM split GROUP BY day, register_idx
+    """,
+    doc="Per-day HyperLogLog user ledgers: <= 2^12 register rows per day, "
+    "roll up to weeks/months with one per-register max instead of "
+    "recounting the key universe — the distinct-count cube pattern. "
+    "Oracle rebuilds every ledger bit-for-bit in portable SQL.",
+)
+def sketch_hll_daily_user_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.sketch import hll_registers
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return hll_registers(ev, F.col("user_id"), b=_HLL_B, group_cols=["day"])
