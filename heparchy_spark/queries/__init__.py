@@ -87,6 +87,7 @@ def _load_all() -> None:
     from heparchy_spark.queries import (  # noqa: F401
         dataset,
         dedup,
+        graph,
         layout,
         multimodal,
         relational,

@@ -461,3 +461,25 @@ def test_hll_estimate_accuracy_and_merge(spark):
     )
     assert merged.exceptAll(regs).count() == 0
     assert regs.exceptAll(merged).count() == 0
+
+
+def test_pagerank_mass_and_degree_ordering(spark):
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.graph import pagerank
+
+    # star: hub 0 <-> spokes 1..20, plus an isolated pair 100<->101
+    edges = [(0, i) for i in range(1, 21)] + [(i, 0) for i in range(1, 21)]
+    edges += [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    pr = pagerank(df, "src", "dst", iters=8)
+    rows = {r["node"]: r["rank"] for r in pr.collect()}
+    # total mass ~1 (floor-division loss only)
+    assert abs(sum(rows.values()) - 1.0) < 1e-3
+    # the hub dominates every spoke; spokes are symmetric
+    assert rows[0] > 5 * rows[1]
+    spoke_vals = {rows[i] for i in range(1, 21)}
+    assert len(spoke_vals) == 1
+    # rerun is bit-identical (pure integer trajectory)
+    again = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=8).collect()}
+    assert again == rows
