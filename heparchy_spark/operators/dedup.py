@@ -780,11 +780,13 @@ def bloom_filter_build(
 ) -> DataFrame:
     """Build a Bloom filter as a tiny (word_idx, word) DataFrame.
 
-    ``pos_cols`` are k precomputed bit positions in [0, m_bits) per row
-    (callers derive them from a content hash; the corpus query uses
-    portable sha256 slices so an independent engine reproduces the exact
-    filter).  The build is one explode + one bit_or aggregate: the
-    shuffle moves only set-bit words — at most m_bits/64 rows total,
+    ``pos_cols`` are k precomputed bit positions per row, which MUST lie
+    in [0, m_bits) — the contract ``m_bits`` documents; positions are
+    derived upstream (the corpus query uses portable sha256 slices so an
+    independent engine reproduces the exact filter) and are not
+    re-validated here.  The build is one explode + one bit_or aggregate:
+    the shuffle moves only set-bit words — at most m_bits/32 rows total
+    (32 bits packed per word so strict-overflow engines match),
     regardless of input size.
 
     Scale shape: this is the anti-join-avoidance play for incremental
@@ -821,7 +823,7 @@ def bloom_filter_probe(
 ) -> DataFrame:
     """(id, maybe_present): True iff every position's bit is set.
 
-    The filter side broadcasts (bounded by m_bits/64 rows); the probe is
+    The filter side broadcasts (bounded by m_bits/32 words); the probe is
     a broadcast left join per exploded position plus a per-id aggregate —
     the incoming batch never shuffles except on its own id (combinable
     map-side, k rows per id).

@@ -44,6 +44,10 @@ def pagerank(
     ``(pct * s) div 100`` — exact on every engine.  Fixed ``iters``
     keeps the output a pure function of the input (oracle-replayable);
     8 rounds at d=0.85 is stable to ~1e-3, plenty for centrality use.
+
+    The returned DataFrame is persisted (the iteration checkpoints are
+    released before returning); callers ``unpersist()`` once consumed —
+    same contract as ``connected_components``.
     """
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -55,6 +59,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge list (e.g. an upstream filter matched nothing):
+        # return an empty (node, rank) frame instead of dividing by zero.
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        )
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     base = (SCALE * (100 - damping_pct)) // 100 // n  # teleport ticks
     ranks = nodes.select(
@@ -86,6 +97,10 @@ def pagerank(
         )
         ranks.unpersist()
         ranks = new_ranks
-    return ranks.select(
+    out = ranks.select(
         "node", (F.col("__r").cast("double") / F.lit(float(SCALE))).alias("rank")
-    )
+    ).persist()
+    out.count()
+    nodes.unpersist()
+    ranks.unpersist()
+    return out

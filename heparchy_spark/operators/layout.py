@@ -76,6 +76,21 @@ def _salt(df: DataFrame, factor: int, seed: int = 0x5A17) -> Column:
     )
 
 
+def _warn_if_unspreadable(df: DataFrame, key: str) -> None:
+    # Content salting derives entropy from NON-key columns; a frame that
+    # is only the key has nothing to spread identical hot-key rows with.
+    if [c.lower() for c in df.columns] == [key.lower()]:
+        import warnings
+
+        warnings.warn(
+            f"salted operator on a single-column frame ({key!r}): all rows "
+            "of a hot key are identical, so the content salt cannot spread "
+            "them — include a distinguishing column (id/payload) or rely "
+            "on map-side combine",
+            stacklevel=3,
+        )
+
+
 def salted_groupby_count(
     df: DataFrame, key: str, factor: int = 16
 ) -> DataFrame:
@@ -87,6 +102,7 @@ def salted_groupby_count(
     form guards high-cardinality-payload aggs (collect_list/percentile)
     where map-side combine cannot shrink the hot key's data.
     """
+    _warn_if_unspreadable(df, key)
     partial = (
         df.withColumn("__salt", _salt(df, factor))
         .groupBy(key, "__salt")
@@ -110,6 +126,7 @@ def salted_join(
 
     The replicated side multiplies ``factor``x — keep it the smaller input.
     """
+    _warn_if_unspreadable(skewed, on)
     salted_left = skewed.withColumn("__salt", _salt(skewed, factor))
     replicated = small.withColumn(
         "__salt",
@@ -138,6 +155,11 @@ def equiwidth_bucket(
     """
     c = F.col(col) if isinstance(col, str) else col
     n = 1 << bits
+    if not (float(hi) > float(lo)):
+        # Constant (or inverted) range: every value is one bucket.  Without
+        # this guard the zero width divides to NaN and the z-key goes null
+        # — a silent layout no-op.
+        return F.lit(0).cast("long")
     raw = F.floor(
         (c.cast("double") - F.lit(float(lo)))
         / F.lit((float(hi) - float(lo)) / n)
@@ -191,6 +213,10 @@ def cluster_by_zorder(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
     ).first()
+    if any(stats[f"__lo_{c}"] is None for c in cols):
+        # Empty input (or all-null clustered column): nothing to cluster;
+        # return unchanged rather than crash building float(None) literals.
+        return df
     buckets = [
         equiwidth_bucket(
             c, stats[f"__lo_{c}"], stats[f"__hi_{c}"], bits_per_col

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = [
+    "sha_slice_pos",
     "cm_positions",
     "count_min_build",
     "count_min_estimate",
@@ -33,19 +34,25 @@ __all__ = [
 ]
 
 
+def sha_slice_pos(hex_col: Column, i: int, modulus: int) -> Column:
+    """Position i from a sha256 HEX column: 15-char slice (60 bits,
+    always positive) mod ``modulus``.  THE portable hash-position
+    primitive — Bloom (`operators/dedup.py`), Count-Min, and their SQL
+    oracles all mirror this exact construction; change it in lockstep
+    with the committed fixtures or the oracles break."""
+    return F.pmod(
+        F.conv(F.substring(hex_col, 1 + 15 * i, 15), 16, 10).cast("long"),
+        F.lit(modulus),
+    )
+
+
 def cm_positions(key: Column, width: int, depth: int) -> list[Column]:
     """Portable row positions: sha256 hex slices (15 chars = 60 bits each,
     depth <= 4), one column per sketch row."""
     if depth > 4:
         raise ValueError("cm_positions: sha256 provides at most 4 slices")
     h = F.sha2(key.cast("string"), 256)
-    return [
-        F.pmod(
-            F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"),
-            F.lit(width),
-        )
-        for i in range(depth)
-    ]
+    return [sha_slice_pos(h, i, width) for i in range(depth)]
 
 
 def count_min_build(

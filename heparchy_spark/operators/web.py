@@ -56,6 +56,9 @@ def normalize_url(col: Column | str) -> Column:
     # consecutive utm params in one pass.
     rest = F.regexp_replace(rest, r"([?&])(utm_[^&#]*&)+", r"$1")  # mid-list
     rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*$", "")  # utm param last
+    # repair '?&...' (left by utm removal or present in malformed crawl
+    # URLs) so 'p?&a=1' and 'p?a=1' share one canonical dedup key
+    rest = F.regexp_replace(rest, r"\?&+", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")  # dangling separators
     c = F.col(col) if isinstance(col, str) else col
     # relative / schemeless input: pass through untouched rather than

@@ -356,10 +356,9 @@ def _bloom_pos_sql(h: str, i: int) -> str:
 
 
 def _bloom_pos_spark(h, i: int):
-    return F.pmod(
-        F.conv(F.substring(h, 1 + 15 * i, 15), 16, 10).cast("long"),
-        F.lit(_BLOOM_M),
-    )
+    from heparchy_spark.operators.sketch import sha_slice_pos
+
+    return sha_slice_pos(h, i, _BLOOM_M)
 
 
 @register(

@@ -376,6 +376,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
+    # Two consumers (max scalar + the equality filter) — persist the tiny
+    # per-supplier view so the lineitem quarter scan runs once (the same
+    # multi-consumer staging as q2/minhash; bench clears cache per run).
     revenue = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -387,6 +390,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
+        .persist()
     )
     top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (

@@ -111,10 +111,11 @@ def _synth_url() -> F.Column:
                  WHEN __scheme = 'http'
                  THEN regexp_replace(__hostport, ':80$', '')
                  ELSE __hostport END) ||
-           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              regexp_replace(__rest, '#.*$', ''),
              '([?&])(utm_[^&#]*&)+', '\\1', 'g'),
              '[?&]utm_[^&#]*$', ''),
+             '\\?&+', '?', 'g'),
              '[?&]+$', '') AS url_norm,
            domain
     FROM __dom

@@ -38,7 +38,7 @@ EDGE_STRINGS = [
 def test_python_xxh64_matches_spark(spark):
     from xxh64 import xxhash64
 
-    longs = [0, 1, -5, 123456789, 2**40, -(2**40), 2**62, -(2**62), -1, 7]
+    longs = [0, 1, -5, 123456789, 2**40, -(2**40), 2**62, -(2**62), -1, 7, 99, -(2**31)]
     rows = list(zip(range(len(EDGE_STRINGS)), EDGE_STRINGS, longs))
     df = spark.createDataFrame(rows, "i long, s string, n long")
     got = {

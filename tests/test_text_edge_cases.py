@@ -164,6 +164,10 @@ def test_normalize_url_rules(spark):
         ("http://a.io/p?utm_a=1&utm_b=2&utm_c=3&q=9",
          "http://a.io/p?q=9", "a.io"),
         ("http://a.io/p?q=1&utm_x", "http://a.io/p?q=1", "a.io"),
+        # malformed '?&' (native or left by stripping) repairs to '?'
+        ("http://a.io/p?&a=1", "http://a.io/p?a=1", "a.io"),
+        ("http://a.io/p?utm_s=1&a=2", "http://a.io/p?a=2", "a.io"),
+        ("http://a.io/p?&&a=1", "http://a.io/p?a=1", "a.io"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"

@@ -178,6 +178,14 @@ _KINDS = ["image", "image", "audio", "video"]
 
 
 def payload_for(doc_id: int, text: str | None) -> bytes:
+    """Mirror of queries/multimodal._media_df payload synthesis.
+
+    NOTE: Spark's concat(unhex(magic), encode(text)) NULL-propagates, so a
+    null text means a NULL payload and every downstream multimodal operator
+    sees null — which plain-Python mirrors of crc/entropy/decode would have
+    to replicate per-operator.  main() asserts the corpus has no null texts
+    instead, so any future fixture data with nulls fails LOUDLY at build
+    time rather than silently diverging."""
     magic = bytes.fromhex(_MAGICS[doc_id % 4])
     return magic + (text or "").encode("utf-8")
 
@@ -256,6 +264,10 @@ def main() -> None:
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    assert all(t is not None for _, t in docs), (
+        "fixture corpus contains null texts: the plain-Python mirrors do "
+        "not replicate Spark's NULL propagation — extend them first"
+    )
 
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, out_dir / f"{name}.parquet")
@@ -621,7 +633,11 @@ def cdc_shared_chunks(docs, divisor=16) -> list[tuple]:
 
     occ = defaultdict(list)  # chunk_hash -> [(doc_id, n_toks)]
     for doc_id, text in docs:
-        toks = [t for t in normalize_text(text or "").split(" ")]
+        if text is None:
+            # Spark drops null-text docs: split(normalize_text(NULL)) is
+            # NULL and posexplode emits no rows — mirror exactly.
+            continue
+        toks = [t for t in normalize_text(text).split(" ")]
         if toks == [""]:
             toks = [""]
         hs = [xxhash64(t) for t in toks]
