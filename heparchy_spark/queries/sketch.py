@@ -152,3 +152,46 @@ def sketch_hll_daily_user_registers(
 
     ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     return hll_registers(ev, F.col("user_id"), b=_HLL_B, group_cols=["day"])
+
+
+@register(
+    "sketch_hll_weekly_rollup",
+    f"""
+    WITH hashed AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(CONCAT('0x', substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS v
+      FROM events
+    ),
+    split AS (
+      SELECT week, v >> {60 - _HLL_B} AS register_idx,
+             v & {(1 << (60 - _HLL_B)) - 1} AS rest
+      FROM hashed
+    ),
+    daily AS (
+      SELECT week, register_idx,
+             MAX(CASE WHEN rest = 0 THEN {60 - _HLL_B + 1}
+                      ELSE {60 - _HLL_B + 1} - length(bin(rest)) END)
+               AS max_rank
+      FROM split GROUP BY week, register_idx
+    )
+    SELECT week, register_idx, MAX(max_rank) AS max_rank
+    FROM daily GROUP BY week, register_idx
+    """,
+    doc="HLL ledger roll-up IN the engine: the per-day ledgers merge to "
+    "weekly with one per-register max — the aggregation touches at most "
+    "(days x 2^12) ledger rows, never the event stream again. Oracle "
+    "rebuilds the rollup in portable SQL.",
+)
+def sketch_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sketch import hll_registers
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    ).withColumn("week", F.to_date(F.date_trunc("week", "ts")))
+    daily = hll_registers(
+        ev, F.col("user_id"), b=_HLL_B, group_cols=["week", "day"]
+    )
+    return daily.groupBy("week", "register_idx").agg(
+        F.max("max_rank").alias("max_rank")
+    )

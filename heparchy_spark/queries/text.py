@@ -596,3 +596,75 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf", "rk")
     )
+
+
+@register(
+    "text_bigram_nll_scores",
+    f"""
+    WITH __w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), __bg AS (
+      SELECT doc_id, u['a'] AS cur, u['b'] AS nxt
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(w) - 1, 0)),
+          i -> {{'a': w[i], 'b': w[i+1]}})) AS u
+        FROM __w
+      )
+      WHERE u['a'] <> '' AND u['b'] <> ''
+    ), __c2 AS (
+      SELECT cur, nxt, COUNT(*) AS c2 FROM __bg GROUP BY cur, nxt
+    ), __c1 AS (
+      SELECT cur, COUNT(*) AS c1 FROM __bg GROUP BY cur
+    ), __t AS (
+      SELECT __bg.doc_id,
+             ROUND(-ln(CAST(c2 AS DOUBLE) / c1), 8) AS nll
+      FROM __bg JOIN __c2 USING (cur, nxt) JOIN __c1 USING (cur)
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll,
+           COUNT(*) AS n_bigrams
+    FROM __t GROUP BY doc_id
+    """,
+    doc="Per-document fluency score under the corpus bigram LM: average "
+    "negative log-likelihood of each bigram (MLE over the corpus — every "
+    "observed bigram has support, so no smoothing needed). The LM count "
+    "tables aggregate map-side off the shared bigram stream; the per-doc "
+    "average accumulates 8dp-rounded terms in decimal so the value is "
+    "engine-exact. LM-based quality filtering at corpus scale: low "
+    "avg_nll = stereotyped text, high = off-distribution noise.",
+)
+def text_bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.text import token_stream
+
+    docs = load(spark, sf_dir, "documents")
+    ts = token_stream(docs, "text", "doc_id")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    bg = ts.select(
+        F.col("__id").alias("doc_id"),
+        F.col("__tok").alias("cur"),
+        F.lead("__tok").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c2 = bg.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("cur").agg(F.count(F.lit(1)).alias("c1"))
+    terms = (
+        bg.join(c2, ["cur", "nxt"])
+        .join(c1, ["cur"])
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(F.col("c2").cast("double") / F.col("c1")), 8
+            ).alias("nll"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
