@@ -128,13 +128,36 @@ _PRIOR_DRIVER_CHECKED: frozenset[str] = frozenset({
 })
 
 
+# Queries added in round 2 — no driver OR judge verification row exists
+# for these yet, so they outrank even the r01-judge-locally-verified set
+# in the checked window.
+_ROUND2_NEW: frozenset[str] = frozenset({
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_late_priority_lines",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "layout_zorder_key",
+    "dedup_bloom_prefilter", "dedup_cdc_shared_chunks",
+    "sketch_count_min_users", "sketch_hll_registers_users",
+    "sketch_hll_daily_user_registers", "sketch_hll_weekly_rollup",
+    "similarity_pq_topk", "similarity_knn_label_vote",
+    "text_tfidf_top_terms", "text_bigram_nll_scores",
+    "graph_pagerank_supply_network",
+    "window_trailing_30d_customer_spend", "unpivot_lineitem_measures",
+})
+
+
 def _ordered_names() -> list[str]:
-    """Registry names with never-driver-checked queries first (stable
-    within each group: registration order)."""
+    """Registry names tiered by how much driver evidence exists: (1)
+    round-2 additions no harness has ever checked, (2) r01 queries the
+    driver skipped (judge-local evidence only), (3) driver-green r01
+    queries. Stable registration order within each tier."""
     names = list(REGISTRY)
-    fresh = [n for n in names if n not in _PRIOR_DRIVER_CHECKED]
-    seen = [n for n in names if n in _PRIOR_DRIVER_CHECKED]
-    return fresh + seen
+    tier = lambda n: (  # noqa: E731
+        0 if n in _ROUND2_NEW else 1 if n not in _PRIOR_DRIVER_CHECKED else 2
+    )
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 
 def spark_queries() -> dict[str, SparkBuilder]:
