@@ -917,21 +917,24 @@ def join_range_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame
     "map_funcs_events",
     """
     SELECT event_id,
-           list_sort(json_keys(props)) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            len(json_keys(props)) AS n_keys,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
     FROM events
     WHERE event_id <= 2000
     """,
     doc="Map functions over parsed JSON: from_json -> map<string,int>, "
-    "map_keys / size / element_at (JVM-side, no UDF).",
+    "map_keys / size / element_at (JVM-side, no UDF). prop_keys is "
+    "flattened to a comma-joined string: the driver's pandas "
+    "canonicalizer cannot sort list-typed columns, and scalar outputs "
+    "keep the result portable across engines.",
 )
 def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(m).alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
