@@ -4,13 +4,29 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Each query executes end-to-end into a noop sink (full computation, no
 driver-side materialization cost).  Protocol: one UNTIMED warm-up run per
-query, then min of 2 timed runs.  The warm-up is per-query, not just
+query, then MIN of 3 timed runs, with the relative spread of the timed
+runs recorded per query.  The warm-up is per-query, not just
 per-session: the first execution of each plan pays whole-stage-codegen
 class compilation + JIT, measured at 3-6x steady state on the widest
 generated classes (the 64-column dedup aggregates), and a session-level
-warm-up does not amortize it.  min-of-2 then guards against the shared
+warm-up does not amortize it.  min-of-3 then guards against the shared
 VM's bursty neighbor load (single-shot timings vary 3x on identical
 plans).  Together they measure the engine, not the JIT or the neighbors.
+
+Noise instrumentation (round-2 verdict: a 22% round-over-round drift on
+byte-identical code was indistinguishable from a real regression):
+
+* ``spread``  — per query, (max-min)/min over the 3 timed runs; a spread
+  >0.5 on a scan-bound query means neighbor load corrupted that timing;
+* ``canary``  — a fixed reference query (q6, scan+agg, byte-stable across
+  rounds) timed FIRST and again LAST; ``drift`` = last/first.  The JVM
+  keeps C2-compiling shared paths throughout the run, so drift ~0.5-0.8
+  is the measured steady state (0.47-0.51 at sf0.01) even after the
+  first sample discards a full warm-up round; the NOISE signal is drift
+  >1 (machine slowed mid-run) or a drift far below the round-over-round
+  norm recorded in prior BENCH_r{N}.json files;
+* ``noise_floor`` — median per-query spread, one number summarizing how
+  trustworthy this round's timings are.
 """
 
 from __future__ import annotations
@@ -87,17 +103,35 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    def timed(name: str, n: int = 3) -> tuple[float, float]:
+        """(min, relative spread) over n timed runs, after one untimed
+        warm-up run that absorbs codegen compile + JIT."""
+        run(name)
+        samples = [run(name) for _ in range(n)]
+        lo, hi = min(samples), max(samples)
+        return round(lo, 3), round((hi - lo) / lo if lo > 0 else 0.0, 3)
+
     run("q1_pricing_summary")  # warm-up: JVM/JIT/codegen startup
 
+    CANARY = "q6_forecast_revenue"
+    timed(CANARY)  # discard: early-session JVM warm-up biases the first
+    canary_first, _ = timed(CANARY)  # sample or the drift reads as noise
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         try:
-            run(name)  # untimed per-query warm-up: codegen compile + JIT
-            timings[name] = round(min(run(name), run(name)), 3)
+            timings[name], spreads[name] = timed(name)
         except Exception as exc:  # noqa: BLE001
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    canary_last, _ = timed(CANARY)
+
+    valid_spreads = sorted(s for n, s in spreads.items() if timings[n] >= 0)
+    noise_floor = (
+        round(valid_spreads[len(valid_spreads) // 2], 3) if valid_spreads else 0.0
+    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -106,6 +140,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "noise_floor": noise_floor,
+                "canary": {
+                    "query": CANARY,
+                    "first": canary_first,
+                    "last": canary_last,
+                    "drift": round(
+                        canary_last / canary_first if canary_first > 0 else 1.0, 3
+                    ),
+                },
                 "sf": sf,
             }
         )

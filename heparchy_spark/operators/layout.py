@@ -86,7 +86,11 @@ def _warn_if_unspreadable(df: DataFrame, key: str) -> None:
             f"salted operator on a single-column frame ({key!r}): all rows "
             "of a hot key are identical, so the content salt cannot spread "
             "them — include a distinguishing column (id/payload) or rely "
-            "on map-side combine",
+            "on map-side combine. (This check only catches the key-only "
+            "frame; salting is equally ineffective whenever every non-key "
+            "column is CONSTANT per hot key, e.g. a pre-projected "
+            "(key, flag) frame — extra columns help only if they vary "
+            "within the hot key.)",
             stacklevel=3,
         )
 

@@ -136,6 +136,26 @@ def lsh_cosine_topk(
     )
 
 
+def _estimated_rows(df: DataFrame, row_width: int) -> int:
+    """Row-count estimate WITHOUT running a job when the plan allows it:
+    Catalyst's optimized-plan stats carry an exact rowCount for sources
+    that expose one, else a sizeInBytes we divide by a caller-supplied
+    minimum row width.  Falls back to ``count()`` only when the size
+    estimate is the 'unknown' default (joins without stats report
+    ~max-long and would silently max out downstream knobs)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 50):
+            return max(2, size // max(1, row_width))
+    except Exception:  # pragma: no cover - py4j surface drift
+        pass
+    return df.count()
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -155,8 +175,14 @@ def embedding_near_dup_pairs(
 
     Scale shape: per-table the bucket self-join is quadratic in bucket
     occupancy, so ``bits`` must grow with n.  ``bits=None`` auto-scales to
-    a ~32-row expected occupancy (``log2(n/32)``, clamped to [4, 24]) at
-    the cost of one count job.  Recall is tuned independently by
+    a ~32-row expected occupancy (``log2(n/32)``, clamped to [4, 24]) from
+    Catalyst's plan statistics — no job for plain file scans (row count
+    from footer stats when known, else size/row-width with the embedding
+    width as the floor); only a plan whose size estimate is unusable
+    (post-join default) pays a count job.  Occupancy targeting tolerates
+    the estimate being a factor of a few off (log2); pass explicit
+    ``bits`` when exact reproducibility matters.  Recall is tuned
+    independently by
     ``tables``: a pair at angle theta collides per-table with
     ``p = (1 - theta/pi)^bits`` and overall ``1 - (1-p)^tables`` — more
     tables buys recall linearly in candidate volume without touching
@@ -167,7 +193,7 @@ def embedding_near_dup_pairs(
     triangular.
     """
     if bits is None:
-        n = df.count()
+        n = _estimated_rows(df, row_width=4 * dim)
         bits = min(24, max(4, int(np.ceil(np.log2(max(n, 2) / 32.0)))))
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     sig = df.select(
@@ -222,6 +248,18 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index — the ANN scale path beside LSH.
 # ---------------------------------------------------------------------------
+def _bounded_sample(
+    df: DataFrame, vec_col: str, sample_size: int, order_col: str | None
+) -> pd.DataFrame:
+    """Driver-side training sample, deterministic when ``order_col`` is
+    given (orderBy pushes a TakeOrdered — per-partition top-n then a
+    single bounded merge, no global sort barrier)."""
+    sel = df.select(vec_col) if order_col is None else (
+        df.orderBy(order_col).select(vec_col)
+    )
+    return sel.limit(sample_size).toPandas()
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str,
@@ -229,11 +267,18 @@ def train_centroids(
     sample_size: int = 10_000,
     iters: int = 5,
     seed: int = 7,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """Coarse-quantizer centroids via seeded Lloyd iterations on a bounded
     driver-side sample (the standard IVF training shape: train small,
-    assign big). Returns (n_centroids, dim) float64."""
-    pdf = df.select(vec_col).limit(sample_size).toPandas()
+    assign big). Returns (n_centroids, dim) float64.
+
+    ``order_col`` pins WHICH rows the sample contains: Spark's ``limit``
+    on multi-partition input returns an arbitrary subset, so without it
+    the k-means trajectory — and any fixture trained from it — is only
+    reproducible on single-file sources.  Pass the id column whenever the
+    trained codebook must be deterministic."""
+    pdf = _bounded_sample(df, vec_col, sample_size, order_col)
     x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -430,14 +475,17 @@ def pq_train(
     sample_size: int = 10_000,
     iters: int = 4,
     seed: int = 7,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """PQ codebooks: per-subspace seeded Lloyd k-means on a bounded
     driver sample (train small, encode big — same shape as IVF training).
 
     Returns (m, n_codes, dim//m) float64.  Jegou et al., "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011.
+    Quantization for Nearest Neighbor Search", TPAMI 2011.  ``order_col``
+    makes the sample — hence the codebooks — deterministic on
+    multi-partition input (see ``train_centroids``).
     """
-    pdf = df.select(vec_col).limit(sample_size).toPandas()
+    pdf = _bounded_sample(df, vec_col, sample_size, order_col)
     x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
     dim = x.shape[1]
     if dim % m:

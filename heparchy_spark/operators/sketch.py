@@ -164,11 +164,27 @@ def hll_registers(
 
 
 def hll_estimate(registers: DataFrame, b: int = 12) -> float:
-    """Driver-side cardinality estimate from the register ledger
+    """Driver-side cardinality estimate from an UNGROUPED register ledger
     (<= 2^b rows): standard HLL harmonic mean with the small-range
-    linear-counting correction."""
+    linear-counting correction.
+
+    Rejects grouped ledgers (e.g. the per-day registers from
+    ``hll_registers(..., group_cols=...)``): collapsing them into one
+    register dict would silently blend groups — later duplicate
+    ``register_idx`` rows overwrite earlier ones and the estimate is
+    wrong with no error.  Aggregate a grouped ledger down to one group
+    (max_rank per register_idx) before estimating, or estimate per group.
+    """
     import math
 
+    extra = set(registers.columns) - {"register_idx", "max_rank"}
+    if extra:
+        raise ValueError(
+            "hll_estimate needs an ungrouped ledger with exactly "
+            "(register_idx, max_rank); grouped ledger columns "
+            f"{sorted(extra)} would be silently blended — aggregate "
+            "max(max_rank) per register_idx first or estimate per group"
+        )
     m = 1 << b
     rows = {r["register_idx"]: r["max_rank"] for r in registers.collect()}
     alpha = 0.7213 / (1.0 + 1.079 / m)

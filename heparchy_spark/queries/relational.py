@@ -767,6 +767,32 @@ def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    None,  # sketch outputs are engine-specific -> driver rows+schema check
+    doc="The percentile SCALE path beside agg_percentiles_quantity: "
+    "approx_percentile is a mergeable quantile sketch (Greenwald-Khanna "
+    "variant), so partials combine map-side and the shuffle carries one "
+    "sketch per group instead of every value — exact percentile must "
+    "materialize the full sorted group. accuracy=10000 bounds the rank "
+    "error at 1/10000 with a fixed-size state. Values are sketch-"
+    "implementation-specific, hence no cross-engine value hash; "
+    "tests/test_functions.py pins approx-vs-exact agreement at this "
+    "accuracy/scale instead.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    acc = F.lit(10_000)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.25), acc).alias("q25_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("q50_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.75), acc).alias("q75_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), acc).alias(
+            "price_p90_approx"
+        ),
+    )
+
+
+@register(
     "pivot_qty_by_status",
     f"""
     SELECT l_returnflag,

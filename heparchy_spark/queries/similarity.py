@@ -192,7 +192,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = train_centroids(
-        emb, "embedding", n_centroids=16, sample_size=2000, iters=4, seed=7
+        emb, "embedding", n_centroids=16, sample_size=2000, iters=4, seed=7,
+        order_col="vec_id",
     )
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(
@@ -297,7 +298,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     books = pq_train(
-        emb, "embedding", m=8, n_codes=16, sample_size=2000, iters=4, seed=7
+        emb, "embedding", m=8, n_codes=16, sample_size=2000, iters=4, seed=7,
+        order_col="vec_id",
     )
     queries = emb.where(F.col("vec_id") < 5)
     return pq_adc_topk(

@@ -88,6 +88,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lineitem aggregation; the supply relation is one row per
     # (part, supplier) pair in-region — small enough to stage
     # (same multi-consumer persist rationale as the MinHash staging).
+    # Contract: the returned plan holds this persisted intermediate;
+    # long-lived sessions reclaim it via spark.catalog.clearCache() after
+    # materializing (bench.py does so per run) — same caller-managed
+    # storage contract as pagerank / connected_components.
     eu_supply = (
         _supply(spark, sf_dir)
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))

@@ -36,6 +36,8 @@ __all__ = [
     "parse_chunk_key",
     "ingest_hdf5",
     "export_hdf5",
+    "layout_manifest",
+    "H5GroupSpec",
     "H5PY_AVAILABLE",
 ]
 
@@ -220,6 +222,100 @@ def ingest_hdf5(
     _ = HepWriter  # (imported for type parity; facade path shares the layout)
 
 
+class H5GroupSpec(ty.NamedTuple):
+    """One group of the heparchy HDF5 tree, declaratively: where it lives,
+    what attrs it carries, and which datasets (name → ndarray) it holds.
+    Pure Python + NumPy — buildable and testable without h5py."""
+
+    path: str  # "/"-joined from the file root, parent emitted first
+    attrs: dict
+    datasets: dict
+
+
+def layout_manifest(
+    spark: SparkSession, src: str | Path
+) -> tuple[dict, list[H5GroupSpec]]:
+    """The full heparchy-layout HDF5 tree for a hep-store, as data:
+    ``(file_attrs, groups)``, groups parent-before-child.
+
+    This IS the export's layout contract, split from the h5py apply step
+    so reference conformance is testable in an environment without h5py:
+
+    - file attrs ``layout``/``version``/``version_tuple``/
+      ``evts_per_chunk`` (reference ``write/hdf.py:571-575``);
+    - process group per process, meta as attrs (``write/hdf.py:465-474``
+      property setters) plus ``num_evts`` (``:456``);
+    - ``evt-set-NNNNNN`` chunk groups → ``evt-NNN`` event groups
+      (``utils.py:7-14`` key formats, ``write/hdf.py:442,241``);
+    - per event: ``pmu``/``pdg`` datasets, always-present ``masks``/
+      ``custom`` subgroups holding the named datasets
+      (``write/hdf.py:244-245,103,117``), attrs ``num_pcls`` +
+      key registries ``mask_keys``/``custom_keys``/``custom_meta_keys``
+      + custom metadata entries (``write/hdf.py:262-265,128``).
+    """
+    import numpy as np
+
+    from heparchy_spark import __version__
+    from heparchy_spark.sources.reader import HepReader
+
+    groups: list[H5GroupSpec] = []
+    with HepReader(spark, src) as reader:
+        epc = reader.evts_per_chunk
+        file_attrs = {
+            "layout": "heparchy",
+            "version": __version__,
+            "version_tuple": tuple(__version__.split(".")),
+            "evts_per_chunk": epc,
+        }
+        for proc_name in reader:
+            proc = reader[proc_name]
+            pattrs = {
+                k: v
+                for k, v in proc.meta.items()
+                if v is not None and k not in ("process", "custom_meta")
+            }
+            groups.append(H5GroupSpec(proc_name, pattrs, {}))
+            seen_chunks: set[str] = set()
+            for evt in proc:
+                eid = evt._event_id
+                ckey = chunk_key_format(eid // epc)
+                if ckey not in seen_chunks:
+                    seen_chunks.add(ckey)
+                    groups.append(H5GroupSpec(f"{proc_name}/{ckey}", {}, {}))
+                epath = f"{proc_name}/{ckey}/{event_key_format(eid, epc)}"
+                mask_keys = sorted(evt.masks)
+                custom_keys = sorted(evt.custom)
+                custom_meta = {k: evt.custom_meta[k] for k in evt.custom_meta}
+                groups.append(
+                    H5GroupSpec(
+                        epath,
+                        {
+                            "num_pcls": evt.count,
+                            "mask_keys": mask_keys,
+                            "custom_keys": custom_keys,
+                            "custom_meta_keys": sorted(custom_meta),
+                            **custom_meta,
+                        },
+                        {"pmu": evt.pmu, "pdg": evt.pdg},
+                    )
+                )
+                groups.append(
+                    H5GroupSpec(
+                        f"{epath}/masks",
+                        {},
+                        {m: np.asarray(evt.masks[m]) for m in mask_keys},
+                    )
+                )
+                groups.append(
+                    H5GroupSpec(
+                        f"{epath}/custom",
+                        {},
+                        {c: np.asarray(evt.custom[c]) for c in custom_keys},
+                    )
+                )
+    return file_attrs, groups
+
+
 def export_hdf5(
     spark: SparkSession,
     src: str | Path,
@@ -230,36 +326,21 @@ def export_hdf5(
 ) -> None:
     """Egress: hep-store → heparchy-layout HDF5 (single file, driver-side —
     HDF5 is single-writer; for many-file export, partition by process and
-    run one task per output file)."""
+    run one task per output file).  The tree comes from
+    ``layout_manifest``; this function only applies it with h5py."""
     _require_h5py()
     import h5py
-    import numpy as np
 
-    from heparchy_spark.sources.reader import HepReader
-
-    with HepReader(spark, src) as reader, h5py.File(out_path, "w") as f:
-        epc = reader.evts_per_chunk
-        for proc_name in reader:
-            proc = reader[proc_name]
-            grp = f.create_group(proc_name)
-            for k, v in proc.meta.items():
-                if v is not None and k not in ("process", "custom_meta"):
-                    grp.attrs[k] = v
-            for evt in proc:
-                eid = evt._event_id
-                ckey = chunk_key_format(eid // epc)
-                chunk = grp.require_group(ckey)
-                eg = chunk.create_group(event_key_format(eid, epc))
-                kwargs = {"compression": compression, "shuffle": True}
-                if compression == "gzip":
-                    kwargs["compression_opts"] = compression_level
-                eg.create_dataset("pmu", data=evt.pmu, **kwargs)
-                eg.create_dataset("pdg", data=evt.pdg, **kwargs)
-                masks = eg.create_group("masks")
-                for name in evt.masks:
-                    masks.create_dataset(
-                        name, data=np.asarray(evt.masks[name]), **kwargs
-                    )
-                eg.attrs["num_pcls"] = evt.count
-        f.attrs["layout"] = "heparchy"
-        f.attrs["evts_per_chunk"] = epc
+    file_attrs, groups = layout_manifest(spark, src)
+    kwargs = {"compression": compression, "shuffle": True}
+    if compression == "gzip":
+        kwargs["compression_opts"] = compression_level
+    with h5py.File(out_path, "w") as f:
+        for spec in groups:
+            grp = f.create_group(spec.path)
+            for k, v in spec.attrs.items():
+                grp.attrs[k] = v
+            for name, data in spec.datasets.items():
+                grp.create_dataset(name, data=data, **kwargs)
+        for k, v in file_attrs.items():
+            f.attrs[k] = v

@@ -88,3 +88,41 @@ def test_hdf5_gated_cleanly(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="h5py"):
         ingest_hdf5(spark, ["/nonexistent.h5"], tmp_path / "out")
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """agg_approx_percentile is the driver's rows-only entry (sketch
+    values are engine-specific), so pin its accuracy HERE: at
+    accuracy=10000 and sf0.001 row counts, the approximate rank error is
+    below one data value — every approx percentile must land within the
+    group's exact [p-0.01, p+0.01] percentile band."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries import spark_queries
+    from heparchy_spark.queries.tables import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: r
+        for r in spark_queries()["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    bands = li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile(col, F.lit(p + d)).alias(f"{name}_{'lo' if d < 0 else 'hi'}")
+            for name, col, p in (
+                ("q25", "l_quantity", 0.25),
+                ("q50", "l_quantity", 0.50),
+                ("q75", "l_quantity", 0.75),
+                ("price_p90", "l_extendedprice", 0.90),
+            )
+            for d in (-0.01, 0.01)
+        ]
+    )
+    for row in bands.collect():
+        got = approx[row["l_returnflag"]]
+        for name in ("q25", "q50", "q75", "price_p90"):
+            lo, hi = row[f"{name}_lo"], row[f"{name}_hi"]
+            assert lo <= got[f"{name}_approx"] <= hi, (
+                row["l_returnflag"], name, got[f"{name}_approx"], lo, hi,
+            )
