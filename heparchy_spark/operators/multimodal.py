@@ -4,12 +4,15 @@
 Design: media travels as an opaque ``BinaryType`` column beside a typed
 metadata struct; every byte-level operator (format sniffing, size, entropy,
 histograms, chunked fingerprints) is REAL and runs either JVM-side (column
-algebra) or as Arrow-batched ``mapInPandas``. The pixel/sample *decode*
-step needs codec libraries that are not in this environment, so it is
-STUBBED: ``decode_media`` uses a clearly-marked deterministic fake decoder
-(seeded from the payload bytes) behind the real Spark plumbing — schema,
-batching, partitioning, and UDF signatures are production-shaped, and a
-real decoder drops in by replacing ``_fake_decode`` only.
+algebra) or as Arrow-batched ``mapInPandas``.  Container-level decode is
+REAL for every format whose structure is stdlib-parseable: PNG IHDR, JPEG
+SOFn markers, WAV (stdlib ``wave`` + true PCM amplitude), animated GIF
+(frame count from image descriptors), and AVI (avih header + movi chunk
+count).  Only PIXEL/SAMPLE decode of entropy-coded formats (JPEG bitmap,
+Matroska/MP4 codecs) needs external libraries absent from this
+environment; payloads in no parseable container fall back to the
+clearly-marked deterministic fake (``_fake_decode``), and a full codec
+drops in by extending ``_try_real_decode`` only.
 
 At 100 TB: payloads dominate bytes; operators that don't need payload bytes
 must never read them (column pruning does this for free since the payload
@@ -118,17 +121,16 @@ def byte_stats(
 
 
 # ---------------------------------------------------------------------------
-# DECODE — real stdlib codecs where the container allows it, labeled fake
-# otherwise.
+# DECODE — real stdlib container parsers, labeled fake only when no
+# parser matches.
 #
-# PNG headers and RIFF/WAVE files are decoded for REAL with public stdlib
-# tools: a hand-rolled IHDR parse (the PNG format is public — RFC 2083 /
-# ISO 15948: 8-byte signature, 4-byte big-endian chunk length, "IHDR",
-# width/height/bitdepth/colortype) and the ``wave`` module for WAV
-# (channels, sample rate, frame count, plus a true mean-amplitude
-# reduction over the PCM samples).  Containers that need external codec
-# libraries (JPEG entropy decode, Matroska) fall back to the clearly
-# marked deterministic fake below; a full decoder (PIL/ffmpeg) drops in by
+# All five parsers use public format specs and stdlib tools only: PNG IHDR
+# (RFC 2083 / ISO 15948), JPEG SOFn marker walk (ITU T.81 §B), the
+# ``wave`` module for WAV (plus a true mean-amplitude reduction over the
+# PCM samples), animated-GIF block walk (GIF89a spec), and RIFF/AVI
+# (AVIMAINHEADER + movi chunk count).  Only payloads in none of these
+# containers (e.g. Matroska, MP4) fall back to the clearly marked
+# deterministic fake below; a full codec (PIL/ffmpeg) drops in by
 # extending ``_try_real_decode`` only.
 # ---------------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -191,12 +193,179 @@ def _parse_wav(payload: bytes) -> dict | None:
     }
 
 
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn frame headers (C4=DHT, C8=JPG, CC=DAC)
+
+
+def _parse_jpeg(payload: bytes) -> dict | None:
+    """Real JPEG dimension parse: walk the marker-segment stream (public
+    format, ITU T.81 §B) until an SOFn frame header carries
+    precision/height/width/component-count.  Byte walking only — no
+    entropy decode, no codec library."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8" or len(payload) < 4:
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if i + 4 > len(payload):
+            return None
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        if marker in _SOF_MARKERS:
+            if i + 2 + seglen > len(payload) or seglen < 8:
+                return None
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            ncomp = payload[i + 9]
+            if not (0 < w and 0 < h and 0 < ncomp):
+                return None
+            return {
+                "width": int(w),
+                "height": int(h),
+                "channels": int(ncomp),
+                "sample_rate": None,
+                "n_frames": 1,
+                "mean_amplitude": None,
+            }
+        i += 2 + seglen
+    return None
+
+
+def _parse_gif(payload: bytes) -> dict | None:
+    """Real GIF parse (public format, GIF89a spec): logical-screen
+    dimensions from the LSD, frame count by walking the block stream and
+    counting image descriptors (0x2C) until the trailer (0x3B).  Animated
+    GIF is the corpus' video container.  Trailing bytes after the trailer
+    are tolerated (common in the wild)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    w, h, flags = struct.unpack_from("<HHB", payload, 6)
+    i = 13
+    if flags & 0x80:  # global color table
+        i += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(j: int) -> int | None:
+        while True:
+            if j >= len(payload):
+                return None
+            n = payload[j]
+            j += 1
+            if n == 0:
+                return j
+            j += n
+
+    n_frames = 0
+    while i < len(payload):
+        block = payload[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            nxt = skip_subblocks(i + 2)
+            if nxt is None:
+                return None
+            i = nxt
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                return None
+            (iflags,) = struct.unpack_from("<B", payload, i + 9)
+            i += 10
+            if iflags & 0x80:  # local color table
+                i += 3 * (2 << (iflags & 0x07))
+            i += 1  # LZW minimum code size
+            nxt = skip_subblocks(i)
+            if nxt is None:
+                return None
+            i = nxt
+            n_frames += 1
+        else:
+            return None  # corrupt block stream
+    if n_frames == 0:
+        return None
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": 3,
+        "sample_rate": None,
+        "n_frames": n_frames,
+        "mean_amplitude": None,
+    }
+
+
+def _parse_avi(payload: bytes) -> dict | None:
+    """Real AVI parse (public RIFF format, msdn AVIMAINHEADER): dims and
+    dwTotalFrames from the 'avih' chunk inside the 'hdrl' LIST; when a
+    'movi' LIST is present the actual video-stream chunks ('##db'/'##dc')
+    are counted and take precedence over the header's claim."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    avih: dict | None = None
+    movi_frames = 0
+    saw_movi = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, movi_frames, saw_movi
+        i = start
+        while i + 8 <= end:
+            fourcc = payload[i : i + 4]
+            (size,) = struct.unpack_from("<I", payload, i + 4)
+            body = i + 8
+            if fourcc == b"LIST" and body + 4 <= end:
+                ltype = payload[body : body + 4]
+                if ltype == b"movi":
+                    saw_movi = True
+                walk(body + 4, min(body + size, end))
+            elif fourcc == b"avih" and size >= 40 and body + 40 <= end:
+                vals = struct.unpack_from("<10I", payload, body)
+                avih = {
+                    "total_frames": vals[4],
+                    "width": vals[8],
+                    "height": vals[9],
+                }
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                movi_frames += 1
+            i = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0]))
+    if avih is None:
+        return None
+    n = movi_frames if saw_movi else avih["total_frames"]
+    if n <= 0 or avih["width"] <= 0 or avih["height"] <= 0:
+        return None
+    return {
+        "width": int(avih["width"]),
+        "height": int(avih["height"]),
+        "channels": 3,
+        "sample_rate": None,
+        "n_frames": int(n),
+        "mean_amplitude": None,
+    }
+
+
 def _try_real_decode(payload: bytes) -> dict | None:
     """Dispatch on magic bytes to a REAL decoder; None -> caller falls back
     to the labeled fake."""
     if payload.startswith(_PNG_SIG):
         return _parse_png_header(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _parse_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _parse_gif(payload)
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            return _parse_avi(payload)
         return _parse_wav(payload)
     return None
 
@@ -244,9 +413,9 @@ def decode_media(
     df: DataFrame, payload_col: str = "payload", kind_col: str = "kind"
 ) -> DataFrame:
     """Decode payloads to per-media properties via Arrow-batched
-    ``mapInPandas``.  PNG headers and WAVE audio decode for REAL (stdlib —
-    see ``_try_real_decode``); other containers use the labeled
-    deterministic fake."""
+    ``mapInPandas``.  PNG/JPEG/GIF/WAV/AVI containers decode for REAL
+    (stdlib — see ``_try_real_decode``); payloads in no parseable
+    container use the labeled deterministic fake."""
 
     def decode(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,7 +457,10 @@ def sample_frames(
     df: DataFrame, every_n: int = 24, payload_col: str = "payload"
 ) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled frame.
-    Frame *extraction* is stubbed (slices of the raw payload stand in for
+    The frame COUNT comes from the real container parse (GIF image
+    descriptors / AVI movi chunks — ``_try_real_decode``); only payloads
+    in no parseable container fall back to the labeled fake count.  Frame
+    *extraction* is stubbed (slices of the raw payload stand in for
     decoded frames); the fan-out shape — one input row → many output rows
     through mapInPandas — is the real thing."""
 
@@ -297,7 +469,8 @@ def sample_frames(
             ids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 buf = bytes(payload or b"")
-                n_frames = _fake_decode(buf, "video")["n_frames"]
+                real = _try_real_decode(buf)
+                n_frames = (real or _fake_decode(buf, "video"))["n_frames"]
                 step = max(len(buf) // max(n_frames, 1), 1)
                 for fi in range(0, n_frames, every_n):
                     off = (fi * step) % max(len(buf), 1)

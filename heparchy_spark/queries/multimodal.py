@@ -1,18 +1,33 @@
 """Multimodal-column queries over the ``documents`` table.
 
 No driver table carries real media, so the corpus builds deterministic
-binary payloads from document text — a format magic prefix (chosen by
-doc_id) + the UTF-8 bytes — identically in Spark and DuckDB, then runs the
-multimodal operators on them. Format sniffing + byte length are
-hash-checked against a portable-SQL oracle; every mapInPandas path
-(entropy, decode, frame fan-out, embedding) hash-checks against
-plain-Python expected-value fixtures (tools/build_expected.py).
+binary payloads from document text — REAL minimal containers, all in pure
+column algebra (no UDF in the construction):
+
+- ``doc_id%4==0`` → PNG: full 8-byte signature + IHDR chunk, truecolor,
+  per-doc dimensions, document text as trailing bytes;
+- ``==1`` → JPEG: SOI + APP0/JFIF + SOF0 frame header with per-doc
+  dimensions, text as trailing bytes;
+- ``==2`` → WAV: complete RIFF/WAVE with fmt (PCM16, per-doc channel
+  count + sample rate) and a data chunk whose PCM samples ARE the text
+  bytes;
+- ``==3`` → animated GIF (the video container): header + logical screen
+  descriptor + ``1 + doc_id % 97`` image descriptors + trailer, text
+  after the trailer (tolerated by real decoders).
+
+Every payload round-trips through the REAL stdlib parsers in
+``operators/multimodal.py`` — no corpus query reaches the fake decoder.
+Format sniffing + byte length hash-check against a portable-SQL oracle
+(lengths are closed-form); every mapInPandas path (entropy, decode, frame
+fan-out, embedding) hash-checks against plain-Python expected-value
+fixtures whose payloads are constructed independently with struct.pack
+(tools/build_expected.py).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from heparchy_spark.operators.multimodal import (
     byte_stats,
@@ -24,49 +39,125 @@ from heparchy_spark.operators.multimodal import (
 from heparchy_spark.queries import expected_fixture_sql, register
 from heparchy_spark.queries.tables import load
 
-_MAGICS = ["89504E47", "FFD8FFE0", "52494646", "1A45DFA3"]  # png jpeg riff mkv
 _KINDS = ["image", "image", "audio", "video"]
+
+# GIF construction constants (shared with tools/build_expected.py mirror):
+# 13-byte header+LSD (64x48, no GCT), 14-byte empty frame (image
+# descriptor + LZW min code + one 1-byte sub-block + terminator), trailer.
+GIF_HDR_HEX = "474946383961" + "40003000000000"
+GIF_FRAME_HEX = "2C" + "00000000" + "4000" + "3000" + "00" + "02" + "0100" + "00"
+GIF_TRAILER_HEX = "3B"
+
+
+def _byte_hex(c: Column) -> Column:
+    return F.lpad(F.hex(c.bitwiseAND(F.lit(255))), 2, "0")
+
+
+def _int_hex(c: Column, nbytes: int, *, little_endian: bool) -> Column:
+    """Fixed-width hex of an integer column, byte order selectable —
+    the building block for binary headers in pure column algebra."""
+    order = range(nbytes) if little_endian else reversed(range(nbytes))
+    return F.concat(*[_byte_hex(F.shiftright(c, 8 * i)) for i in order])
+
+
+def _png_hex(doc_id: Column) -> Column:
+    """Full PNG signature + IHDR (truecolor, zero CRC — parsers don't
+    check): 33 bytes, then text. Dims: 32+id%64 x 32+id%48."""
+    return F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        _int_hex(F.lit(32) + doc_id % 64, 4, little_endian=False),
+        _int_hex(F.lit(32) + doc_id % 48, 4, little_endian=False),
+        F.lit("08" + "02" + "00" + "00" + "00" + "00000000"),
+    )
+
+
+def _jpeg_hex(doc_id: Column) -> Column:
+    """SOI + APP0/JFIF + SOF0 (baseline, 3 components, zero-CRC-free
+    format): 39 bytes, then text. Dims: 24+id%120 x 24+id%100."""
+    return F.concat(
+        F.lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00"
+              + "0001" + "0001" + "0000"),
+        F.lit("FFC0" + "0011" + "08"),
+        _int_hex(F.lit(24) + doc_id % 100, 2, little_endian=False),  # height
+        _int_hex(F.lit(24) + doc_id % 120, 2, little_endian=False),  # width
+        F.lit("03" + "011100" + "021101" + "031101"),
+    )
+
+
+def _wav_hex(doc_id: Column, text_len: Column) -> Column:
+    """Complete RIFF/WAVE header for PCM16 whose data chunk is the text
+    bytes: 44 bytes, then text(=samples). Channels 1+id%2; sample rate
+    from {8000,16000,44100} by id%3."""
+    channels = (F.lit(1) + doc_id % 2).cast("long")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (doc_id % 3 + 1).cast("int"),
+    ).cast("long")
+    block_align = channels * 2
+    return F.concat(
+        F.lit("52494646"),                                     # "RIFF"
+        _int_hex(text_len + 36, 4, little_endian=True),
+        F.lit("57415645" + "666D7420" + "10000000" + "0100"),  # WAVE fmt 16 PCM
+        _int_hex(channels, 2, little_endian=True),
+        _int_hex(rate, 4, little_endian=True),
+        _int_hex(rate * block_align, 4, little_endian=True),   # byte rate
+        _int_hex(block_align, 2, little_endian=True),
+        F.lit("1000"),                                         # 16 bits/sample
+        F.lit("64617461"),                                     # "data"
+        _int_hex(text_len, 4, little_endian=True),
+    )
+
+
+def _gif_hex(doc_id: Column) -> Column:
+    """Animated GIF with 1 + id%97 empty frames; text rides after the
+    trailer."""
+    n_frames = (doc_id % 97 + 1).cast("int")
+    return F.concat(
+        F.lit(GIF_HDR_HEX),
+        F.repeat(F.lit(GIF_FRAME_HEX), n_frames),
+        F.lit(GIF_TRAILER_HEX),
+    )
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> synthetic media table (media_id, kind, payload)."""
+    """documents -> synthetic media table (media_id, kind, payload) with
+    REAL container bytes (module docstring). Pure column algebra: the
+    header hex is concatenated with hex(text) and unhex-ed once."""
     docs = load(spark, sf_dir, "documents")
-    magic = F.element_at(
-        F.array(*[F.lit(m) for m in _MAGICS]),
-        (F.col("doc_id") % 4 + 1).cast("int"),
-    )
+    did = F.col("doc_id")
     kind = F.element_at(
-        F.array(*[F.lit(k) for k in _KINDS]),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        F.array(*[F.lit(k) for k in _KINDS]), (did % 4 + 1).cast("int")
+    )
+    text_bytes = F.encode("text", "utf-8")
+    header_hex = (
+        F.when(did % 4 == 0, _png_hex(did))
+        .when(did % 4 == 1, _jpeg_hex(did))
+        .when(did % 4 == 2, _wav_hex(did, F.length(text_bytes).cast("long")))
+        .otherwise(_gif_hex(did))
     )
     return docs.select(
-        F.col("doc_id").alias("media_id"),
+        did.alias("media_id"),
         kind.alias("kind"),
-        F.concat(F.unhex(magic), F.encode("text", "utf-8")).alias("payload"),
+        F.unhex(F.concat(header_hex, F.hex(text_bytes))).alias("payload"),
     )
-
-
-_MAGIC_SQL_CASE = (
-    "CASE doc_id % 4 "
-    + " ".join(
-        f"WHEN {i} THEN from_hex('{m}')" for i, m in enumerate(_MAGICS)
-    )
-    + " END"
-)
 
 
 @register(
     "multimodal_sniff_profile",
-    f"""
+    """
     SELECT doc_id AS media_id,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                           WHEN 2 THEN 'riff' WHEN 3 THEN 'matroska' END
+                           WHEN 2 THEN 'riff' WHEN 3 THEN 'gif' END
              AS format,
-           octet_length({_MAGIC_SQL_CASE} || encode(text)) AS n_bytes
+           CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 39 WHEN 2 THEN 44
+                           WHEN 3 THEN 13 + 14 * (1 + doc_id % 97) + 1 END
+             + octet_length(encode(text)) AS n_bytes
     FROM documents
     """,
     doc="Binary payload profiling JVM-side: magic-byte format sniffing + "
-    "byte length, no Python, payload column pruned to 4 bytes for the sniff.",
+    "byte length, no Python, payload column pruned to 4 bytes for the "
+    "sniff. The oracle's n_bytes is the closed-form container-header "
+    "length per kind (PNG 33, JPEG 39, WAV 44, GIF 14/frame + 14).",
 )
 def multimodal_sniff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_df(spark, sf_dir)
@@ -102,10 +193,12 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_meta",
     expected_fixture_sql("multimodal_decode_meta"),
-    doc="Decoded media properties via real mapInPandas plumbing: stdlib "
-    "PNG/WAV decode where the container allows, labeled deterministic "
-    "fake elsewhere (corpus payloads all take the fake path); oracle = "
-    "plain-Python mirror of the fake decoder, precomputed.",
+    doc="Decoded media properties via REAL stdlib container parsers "
+    "(PNG IHDR / JPEG SOF0 / WAV incl. true PCM mean amplitude / "
+    "animated-GIF frame count) over Arrow-batched mapInPandas — every "
+    "corpus payload takes a real parse path, none reaches the fake "
+    "decoder; oracle = expected values derived from the payload "
+    "GENERATOR's parameters (plain Python, no parser), precomputed.",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(_media_df(spark, sf_dir))
@@ -115,12 +208,14 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     expected_fixture_sql("multimodal_frame_sample"),
     doc="Video frame sampling fan-out: one row per sampled frame via "
-    "mapInPandas (stub frame extraction, real 1->N batch shape); oracle = "
-    "plain-Python mirror of the fan-out, precomputed.",
+    "mapInPandas; the frame COUNT is the real GIF image-descriptor count "
+    "(1 + doc_id % 97), frame extraction remains a labeled payload-slice "
+    "stub; oracle = plain-Python mirror of the fan-out with the "
+    "generator's frame count, precomputed.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_df(spark, sf_dir).where(F.col("kind") == "video")
-    return sample_frames(media, every_n=60).select(
+    return sample_frames(media, every_n=8).select(
         "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
     )
 

@@ -83,3 +83,106 @@ def test_payload_embedding_normalized(media):
         assert len(v) == 16
         if payload:
             assert np.linalg.norm(v) == pytest.approx(1.0, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Real container parsers (round-3): GIF / JPEG / AVI frame+dimension parse
+# from actual container bytes, and the corpus-wide no-fake guarantee.
+# ---------------------------------------------------------------------------
+def _minimal_gif(n_frames: int, w: int = 64, h: int = 48) -> bytes:
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0)
+    frame = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + b"\x02" + b"\x01\x00" + b"\x00"
+    )
+    return hdr + frame * n_frames + b"\x3b"
+
+
+def _minimal_avi(n_movi_frames: int, w: int = 320, h: int = 240) -> bytes:
+    import struct
+
+    avih = struct.pack(
+        "<10I", 33333, 0, 0, 0, n_movi_frames, 0, 1, 0, w, h
+    ) + b"\x00" * 16  # pad to the full 56-byte AVIMAINHEADER
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_items = b"".join(
+        b"00dc" + struct.pack("<I", 4) + b"\x00" * 4
+        for _ in range(n_movi_frames)
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_gif_counts_image_descriptors():
+    from heparchy_spark.operators.multimodal import _parse_gif, _try_real_decode
+
+    for n in (1, 5, 97):
+        d = _parse_gif(_minimal_gif(n))
+        assert d == {
+            "width": 64, "height": 48, "channels": 3,
+            "sample_rate": None, "n_frames": n, "mean_amplitude": None,
+        }
+    # trailing garbage after the trailer is tolerated (corpus payloads)
+    assert _parse_gif(_minimal_gif(3) + b"lorem ipsum")["n_frames"] == 3
+    # GCT skipping: set the GCT flag with a 2-entry table
+    import struct
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 8, 8, 0x80, 0, 0) + b"\x00" * 6
+    frame = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+        + b"\x02" + b"\x01\x00" + b"\x00"
+    )
+    assert _parse_gif(hdr + frame + b"\x3b")["n_frames"] == 1
+    assert _try_real_decode(_minimal_gif(2))["n_frames"] == 2
+    assert _parse_gif(b"GIF89a truncated") is None
+
+
+def test_parse_jpeg_sof_dimensions():
+    import struct
+
+    from heparchy_spark.operators.multimodal import _parse_jpeg
+
+    app0 = bytes.fromhex("FFE000104A46494600010100000100010000")
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 123, 456, 3) \
+        + bytes.fromhex("011100021101031101")
+    d = _parse_jpeg(b"\xff\xd8" + app0 + sof + b"trailing text")
+    assert (d["width"], d["height"], d["channels"]) == (456, 123, 3)
+    assert d["n_frames"] == 1
+    # progressive (SOF2) parses too; DHT (C4) must be skipped, not matched
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 10, 20, 1) + b"\x00" * 9
+    assert _parse_jpeg(b"\xff\xd8" + dht + sof2)["width"] == 20
+    assert _parse_jpeg(b"\xff\xd8\x00\x01") is None
+
+
+def test_parse_avi_movi_count_beats_header_claim():
+    from heparchy_spark.operators.multimodal import _parse_avi, _try_real_decode
+
+    avi = _minimal_avi(7)
+    d = _parse_avi(avi)
+    assert (d["width"], d["height"], d["n_frames"]) == (320, 240, 7)
+    assert _try_real_decode(avi)["n_frames"] == 7
+    # header-only AVI (no movi list yet): falls back to dwTotalFrames
+    import struct
+    hdr_only = _minimal_avi(3)
+    cut = hdr_only.index(b"LIST", 12 + 4)  # strip the movi LIST
+    body_len = cut - 8
+    hdr_only = b"RIFF" + struct.pack("<I", body_len) + hdr_only[8:cut]
+    assert _parse_avi(hdr_only)["n_frames"] == 3
+
+
+def test_corpus_payloads_never_reach_fake_decoder(spark):
+    """Every corpus media payload must parse through a REAL container
+    parser — the fake decoder is unreachable from corpus queries."""
+    from heparchy_spark.operators.multimodal import _try_real_decode
+    from heparchy_spark.queries.multimodal import _media_df
+
+    rows = _media_df(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    unparsed = [
+        r["media_id"] for r in rows if _try_real_decode(bytes(r["payload"])) is None
+    ]
+    assert unparsed == []

@@ -173,57 +173,103 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 # multimodal expected values (mirror of queries/multimodal._media_df synth)
 # --------------------------------------------------------------------------
-_MAGICS = ["89504E47", "FFD8FFE0", "52494646", "1A45DFA3"]
 _KINDS = ["image", "image", "audio", "video"]
+
+# GIF construction constants — keep in sync with queries/multimodal.py.
+_GIF_HDR = bytes.fromhex("474946383961" + "40003000000000")
+_GIF_FRAME = bytes.fromhex("2C" + "00000000" + "4000" + "3000" + "00"
+                           + "02" + "0100" + "00")
+_GIF_TRAILER = b"\x3b"
 
 
 def payload_for(doc_id: int, text: str | None) -> bytes:
-    """Mirror of queries/multimodal._media_df payload synthesis.
+    """Mirror of queries/multimodal._media_df payload synthesis: REAL
+    minimal containers built with struct.pack — an implementation
+    independent of the Spark column-algebra construction.
 
-    NOTE: Spark's concat(unhex(magic), encode(text)) NULL-propagates, so a
-    null text means a NULL payload and every downstream multimodal operator
-    sees null — which plain-Python mirrors of crc/entropy/decode would have
-    to replicate per-operator.  main() asserts the corpus has no null texts
+    NOTE: Spark's concat/unhex NULL-propagates, so a null text means a
+    NULL payload and every downstream multimodal operator sees null —
+    which plain-Python mirrors of crc/entropy/decode would have to
+    replicate per-operator.  main() asserts the corpus has no null texts
     instead, so any future fixture data with nulls fails LOUDLY at build
     time rather than silently diverging."""
-    magic = bytes.fromhex(_MAGICS[doc_id % 4])
-    return magic + (text or "").encode("utf-8")
+    import struct
+
+    body = (text or "").encode("utf-8")
+    k = doc_id % 4
+    if k == 0:  # PNG: signature + IHDR (truecolor, zero CRC)
+        return (
+            bytes.fromhex("89504E470D0A1A0A") + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", 32 + doc_id % 64, 32 + doc_id % 48)
+            + bytes([8, 2, 0, 0, 0]) + b"\x00\x00\x00\x00" + body
+        )
+    if k == 1:  # JPEG: SOI + APP0/JFIF + SOF0
+        return (
+            bytes.fromhex("FFD8FFE000104A464946000101000001000100 00".replace(" ", ""))
+            + bytes.fromhex("FFC0001108")
+            + struct.pack(">HH", 24 + doc_id % 100, 24 + doc_id % 120)
+            + bytes.fromhex("03011100021101031101") + body
+        )
+    if k == 2:  # WAV: RIFF/WAVE PCM16, data = text bytes
+        channels = 1 + doc_id % 2
+        rate = [8000, 16000, 44100][doc_id % 3]
+        block_align = channels * 2
+        return (
+            b"RIFF" + struct.pack("<I", len(body) + 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                          rate * block_align, block_align, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+    # animated GIF: 1 + id%97 frames, text after the trailer
+    return _GIF_HDR + _GIF_FRAME * (1 + doc_id % 97) + _GIF_TRAILER + body
 
 
-def fake_decode(buf: bytes, kind: str) -> dict:
-    """Plain-Python mirror of the labeled deterministic fake decoder
-    (operators/multimodal._fake_decode): crc32-seeded NumPy Generator,
-    identical draw order.  Corpus payloads are magic+text and never form a
-    valid PNG/WAV, so the fake path is the only one the corpus exercises —
-    mirroring it freezes the full decode_meta/frame_sample outputs."""
-    h = zlib.crc32(buf) if buf else 0
-    rng = np.random.default_rng(h)
-    if kind == "audio":
+def expected_decode(doc_id: int, text: str | None) -> dict:
+    """Expected decode_media output derived from the GENERATOR parameters
+    — no parser runs here, so the fixture is independent of BOTH the
+    Spark path and the operator's stdlib parsers."""
+    k = doc_id % 4
+    if k == 0:
         return {
-            "width": None,
-            "height": None,
-            "channels": int(1 + h % 2),
-            "sample_rate": int([8000, 16000, 44100][h % 3]),
-            "n_frames": int(1000 + h % 9000),
-            "mean_amplitude": float(rng.uniform(0.01, 0.5)),
+            "width": 32 + doc_id % 64, "height": 32 + doc_id % 48,
+            "channels": 3, "sample_rate": None, "n_frames": 1,
+            "mean_amplitude": None,
         }
-    w, hh = int(16 + h % 1024), int(16 + (h >> 10) % 1024)
+    if k == 1:
+        return {
+            "width": 24 + doc_id % 120, "height": 24 + doc_id % 100,
+            "channels": 3, "sample_rate": None, "n_frames": 1,
+            "mean_amplitude": None,
+        }
+    if k == 2:
+        body = (text or "").encode("utf-8")
+        channels = 1 + doc_id % 2
+        framesize = channels * 2
+        n_frames = len(body) // framesize
+        data = body[: n_frames * framesize]
+        samples = np.frombuffer(
+            data[: (len(data) // 2) * 2], dtype="<i2"
+        ).astype("float64")
+        amp = float(np.abs(samples).mean() / 32768.0) if samples.size else 0.0
+        return {
+            "width": None, "height": None, "channels": channels,
+            "sample_rate": [8000, 16000, 44100][doc_id % 3],
+            "n_frames": n_frames, "mean_amplitude": amp,
+        }
     return {
-        "width": w,
-        "height": hh,
-        "channels": 3,
-        "sample_rate": None,
-        "n_frames": 1 if kind == "image" else int(24 * (1 + h % 300)),
-        "mean_amplitude": float(rng.uniform(0.0, 1.0)),
+        "width": 64, "height": 48, "channels": 3, "sample_rate": None,
+        "n_frames": 1 + doc_id % 97, "mean_amplitude": None,
     }
 
 
 def frame_rows(
-    media_id: int, buf: bytes, every_n: int = 60
+    media_id: int, buf: bytes, every_n: int = 8
 ) -> list[tuple[int, int, int]]:
     """Mirror of operators/multimodal.sample_frames slicing: (media_id,
-    frame_idx, frame_bytes) per sampled frame."""
-    n_frames = fake_decode(buf, "video")["n_frames"]
+    frame_idx, frame_bytes) per sampled frame; the frame count is the
+    generator's GIF frame count."""
+    n_frames = 1 + media_id % 97
     step = max(len(buf) // max(n_frames, 1), 1)
     out = []
     for fi in range(0, n_frames, every_n):
@@ -360,10 +406,8 @@ def main() -> None:
         ),
     )
 
-    # multimodal_decode_meta: fake-decode properties per payload
-    decoded = [
-        (d, _KINDS[d % 4], fake_decode(p, _KINDS[d % 4])) for d, p in payloads
-    ]
+    # multimodal_decode_meta: expected properties from generator params
+    decoded = [(d, _KINDS[d % 4], expected_decode(d, t)) for d, t in docs]
     write(
         "multimodal_decode_meta",
         pa.table(
