@@ -38,6 +38,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "incremental_exact_dedup",
+    "duplicated_ngram_spans",
     "connected_components",
     "connected_components_star",
     "bloom_filter_build",
@@ -191,6 +192,93 @@ def hashed_shingles_df(
         shingle_hash_stream(df, text_col, id_col, n)
         .groupBy("__id")
         .agg(F.sort_array(F.collect_set("__shh")).alias("__shh"))
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the exact-substring
+    dedup primitive (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022), at token granularity.
+
+    A position is *duplicated* when its n-token gram occurs
+    ``min_occurrences``+ times corpus-wide (within- or cross-document).
+    Overlapping/adjacent duplicated positions merge into maximal spans
+    (the island trick: a window ``lag`` marks island starts, a running sum
+    numbers them, one aggregate folds each island to a span).  Output:
+    ``(id, span_start, span_end, span_tokens, n_grams)`` with token-index
+    bounds — the caller cuts or drops the spans.
+
+    Spark shape, all whole-stage-codegen: posexplode tokens → lead-window
+    gram hashes (reuses ``shingle_hash_stream``'s no-HOF formulation) →
+    one combinable groupBy on the gram hash → equi join back (uniform
+    64-bit key, AQE-splittable) → per-doc windows.  The suffix-array
+    construction of the paper is replaced by gram hashing: at 64 bits a
+    false duplicate needs an xxhash64 collision (~1e-19 per pair), and
+    grams shorter than ``n`` tokens are below the dedup threshold by
+    definition.  No all-pairs product anywhere; the gram stream is
+    ``O(total tokens)`` rows and every reduction is partial-aggregatable.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    hashed = tok.select("__id", "__pos", F.xxhash64("__tok").alias("__h0"))
+    lead_cols = [
+        F.lead("__h0", k).over(w).alias(f"__h{k}") for k in range(1, n)
+    ]
+    grams = hashed.select("__id", "__pos", "__h0", *lead_cols)
+    if n > 1:
+        grams = grams.where(F.col(f"__h{n - 1}").isNotNull())
+    # Two consumers (the corpus-wide count and the per-doc join-back)
+    # would each re-run the tokenize -> id-window gram computation; stage
+    # it once.  Same caller-managed storage contract as the MinHash
+    # staging / q2: long-lived sessions reclaim via
+    # spark.catalog.clearCache() after materializing.
+    grams = grams.select(
+        "__id",
+        "__pos",
+        F.xxhash64(*[f"__h{k}" for k in range(n)]).alias("__gh"),
+    ).persist()
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_occurrences)
+        .select("__gh")
+    )
+    dup_pos = grams.join(dup, "__gh").select("__id", "__pos")
+    wp = Window.partitionBy("__id").orderBy("__pos")
+    islands = dup_pos.withColumn(
+        "__new",
+        F.when(F.col("__pos") - F.lag("__pos").over(wp) <= n, 0).otherwise(1),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("__id", "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_grams",
+        )
     )
 
 

@@ -459,3 +459,23 @@ def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "dedup_duplicated_spans",
+    expected_fixture_sql("dedup_duplicated_spans"),
+    doc="Exact-substring dedup primitive (Lee et al. 2022, token "
+    "granularity): maximal token spans whose 8-gram occurs 2+ times "
+    "corpus-wide, merged per document via the lag-window island trick "
+    "(operators/dedup.py duplicated_ngram_spans). One combinable groupBy "
+    "on the gram hash + one equi join back — no suffix array, no "
+    "all-pairs. Oracle = plain-Python mirror via the pinned xxh64, "
+    "precomputed.",
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=8,
+        min_occurrences=2,
+    ).select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")

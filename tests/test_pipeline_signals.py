@@ -483,3 +483,36 @@ def test_pagerank_mass_and_degree_ordering(spark):
     # rerun is bit-identical (pure integer trajectory)
     again = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=8).collect()}
     assert again == rows
+
+
+def test_duplicated_ngram_spans_semantics(spark):
+    """Planted duplicates: a 12-token run shared by two docs must come
+    back as one maximal span in each; unique text yields no spans; an
+    island gap > n must split spans."""
+    from heparchy_spark.operators.dedup import duplicated_ngram_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = [
+        (1, f"{shared} unique tail one two three four five six seven"),
+        (2, f"pre amble words here now {shared}"),
+        (3, "totally different content with no repeated eight gram runs at all"),
+        # internal repetition: the same 8 tokens twice with a big unique gap
+        (4, "one two three four five six seven eight "
+            + "gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 gap10 "
+            + "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r
+        for r in duplicated_ngram_spans(df, "text", "doc_id", n=8).collect()
+    }
+    by_doc = {}
+    for (d, s, e), r in rows.items():
+        by_doc.setdefault(d, []).append((s, e, r["span_tokens"], r["n_grams"]))
+    # doc 1: shared run = tokens 0..11 -> grams at pos 0..4 -> span 0..11
+    assert by_doc[1] == [(0, 11, 12, 5)]
+    # doc 2: 5 preamble tokens shift the run to 5..16
+    assert by_doc[2] == [(5, 16, 12, 5)]
+    assert 3 not in by_doc
+    # doc 4: the repeated 8-gram appears at pos 0 and pos 18 (gap 18 > 8)
+    assert sorted(by_doc[4]) == [(0, 7, 8, 1), (18, 25, 8, 1)]

@@ -455,6 +455,23 @@ def main() -> None:
         ),
     )
 
+    # dedup_duplicated_spans: exact-substring (token 8-gram) dup spans
+    span_rows = duplicated_spans(docs)
+    write(
+        "dedup_duplicated_spans",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in span_rows], pa.int64()),
+                "span_start": pa.array([r[1] for r in span_rows], pa.int32()),
+                "span_end": pa.array([r[2] for r in span_rows], pa.int32()),
+                "span_tokens": pa.array(
+                    [r[3] for r in span_rows], pa.int32()
+                ),
+                "n_grams": pa.array([r[4] for r in span_rows], pa.int64()),
+            }
+        ),
+    )
+
     # multimodal_frame_sample: video payload frame fan-out (every 60th)
     frames = [
         row
@@ -669,6 +686,43 @@ def ann_pq_topk(
     return rows
 
 
+
+
+def duplicated_spans(docs, n=8, min_occurrences=2) -> list[tuple]:
+    """Mirror of operators/dedup.duplicated_ngram_spans: token 8-gram
+    hashes (chained xxhash64, Spark-identical), corpus-wide occurrence
+    counts, per-doc island merge of duplicated positions."""
+    from collections import Counter
+
+    gram_count: Counter = Counter()
+    doc_grams: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue  # split(NULL) explodes to no rows in Spark
+        hs = [xxhash64(t) for t in tokens(text)]
+        gh = []
+        for p in range(len(hs) - n + 1):
+            g = xxhash64(*hs[p : p + n])
+            gh.append((p, g))
+            gram_count[g] += 1
+        doc_grams[doc_id] = gh
+    rows = []
+    for doc_id, gh in doc_grams.items():
+        pos = [p for p, g in gh if gram_count[g] >= min_occurrences]
+        if not pos:
+            continue
+        start = prev = pos[0]
+        cnt = 1
+        for p in pos[1:]:
+            if p - prev <= n:
+                prev = p
+                cnt += 1
+            else:
+                rows.append((doc_id, start, prev + n - 1, prev + n - start, cnt))
+                start = prev = p
+                cnt = 1
+        rows.append((doc_id, start, prev + n - 1, prev + n - start, cnt))
+    return rows
 
 
 def cdc_shared_chunks(docs, divisor=16) -> list[tuple]:
