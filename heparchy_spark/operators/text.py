@@ -291,6 +291,107 @@ def token_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select(F.col("__tok").alias("token"), "n_occurrences", "n_docs")
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k retrieval: score every document against each query in
+    ``queries`` (columns ``query_id``, ``term``) and keep the ``k`` best
+    per query, ties broken by ascending doc id.
+
+    Lucene-flavoured BM25: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``, document
+    score = sum over matched query terms.  Terms and documents are
+    tokenized with the corpus normalization (``dedup.normalize_text``),
+    so ``dl`` is the normalized token count.
+
+    Scale shape: the query-term table is tiny and broadcast, so the token
+    stream is filtered to candidate postings BEFORE its only shuffle (the
+    per-(doc, term) tf aggregate — map-side combinable).  Document length
+    is a per-row scalar expression (no second pass over the stream), and
+    the corpus-level constants (N, avgdl) ride a broadcast single-row
+    join.  Per-query ranking is a bounded window over candidate docs
+    only, never the full corpus.
+    """
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import normalize_text
+    from heparchy_spark.queries.numeric import davg
+
+    terms = queries.select("term").distinct()
+    norm = normalize_text(text_col)
+    dl_expr = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("double")
+    )
+    # dl rides ALONG the explode so candidate postings never need a join
+    # back onto the documents table (saves a doc-keyed shuffle pair).
+    ts = df.select(
+        F.col(id_col).alias("doc_id"),
+        dl_expr.alias("dl"),
+        F.explode(F.split(norm, " ")).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = (
+        ts.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = df.select(dl_expr.alias("dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        davg("dl").alias("avgdl"),
+    )
+    # document frequency as a window over the candidate postings — NOT a
+    # groupBy on a second tf lineage, which would re-scan the corpus
+    # (Spark only reuses identical exchanges at runtime, not in the plan).
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (1.0 + k1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__part"),
+        )
+    )
+    per_doc = (
+        scored.join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__part").alias("__score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("__score", 6).alias("score"),
+            "rk",
+        )
+    )
+
+
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
 # no lookaround, no backreferences, ASCII classes only.
 PII_PATTERNS = {

@@ -668,3 +668,75 @@ def text_bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_nll"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+_BM25_QUERIES = [
+    (0, "spark"), (0, "join"),
+    (1, "window"), (1, "sort"),
+    (2, "hash"), (2, "merge"),
+]
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH q(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in [(0, "spark"), (0, "join"), (1, "window"), (1, "sort"), (2, "hash"), (2, "merge")])}),
+    toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks
+      WHERE tok IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, tok
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_SQL}, ' ')) END AS DOUBLE)
+               AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, {sql_davg('dl')} AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS part
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT query_id, scored.doc_id, SUM(part) AS score
+      FROM scored JOIN q ON scored.term = q.term
+      GROUP BY query_id, scored.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rk
+      FROM per_doc
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS score, rk
+    FROM ranked WHERE rk <= 10
+    """,
+    doc="BM25 top-10 retrieval for 3 fixed term queries (Lucene idf "
+    "variant, k1=1.2 b=0.75): the broadcast query-term table filters the "
+    "token stream BEFORE its only shuffle, document length is a per-row "
+    "scalar (no second stream pass), corpus constants ride a broadcast "
+    "single-row join, and ranking windows over candidate docs only. "
+    "Same ln/round(6) determinism contract as text_tfidf_top_terms.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_topk(docs, "text", "doc_id", queries, k1=1.2, b=0.75, k=10)

@@ -210,3 +210,21 @@ def test_corpus_wide_no_scale_killers(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "unexpected-BNLJ"))
     assert not offenders, offenders
+
+
+def test_bm25_broadcasts_terms_and_stats(spark):
+    """BM25: the query-term table and the single-row corpus stats must
+    broadcast; the only fat shuffle is the candidate tf aggregate, with
+    bounded candidate-only exchanges after it."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["text_bm25_topk"].spark(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # exchanges: term distinct (tiny) + tf agg (the one fat shuffle) +
+    # df window + single-row stats + per-(query,doc) agg + rank window
+    assert shuffle_count(df) <= 6
+    # exactly two corpus scans: candidate postings + the dl/N stats pass
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 2

@@ -252,3 +252,25 @@ def test_simhash_packed_votes_match_inline_expression(docs):
     }
     for did, fp in inline.items():
         assert packed[did] == fp, did
+
+
+def test_bm25_ranks_matching_docs(spark, docs):
+    """BM25: docs containing a query term outrank everything; a doc with
+    both terms outranks a doc with one; null/empty/whitespace docs never
+    surface; ties break by ascending doc id."""
+    from heparchy_spark.operators.text import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(0, "fox"), (0, "cat")], "query_id int, term string"
+    )
+    out = bm25_topk(docs, "text", "doc_id", queries, k=10).collect()
+    assert all(r.query_id == 0 for r in out)
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rk)]
+    # only docs 0, 1, 8 contain 'fox' or 'cat'; doc 1 has both terms
+    assert set(ranked) == {0, 1, 8}
+    assert ranked[0] == 1
+    # 0 and 8 are identical texts -> identical scores, id breaks the tie
+    assert ranked[1:] == [0, 8]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[0] == scores[8]
+    assert all(r.score > 0 for r in out)
