@@ -462,6 +462,98 @@ def label_centroids(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then within
+    each cluster drop every vector whose cosine similarity to a
+    better-ranked cluster member reaches ``threshold``.
+
+    Rank = (distance to own centroid ASC, id ASC) — "keep the most
+    central representative", the deterministic parallel form of the
+    paper's greedy per-cluster sweep.  Distances are rounded to 9
+    decimals BEFORE ranking so the ordering is reproducible across
+    engines and runs.
+
+    Returns one row per input vector: (id, cluster, dist_to_centroid,
+    kept).  Survivors are ``kept = true``; downstream corpus assembly
+    filters on it.
+
+    Scale shape: candidate pairs come from an equi-join on the cluster
+    id — the clustering is exactly what makes semantic dedup tractable
+    (C clusters of n/C vectors each bound the pair count by n²/C, vs n²
+    all-pairs).  Centroids broadcast twice (a pandas-UDF closure for
+    assignment, a tiny literal frame for distances); everything else is
+    column algebra inside codegen.  Skewed clusters (one mega-cluster)
+    are the known failure mode — raise n_centroids or pre-split with a
+    finer quantizer, same knob IVF uses.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cents = np.ascontiguousarray(centroids, dtype="float64")
+    assigned = ivf_assign(df, vec_col, cents, out_col="cluster")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, __cvec array<double>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    base = assigned.join(F.broadcast(cent_df), "cluster").select(
+        F.col(id_col).alias("__id"),
+        "cluster",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, F.col("__cvec"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            9,
+        ).alias("dist_to_centroid"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist_to_centroid"), F.asc("__id")
+    )
+    ranked = base.withColumn("__ord", F.row_number().over(w))
+    x = ranked.select(
+        "cluster",
+        F.col("__id").alias("__id_x"),
+        F.col("__ord").alias("__ord_x"),
+        F.col("__v").alias("__vx"),
+    )
+    y = ranked.select(
+        "cluster",
+        F.col("__id").alias("__id_y"),
+        F.col("__ord").alias("__ord_y"),
+        F.col("__v").alias("__vy"),
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .where(F.col("__ord_y") < F.col("__ord_x"))
+        .where(cosine(F.col("__vx"), F.col("__vy")) >= threshold)
+        .select(F.col("__id_x").alias("__id"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped.withColumn("__hit", F.lit(1)), "__id", "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            "dist_to_centroid",
+            F.col("__hit").isNull().alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — compressed ANN via asymmetric distance
 # ---------------------------------------------------------------------------

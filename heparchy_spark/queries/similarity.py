@@ -397,3 +397,69 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def _planted_augmentation(emb: DataFrame) -> DataFrame:
+    """Embeddings plus _PLANT_K near-duplicates (0.05%-scale deterministic
+    perturbation keyed on the ORIGINAL vec_id) — recall fixture for
+    near-dup operators.
+
+    The perturbation is projected BEFORE the id shift: in a single
+    select, Spark's lateral-column-alias resolution would bind ``vid``
+    inside the transform lambda to the already-aliased output column
+    (original + offset), silently changing the modulo phase.
+    """
+    vid = F.col("vec_id")
+    planted = (
+        emb.where(vid < _PLANT_K)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.0005) * ((vid + i) % 3).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        .select((vid + _PLANT_OFFSET).alias("vec_id"), "embedding")
+    )
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).unionByName(planted)
+
+
+@register(
+    "similarity_semantic_dedup",
+    expected_fixture_sql("similarity_semantic_dedup"),
+    doc="SemDeDup semantic deduplication over the planted-duplicate "
+    "augmentation: seeded k-means (8 clusters, deterministic ordered "
+    "sample) partitions the embedding space; within each cluster a "
+    "vector is dropped when its cosine to a better-ranked member (rank = "
+    "centroid distance ASC, id ASC — keep the most central) reaches "
+    "0.95.  Oracle = plain-NumPy mirror of the full train/assign/pair "
+    "pipeline, precomputed; the planted dups must ALL lose to their "
+    "originals for the hash to match.  Candidate pairs are an equi-join "
+    "on the cluster id — n^2/C, never all-pairs.",
+)
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import (
+        semantic_dedup,
+        train_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    aug = _planted_augmentation(emb)
+    cents = train_centroids(
+        aug, "embedding", n_centroids=8, sample_size=2000, iters=4, seed=7,
+        order_col="vec_id",
+    )
+    return semantic_dedup(
+        aug, "embedding", "vec_id", cents, threshold=0.95
+    ).select(
+        "vec_id",
+        "cluster",
+        F.round("dist_to_centroid", 6).alias("dist_to_centroid"),
+        "kept",
+    )

@@ -193,6 +193,7 @@ def test_corpus_wide_no_scale_killers(spark):
     BNLJ_OK = {
         # single-row (or <=20-row) broadcast aggregate joins by design
         "text_tfidf_top_terms",
+        "text_bm25_topk",
         "layout_zorder_key",
         "orders_above_avg_value",
         "similarity_knn_label_vote",

@@ -155,3 +155,45 @@ def test_pq_adc_topk_recall_and_determinism(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.3, recalls
     again = run()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_semantic_dedup_drops_planted_keeps_originals(spark, emb):
+    """SemDeDup on the planted augmentation: every planted near-dup ranks
+    behind its (more central or lower-id) original and is dropped; every
+    original survives; output covers the full augmented set exactly once."""
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["similarity_semantic_dedup"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    planted = [r for r in out if r.vec_id >= 1_000_000]
+    assert len(planted) == 25
+    assert all(not r.kept for r in planted)
+    # each planted dup landed in its original's cluster (0.05% perturbation)
+    for r in planted:
+        assert by_id[r.vec_id - 1_000_000].cluster == r.cluster
+    originals = [r for r in out if r.vec_id < 1_000_000]
+    assert all(r.kept for r in originals)
+    assert len(out) == len({r.vec_id for r in out})
+
+
+def test_semantic_dedup_no_duplicate_rows_under_ties(spark):
+    """Three mutually-identical vectors in one cluster: exactly one
+    survivor (the lowest id at equal distance), and the dropped set is
+    emitted once per vector even though each matches TWO predecessors."""
+    from heparchy_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    out = semantic_dedup(df, "v", "vec_id", cents, threshold=0.95).collect()
+    assert len(out) == 4
+    kept = {r.vec_id: r.kept for r in out}
+    assert kept == {0: True, 1: False, 2: False, 3: True}

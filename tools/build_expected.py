@@ -599,6 +599,79 @@ def ann_ivf_topk(
     return _topk_rows(cands, k)
 
 
+
+
+def semantic_dedup_rows(
+    vec_ids,
+    vecs,
+    n_centroids=8,
+    sample_size=2000,
+    iters=4,
+    seed=7,
+    threshold=0.95,
+    plant_k=25,
+    plant_offset=1_000_000,
+) -> list[tuple]:
+    """Mirror of queries.similarity.similarity_semantic_dedup: planted
+    augmentation -> seeded Lloyd (ordered sample) -> nearest-centroid
+    assignment -> per-cluster rank by (round9 centroid distance, id) ->
+    drop on cosine >= threshold to any better-ranked member."""
+    ids = list(vec_ids)
+    xs = [np.asarray(v, dtype="float64") for v in vecs]
+    for vid, v in zip(vec_ids, vecs):
+        if vid < plant_k:
+            ids.append(vid + plant_offset)
+            xs.append(
+                np.array(
+                    [
+                        float(v[j]) * (1.0 + 0.0005 * ((vid + j) % 3))
+                        for j in range(len(v))
+                    ],
+                    dtype="float64",
+                )
+            )
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids_s = [ids[i] for i in order]
+    x_all = np.stack([xs[i] for i in order])
+    x = x_all[:sample_size]
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    cents = np.ascontiguousarray(cents, dtype="float64")
+    cn2 = (cents**2).sum(axis=1)
+    cell = (cn2[None, :] - 2.0 * (x_all @ cents.T)).argmin(axis=1)
+    dists = []
+    for i in range(len(ids_s)):
+        c = cents[cell[i]]
+        v = x_all[i]
+        s = 0.0
+        for j in range(len(v)):
+            d = float(v[j]) - float(c[j])
+            s += d * d
+        dists.append(spark_round(s**0.5, 9))
+    by_cluster: dict[int, list[int]] = {}
+    for i in range(len(ids_s)):
+        by_cluster.setdefault(int(cell[i]), []).append(i)
+    kept: dict[int, bool] = {}
+    for members in by_cluster.values():
+        members.sort(key=lambda i: (dists[i], ids_s[i]))
+        for pos, i in enumerate(members):
+            kept[i] = not any(
+                _cosine(x_all[i], x_all[y]) >= threshold
+                for y in members[:pos]
+            )
+    return [
+        (ids_s[i], int(cell[i]), spark_round(dists[i], 6), kept[i])
+        for i in range(len(ids_s))
+    ]
+
+
 def write_ann_fixtures(sf_dir: str, write) -> None:
     et = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -622,6 +695,21 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
                 }
             ),
         )
+
+    sem = semantic_dedup_rows(vec_ids, vecs)
+    write(
+        "similarity_semantic_dedup",
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in sem], pa.int64()),
+                "cluster": pa.array([r[1] for r in sem], pa.int32()),
+                "dist_to_centroid": pa.array(
+                    [r[2] for r in sem], pa.float64()
+                ),
+                "kept": pa.array([r[3] for r in sem], pa.bool_()),
+            }
+        ),
+    )
 
 
 
