@@ -79,6 +79,8 @@ HEADLINE = [
     "sketch_count_min_users",
     "dedup_bloom_prefilter",
     "multimodal_byte_stats",
+    "text_bm25_topk",
+    "similarity_semantic_dedup",
 ]
 
 

@@ -503,6 +503,12 @@ def semantic_dedup(
         "cluster int, __cvec array<double>",
     )
     v = F.col(vec_col).cast("array<double>")
+    # Pre-normalize once per vector: the pair predicate then costs ONE
+    # array fold (dot of unit vectors) instead of three — array HOFs are
+    # interpreted, so fold count per pair dominates the n²/C join
+    # (measured ~2x on the corpus entry; same rationale as the dedup
+    # pipelines' no-HOF-in-hot-path rule, SCALE.md).
+    nrm = l2_norm(v)
     base = assigned.join(F.broadcast(cent_df), "cluster").select(
         F.col(id_col).alias("__id"),
         "cluster",
@@ -516,28 +522,38 @@ def semantic_dedup(
             ),
             9,
         ).alias("dist_to_centroid"),
-        v.alias("__v"),
+        F.transform(v, lambda x: x / nrm).alias("__nv"),
     )
     w = Window.partitionBy("cluster").orderBy(
         F.asc("dist_to_centroid"), F.asc("__id")
     )
-    ranked = base.withColumn("__ord", F.row_number().over(w))
+    # Persisted: the pair self-join and the final survivor join would
+    # otherwise re-run the pandas-UDF assignment lineage three times.
+    # One row per vector (id, cluster, dist, unit vector) — the same
+    # per-doc staging contract as the minhash/simhash aggregates; the
+    # caller owns cache lifetime (bench clears per run).
+    ranked = base.withColumn("__ord", F.row_number().over(w)).persist()
     x = ranked.select(
         "cluster",
         F.col("__id").alias("__id_x"),
         F.col("__ord").alias("__ord_x"),
-        F.col("__v").alias("__vx"),
+        F.col("__nv").alias("__vx"),
     )
     y = ranked.select(
         "cluster",
         F.col("__id").alias("__id_y"),
         F.col("__ord").alias("__ord_y"),
-        F.col("__v").alias("__vy"),
+        F.col("__nv").alias("__vy"),
+    )
+    unit_dot = F.aggregate(
+        F.zip_with(F.col("__vx"), F.col("__vy"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     dropped = (
         x.join(y, "cluster")
         .where(F.col("__ord_y") < F.col("__ord_x"))
-        .where(cosine(F.col("__vx"), F.col("__vy")) >= threshold)
+        .where(unit_dot >= threshold)
         .select(F.col("__id_x").alias("__id"))
         .distinct()
     )

@@ -479,3 +479,39 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "text", "doc_id", n=8,
         min_occurrences=2,
     ).select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+
+
+@register(
+    "dedup_fuzzy_blocked_pairs",
+    """
+    WITH vals AS (
+      SELECT p_name AS value, split_part(p_name, ' ', 1) AS blk,
+             COUNT(*) AS n
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.value AS value_a, b.value AS value_b,
+           levenshtein(a.value, b.value) AS edit_dist,
+           a.n AS n_a, b.n AS n_b
+    FROM vals a JOIN vals b ON a.blk = b.blk AND a.value < b.value
+    WHERE levenshtein(a.value, b.value) BETWEEN 1 AND 4
+    """,
+    doc="Record-linkage candidate pairs over part names: canonicalize to "
+    "a distinct-value dictionary with occurrence weights (one combinable "
+    "aggregate — the only full-data pass), block on the first token, and "
+    "compare inside blocks with banded Levenshtein "
+    "(levenshtein(l, r, threshold) early-exits above the band and the "
+    "-1 sentinel falls out of the BETWEEN filter). All-pairs comparison "
+    "is never materialized — blocking plays the role LSH bands play for "
+    "shingles.",
+)
+def dedup_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    part = load(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        block=F.split(F.col("value"), " ")[0],
+        max_dist=4,
+        min_dist=1,
+    )

@@ -158,19 +158,12 @@ _PLANT_OFFSET = 1_000_000
     "must be 100% on the planted set to hash-match).",
 )
 def similarity_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _planted_augmentation projects the perturbation before the id shift;
+    # the previous inline form let Spark's lateral-column-alias resolution
+    # bind the lambda's vec_id to the offset alias, shifting the modulo
+    # phase vs the oracle (invisible under round-6, but fragile).
     emb = load(spark, sf_dir, "embeddings")
-    vid = F.col("vec_id")
-    planted = emb.where(vid < _PLANT_K).select(
-        (vid + _PLANT_OFFSET).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x.cast("double")
-            * (F.lit(1.0) + F.lit(0.0005) * ((vid + i) % 3).cast("double")),
-        ).alias("embedding"),
-    )
-    aug = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(
-        planted
-    )
+    aug = _planted_augmentation(emb)
     return embedding_near_dup_pairs(
         aug, "embedding", "vec_id", dim=DIM, threshold=0.95, bits=6, tables=4
     ).select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))

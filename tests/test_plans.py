@@ -224,8 +224,11 @@ def test_bm25_broadcasts_terms_and_stats(spark):
     df = REGISTRY["text_bm25_topk"].spark(spark, SF_DIR)
     assert has_broadcast_join(df)
     # exchanges: term distinct (tiny) + tf agg (the one fat shuffle) +
-    # df window + single-row stats + per-(query,doc) agg + rank window
+    # dl join + single-row stats + per-(query,doc) agg + rank window
     assert shuffle_count(df) <= 6
-    # exactly two corpus scans: candidate postings + the dl/N stats pass
+    # three corpus scans, all narrow: candidate postings, the (doc, dl)
+    # frame, and the single-row stats pass. dl deliberately does NOT
+    # ride the explode: CollapseProject would re-run the normalization
+    # regexes per token (see bm25_topk docstring).
     plan = physical_plan(df)
-    assert plan.count("FileScan parquet") == 2
+    assert plan.count("FileScan parquet") == 3

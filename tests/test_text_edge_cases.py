@@ -274,3 +274,27 @@ def test_bm25_ranks_matching_docs(spark, docs):
     scores = {r.doc_id: r.score for r in out}
     assert scores[0] == scores[8]
     assert all(r.score > 0 for r in out)
+
+
+def test_blocked_fuzzy_pairs_band_and_weights(spark):
+    """Fuzzy blocking: cross-block pairs never compared, banded distance
+    excludes above-threshold pairs, weights count raw occurrences, and
+    the -1 early-exit sentinel never leaks into results."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    rows = [
+        (0, "red bolt"), (1, "red bolt"), (2, "red boat"),
+        (3, "red anvil"),          # dist 4 from "red bolt" (> max 2)
+        (4, "blue bolt"),          # other block, never compared
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = blocked_fuzzy_pairs(
+        df, "name", block=F.split(F.col("value"), " ")[0], max_dist=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.value_a, r.value_b, r.edit_dist) == ("red boat", "red bolt", 1)
+    assert (r.n_a, r.n_b) == (1, 2)
+    assert all(p.edit_dist >= 1 for p in out)
