@@ -1,0 +1,147 @@
+"""Lakehouse MERGE primitives: key-level change classification and
+snapshot production from (base, updates) pairs.
+
+The MERGE INTO shape every table format (Delta/Iceberg/Hudi) implements
+on top of exactly this plan: one full-outer equi-join on the merge key,
+per-row action classification, and column coalescing for the new
+snapshot.  Expressed declaratively so Catalyst handles distribution —
+at 100 TB the join is the only shuffle, and it disappears entirely when
+both sides are bucketed on the key (see ``operators/layout.py``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def merge_actions(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every merge key: ``insert`` (update side only),
+    ``update`` (both sides, any compare column differs — null-safe),
+    ``unchanged`` (both sides, all equal), ``keep`` (base side only —
+    the WHEN NOT MATCHED BY SOURCE default).
+
+    Returns base columns as ``b_*``, update columns as ``u_*``, the key
+    columns, and ``action``.  ``compare_cols`` defaults to every
+    non-key column shared by both sides.
+
+    Scale shape: ONE full-outer shuffle join on the merge key — the
+    irreducible cost of MERGE; everything else is per-row projection.
+    Comparison uses null-safe equality (``eqNullSafe``) so null→value
+    and value→null transitions classify as updates, matching
+    Delta/Iceberg semantics.
+    """
+    if compare_cols is None:
+        shared = set(base.columns) & set(updates.columns)
+        compare_cols = sorted(shared - set(keys))
+    b = base.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    u = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"u_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_u"),
+    )
+    changed = None
+    for c in compare_cols:
+        diff = ~F.col(f"b_{c}").eqNullSafe(F.col(f"u_{c}"))
+        changed = diff if changed is None else (changed | diff)
+    action = (
+        F.when(F.col("__in_b").isNull(), F.lit("insert"))
+        .when(F.col("__in_u").isNull(), F.lit("keep"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        b.join(u, keys, "full_outer")
+        .withColumn("action", action)
+        .drop("__in_b", "__in_u")
+    )
+
+
+def merge_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """The post-MERGE table: update columns win where present, base
+    columns survive otherwise; ``delete_missing=True`` drops base keys
+    absent from the update side (WHEN NOT MATCHED BY SOURCE THEN
+    DELETE).  Output schema = keys + compare columns."""
+    acts = merge_actions(base, updates, keys, compare_cols)
+    if compare_cols is None:
+        shared = set(base.columns) & set(updates.columns)
+        compare_cols = sorted(shared - set(keys))
+    out = acts if not delete_missing else acts.where(F.col("action") != "keep")
+    return out.select(
+        *keys,
+        *[
+            F.coalesce(F.col(f"u_{c}"), F.col(f"b_{c}")).alias(c)
+            for c in compare_cols
+        ],
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each key's
+    attribute stream into validity intervals ``[valid_from, valid_to)``,
+    open-ended (``valid_to`` null, ``is_current`` true) for the latest
+    run.
+
+    Gaps-and-islands: a null-safe change flag against ``lag``, a running
+    sum to number runs, one aggregate per run, and ``lead`` over runs
+    for the closing timestamp.  ``tiebreak_col`` pins the order of
+    same-timestamp rows (pass the event id for deterministic history).
+
+    Scale shape: every step shares ONE partitioning — the key — so the
+    whole history build is a single shuffle followed by partition-local
+    windows and a map-side-combinable aggregate.  Key skew (one entity
+    with millions of versions) inherits the window-skew medicine: range-
+    bucket the timestamp into a composite key, then stitch runs across
+    bucket edges.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    chg = F.when(
+        ~F.lag(F.col(attr_col)).over(w).eqNullSafe(F.col(attr_col)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = df.withColumn("__chg", chg).withColumn(
+        "__run",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = runs.groupBy(key_col, attr_col, "__run").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy(key_col).orderBy("__run")
+    return (
+        g.withColumn("valid_to", F.lead("valid_from").over(wr))
+        .select(
+            key_col,
+            attr_col,
+            "valid_from",
+            "valid_to",
+            "n_events",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -1368,3 +1368,65 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "measure", F.round("value", 2).alias("value")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    f"""
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+             '1-URGENT' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    m AS (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                  WHEN u.o_orderkey IS NULL THEN 'keep'
+                  WHEN b.o_totalprice IS DISTINCT FROM u.o_totalprice
+                    OR b.o_orderpriority IS DISTINCT FROM u.o_orderpriority
+                    THEN 'update'
+                  ELSE 'unchanged' END AS action,
+             COALESCE(u.o_totalprice, b.o_totalprice) AS new_price
+      FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('new_price')} AS sum_price
+    FROM m GROUP BY action
+    """,
+    doc="Lakehouse MERGE classification (operators/upsert.py): a derived "
+    "update batch (changed prices + no-op rows + new keys) full-outer "
+    "joins the base on the merge key; per-key actions "
+    "(insert/update/unchanged/keep) use null-safe comparison, matching "
+    "Delta/Iceberg WHEN MATCHED semantics. One shuffle — the "
+    "irreducible MERGE cost; bucketing both sides on the key removes "
+    "even that (test_bucketed_join_zero_shuffle).",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.upsert import merge_actions
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.select(*cols)
+    upd_changed = orders.where(key % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    upd_same = orders.where((key % 11 == 0) & (key % 7 != 0)).select(*cols)
+    inserts = orders.where(key % 13 == 0).select(
+        (key + 100000000).alias("o_orderkey"), "o_totalprice", "o_orderpriority"
+    )
+    updates = upd_changed.unionByName(upd_same).unionByName(inserts)
+    acts = merge_actions(
+        base, updates, ["o_orderkey"], ["o_orderpriority", "o_totalprice"]
+    )
+    return acts.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.coalesce("u_o_totalprice", "b_o_totalprice")).alias("sum_price"),
+    )

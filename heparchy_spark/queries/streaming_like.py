@@ -203,3 +203,52 @@ def events_stream_join_view_purchase(
         "purchase_ts",
         F.round("purchase_value", 6).alias("purchase_value"),
     )
+
+
+@register(
+    "events_scd2_type_history",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    c AS (
+      SELECT *, CASE WHEN lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)
+             IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM e
+    ),
+    r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM c
+    ),
+    g AS (
+      SELECT user_id, event_type, run, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM r GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+               AS valid_to,
+             n_events
+      FROM g
+    )
+    SELECT user_id, event_type, valid_from, valid_to, n_events,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+    doc="SCD type-2 history of each user's event-type attribute "
+    "(operators/upsert.py scd2_history): gaps-and-islands run "
+    "numbering, one interval row per run with [valid_from, valid_to) "
+    "and an open current row. Every step shares the user-id "
+    "partitioning — one shuffle end to end.",
+)
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.upsert import scd2_history
+
+    ev = load(spark, sf_dir, "events")
+    return scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    )

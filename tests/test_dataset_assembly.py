@@ -220,3 +220,61 @@ def test_mix_sources_quota_invariants(spark, case):
         expect = w * n_star // 1000
         assert got.get(s, 0) == expect
         assert expect <= n_by_src[s]  # never upsampled
+
+
+def test_merge_actions_and_snapshot(spark):
+    """MERGE primitives: null-safe action classification and snapshot
+    column coalescing, including null->value transitions and the
+    delete_missing (NOT MATCHED BY SOURCE) path."""
+    from heparchy_spark.operators.upsert import merge_actions, merge_snapshot
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, price double, tag string",
+    )
+    upd = spark.createDataFrame(
+        [(2, 20.0, "b"),      # unchanged
+         (3, 30.0, "c"),      # null -> value = update
+         (4, 40.0, "D"),      # tag change = update
+         (9, 90.0, "z")],     # insert
+        "k long, price double, tag string",
+    )
+    acts = {r.k: r.action for r in merge_actions(base, upd, ["k"]).collect()}
+    assert acts == {1: "keep", 2: "unchanged", 3: "update", 4: "update", 9: "insert"}
+
+    snap = {r.k: (r.price, r.tag) for r in merge_snapshot(base, upd, ["k"]).collect()}
+    assert snap == {
+        1: (10.0, "a"), 2: (20.0, "b"), 3: (30.0, "c"), 4: (40.0, "D"), 9: (90.0, "z"),
+    }
+    snap_del = merge_snapshot(base, upd, ["k"], delete_missing=True).collect()
+    assert {r.k for r in snap_del} == {2, 3, 4, 9}
+
+
+def test_scd2_history_runs_and_current(spark):
+    """SCD2: consecutive same-attribute rows collapse into one interval,
+    intervals chain [valid_from, valid_to), the last run per key is open
+    and current, and the tiebreak pins same-timestamp ordering."""
+    from datetime import datetime as dt
+
+    from heparchy_spark.operators.upsert import scd2_history
+
+    rows = [
+        (1, "a", dt(2024, 1, 1), 0),
+        (1, "a", dt(2024, 1, 2), 1),
+        (1, "b", dt(2024, 1, 3), 2),
+        (1, "a", dt(2024, 1, 4), 3),   # a again -> NEW run, not merged
+        (2, "x", dt(2024, 1, 1), 4),
+        (2, "y", dt(2024, 1, 1), 5),   # same ts, id breaks the tie
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, eid long")
+    out = sorted(
+        scd2_history(df, "k", "attr", "ts", tiebreak_col="eid").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    k1 = [r for r in out if r.k == 1]
+    assert [(r.attr, r.n_events, r.is_current) for r in k1] == [
+        ("a", 2, False), ("b", 1, False), ("a", 1, True),
+    ]
+    assert [r.valid_to for r in k1] == [dt(2024, 1, 3), dt(2024, 1, 4), None]
+    k2 = [r for r in out if r.k == 2]
+    assert [(r.attr, r.is_current) for r in k2] == [("x", False), ("y", True)]
