@@ -104,3 +104,63 @@ def pagerank(
     nodes.unpersist()
     ranks.unpersist()
     return out
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges`` must be canonical: (src, dst) distinct with src < dst, no
+    self-loops.  Returns (node, n_triangles) for every node in at least
+    one triangle.
+
+    Degree-ordered orientation (the MapReduce-era standard — Suri &
+    Vassilvitskii 2011): direct every edge from its (degree, id)-smaller
+    endpoint to the larger, enumerate wedges only at each edge's apex,
+    and close them against the canonical edge set.  Each triangle is
+    generated exactly once, and the wedge count is bounded by
+    O(m^{3/2}) regardless of degree skew — a hub of degree d generates
+    no wedges unless its NEIGHBORS have higher rank, which at most
+    sqrt(m) of them can.  Both the wedge step and the closing step are
+    equi-joins; nothing quadratic in the node count.
+
+    Per-node counts are orientation-independent, so an oracle may
+    verify with the naive a<b<c triple join.
+    """
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnsRenamed({"node": "src", "deg": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "deg": "dd"}), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+            )
+            .otherwise(
+                F.struct(F.col("dst").alias("lo"), F.col("src").alias("hi"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("u"), F.col("e.hi").alias("v"))
+    )
+    w1 = ranked.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = ranked.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "apex").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        edges,
+        (F.least("x", "y") == F.col("src"))
+        & (F.greatest("x", "y") == F.col("dst")),
+    ).select("apex", "x", "y")
+    members = (
+        closed.select(F.col("apex").alias("node"))
+        .unionAll(closed.select(F.col("x").alias("node")))
+        .unionAll(closed.select(F.col("y").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -87,3 +87,57 @@ def graph_pagerank_supply_network(
     return pagerank(
         fwd.unionByName(bwd), "src", "dst", damping_pct=_D_PCT, iters=_ITERS
     )
+
+
+@register(
+    "graph_triangle_counts",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= 49
+    ),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM supply a JOIN supply b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    t AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    m AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY node
+    """,
+    doc="Per-supplier triangle counts in the high-quantity co-supply "
+    "graph (suppliers adjacent when they ship the same part). Spark "
+    "side runs the degree-ordered orientation (Suri-Vassilvitskii): "
+    "wedges enumerate only at each edge's rank-smaller apex, bounding "
+    "work at O(m^1.5) under any degree skew; the oracle uses the naive "
+    "oriented triple join, valid because per-node participation counts "
+    "are orientation-independent.",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    a = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_counts(edges)

@@ -252,3 +252,42 @@ def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
     )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND CAST(e.ts AS TIMESTAMP) > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND CAST(e.ts AS TIMESTAMP) > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    doc="Strict-order conversion funnel view -> click -> purchase "
+    "(operators/funnel.py): stage k+1 needs an event strictly after the "
+    "user's first stage-k completion. Each stage = one pushed-down type "
+    "filter + one combinable per-user min + one narrow user-keyed join; "
+    "survivor sets shrink monotonically down the funnel.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.funnel import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )

@@ -516,3 +516,42 @@ def test_duplicated_ngram_spans_semantics(spark):
     assert 3 not in by_doc
     # doc 4: the repeated 8-gram appears at pos 0 and pos 18 (gap 18 > 8)
     assert sorted(by_doc[4]) == [(0, 7, 8, 1), (18, 25, 8, 1)]
+
+
+def test_funnel_strict_ordering(spark):
+    """Funnel: a click BEFORE the first view does not convert; equal
+    timestamps do not convert (strictly after); repeat stage events
+    count once per user."""
+    from datetime import datetime as dt
+
+    from heparchy_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", dt(2024, 1, 1, 0)), (1, "click", dt(2024, 1, 1, 1)),
+        (1, "purchase", dt(2024, 1, 1, 2)),
+        # user 2: click precedes the view -> stalls at view
+        (2, "click", dt(2024, 1, 1, 0)), (2, "view", dt(2024, 1, 1, 1)),
+        # user 3: click at the SAME instant as view -> not strictly after
+        (3, "view", dt(2024, 1, 1, 0)), (3, "click", dt(2024, 1, 1, 0)),
+        # user 4: two views then click, no purchase
+        (4, "view", dt(2024, 1, 1, 0)), (4, "view", dt(2024, 1, 1, 5)),
+        (4, "click", dt(2024, 1, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.stage: r.n_users for r in funnel_counts(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_triangle_counts_toy_graph(spark):
+    """Triangles: K4 minus one edge has two triangles sharing an edge;
+    per-node counts reflect participation; isolated edges contribute
+    nothing."""
+    from heparchy_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 2, 2: 1, 3: 2, 4: 1}
