@@ -236,3 +236,46 @@ def pack_sequences(
             (cum - length).cast("double") / F.lit(float(budget))
         ).cast("long").alias("bin_id"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    content_col: str,
+    weight: Column | str,
+    k: int,
+    salt: str = "wsample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted k-sample without replacement (Efraimidis-Spirakis A-ES),
+    with the corpus' content-hash determinism contract in place of RNG.
+
+    Each row gets a uniform ``u`` from its content-hash prefix and the
+    sort key ``ln(u)/w`` — the top-k rows by that key are a weighted
+    sample where inclusion probability scales with ``w`` (quality
+    scores, token counts, source priorities).  Content-derived ``u``
+    keeps the A-ES guarantees while staying rerun-stable and
+    growth-stable (new rows never reshuffle old keys), like every other
+    sampler in this module.
+
+    Scale: per-row projection + ``TakeOrdered`` (k per partition to the
+    driver, no global sort).  Keys are rounded to 9 decimals with the id
+    as tiebreak so the selection is engine-portable.  Rows with
+    non-positive weight are filtered out up front (A-ES requires w > 0;
+    under ANSI mode ln(u)/0 would throw rather than produce the -inf the
+    pre-ANSI idiom relied on).
+    """
+    c = F.col(content_col)
+    w = F.col(weight) if isinstance(weight, str) else weight
+    h48 = F.conv(
+        F.substring(F.sha2(F.concat(c, F.lit(salt)), 256), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+    u = (h48.cast("double") + 0.5) / float(1 << (4 * _HEX_DIGITS))
+    skey = F.round(F.log(u) / w.cast("double"), 9)
+    return (
+        df.where(w > 0)
+        .select(F.col(id_col), w.cast("long").alias("weight"), skey.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc(id_col))
+        .limit(k)
+    )

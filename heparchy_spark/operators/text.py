@@ -9,6 +9,7 @@ mean word length).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -557,4 +558,118 @@ def split_sentences(spark, df: DataFrame, text_col: str, id_col: str) -> DataFra
         .createOrReplaceTempView("__sent_in")
     return spark.sql(
         "SELECT s.* FROM __sent_in, LATERAL __sentence_split(doc_id, text) s"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016)
+    over the corpus: learn ``n_merges`` merge rules from word
+    frequencies.  Returns the merge table (merge_idx, left, right,
+    pair_count) — the artifact a tokenizer ships.
+
+    Distributed shape: the ONLY corpus-scale pass is the word-frequency
+    aggregate (exploded token stream -> one combinable groupBy; at
+    100 TB this is the same wordcount shuffle as token_frequencies).
+    Everything after runs on the VOCABULARY table — bounded by distinct
+    words, not corpus size.  Each merge iteration is: adjacent-pair
+    explode + weighted count (vocab-sized shuffle), a 1-row argmax
+    collect (bounded by construction), and a vectorized merge of the
+    winning pair applied per word.  The merge itself is an Arrow-batched
+    pandas UDF: greedy left-to-right pair replacement is inherently
+    sequential within a word, and the vocab table is off the corpus
+    hot path where the no-Python-UDF rule applies.
+
+    Tie-break: (pair_count DESC, left ASC, right ASC) — fully
+    deterministic, mirrored by the plain-Python fixture oracle.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # initial symbol sequence: characters + end-of-word marker
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).persist()
+    vocab.count()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for idx in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, n = top[0].l, top[0].r, int(top[0].n)
+        merges.append((idx, left, right, n))
+
+        def make_merge_udf(left: str, right: str):
+            # factory freezes the pair by value: the UDF lives on in the
+            # persisted frame's lineage, and a late recomputation must
+            # not see a LATER iteration's loop variables
+            @F.pandas_udf("array<string>")
+            def merge_pair(s: pd.Series) -> pd.Series:
+                def m(syms: list) -> list:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+
+                return s.map(m)
+
+            return merge_pair
+
+        merge_pair = make_merge_udf(left, right)
+        new_vocab = vocab.select(
+            "freq", merge_pair("syms").alias("syms")
+        ).persist()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, pair_count long"
     )

@@ -231,3 +231,30 @@ def dataset_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep, "text", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
     )
     return pack_sequences(sp, "split", "doc_id", token_count("text"), 1024)
+
+
+@register(
+    "dataset_weighted_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars AS weight,
+             ROUND(
+               ln((('0x' || substr(sha256(text || 'wsample'), 1, 12))::BIGINT
+                   + 0.5) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE), 9) AS skey
+      FROM documents
+    )
+    SELECT doc_id, weight, skey FROM s
+    ORDER BY skey DESC, doc_id LIMIT 100
+    """,
+    doc="Weighted 100-sample of documents by length "
+    "(operators/dataset.py weighted_sample): Efraimidis-Spirakis A-ES "
+    "keys ln(u)/w with the uniform drawn from the content-hash prefix — "
+    "deterministic, growth-stable weighted sampling with a TakeOrdered "
+    "plan (k per partition, no global sort).",
+)
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(docs, "text", "n_chars", k=100)

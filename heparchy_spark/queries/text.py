@@ -740,3 +740,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_topk(docs, "text", "doc_id", queries, k1=1.2, b=0.75, k=10)
+
+
+@register(
+    "text_bpe_vocab_merges",
+    expected_fixture_sql("text_bpe_vocab_merges"),
+    doc="BPE tokenizer vocabulary induction (Sennrich et al. 2016): 8 "
+    "merge rules learned from corpus word frequencies "
+    "(operators/text.py bpe_train). The only corpus-scale pass is the "
+    "wordcount aggregate; merge iterations run on the bounded "
+    "vocabulary table with a 1-row argmax collect per step and the "
+    "deterministic (count, left, right) tie-break. Oracle = "
+    "plain-Python BPE mirror, precomputed.",
+)
+def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", "doc_id", n_merges=8)

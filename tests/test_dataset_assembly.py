@@ -278,3 +278,25 @@ def test_scd2_history_runs_and_current(spark):
     assert [r.valid_to for r in k1] == [dt(2024, 1, 3), dt(2024, 1, 4), None]
     k2 = [r for r in out if r.k == 2]
     assert [(r.attr, r.is_current) for r in k2] == [("x", False), ("y", True)]
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark):
+    """A-ES weighted sampling: selection is rerun-stable, biased toward
+    heavy rows (sample mean weight far above corpus mean), zero-weight
+    rows never selected, and the plan is TakeOrdered (no global sort)."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dataset import weighted_sample
+    from heparchy_spark.plans.inspect import physical_plan
+
+    rows = [(i, f"doc-{i}", (i % 10) * 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    out = weighted_sample(df, "text", "w", k=50)
+    got = out.collect()
+    assert len(got) == 50
+    assert got == weighted_sample(df, "text", "w", k=50).collect()
+    assert all(r.weight > 0 for r in got)
+    corpus_mean = 450.0  # mean of (i%10)*100 over 500 rows
+    sample_mean = sum(r.weight for r in got) / len(got)
+    assert sample_mean > corpus_mean * 1.3
+    assert "TakeOrderedAndProject" in physical_plan(out)

@@ -555,3 +555,25 @@ def test_triangle_counts_toy_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert out == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """BPE on a tiny corpus: first merge is the highest-frequency
+    adjacent pair (weighted by word counts), ties break lexically, and
+    later merges can consume earlier merge products."""
+    from heparchy_spark.operators.text import bpe_train
+
+    # "low low low lower" -> words: low x3, lower x1
+    df = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower low")],
+        "doc_id long, text string",
+    )
+    out = bpe_train(df, "text", "doc_id", n_merges=3).collect()
+    got = [(r.merge_idx, r.left, r.right, r.pair_count) for r in out]
+    # pair counts over {low:4, lower:1}: (l,o)=5, (o,w)=5, (w,</w>)=4 ...
+    # tie 5-5 breaks to ('l','o'); then ('lo','w')=5; then ('low','</w>')=4
+    assert got == [
+        (0, "l", "o", 5),
+        (1, "lo", "w", 5),
+        (2, "low", "</w>", 4),
+    ]

@@ -298,6 +298,45 @@ def payload_embedding_sum(buf: bytes, dim: int = 16) -> float:
 
 
 # --------------------------------------------------------------------------
+
+
+def bpe_merges(docs, n_merges=8) -> list[tuple]:
+    """Mirror of operators.text.bpe_train: word-frequency table from the
+    normalized token stream, then greedy highest-count pair merges with
+    the (count DESC, left ASC, right ASC) tie-break."""
+    freq: dict[str, int] = {}
+    for _, text in docs:
+        for w in tokens(text):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = [(list(w) + ["</w>"], c) for w, c in freq.items()]
+    merges = []
+    for idx in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((idx, left, right, n))
+        nxt = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, c))
+        vocab = nxt
+    return merges
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = Path(
@@ -318,6 +357,19 @@ def main() -> None:
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, out_dir / f"{name}.parquet")
         print(f"{name}: {table.num_rows} rows")
+
+    bm = bpe_merges(docs)
+    write(
+        "text_bpe_vocab_merges",
+        pa.table(
+            {
+                "merge_idx": pa.array([r[0] for r in bm], pa.int32()),
+                "left": pa.array([r[1] for r in bm], pa.string()),
+                "right": pa.array([r[2] for r in bm], pa.string()),
+                "pair_count": pa.array([r[3] for r in bm], pa.int64()),
+            }
+        ),
+    )
 
     # text_fingerprints
     write(
