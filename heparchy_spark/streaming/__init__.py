@@ -20,6 +20,7 @@ from heparchy_spark.streaming.analytics import (
     sessionize,
     sliding_user_counts,
     streaming_count_min,
+    streaming_funnel,
     tumbling_counts,
 )
 from heparchy_spark.streaming.pipeline import (
@@ -37,6 +38,7 @@ __all__ = [
     "corpus_gates",
     "stream_corpus_pipeline",
     "streaming_count_min",
+    "streaming_funnel",
     "read_event_stream",
     "stream_to_store",
     "tumbling_counts",

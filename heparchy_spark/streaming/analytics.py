@@ -223,3 +223,76 @@ def streaming_count_min(
     from heparchy_spark.operators.sketch import cm_positions, count_min_build
 
     return count_min_build(events, cm_positions(F.col(key_col), width, depth))
+
+
+_FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage_reached", T.IntegerType()),
+        T.StructField("reached_ts", T.TimestampType()),
+    ]
+)
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel``: a per-user stage machine in
+    the state store.  State is (stage, timestamp of reaching it); a
+    ``steps[stage]`` event strictly after that timestamp advances the
+    stage.  Emits (user_id, stage_reached, reached_ts) per micro-batch in
+    update mode — the latest row per user is the funnel position.
+
+    Exactness contract: matches the batch funnel when events arrive in
+    event-time order ACROSS micro-batches (in-batch disorder is handled
+    by sorting each batch on (ts, event_id)).  A late-arriving earlier
+    stage-k event cannot retroactively lower t_k — the usual streaming
+    trade; bound disorder with the source watermark if it matters.
+
+    State is two scalars per user — O(active users), far below the
+    windowed aggregates' state; the per-key Python loop touches only
+    that user's batch slice.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
+    ) -> ty.Iterator[pd.DataFrame]:
+        stage, last_us = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs))
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for et, ts in zip(rows["event_type"], rows["ts"]):
+                if stage >= len(steps):
+                    break
+                if et == steps[stage]:
+                    ts_us = int(pd.Timestamp(ts).value) // 1000
+                    if stage == 0 or ts_us > last_us:
+                        stage += 1
+                        last_us = ts_us
+        state.update((stage, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage_reached": [stage],
+                "reached_ts": [
+                    pd.to_datetime(last_us, unit="us") if stage else pd.NaT
+                ],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

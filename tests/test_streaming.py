@@ -358,3 +358,33 @@ def test_stream_corpus_pipeline_matches_batch_twin(spark, tmp_path):
     assert got_set == want_set and len(want_set) > 100
     # redelivered duplicates were suppressed
     assert not any(d >= 100_000 for d, _ in got_set)
+
+
+def test_streaming_funnel_matches_batch(spark, landing):
+    """Per-user funnel state machine across micro-batches: the final
+    update row per user must equal the batch strict-order funnel (the
+    landing fixture arrives in event-time order)."""
+    from heparchy_spark.operators.funnel import funnel_reach
+    from heparchy_spark.streaming import read_event_stream, streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(streaming_funnel(stream, steps), "t_funnel", "update")
+    got = {
+        r["user_id"]: (r["stage_reached"], r["reached_ts"])
+        for r in spark.sql("select * from t_funnel").collect()
+        # update-mode rows arrive in batch order; dict keeps the last
+    }
+    ev = load(spark, SF_DIR, "events")
+    reach = funnel_reach(ev, "user_id", "ts", "event_type", steps)
+    want: dict[int, tuple[int, object]] = {
+        r["user_id"]: (0, None) for r in ev.select("user_id").distinct().collect()
+    }
+    for k, frame in enumerate(reach, start=1):
+        for r in frame.collect():
+            want[r["__u"]] = (k, r["__t"])
+    assert set(got) == set(want)
+    for u, (stage, t) in want.items():
+        assert got[u][0] == stage, u
+        if stage:
+            assert got[u][1] == t, u
