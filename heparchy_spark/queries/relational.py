@@ -1430,3 +1430,50 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.coalesce("u_o_totalprice", "b_o_totalprice")).alias("sum_price"),
     )
+
+
+@register(
+    "agg_robust_stats_value",
+    f"""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.1) AS p10,
+             quantile_cont(value, 0.9) AS p90
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(MAX(med), 6) AS median_value,
+           ROUND(quantile_cont(abs(e.value - med), 0.5), 6) AS mad,
+           {sql_davg('CASE WHEN e.value BETWEEN p10 AND p90 THEN e.value END')}
+             AS trimmed_mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Robust per-type statistics over event values: exact median, MAD "
+    "(median absolute deviation), and a 10%-trimmed mean — the outlier-"
+    "resistant profile a data-quality monitor wants where mean/stddev "
+    "mislead. Two passes: a group-percentile aggregate (broadcast back, "
+    "|types| rows) then one deviation aggregate; exact percentiles are "
+    "the parity form, approx_percentile is the documented scale path.",
+)
+def agg_robust_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.percentile("value", F.lit(0.1)).alias("p10"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    v = F.col("value")
+    return j.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(
+            F.percentile(F.abs(v - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad"),
+        davg(F.when((v >= F.col("p10")) & (v <= F.col("p90")), v)).alias(
+            "trimmed_mean"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
