@@ -673,3 +673,70 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count long"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG/embedding
+    pre-processing primitive.  Returns (id, chunk_idx, start_pos,
+    n_tokens, chunk_text); chunk k covers token positions
+    [k*step, k*step + chunk_tokens) with step = chunk_tokens - overlap.
+
+    Scale shape: the naive form — ``slice(split(text), start, len)`` per
+    chunk row — re-runs the tokenizer once per CHUNK after projection
+    collapse, going O(n²/step) per document (ruinous on 100k-token
+    docs).  Instead the token stream explodes ONCE with positions, each
+    token fans out to the ≤ chunk/(chunk-overlap) chunks containing it
+    (a constant ~1.33x row multiplier at the default sizes), and chunks
+    reassemble in one combinable aggregate with order restored by
+    position sort — linear in corpus size with one shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.trim(text_col), r"\s+")).alias(
+            "__pos", "__tok"
+        ),
+    ).where(F.length("__tok") > 0)
+    p = F.col("__pos")
+    k_lo = F.greatest(
+        F.lit(0), F.floor((p - F.lit(chunk_tokens)) / F.lit(step)) + 1
+    )
+    k_hi = F.floor(p / F.lit(step))
+    fan = toks.select(
+        "__id",
+        "__pos",
+        "__tok",
+        F.explode(F.sequence(k_lo.cast("int"), k_hi.cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    return (
+        fan.groupBy(F.col("__id").alias(id_col), "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__tok"))
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * step).cast("long").alias("start_pos"),
+            "n_tokens",
+            "chunk_text",
+        )
+    )

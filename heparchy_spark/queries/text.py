@@ -758,3 +758,40 @@ def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_train(docs, "text", "doc_id", n_merges=8)
+
+
+@register(
+    "text_chunk_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, u - 1 AS pos, w[u] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS u FROM w)
+      WHERE length(w[u]) > 0
+    ),
+    fan AS (
+      SELECT doc_id, pos, tok, unnest(generate_series(
+               CAST(greatest(0, floor((pos - 32) / 24.0) + 1) AS BIGINT),
+               CAST(floor(pos / 24.0) AS BIGINT))) AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 24 AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM fan GROUP BY doc_id, chunk_idx
+    """,
+    doc="RAG document chunking: 32-token chunks with 8-token overlap "
+    "(operators/text.py chunk_documents). Tokens explode once with "
+    "positions and fan out to their containing chunks (~1.33x row "
+    "multiplier), chunks reassemble in one combinable aggregate — "
+    "linear, never the O(n^2/step) re-tokenize-per-chunk trap.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)

@@ -298,3 +298,32 @@ def test_blocked_fuzzy_pairs_band_and_weights(spark):
     assert (r.value_a, r.value_b, r.edit_dist) == ("red boat", "red bolt", 1)
     assert (r.n_a, r.n_b) == (1, 2)
     assert all(p.edit_dist >= 1 for p in out)
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    """Chunking: overlap regions repeat across adjacent chunks, short and
+    single-token docs yield one chunk, empty/null docs yield none, and
+    chunk text restores token order."""
+    from heparchy_spark.operators.text import chunk_documents
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks at 0,4,8
+        (1, "one"),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=6, overlap=2)
+    got = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert {k[0] for k in got} == {0, 1}
+    c0 = [got[(0, k)] for k in range(3)]
+    assert [r.chunk_text for r in c0] == [
+        "t0 t1 t2 t3 t4 t5",
+        "t4 t5 t6 t7 t8 t9",
+        "t8 t9",
+    ]
+    assert [r.start_pos for r in c0] == [0, 4, 8]
+    assert [r.n_tokens for r in c0] == [6, 6, 2]
+    assert got[(1, 0)].chunk_text == "one"
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
