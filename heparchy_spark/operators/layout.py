@@ -234,3 +234,135 @@ def cluster_by_zorder(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom file index: equality data-skipping beyond min/max footer stats
+# ---------------------------------------------------------------------------
+
+_BLOOM_IDX_SUFFIX = "__bloomidx"
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+        for seed in range(k)
+    ]
+
+
+def write_bloom_file_index(
+    df: DataFrame,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet plus a per-FILE Bloom sidecar on ``col``.
+
+    Z-order/min-max footer stats skip files for RANGE predicates on
+    clustered columns; they are useless for equality probes on
+    high-cardinality unclustered columns (every file's [min, max]
+    spans the probe).  A per-file Bloom filter fills that gap — the same
+    skip-index Delta/Iceberg attach per data file.
+
+    The sidecar is built from the data ACTUALLY written: read back with
+    the ``_metadata.file_path`` column, hash k positions per value, one
+    bit_or aggregate per (file, word) — at most m_bits/64 longs per
+    file, independent of row count.  Rebuild cost is one scan of the
+    written files; at cluster scale the sidecar rides the same writer
+    job per partition.
+    """
+    spark = df.sparkSession
+    out = df if n_files is None else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col(col).alias("__v"),
+    )
+    ex = back.select(
+        "file_path",
+        F.explode(F.array(*_bloom_positions(F.col("__v"), m_bits, k))).alias(
+            "__pos"
+        ),
+    )
+    sidecar = (
+        ex.select(
+            "file_path",
+            F.shiftright("__pos", 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast((__pos & 63) as int))"
+            ).alias("__bit"),
+        )
+        .groupBy("file_path", "word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+    sidecar.write.mode("overwrite").parquet(path + _BLOOM_IDX_SUFFIX)
+
+
+def bloom_prune_files(
+    spark,
+    path: str,
+    col: str,
+    value,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> tuple[list[str], int]:
+    """(candidate_files, total_files): files whose Bloom filter may
+    contain ``value`` on the indexed column.  False positives possible,
+    false negatives not — pruned files provably lack the value.
+
+    The probe computes the value's k bit positions engine-side (same
+    xxhash64 as the build), folds them into per-word masks, and keeps
+    files where every needed word has all mask bits set.  The sidecar
+    scan is word-rows only; the returned list is bounded by the file
+    count — the same driver-side scale as Spark's own file listing.
+    """
+    idx = spark.read.parquet(path + _BLOOM_IDX_SUFFIX)
+    total = idx.select("file_path").distinct().count()
+    # xxhash64 hashes the VALUE AS TYPED: a Python int literal arrives as
+    # int32 while the indexed column may be bigint, silently hashing
+    # different bytes (a guaranteed false NEGATIVE). Cast the probe
+    # literal to the indexed column's actual type first.
+    col_type = dict(spark.read.parquet(path).dtypes)[col]
+    probe_lit = F.lit(value).cast(col_type)
+    pos_row = (
+        spark.range(1)
+        .select(F.array(*_bloom_positions(probe_lit, m_bits, k)).alias("ps"))
+        .collect()[0]
+    )
+    needed: dict[int, int] = {}
+    for p in pos_row.ps:
+        needed[p >> 6] = needed.get(p >> 6, 0) | (1 << (p & 63))
+    cond = None
+    for widx, mask in needed.items():
+        c = (F.col("word_idx") == widx) & (
+            F.col("word").bitwiseAND(F.lit(mask)) == F.lit(mask)
+        )
+        cond = c if cond is None else (cond | c)
+    hits = (
+        idx.where(cond)
+        .groupBy("file_path")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == len(needed))
+    )
+    files = [r.file_path for r in hits.select("file_path").collect()]
+    return files, total
+
+
+def read_pruned_by_bloom(
+    spark,
+    path: str,
+    col: str,
+    value,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Equality read through the Bloom file index: scan only candidate
+    files, then apply the exact predicate.  Empty candidate set returns
+    an empty frame with the full schema."""
+    files, _ = bloom_prune_files(spark, path, col, value, m_bits, k)
+    full = spark.read.parquet(path)
+    if not files:
+        return full.where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(col) == value)

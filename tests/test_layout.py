@@ -176,3 +176,45 @@ def test_cluster_by_zorder_tightens_file_stats(spark, tmp_path):
     assert (
         spark.read.parquet(z_dir).count() == o.count()
     )
+
+
+def test_bloom_file_index_prunes_and_agrees(spark, tmp_path):
+    """Bloom file index: a point probe reads a strict subset of files,
+    results equal the full-scan filter, and an absent value prunes to
+    zero files (no false negatives by construction)."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.layout import (
+        bloom_prune_files,
+        read_pruned_by_bloom,
+        write_bloom_file_index,
+    )
+    from heparchy_spark.queries.tables import load
+
+    path = str(tmp_path / "bloomed")
+    orders = load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bloom_file_index(orders, path, "o_orderkey", n_files=8)
+
+    probe = orders.select("o_orderkey").collect()[37].o_orderkey
+    files, total = bloom_prune_files(spark, path, "o_orderkey", probe)
+    assert total == 8
+    assert 1 <= len(files) < total
+
+    got = read_pruned_by_bloom(spark, path, "o_orderkey", probe).collect()
+    want = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderkey") == probe)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 1
+
+    missing_files, _ = bloom_prune_files(
+        spark, path, "o_orderkey", -999_999_999
+    )
+    assert read_pruned_by_bloom(
+        spark, path, "o_orderkey", -999_999_999
+    ).count() == 0
+    assert len(missing_files) <= 1  # at most a false positive, never a miss
