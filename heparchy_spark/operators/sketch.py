@@ -199,3 +199,41 @@ def hll_estimate(registers: DataFrame, b: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_estimate_df(
+    registers: DataFrame,
+    b: int = 12,
+    group_cols: ty.Sequence[str] = (),
+) -> DataFrame:
+    """Engine-side (per-group) HLL estimate in pure column algebra — the
+    distributed complement of driver-side ``hll_estimate``, and the safe
+    way to estimate GROUPED ledgers (each group aggregates separately,
+    so nothing blends).
+
+    Determinism trick: the harmonic sum Σ 2^-rank is accumulated as the
+    INTEGER Σ 2^(rmax-rank) (exact in int64 for b ≥ 10: ≤ 2^b rows of
+    ≤ 2^rmax each), order-free, then converted to double with ONE
+    division by 2^rmax — so two engines produce bit-identical estimates
+    where naive double summation would be partition-order-dependent.
+    Absent registers (rank 0) contribute 2^rmax each via the zero count.
+    """
+    m = 1 << b
+    rmax = 60 - b + 1
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    g = list(group_cols)
+    agg = registers.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {rmax} - max_rank)")
+        ).alias("__snum"),
+    )
+    zeros = (F.lit(m) - F.col("__n")).cast("long")
+    snum_total = F.col("__snum") + zeros * F.lit(1 << rmax).cast("long")
+    s = snum_total.cast("double") / F.lit(float(1 << rmax))
+    raw = F.lit(alpha_m2) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*g, F.round(est, 6).alias("est_distinct"))

@@ -195,3 +195,111 @@ def sketch_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("week", "register_idx").agg(
         F.max("max_rank").alias("max_rank")
     )
+
+
+_HLL_EST_SQL = """
+      SELECT ROUND(CASE WHEN raw <= 10240.0 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                   ELSE raw END, 6) AS est
+      FROM (
+        SELECT (4096 - COUNT(*)) AS zeros,
+               12098218.894406674 /
+                 (CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rank))
+                       + (4096 - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+                       AS DOUBLE) / 562949953421312.0) AS raw
+        FROM {src}
+      )
+"""
+
+
+@register(
+    "sketch_hll_intersection_days",
+    f"""
+    WITH hashed AS (
+      -- filter via a projected alias: DuckDB 1.0 returns zero rows for
+      -- IN-lists applied directly to CAST(TIMESTAMP_NS AS DATE)
+      SELECT * FROM (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               CAST(CONCAT('0x', substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS v
+        FROM events
+      ) WHERE day IN (DATE '2024-01-01', DATE '2024-01-02')
+    ),
+    split AS (
+      SELECT day, v >> {60 - _HLL_B} AS register_idx,
+             v & {(1 << (60 - _HLL_B)) - 1} AS rest
+      FROM hashed
+    ),
+    led AS (
+      SELECT day, register_idx,
+             MAX(CASE WHEN rest = 0 THEN {60 - _HLL_B + 1}
+                      ELSE {60 - _HLL_B + 1} - length(bin(rest)) END)
+               AS max_rank
+      FROM split GROUP BY day, register_idx
+    ),
+    uled AS (
+      SELECT register_idx, MAX(max_rank) AS max_rank FROM led GROUP BY 1
+    ),
+    ea AS ({_HLL_EST_SQL.format(src="(SELECT * FROM led WHERE day = DATE '2024-01-01')")}),
+    eb AS ({_HLL_EST_SQL.format(src="(SELECT * FROM led WHERE day = DATE '2024-01-02')")}),
+    eu AS ({_HLL_EST_SQL.format(src="uled")}),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT DISTINCT user_id FROM hashed WHERE day = DATE '2024-01-01'
+        INTERSECT
+        SELECT DISTINCT user_id FROM hashed WHERE day = DATE '2024-01-02'
+      )
+    )
+    SELECT ea.est AS est_day_a, eb.est AS est_day_b, eu.est AS est_union,
+           ROUND(ea.est + eb.est - eu.est, 6) AS est_intersection,
+           exact_intersection
+    FROM ea, eb, eu, ex
+    """,
+    doc="HLL set-operation composition: estimated overlap of two days' "
+    "user sets via inclusion-exclusion on mergeable register ledgers "
+    "(union ledger = per-register max, never a re-count), with the "
+    "exact intersection beside it. Estimates run ENGINE-side "
+    "(operators/sketch.py hll_estimate_df): the harmonic sum "
+    "accumulates as an exact int64, so both engines produce "
+    "bit-identical doubles — order-free where naive double summation "
+    "is partition-order-dependent.",
+)
+def sketch_hll_intersection_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sketch import hll_estimate_df, hll_registers
+
+    d1, d2 = "2024-01-01", "2024-01-02"
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    evf = ev.where(F.col("day").isin(d1, d2))
+    led = hll_registers(evf, F.col("user_id"), b=_HLL_B, group_cols=["day"])
+    led = led.persist()
+    ea = hll_estimate_df(
+        led.where(F.col("day") == d1).select("register_idx", "max_rank")
+    ).select(F.col("est_distinct").alias("est_day_a"))
+    eb = hll_estimate_df(
+        led.where(F.col("day") == d2).select("register_idx", "max_rank")
+    ).select(F.col("est_distinct").alias("est_day_b"))
+    eu = hll_estimate_df(
+        led.groupBy("register_idx").agg(F.max("max_rank").alias("max_rank"))
+    ).select(F.col("est_distinct").alias("est_union"))
+    ex = (
+        evf.where(F.col("day") == d1)
+        .select("user_id")
+        .distinct()
+        .intersect(evf.where(F.col("day") == d2).select("user_id").distinct())
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        ea.join(F.broadcast(eb))
+        .join(F.broadcast(eu))
+        .join(F.broadcast(ex))
+        .select(
+            "est_day_a",
+            "est_day_b",
+            "est_union",
+            F.round(
+                F.col("est_day_a") + F.col("est_day_b") - F.col("est_union"),
+                6,
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

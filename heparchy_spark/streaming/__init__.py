@@ -21,6 +21,7 @@ from heparchy_spark.streaming.analytics import (
     sliding_user_counts,
     streaming_count_min,
     streaming_funnel,
+    streaming_scd2,
     tumbling_counts,
 )
 from heparchy_spark.streaming.pipeline import (
@@ -39,6 +40,7 @@ __all__ = [
     "stream_corpus_pipeline",
     "streaming_count_min",
     "streaming_funnel",
+    "streaming_scd2",
     "read_event_stream",
     "stream_to_store",
     "tumbling_counts",

@@ -296,3 +296,87 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+_SCD2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("run_idx", T.IntegerType()),
+        T.StructField("attr", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("attr", T.StringType()),
+        T.StructField("from_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("run", T.IntegerType()),
+    ]
+)
+
+
+def streaming_scd2(
+    events: DataFrame,
+    attr_col: str = "event_type",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming twin of ``operators.upsert.scd2_history``: per-user
+    attribute-run tracker in the state store.  State is the OPEN run
+    (attr, valid_from, event count, run index); an attribute change
+    closes it.  Each micro-batch emits, in update mode, every run closed
+    during the batch plus the refreshed open run (valid_to null) — the
+    latest row per (user, run_idx) reconstructs the full type-2 history.
+
+    Same exactness contract as ``streaming_funnel``: event-time-ordered
+    arrival across micro-batches, in-batch disorder sorted away.  State
+    is one open run per user — O(active users), independent of history
+    depth (closed intervals live in the sink, not the store).
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
+    ) -> ty.Iterator[pd.DataFrame]:
+        attr, from_us, n, run = (
+            state.get if state.exists else (None, 0, 0, -1)
+        )
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs))
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for et, ts in zip(rows[attr_col], rows["ts"]):
+                ts_us = int(pd.Timestamp(ts).value) // 1000
+                if attr is None:
+                    attr, from_us, n, run = et, ts_us, 1, 0
+                elif et == attr:
+                    n += 1
+                else:
+                    out.append((key[0], run, attr, from_us, ts_us, n))
+                    attr, from_us, n, run = et, ts_us, 1, run + 1
+        state.update((attr, from_us, n, run))
+        if attr is not None:
+            out.append((key[0], run, attr, from_us, None, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "run_idx": [r[1] for r in out],
+                "attr": [r[2] for r in out],
+                "valid_from": [pd.to_datetime(r[3], unit="us") for r in out],
+                "valid_to": [
+                    pd.to_datetime(r[4], unit="us") if r[4] else pd.NaT
+                    for r in out
+                ],
+                "n_events": [r[5] for r in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -126,3 +126,44 @@ def test_approx_percentile_tracks_exact(spark):
             assert lo <= got[f"{name}_approx"] <= hi, (
                 row["l_returnflag"], name, got[f"{name}_approx"], lo, hi,
             )
+
+
+def test_hll_estimate_df_matches_driver_estimate(spark):
+    """Engine-side hll_estimate_df must agree with the driver-side
+    hll_estimate on the same ungrouped ledger, and per-group estimates
+    must track exact distincts within HLL error at this fill."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_df,
+        hll_registers,
+    )
+    from heparchy_spark.queries.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    regs = hll_registers(ev, F.col("user_id"))
+    got = hll_estimate_df(regs).collect()[0].est_distinct
+    want = hll_estimate(regs)
+    assert got == pytest.approx(want, abs=1e-6)
+    exact = ev.select("user_id").distinct().count()
+    assert abs(got - exact) / exact < 0.05  # linear-counting regime
+
+    daily = hll_registers(
+        ev.withColumn("day", F.to_date("ts")), F.col("user_id"),
+        group_cols=["day"],
+    )
+    per_day = {
+        r.day: r.est_distinct
+        for r in hll_estimate_df(daily, group_cols=["day"]).collect()
+    }
+    exact_day = {
+        r.day: r.n
+        for r in ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert per_day.keys() == exact_day.keys()
+    for d, n in exact_day.items():
+        assert abs(per_day[d] - n) / n < 0.08, d

@@ -388,3 +388,31 @@ def test_streaming_funnel_matches_batch(spark, landing):
         assert got[u][0] == stage, u
         if stage:
             assert got[u][1] == t, u
+
+
+def test_streaming_scd2_matches_batch(spark, landing):
+    """Per-user SCD2 run tracker across micro-batches: the latest row per
+    (user, run_idx) must reconstruct exactly the batch scd2_history
+    intervals, including the open current run."""
+    from heparchy_spark.operators.upsert import scd2_history
+    from heparchy_spark.streaming import read_event_stream, streaming_scd2
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(streaming_scd2(stream), "t_scd2", "update")
+    got: dict[tuple, tuple] = {}
+    for r in spark.sql("select * from t_scd2").collect():
+        # update-mode rows arrive in batch order; last write per run wins
+        got[(r["user_id"], r["run_idx"])] = (
+            r["attr"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+    ev = load(spark, SF_DIR, "events")
+    batch = scd2_history(ev, "user_id", "event_type", "ts", tiebreak_col="event_id")
+    want: dict[tuple, tuple] = {}
+    runs: dict[int, int] = {}
+    for r in sorted(batch.collect(), key=lambda r: (r["user_id"], r["valid_from"])):
+        k = runs.get(r["user_id"], 0)
+        runs[r["user_id"]] = k + 1
+        want[(r["user_id"], k)] = (
+            r["event_type"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+    assert got == want
