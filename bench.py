@@ -81,6 +81,10 @@ HEADLINE = [
     "multimodal_byte_stats",
     "text_bm25_topk",
     "similarity_semantic_dedup",
+    "merge_upsert_orders",
+    "events_funnel_conversion",
+    "graph_triangle_counts",
+    "text_chunk_documents",
 ]
 
 

@@ -279,3 +279,69 @@ def weighted_sample(
         .orderBy(F.desc("skey"), F.asc(id_col))
         .limit(k)
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 4,
+    n_buckets: int = 16,
+    salt: str = "negatives",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor, ``k`` candidates with a DIFFERENT label, drawn from one
+    hash-assigned bucket and ranked by a pairwise content hash.
+
+    Scale shape: the naive "any k rows with another label" is an
+    all-pairs join.  Instead every row lands in one of ``n_buckets``
+    (hash of its id) and each anchor probes exactly ONE bucket (hash of
+    the anchor id) — the join is an equi-join on the bucket key with
+    fan-out n/B per anchor, and the per-anchor top-k is a bounded
+    window.  Selection is pure content-hash (rerun-stable, no RNG
+    state); raise ``n_buckets`` to cap fan-out, at the price of a
+    smaller candidate pool per anchor (a bucket can run short of
+    different-label rows — rows then get fewer than k negatives).
+    """
+    hb = lambda c: (  # noqa: E731 - sha-prefix bucket, engine-portable
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(c.cast("string"), F.lit(salt)), 256), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    anchors = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        hb(F.col(id_col)).alias("__blk"),
+    )
+    cands = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        hb(F.col(id_col)).alias("__blk"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.asc("__rk_hash"), F.asc("neg_id")
+    )
+    return (
+        anchors.join(cands, "__blk")
+        .where(F.col("neg_label") != F.col("anchor_label"))
+        .withColumn(
+            "__rk_hash",
+            F.sha2(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                    F.lit(salt),
+                ),
+                256,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "rk")
+    )

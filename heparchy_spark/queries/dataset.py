@@ -258,3 +258,41 @@ def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return weighted_sample(docs, "text", "n_chars", k=100)
+
+
+@register(
+    "dataset_contrastive_negatives",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             ('0x' || substr(sha256(CAST(vec_id AS VARCHAR) || 'negatives'),
+                             1, 12))::BIGINT % 16 AS blk
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+             sha256(CAST(a.vec_id AS VARCHAR) || ':' ||
+                    CAST(c.vec_id AS VARCHAR) || 'negatives') AS rk_hash
+      FROM v a JOIN v c ON a.blk = c.blk AND a.label <> c.label
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id, neg_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY rk_hash, neg_id
+             ) AS rk
+      FROM pairs
+    )
+    SELECT anchor_id, neg_id, neg_label, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 4
+    """,
+    doc="Contrastive negative mining over embeddings "
+    "(operators/dataset.py contrastive_negatives): each anchor probes "
+    "ONE hash-assigned bucket (equi-join, n/B fan-out — never "
+    "all-pairs) for 4 different-label negatives ranked by a pairwise "
+    "content hash; rerun-stable with no RNG state.",
+)
+def dataset_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import contrastive_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    return contrastive_negatives(emb, "vec_id", "label", k=4, n_buckets=16)

@@ -1477,3 +1477,46 @@ def agg_robust_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM events
+    ),
+    assigned AS (
+      SELECT CAST(1 + len(list_filter(bs, x -> x <= value)) AS INT)
+               AS bucket,
+             value
+      FROM events, b
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v
+    FROM assigned GROUP BY bucket
+    """,
+    doc="Equi-depth decile histogram of event values: exact interpolated "
+    "decile boundaries (one group-percentile pass, broadcast back as a "
+    "single row), bucket = count of boundaries <= value, then one "
+    "combinable aggregate. The scale path swaps approx_percentile "
+    "boundaries in (mergeable sketch, no full sort) — same plan shape.",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    probs = F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
+    b = ev.agg(F.percentile("value", probs).alias("bs"))
+    v = F.col("value")
+    assigned = ev.join(F.broadcast(b)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda x: x <= v))
+        ).cast("int").alias("bucket"),
+        "value",
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )

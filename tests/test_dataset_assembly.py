@@ -300,3 +300,26 @@ def test_weighted_sample_bias_determinism_and_plan(spark):
     sample_mean = sum(r.weight for r in got) / len(got)
     assert sample_mean > corpus_mean * 1.3
     assert "TakeOrderedAndProject" in physical_plan(out)
+
+
+def test_contrastive_negatives_semantics(spark):
+    """Negative mining: never the anchor's own label, at most k per
+    anchor, deterministic across runs, and bucket-bounded fan-out (an
+    anchor whose bucket lacks other labels simply gets fewer rows)."""
+    from heparchy_spark.operators.dataset import contrastive_negatives
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = contrastive_negatives(df, "vec_id", "label", k=3, n_buckets=4)
+    got = out.collect()
+    assert got == contrastive_negatives(
+        df, "vec_id", "label", k=3, n_buckets=4
+    ).collect()
+    labels = dict(rows)
+    per_anchor: dict[int, int] = {}
+    for r in got:
+        assert labels[r.neg_id] == r.neg_label
+        assert r.neg_label != labels[r.anchor_id]
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert max(per_anchor.values()) <= 3
+    assert len(per_anchor) == 60  # every anchor found some negative
