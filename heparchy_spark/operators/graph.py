@@ -164,3 +164,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel nodes of
+    degree < k until none remain.  Returns (node, degree) for the
+    surviving subgraph (its degrees within the core).
+
+    ``edges`` must be canonical (src < dst, distinct).  The core is
+    unique, so peeling order doesn't matter — each round drops ALL
+    currently-weak nodes at once (the parallel variant), which converges
+    in the same fixpoint in O(peel depth) rounds.
+
+    Scale shape per round: one degree aggregate (combinable) + two
+    anti-joins against the weak-node set (node-sized, usually
+    broadcast; AQE decides).  ``localCheckpoint`` caps lineage exactly
+    like pagerank's iteration; the per-round driver check is a bounded
+    scalar count.  Peel depth is typically tiny (single digits) on
+    real graphs — the loop bound is a runaway guard, not a tuning knob.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        weak = deg.where(F.col("degree") < k).select("node")
+        if weak.count() == 0:
+            return deg
+        e = (
+            e.join(weak.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(weak.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if e.rdd.isEmpty():
+            return deg.where(F.lit(False))
+    raise RuntimeError(f"k-core did not converge in {max_iters} rounds")

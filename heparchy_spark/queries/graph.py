@@ -141,3 +141,78 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle (the pagerank-CTE pattern): ``rounds``
+    parallel peel steps — a fixpoint reached earlier makes later rounds
+    no-ops, so any unroll >= the true peel depth yields the core (depth
+    is 3 at sf0.01; 8 gives headroom).  CTEs are MATERIALIZED: each
+    round references its predecessor several times, and DuckDB's
+    default inlining re-expands the whole lineage exponentially."""
+    parts = [
+        """supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= 49
+    )""",
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM supply a JOIN supply b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )""",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT src AS node FROM e{i} UNION ALL SELECT dst FROM e{i}
+      ) GROUP BY node
+    )"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+      SELECT src, dst FROM e{i}
+      WHERE src NOT IN (SELECT node FROM d{i} WHERE degree < {k})
+        AND dst NOT IN (SELECT node FROM d{i} WHERE degree < {k})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT src AS node FROM e{rounds} UNION ALL SELECT dst FROM e{rounds}
+    ) GROUP BY node
+    """
+    )
+
+
+@register(
+    "graph_kcore_supply",
+    _kcore_oracle_sql(k=18, rounds=8),
+    doc="18-core of the high-quantity co-supply graph "
+    "(operators/graph.py kcore): parallel peeling — every round drops "
+    "ALL degree<k nodes at once (the unique core makes order "
+    "irrelevant), one combinable degree aggregate + two anti-joins per "
+    "round, localCheckpoint capping lineage like pagerank. The oracle "
+    "unrolls 8 peel rounds as CTEs; the Spark side iterates to the "
+    "true fixpoint (depth 3 at sf0.01).",
+)
+def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import kcore
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    a = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore(edges, k=18)

@@ -577,3 +577,16 @@ def test_bpe_train_learns_expected_merges(spark):
         (1, "lo", "w", 5),
         (2, "low", "</w>", 4),
     ]
+
+
+def test_kcore_toy_graph(spark):
+    """k-core: a triangle plus a pendant chain — the 2-core is exactly
+    the triangle (chain peels over two rounds); a k above the max
+    degree empties the graph."""
+    from heparchy_spark.operators.graph import kcore
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core = {r.node: r.degree for r in kcore(df, 2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+    assert kcore(df, 4).count() == 0
