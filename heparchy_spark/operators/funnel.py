@@ -19,9 +19,13 @@ def funnel_reach(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    max_gap: str | None = None,
 ) -> list[DataFrame]:
     """Per-stage reach frames: element k is (user, __t) where ``__t`` is
     the first time that user completed steps[0..k] in strict order.
+    ``max_gap`` (an INTERVAL string, e.g. ``'24 hours'``) additionally
+    requires each stage within that window of the previous stage's
+    first-reach time — the time-bounded conversion-funnel variant.
 
     Stage k+1 filters the event scan to ONE event type before its only
     shuffle (the per-user min), then joins the previous stage's compact
@@ -39,9 +43,14 @@ def funnel_reach(
         if cur is None:
             cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
         else:
+            within = F.col("__ts") > F.col("__t")
+            if max_gap is not None:
+                within = within & (
+                    F.col("__ts") <= F.col("__t") + F.expr(f"INTERVAL {max_gap}")
+                )
             cur = (
                 ev.join(cur, "__u")
-                .where(F.col("__ts") > F.col("__t"))
+                .where(within)
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )
@@ -55,10 +64,11 @@ def funnel_counts(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    max_gap: str | None = None,
 ) -> DataFrame:
     """(stage_idx, stage, n_users) — distinct users reaching each funnel
-    stage in strict order."""
-    stages = funnel_reach(df, user_col, ts_col, type_col, steps)
+    stage in strict order (optionally within ``max_gap`` per stage)."""
+    stages = funnel_reach(df, user_col, ts_col, type_col, steps, max_gap)
     parts = [
         s.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(i).alias("stage_idx"),

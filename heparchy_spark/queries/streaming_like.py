@@ -291,3 +291,44 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+@register(
+    "events_funnel_conversion_24h",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND CAST(e.ts AS TIMESTAMP) > s1.t
+        AND CAST(e.ts AS TIMESTAMP) <= s1.t + INTERVAL 24 HOURS
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND CAST(e.ts AS TIMESTAMP) > s2.t
+        AND CAST(e.ts AS TIMESTAMP) <= s2.t + INTERVAL 24 HOURS
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    doc="Time-bounded funnel: each stage must land within 24 hours of "
+    "the previous stage's first completion — the product-analytics "
+    "windowed-conversion variant; same per-stage filtered-aggregate "
+    "shape as events_funnel_conversion.",
+)
+def events_funnel_conversion_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.funnel import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        max_gap="24 hours",
+    )

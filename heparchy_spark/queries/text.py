@@ -13,7 +13,7 @@ from heparchy_spark.operators.text import (
     token_count,
 )
 from heparchy_spark.queries import expected_fixture_sql, register
-from heparchy_spark.queries.numeric import davg, sql_davg
+from heparchy_spark.queries.numeric import davg, sql_davg, sql_dsum
 from heparchy_spark.queries.tables import load
 
 _TOKCOUNT_SQL = (
@@ -795,3 +795,100 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             MAX(n) AS top_n
+      FROM tf
+    ),
+    top AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+      FROM tf ORDER BY n DESC, tok LIMIT 100
+    ),
+    xy AS (
+      SELECT ROUND(ln(rk), 8) AS x, ROUND(ln(n), 8) AS y FROM top
+    ),
+    mb AS (
+      SELECT {sql_davg('x')} AS xb, {sql_davg('y')} AS yb FROM xy
+    ),
+    s AS (
+      SELECT {sql_dsum('ROUND((x - xb) * (y - yb), 8)', 8)} AS sxy,
+             {sql_dsum('ROUND((x - xb) * (x - xb), 8)', 8)} AS sxx
+      FROM xy, mb
+    )
+    SELECT vocab_size, total_tokens,
+           ROUND(CAST(vocab_size AS DOUBLE) / total_tokens, 6)
+             AS type_token_ratio,
+           ROUND(CAST(top_n AS DOUBLE) / total_tokens, 6) AS top1_share,
+           ROUND(sxy / sxx, 6) AS zipf_slope
+    FROM tot, s
+    """,
+    doc="Corpus-statistics report: vocabulary size, type-token ratio, "
+    "top-token share, and the Zipf log-log slope fitted by least "
+    "squares over the top-100 ranks. The only corpus-scale pass is the "
+    "wordcount; the regression runs on 100 rows with the corpus' "
+    "determinism discipline (round-8 inputs, decimal accumulation, "
+    "round-6 outputs) so both engines produce identical doubles.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.text import token_stream
+    from heparchy_spark.queries.numeric import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    ts = token_stream(docs, "text", "doc_id")
+    tf = ts.groupBy(F.col("__tok").alias("tok")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tf.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.max("n").alias("top_n"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        tf.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    xy = top.select(
+        F.round(F.log(F.col("rk").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 8).alias("y"),
+    )
+    mb = xy.agg(davg("x").alias("xb"), davg("y").alias("yb"))
+    s = xy.join(F.broadcast(mb)).agg(
+        dsum(
+            F.round((F.col("x") - F.col("xb")) * (F.col("y") - F.col("yb")), 8),
+            8,
+        ).alias("sxy"),
+        dsum(
+            F.round((F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")), 8),
+            8,
+        ).alias("sxx"),
+    )
+    return (
+        tot.join(F.broadcast(s))
+        .select(
+            "vocab_size",
+            "total_tokens",
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("top_n").cast("double") / F.col("total_tokens"), 6
+            ).alias("top1_share"),
+            F.round(F.col("sxy") / F.col("sxx"), 6).alias("zipf_slope"),
+        )
+    )

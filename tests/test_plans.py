@@ -196,6 +196,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "text_bm25_topk",
         "sketch_hll_intersection_days",
         "agg_equidepth_histogram",
+        "text_zipf_fit",
         "layout_zorder_key",
         "orders_above_avg_value",
         "similarity_knn_label_vote",
