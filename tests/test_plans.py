@@ -235,3 +235,38 @@ def test_bm25_broadcasts_terms_and_stats(spark):
     # regexes per token (see bm25_topk docstring).
     plan = physical_plan(df)
     assert plan.count("FileScan parquet") == 3
+
+
+def test_scd2_single_shuffle_single_scan(spark):
+    """SCD2 history: change flag, run numbering, run aggregate and
+    interval close all share the entity-key partitioning — exactly one
+    exchange and one scan in the whole plan."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["events_scd2_type_history"].spark(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    assert physical_plan(df).count("FileScan parquet") == 1
+
+
+def test_chunking_single_shuffle_single_scan(spark):
+    """RAG chunking: token explode + chunk fan-out are map-side; the
+    reassembly aggregate is the only exchange, over one corpus scan."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["text_chunk_documents"].spark(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    assert physical_plan(df).count("FileScan parquet") == 1
+
+
+def test_merge_bounded_shuffles(spark):
+    """MERGE classification: the full-outer key join (two exchanges) and
+    the action aggregate are the only shuffles."""
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["merge_upsert_orders"].spark(spark, SF_DIR)
+    assert shuffle_count(df) <= 3
