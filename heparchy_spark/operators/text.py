@@ -740,3 +740,72 @@ def chunk_documents(
             "chunk_text",
         )
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply learned BPE merge rules and report per-document token
+    economics: (id, n_words, n_ws_tokens, n_bpe_tokens, bpe_per_word).
+    ``merges`` is the (left, right) rule list from ``bpe_train`` in
+    merge order.
+
+    Scale shape: encoding is computed once per DISTINCT word (the
+    vocabulary table, bounded), not per occurrence — an Arrow-batched
+    UDF applies the merge list to each word's symbol sequence, and the
+    per-document totals come from joining the exploded token stream to
+    the encoded vocabulary (vocab side is dictionary-sized, broadcast)
+    followed by one combinable aggregate.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    rules = list(merges)
+
+    @F.pandas_udf("int")
+    def encode_len(s: pd.Series) -> pd.Series:
+        def enc(w: str) -> int:
+            syms = list(w) + ["</w>"]
+            for left, right in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return s.map(enc).astype("int32")
+
+    ts = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.length("w") > 0)
+    vocab = ts.select("w").distinct().withColumn("n_bpe", encode_len("w"))
+    return (
+        ts.join(F.broadcast(vocab), "w")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w") + F.lit(1)).alias("n_char_symbols"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_char_symbols",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("bpe_per_word"),
+        )
+    )

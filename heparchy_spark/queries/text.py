@@ -892,3 +892,26 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sxy") / F.col("sxx"), 6).alias("zipf_slope"),
         )
     )
+
+
+@register(
+    "text_bpe_encode_counts",
+    expected_fixture_sql("text_bpe_encode_counts"),
+    doc="BPE application: encode every document with the 8 learned merge "
+    "rules (operators/text.py bpe_encode_counts) and report per-doc "
+    "token economics — whitespace words, character symbols, BPE tokens, "
+    "BPE-per-word ratio. Encoding runs once per DISTINCT word "
+    "(dictionary-sized, broadcast back onto the token stream); oracle = "
+    "plain-Python mirror over the same learned rules, precomputed.",
+)
+def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import bpe_encode_counts, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, "text", "doc_id", n_merges=8)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    return bpe_encode_counts(docs, "text", "doc_id", merges)

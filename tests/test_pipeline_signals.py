@@ -590,3 +590,28 @@ def test_kcore_toy_graph(spark):
     core = {r.node: r.degree for r in kcore(df, 2).collect()}
     assert core == {1: 2, 2: 2, 3: 2}
     assert kcore(df, 4).count() == 0
+
+
+def test_bpe_encode_counts_compression(spark):
+    """BPE application: words covered by learned merges compress to
+    single tokens; unseen words fall back to character symbols."""
+    from heparchy_spark.operators.text import bpe_encode_counts, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower low")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(df, "text", "doc_id", n_merges=3)
+        .orderBy("merge_idx").collect()
+    ]
+    out = {r.doc_id: r for r in bpe_encode_counts(
+        df, "text", "doc_id", merges
+    ).collect()}
+    # merges: (l,o),(lo,w),(low,</w>) -> "low" = 1 token
+    assert out[0].n_bpe_tokens == 3  # three "low" words, one token each
+    assert out[0].bpe_per_word == 1.0
+    # "lower" = [low, e, r, </w>] = 4 tokens; plus "low" = 1
+    assert out[1].n_bpe_tokens == 5
+    assert all(r.n_bpe_tokens <= r.n_char_symbols for r in out.values())

@@ -337,6 +337,43 @@ def bpe_merges(docs, n_merges=8) -> list[tuple]:
     return merges
 
 
+
+
+def bpe_encode_counts(docs, merges) -> list[tuple]:
+    """Mirror of operators.text.bpe_encode_counts for the learned rules."""
+    def enc_len(w: str) -> int:
+        syms = list(w) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    rows = []
+    for did, text in docs:
+        ws = tokens(text)
+        if not ws:
+            continue
+        n_bpe = 0
+        n_sym = 0
+        for w in ws:
+            if w not in cache:
+                cache[w] = enc_len(w)
+            n_bpe += cache[w]
+            n_sym += len(w) + 1
+        rows.append(
+            (did, len(ws), n_sym, n_bpe, spark_round(n_bpe / len(ws), 6))
+        )
+    return rows
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = Path(
@@ -359,6 +396,19 @@ def main() -> None:
         print(f"{name}: {table.num_rows} rows")
 
     bm = bpe_merges(docs)
+    enc = bpe_encode_counts(docs, [(r[1], r[2]) for r in bm])
+    write(
+        "text_bpe_encode_counts",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in enc], pa.int64()),
+                "n_words": pa.array([r[1] for r in enc], pa.int64()),
+                "n_char_symbols": pa.array([r[2] for r in enc], pa.int64()),
+                "n_bpe_tokens": pa.array([r[3] for r in enc], pa.int64()),
+                "bpe_per_word": pa.array([r[4] for r in enc], pa.float64()),
+            }
+        ),
+    )
     write(
         "text_bpe_vocab_merges",
         pa.table(
