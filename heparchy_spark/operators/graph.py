@@ -200,6 +200,6 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        if e.rdd.isEmpty():
+        if e.isEmpty():
             return deg.where(F.lit(False))
     raise RuntimeError(f"k-core did not converge in {max_iters} rounds")
