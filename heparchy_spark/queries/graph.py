@@ -216,3 +216,87 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=18)
+
+
+@register(
+    "graph_clustering_coefficient",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= 49
+    ),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM supply a JOIN supply b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ),
+    t AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tc AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+      ) GROUP BY node
+    )
+    SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                 / (degree * (degree - 1)), 6) AS clustering_coeff
+    FROM deg LEFT JOIN tc ON deg.node = tc.node
+    WHERE deg.degree >= 2
+    """,
+    doc="Local clustering coefficient per supplier: 2T(v)/(d(v)(d(v)-1)) "
+    "composed from the degree aggregate and the degree-oriented "
+    "triangle counts (operators/graph.py triangle_counts) — the "
+    "transitivity profile of the co-supply graph; nodes below degree 2 "
+    "are excluded (coefficient undefined).",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    a = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tc = triangle_counts(edges)
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tc, "node", "left")
+        .where(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (d * (d - 1.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

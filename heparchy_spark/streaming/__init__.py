@@ -22,6 +22,7 @@ from heparchy_spark.streaming.analytics import (
     streaming_count_min,
     streaming_funnel,
     streaming_scd2,
+    windowed_token_counts,
     tumbling_counts,
 )
 from heparchy_spark.streaming.pipeline import (
@@ -41,6 +42,7 @@ __all__ = [
     "streaming_count_min",
     "streaming_funnel",
     "streaming_scd2",
+    "windowed_token_counts",
     "read_event_stream",
     "stream_to_store",
     "tumbling_counts",

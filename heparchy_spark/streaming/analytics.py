@@ -380,3 +380,34 @@ def streaming_scd2(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def windowed_token_counts(
+    docs: DataFrame,
+    text_col: str,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Trending-terms primitive for streaming corpus ingest: per-window
+    normalized-token counts (window_start, token, n).
+
+    In streaming mode the watermark bounds state to active windows ×
+    vocabulary (append mode emits a window once it closes); the same
+    expression runs in batch as the oracle-checkable twin.  The explode
+    + combinable count is the wordcount shape — one shuffle per
+    micro-batch, map-side partials first.  Consumers rank within a
+    window for the top-k trending view.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    src = _maybe_watermark(docs, ts_col, watermark)
+    toks = src.select(
+        F.window(ts_col, window).alias("__w"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    return toks.groupBy("__w", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.col("__w.start").alias("window_start"), "token", "n"
+    )

@@ -416,3 +416,54 @@ def test_streaming_scd2_matches_batch(spark, landing):
             r["event_type"], r["valid_from"], r["valid_to"], r["n_events"]
         )
     assert got == want
+
+
+def test_windowed_token_counts_matches_batch(spark, tmp_path):
+    """Streaming per-window wordcount over a document stream (two arrival
+    files -> two+ micro-batches, complete mode) must equal the batch
+    twin on the same data."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.streaming import windowed_token_counts
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id") * 600
+        ).alias("ts"),
+    )
+    half = docs.count() // 2
+    d = tmp_path / "doclanding"
+    docs.where(F.col("doc_id") < half).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    docs.where(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    flat = tmp_path / "docflat"
+    flat.mkdir()
+    i = 0
+    for sub in sorted(d.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(flat / f"part-{i:03d}.parquet")
+            i += 1
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    _run_to_memory(
+        windowed_token_counts(stream, "text", "ts"), "t_trending", "complete"
+    )
+    got = {
+        (r["window_start"], r["token"]): r["n"]
+        for r in spark.sql("select * from t_trending").collect()
+    }
+    want = {
+        (r["window_start"], r["token"]): r["n"]
+        for r in windowed_token_counts(
+            docs, "text", "ts", watermark=None
+        ).collect()
+    }
+    assert got == want
