@@ -1520,3 +1520,81 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_v"),
         F.round(F.max("value"), 6).alias("max_v"),
     )
+
+
+@register(
+    "events_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, MAX(med) AS med,
+             quantile_cont(abs(e.value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type,
+             ROUND(e.value, 6) AS value,
+             ROUND(abs(e.value - mad.med) / (1.4826 * mad.mad), 6)
+               AS robust_z
+      FROM events e JOIN mad USING (event_type)
+      WHERE mad.mad > 0
+    )
+    SELECT event_id, event_type, value, robust_z,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY robust_z DESC, event_id
+      ) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="Robust anomaly flags: top-10 events per type by modified "
+    "z-score |v - median| / (1.4826 * MAD) — the outlier detector that "
+    "survives the outliers it hunts (mean/stddev z-scores get dragged "
+    "by the tail). Two percentile passes broadcast back, then a "
+    "bounded per-type ranking window over the scored scan.",
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.percentile(
+                F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )
+    scored = (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(
+                F.abs(F.col("value") - F.col("med"))
+                / (1.4826 * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("robust_z"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("event_id", "event_type", "value", "robust_z", "rk")
+    )

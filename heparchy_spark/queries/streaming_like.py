@@ -332,3 +332,53 @@ def events_funnel_conversion_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
         max_gap="24 hours",
     )
+
+
+@register(
+    "events_asof_next_after_order",
+    """
+    WITH anchors AS (
+      SELECT o_orderkey, o_custkey % 150 AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (o_orderkey % 28) DAY
+               + INTERVAL (o_custkey % 24) HOUR AS anchor_ts
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT a.o_orderkey,
+           (SELECT MIN(e.ts) FROM events e
+            WHERE e.user_id = a.user_id AND e.ts >= a.anchor_ts)
+             AS next_event_ts
+    FROM anchors a
+    """,
+    doc="FORWARD as-of join: earliest event at-or-after each order's "
+    "anchor for the order's (mapped) user — the direction='forward' "
+    "path of operators/asof.py (same union+window plan, no range "
+    "explosion), complementing the backward corpus entry.",
+)
+def events_asof_next_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.asof import asof_join
+
+    anchor = (
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(days=(F.col("o_orderkey") % 28).cast("int"))
+        + F.make_interval(hours=(F.col("o_custkey") % 24).cast("int"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("user_id"),
+            anchor.alias("ts"),
+        )
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    joined = asof_join(
+        left=o,
+        right=ev,
+        on="ts",
+        by="user_id",
+        right_cols={"ts": "next_event_ts"},
+        direction="forward",
+    )
+    return joined.select("o_orderkey", "next_event_ts")
