@@ -323,3 +323,36 @@ def test_contrastive_negatives_semantics(spark):
         per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
     assert max(per_anchor.values()) <= 3
     assert len(per_anchor) == 60  # every anchor found some negative
+
+
+def test_scd2_merge_equals_rebuild(spark):
+    """Incremental SCD2: applying a one-event-per-key batch (timestamps
+    after each key's history) must equal rebuilding the history from
+    the appended event log — absorbed runs, closed runs, new keys."""
+    from datetime import datetime as dt
+
+    from heparchy_spark.operators.upsert import scd2_history, scd2_merge
+
+    base_rows = [
+        (1, "a", dt(2024, 1, 1), 0), (1, "b", dt(2024, 1, 3), 1),
+        (2, "x", dt(2024, 1, 2), 2),
+    ]
+    batch_rows = [
+        (1, "b", dt(2024, 1, 5), 3),   # same attr -> absorbed
+        (2, "y", dt(2024, 1, 6), 4),   # changed -> close + open
+        (9, "z", dt(2024, 1, 7), 5),   # new key
+    ]
+    schema = "k long, attr string, ts timestamp, eid long"
+    base = spark.createDataFrame(base_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    hist = scd2_history(base, "k", "attr", "ts", tiebreak_col="eid")
+    merged = scd2_merge(hist, batch, "k", "attr", "ts")
+    rebuilt = scd2_history(
+        base.unionByName(batch), "k", "attr", "ts", tiebreak_col="eid"
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["k"], r[1], r["valid_from"], r["valid_to"], r["n_events"],
+         r["is_current"])
+        for r in df.collect()
+    )
+    assert canon(merged) == canon(rebuilt)

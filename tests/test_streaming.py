@@ -467,3 +467,31 @@ def test_windowed_token_counts_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_hll_ledger_matches_batch(spark, landing):
+    """The HLL register aggregate is mergeable state, so the SAME
+    expression runs as a streaming complete-mode aggregation — the final
+    ledger (and its engine-side estimate) must equal the batch ledger."""
+    from heparchy_spark.operators.sketch import (
+        hll_estimate_df,
+        hll_registers,
+    )
+    from heparchy_spark.streaming import read_event_stream
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(
+        hll_registers(stream, F.col("user_id")), "t_hll", "complete"
+    )
+    got = {
+        (r["register_idx"], r["max_rank"])
+        for r in spark.sql("select * from t_hll").collect()
+    }
+    batch = hll_registers(load(spark, SF_DIR, "events"), F.col("user_id"))
+    want = {(r["register_idx"], r["max_rank"]) for r in batch.collect()}
+    assert got == want
+    est_stream = hll_estimate_df(
+        spark.sql("select register_idx, max_rank from t_hll")
+    ).collect()[0].est_distinct
+    est_batch = hll_estimate_df(batch).collect()[0].est_distinct
+    assert est_stream == est_batch
