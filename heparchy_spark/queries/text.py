@@ -915,3 +915,102 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return bpe_encode_counts(docs, "text", "doc_id", merges)
+
+
+@register(
+    "text_bm25_chunk_retrieval",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    toks0 AS (
+      SELECT doc_id, u - 1 AS pos, w[u] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS u FROM w)
+      WHERE length(w[u]) > 0
+    ),
+    fan AS (
+      SELECT doc_id, pos, tok, unnest(generate_series(
+               CAST(greatest(0, floor((pos - 32) / 24.0) + 1) AS BIGINT),
+               CAST(floor(pos / 24.0) AS BIGINT))) AS chunk_idx
+      FROM toks0
+    ),
+    chunks AS (
+      SELECT doc_id * 100000 + chunk_idx AS chunk_uid,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM fan GROUP BY doc_id, chunk_idx
+    ),
+    q(query_id, term) AS (VALUES (0, 'spark'), (0, 'join'),
+                                 (1, 'window'), (1, 'sort'),
+                                 (2, 'hash'), (2, 'merge')),
+    ctoks AS (
+      SELECT chunk_uid, unnest(string_split(trim(regexp_replace(
+               regexp_replace(lower(chunk_text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM chunks
+    ),
+    tf AS (
+      SELECT chunk_uid, tok AS term, COUNT(*) AS tf FROM ctoks
+      WHERE tok IN (SELECT DISTINCT term FROM q) AND tok <> ''
+      GROUP BY chunk_uid, tok
+    ),
+    dl AS (
+      SELECT chunk_uid,
+             CAST(CASE WHEN length(trim(chunk_text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(regexp_replace(
+                    regexp_replace(lower(chunk_text), '[^a-z0-9\\s]', ' ', 'g'),
+                    '\\s+', ' ', 'g')), ' ')) END AS DOUBLE) AS dl
+      FROM chunks
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_chunks, {sql_davg('dl')} AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.chunk_uid, tf.term,
+             ln(1.0 + (n_chunks - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS part
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN dl ON tf.chunk_uid = dl.chunk_uid
+      CROSS JOIN stats
+    ),
+    per_chunk AS (
+      SELECT query_id, scored.chunk_uid, SUM(part) AS score
+      FROM scored JOIN q ON scored.term = q.term
+      GROUP BY query_id, scored.chunk_uid
+    ),
+    ranked AS (
+      SELECT query_id, chunk_uid, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, chunk_uid
+             ) AS rk
+      FROM per_chunk
+    )
+    SELECT query_id, chunk_uid, ROUND(score, 6) AS score, rk
+    FROM ranked WHERE rk <= 10
+    """,
+    doc="End-to-end RAG retrieval composition: chunk the corpus "
+    "(32-token windows, 8 overlap), then BM25-rank CHUNKS against the "
+    "fixed term queries — the chunk-granular retrieval path a RAG "
+    "pipeline serves. Pure composition of chunk_documents and "
+    "bm25_topk; chunk dl differs from doc dl, so scores legitimately "
+    "differ from document-level BM25.",
+)
+def text_bm25_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import bm25_topk, chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, overlap=8
+    ).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_uid"),
+        F.col("chunk_text"),
+    )
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    out = bm25_topk(chunks, "chunk_text", "chunk_uid", queries, k=10)
+    return out.select(
+        "query_id", F.col("doc_id").alias("chunk_uid"), "score", "rk"
+    )

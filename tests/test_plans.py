@@ -194,6 +194,7 @@ def test_corpus_wide_no_scale_killers(spark):
         # single-row (or <=20-row) broadcast aggregate joins by design
         "text_tfidf_top_terms",
         "text_bm25_topk",
+        "text_bm25_chunk_retrieval",
         "sketch_hll_intersection_days",
         "agg_equidepth_histogram",
         "text_zipf_fit",
