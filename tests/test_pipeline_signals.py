@@ -615,3 +615,28 @@ def test_bpe_encode_counts_compression(spark):
     # "lower" = [low, e, r, </w>] = 4 tokens; plus "low" = 1
     assert out[1].n_bpe_tokens == 5
     assert all(r.n_bpe_tokens <= r.n_char_symbols for r in out.values())
+
+
+def test_funnel_max_gap_boundary(spark):
+    """Windowed funnel: a stage exactly AT the gap boundary converts
+    (inclusive <=); one second past does not; the unbounded funnel
+    still counts it."""
+    from datetime import datetime as dt
+
+    from heparchy_spark.operators.funnel import funnel_counts
+
+    rows = [
+        (1, "view", dt(2024, 1, 1, 0, 0, 0)),
+        (1, "click", dt(2024, 1, 2, 0, 0, 0)),      # exactly 24h -> in
+        (2, "view", dt(2024, 1, 1, 0, 0, 0)),
+        (2, "click", dt(2024, 1, 2, 0, 0, 1)),      # 24h + 1s -> out
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    gapped = {r.stage: r.n_users for r in funnel_counts(
+        df, "user_id", "ts", "event_type", ["view", "click"], max_gap="24 hours"
+    ).collect()}
+    assert gapped == {"view": 2, "click": 1}
+    open_funnel = {r.stage: r.n_users for r in funnel_counts(
+        df, "user_id", "ts", "event_type", ["view", "click"]
+    ).collect()}
+    assert open_funnel == {"view": 2, "click": 2}
