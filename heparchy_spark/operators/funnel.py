@@ -34,6 +34,8 @@ def funnel_reach(
     down the funnel.  Nothing is quadratic; at 100 TB the event scan's
     type filter is a pushed-down predicate.
     """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     out: list[DataFrame] = []
     cur: DataFrame | None = None
     for step in steps:

@@ -73,19 +73,24 @@ def merge_snapshot(
     compare_cols: list[str] | None = None,
     delete_missing: bool = False,
 ) -> DataFrame:
-    """The post-MERGE table: update columns win where present, base
-    columns survive otherwise; ``delete_missing=True`` drops base keys
-    absent from the update side (WHEN NOT MATCHED BY SOURCE THEN
-    DELETE).  Output schema = keys + compare columns."""
-    acts = merge_actions(base, updates, keys, compare_cols)
+    """The post-MERGE table: update-side columns win wherever the key
+    matched (including a genuine value→NULL update — which a naive
+    ``coalesce`` would silently undo), base columns survive otherwise;
+    ``delete_missing=True`` drops base keys absent from the update side
+    (WHEN NOT MATCHED BY SOURCE THEN DELETE).  Output schema = keys +
+    compare columns."""
     if compare_cols is None:
         shared = set(base.columns) & set(updates.columns)
         compare_cols = sorted(shared - set(keys))
+    acts = merge_actions(base, updates, keys, compare_cols)
     out = acts if not delete_missing else acts.where(F.col("action") != "keep")
+    matched = F.col("action") != "keep"  # update row exists for this key
     return out.select(
         *keys,
         *[
-            F.coalesce(F.col(f"u_{c}"), F.col(f"b_{c}")).alias(c)
+            F.when(matched, F.col(f"u_{c}"))
+            .otherwise(F.col(f"b_{c}"))
+            .alias(c)
             for c in compare_cols
         ],
     )
@@ -178,14 +183,21 @@ def scd2_merge(
         F.col(key_col),
         F.col(attr_col).alias("__new_attr"),
         F.col(ts_col).alias("__new_ts"),
+        F.lit(1).alias("__in_u"),
     )
-    j = cur.join(u, key_col, "full_outer")
-    untouched = j.where(F.col("__new_ts").isNull()).select(*history.columns)
-    absorbed = j.where(
-        F.col("__new_ts").isNotNull()
-        & F.col("valid_from").isNotNull()
-        & (F.col(attr_col) == F.col("__new_attr"))
-    ).select(
+    # Persisted: four union branches read the same full-outer join — an
+    # unpersisted lineage would re-execute the merge's only shuffle join
+    # once per branch.  Narrow frame (one open row per key + the batch);
+    # caller owns cache lifetime, same contract as the other staged ops.
+    j = cur.join(u, key_col, "full_outer").persist()
+    in_u = F.col("__in_u").isNotNull()
+    in_hist = F.col("valid_from").isNotNull()
+    # eqNullSafe throughout: a NULL attribute is a legitimate run value
+    # (scd2_history compares with eqNullSafe too) — null-unsafe ==/!=
+    # would silently DROP such keys from every branch.
+    same_attr = F.col(attr_col).eqNullSafe(F.col("__new_attr"))
+    untouched = j.where(~in_u).select(*history.columns)
+    absorbed = j.where(in_u & in_hist & same_attr).select(
         F.col(key_col),
         F.col(attr_col),
         "valid_from",
@@ -193,11 +205,7 @@ def scd2_merge(
         (F.col("n_events") + 1).alias("n_events"),
         F.lit(True).alias("is_current"),
     )
-    closed_now = j.where(
-        F.col("__new_ts").isNotNull()
-        & F.col("valid_from").isNotNull()
-        & (F.col(attr_col) != F.col("__new_attr"))
-    ).select(
+    closed_now = j.where(in_u & in_hist & ~same_attr).select(
         F.col(key_col),
         F.col(attr_col),
         "valid_from",
@@ -205,13 +213,7 @@ def scd2_merge(
         "n_events",
         F.lit(False).alias("is_current"),
     )
-    opened = j.where(
-        F.col("__new_ts").isNotNull()
-        & (
-            F.col("valid_from").isNull()
-            | (F.col(attr_col) != F.col("__new_attr"))
-        )
-    ).select(
+    opened = j.where(in_u & (~in_hist | ~same_attr)).select(
         F.col(key_col),
         F.col("__new_attr").alias(attr_col),
         F.col("__new_ts").alias("valid_from"),

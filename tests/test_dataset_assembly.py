@@ -356,3 +356,54 @@ def test_scd2_merge_equals_rebuild(spark):
         for r in df.collect()
     )
     assert canon(merged) == canon(rebuilt)
+
+
+def test_merge_snapshot_writes_null_updates(spark):
+    """A value->NULL update must land as NULL in the snapshot (a naive
+    coalesce would silently resurrect the old value while merge_actions
+    reports 'update')."""
+    from heparchy_spark.operators.upsert import merge_actions, merge_snapshot
+
+    base = spark.createDataFrame([(1, "old"), (2, "keepme")], "k long, tag string")
+    upd = spark.createDataFrame([(1, None)], "k long, tag string")
+    acts = {r.k: r.action for r in merge_actions(base, upd, ["k"]).collect()}
+    assert acts == {1: "update", 2: "keep"}
+    snap = {r.k: r.tag for r in merge_snapshot(base, upd, ["k"]).collect()}
+    assert snap == {1: None, 2: "keepme"}
+
+
+def test_scd2_merge_null_attributes(spark):
+    """NULL attribute runs survive the incremental merge: NULL->NULL
+    absorbs, NULL->value closes and opens, value->NULL closes and opens
+    — and the merge still equals the full rebuild."""
+    from datetime import datetime as dt
+
+    from heparchy_spark.operators.upsert import scd2_history, scd2_merge
+
+    schema = "k long, attr string, ts timestamp, eid long"
+    base = spark.createDataFrame(
+        [(1, None, dt(2024, 1, 1), 0), (2, None, dt(2024, 1, 1), 1),
+         (3, "v", dt(2024, 1, 1), 2)],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [(1, None, dt(2024, 1, 2), 3),    # NULL -> NULL: absorb
+         (2, "x", dt(2024, 1, 2), 4),     # NULL -> value: close + open
+         (3, None, dt(2024, 1, 2), 5)],   # value -> NULL: close + open
+        schema,
+    )
+    hist = scd2_history(base, "k", "attr", "ts", tiebreak_col="eid")
+    merged = scd2_merge(hist, batch, "k", "attr", "ts")
+    rebuilt = scd2_history(
+        base.unionByName(batch), "k", "attr", "ts", tiebreak_col="eid"
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (
+            (r["k"], r[1], r["valid_from"], r["valid_to"], r["n_events"],
+             r["is_current"])
+            for r in df.collect()
+        ),
+        key=lambda t: (t[0], t[1] is None, t[1] or "", t[2]),
+    )
+    assert canon(merged) == canon(rebuilt)
+    assert len(merged.collect()) == 5
