@@ -20,6 +20,8 @@ __all__ = [
     "pack_sequences",
     "mix_sources",
     "shuffle_shards",
+    "weighted_sample",
+    "contrastive_negatives",
 ]
 
 #: hex digits of the sha256 prefix used for bucketing (48 bits fits long)
@@ -132,18 +134,24 @@ def mix_sources(
     """
     if sum(weights_permille.values()) != 1000:
         raise ValueError("mix weights must sum to 1000 per-mille")
-    pairs: list[Column] = []
-    for src, w in weights_permille.items():
-        pairs += [F.lit(src), F.lit(int(w))]
-    w_col = F.create_map(*pairs)[F.col(source_col)]
     c = F.col(content_col)
     h = F.sha2(F.concat(c, F.lit(salt)), 256)
 
+    # The weight table is driver-known: LEFT-join data counts onto it so
+    # a weighted source with ZERO input rows drives N* to 0 (empty, but
+    # exactly-mixed output) instead of silently vanishing from the min
+    # and yielding a plausible-looking corpus at the wrong mix.
+    wtab = df.sparkSession.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights_permille.items())],
+        f"{source_col} string, __w int",
+    )
     cnt = (
-        df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__w", w_col)
-        .where(F.col("__w").isNotNull())
+        wtab.join(
+            df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")),
+            source_col,
+            "left",
+        )
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
     )
     nstar = cnt.agg(
         F.min(
@@ -210,16 +218,21 @@ def pack_sequences(
     length_col: Column | str,
     budget: int,
 ) -> DataFrame:
-    """Assign rows to fixed-budget bins per shard (sequence packing).
+    """Assign rows to budget-targeted bins per shard (sequence packing).
 
     Output: (id, shard, seq_len, bin_id) where ``bin_id`` is the running
     ``floor((cumsum - len)/budget)`` in id order within the shard — the
     streaming-friendly approximation of first-fit packing (each bin holds
     consecutive rows whose lengths sum to ~budget; oversized rows take a
-    bin alone).  Packing WITHIN shards, not globally: a global cumulative
-    sum would serialize on one partition at 100 TB, while per-shard windows
-    parallelize across shards and match how packed batches are written out
-    (one file per shard).
+    bin alone).  ``budget`` is a TARGET, not a hard cap: a row is binned
+    by where its START offset falls, so a boundary-straddling row lands
+    in the earlier bin and a bin can exceed the budget by up to one
+    row's length — callers packing to a hard model-context window must
+    either truncate the straddler downstream or size ``budget`` to
+    ``context - max_len``.  Packing WITHIN shards, not globally: a
+    global cumulative sum would serialize on one partition at 100 TB,
+    while per-shard windows parallelize across shards and match how
+    packed batches are written out (one file per shard).
     """
     length = F.col(length_col) if isinstance(length_col, str) else length_col
     w = (
@@ -275,7 +288,7 @@ def weighted_sample(
     skey = F.round(F.log(u) / w.cast("double"), 9)
     return (
         df.where(w > 0)
-        .select(F.col(id_col), w.cast("long").alias("weight"), skey.alias("skey"))
+        .select(F.col(id_col), w.alias("weight"), skey.alias("skey"))
         .orderBy(F.desc("skey"), F.asc(id_col))
         .limit(k)
     )

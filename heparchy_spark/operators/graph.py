@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank", "SCALE"]
+__all__ = ["pagerank", "triangle_counts", "kcore", "SCALE"]
 
 SCALE = 10**12  # fixed-point unit: 1 rank = SCALE ticks
 
@@ -45,9 +45,13 @@ def pagerank(
     keeps the output a pure function of the input (oracle-replayable);
     8 rounds at d=0.85 is stable to ~1e-3, plenty for centrality use.
 
-    The returned DataFrame is persisted (the iteration checkpoints are
-    released before returning); callers ``unpersist()`` once consumed —
-    same contract as ``connected_components``.
+    The returned DataFrame is persisted; callers ``unpersist()`` once
+    consumed — same contract as ``connected_components``.  Superseded
+    iteration checkpoints are RDD-level storage that ``Dataset.unpersist``
+    cannot release (localCheckpoint blocks are not in the CacheManager);
+    they are reclaimed by the ContextCleaner once the driver drops the
+    references, which the loop does each round — at most two snapshots
+    are strongly referenced at any time.
     """
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -62,7 +66,6 @@ def pagerank(
     if n == 0:
         # Empty edge list (e.g. an upstream filter matched nothing):
         # return an empty (node, rank) frame instead of dividing by zero.
-        nodes.unpersist()
         return nodes.select(
             "node", F.lit(0.0).alias("rank")
         )
@@ -95,14 +98,14 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        ranks.unpersist()
+        # dropping the reference lets the ContextCleaner reclaim the
+        # superseded checkpoint's RDD blocks (Dataset.unpersist is a
+        # CacheManager call and cannot release localCheckpoint storage)
         ranks = new_ranks
     out = ranks.select(
         "node", (F.col("__r").cast("double") / F.lit(float(SCALE))).alias("rank")
     ).persist()
     out.count()
-    nodes.unpersist()
-    ranks.unpersist()
     return out
 
 

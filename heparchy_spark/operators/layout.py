@@ -27,6 +27,9 @@ __all__ = [
     "equiwidth_bucket",
     "zorder_key",
     "cluster_by_zorder",
+    "write_bloom_file_index",
+    "bloom_prune_files",
+    "read_pruned_by_bloom",
 ]
 
 
@@ -129,7 +132,18 @@ def salted_join(
     still lands in one task without salting).
 
     The replicated side multiplies ``factor``x — keep it the smaller input.
+
+    Only salt-safe join types are accepted: under right/full-outer, the
+    ``factor`` exploded copies of an UNMATCHED small-side row all
+    survive, silently duplicating it ``factor`` times in the output.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join: join type '{how}' is not salt-safe — unmatched "
+            "replicated-side rows would appear factor times; use an "
+            "inner/left-family join or salt the other side"
+        )
     _warn_if_unspreadable(skewed, on)
     salted_left = skewed.withColumn("__salt", _salt(skewed, factor))
     replicated = small.withColumn(

@@ -32,6 +32,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "semantic_dedup",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "count_min_estimate",
     "hll_registers",
     "hll_estimate",
+    "hll_estimate_df",
 ]
 
 
@@ -63,7 +64,6 @@ def count_min_build(
     ``weight`` (default 1 per input row) supports weighted frequency.
     One explode (d rows per input row) + one combinable aggregate.
     """
-    d = len(pos_cols)
     w8 = weight if weight is not None else F.lit(1).cast("long")
     ex = df.select(
         F.explode(
@@ -97,7 +97,6 @@ def count_min_estimate(
     join the broadcast, and aggregate min per key — probe cost is
     independent of the sketched corpus size.
     """
-    d = len(pos_cols)
     ex = probes.select(
         F.col(key_col).alias("__key"),
         F.explode(

@@ -30,6 +30,11 @@ __all__ = [
     "pii_redact",
     "contamination_report",
     "filter_funnel",
+    "bpe_ish_token_count",
+    "bm25_topk",
+    "chunk_documents",
+    "bpe_train",
+    "bpe_encode_counts",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge

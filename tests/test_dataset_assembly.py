@@ -407,3 +407,34 @@ def test_scd2_merge_null_attributes(spark):
     )
     assert canon(merged) == canon(rebuilt)
     assert len(merged.collect()) == 5
+
+
+def test_mix_sources_zero_row_source_yields_empty(spark):
+    """A weighted source with no input rows must drive N* to 0 (empty,
+    exactly-mixed output) — not silently fall out of the min and return
+    a wrong mix."""
+    from heparchy_spark.operators.dataset import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "a") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = mix_sources(
+        df, "source", "text", "doc_id", {"a": 500, "b": 500}
+    )
+    assert out.count() == 0
+
+
+def test_salted_join_rejects_unsafe_types(spark):
+    """Right/full-outer salted joins would duplicate unmatched
+    replicated-side rows factor times — rejected with a clear error."""
+    import pytest as _pytest
+
+    from heparchy_spark.operators.layout import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="salt-safe"):
+            salted_join(a, b, "k", factor=4, how=how)
+    assert salted_join(a, b, "k", factor=4, how="inner").count() == 1
