@@ -504,12 +504,13 @@ def semantic_dedup(
         "cluster int, __cvec array<double>",
     )
     v = F.col(vec_col).cast("array<double>")
-    # Pre-normalize once per vector: the pair predicate then costs ONE
-    # array fold (dot of unit vectors) instead of three — array HOFs are
-    # interpreted, so fold count per pair dominates the n²/C join
-    # (measured ~2x on the corpus entry; same rationale as the dedup
-    # pipelines' no-HOF-in-hot-path rule, SCALE.md).
-    nrm = l2_norm(v)
+    # The pair predicate is a SINGLE raw-dot fold per pair:
+    # cos(x, y) >= t  <=>  dot(x, y) >= t * |x| * |y|, so each vector
+    # carries its norm as a SCALAR column and no per-element
+    # normalization ever runs.  (A transform(v, x -> x / l2_norm(v))
+    # unit-vector column would re-run the O(dim) norm aggregate for
+    # EVERY element — interpreted HOF lambdas inline captured
+    # aggregates, the exact pitfall the dedup pipelines document.)
     base = assigned.join(F.broadcast(cent_df), "cluster").select(
         F.col(id_col).alias("__id"),
         "cluster",
@@ -523,30 +524,33 @@ def semantic_dedup(
             ),
             9,
         ).alias("dist_to_centroid"),
-        F.transform(v, lambda x: x / nrm).alias("__nv"),
+        v.alias("__v"),
+        l2_norm(v).alias("__nrm"),
     )
     w = Window.partitionBy("cluster").orderBy(
         F.asc("dist_to_centroid"), F.asc("__id")
     )
     # Persisted: the pair self-join and the final survivor join would
     # otherwise re-run the pandas-UDF assignment lineage three times.
-    # One row per vector (id, cluster, dist, unit vector) — the same
-    # per-doc staging contract as the minhash/simhash aggregates; the
-    # caller owns cache lifetime (bench clears per run).
+    # One row per vector (id, cluster, dist, vector, norm) — the same
+    # per-doc staging contract as the minhash/simhash aggregates;
+    # released below once the materialized result frame is cached.
     ranked = base.withColumn("__ord", F.row_number().over(w)).persist()
     x = ranked.select(
         "cluster",
         F.col("__id").alias("__id_x"),
         F.col("__ord").alias("__ord_x"),
-        F.col("__nv").alias("__vx"),
+        F.col("__v").alias("__vx"),
+        F.col("__nrm").alias("__nx"),
     )
     y = ranked.select(
         "cluster",
         F.col("__id").alias("__id_y"),
         F.col("__ord").alias("__ord_y"),
-        F.col("__nv").alias("__vy"),
+        F.col("__v").alias("__vy"),
+        F.col("__nrm").alias("__ny"),
     )
-    unit_dot = F.aggregate(
+    raw_dot = F.aggregate(
         F.zip_with(F.col("__vx"), F.col("__vy"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -554,11 +558,18 @@ def semantic_dedup(
     dropped = (
         x.join(y, "cluster")
         .where(F.col("__ord_y") < F.col("__ord_x"))
-        .where(unit_dot >= threshold)
+        .where(
+            (F.col("__nx") > 0)
+            & (F.col("__ny") > 0)
+            & (raw_dot >= F.lit(threshold) * F.col("__nx") * F.col("__ny"))
+        )
         .select(F.col("__id_x").alias("__id"))
         .distinct()
     )
-    return (
+    # Materialize the result so ranked's cache can be released here —
+    # returning a frame that still depended on it would make the
+    # caller-unpersists contract unfulfillable (same shape as pagerank).
+    out = (
         ranked.join(
             dropped.withColumn("__hit", F.lit(1)), "__id", "left"
         )
@@ -568,7 +579,11 @@ def semantic_dedup(
             "dist_to_centroid",
             F.col("__hit").isNull().alias("kept"),
         )
+        .persist()
     )
+    out.count()
+    ranked.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -462,9 +462,13 @@ def filter_funnel(
         for i, (_, c) in enumerate(conds)
     ]
     row = df.agg(*aggs)
+    # stage names are caller input headed into SQL text — escape quotes
+    # so a name like "doesn't-pass" can't break (or inject into) the
+    # generated stack() expression
+    esc = lambda t: t.replace("'", "''")  # noqa: E731
     parts = ["CAST(0 AS BIGINT)", "'total'", "__c0"]
     for i, (name, _) in enumerate(conds):
-        parts += [f"CAST({i + 1} AS BIGINT)", f"'{name}'", f"__c{i + 1}"]
+        parts += [f"CAST({i + 1} AS BIGINT)", f"'{esc(name)}'", f"__c{i + 1}"]
     n = len(conds) + 1
     return row.selectExpr(
         f"stack({n}, {', '.join(parts)}) AS (stage_idx, stage, n_pass)"
@@ -700,6 +704,13 @@ def chunk_documents(
     (a constant ~1.33x row multiplier at the default sizes), and chunks
     reassemble in one combinable aggregate with order restored by
     position sort — linear in corpus size with one shuffle.
+
+    Trailing chunks that are a strict SUBSET of their predecessor
+    (documents whose length mod step lands inside the overlap) are
+    dropped post-aggregate — such a chunk adds no tokens and would
+    inflate a retrieval index with duplicate fragments.  Exactly those
+    chunks (and only those) have ``chunk_idx > 0 and
+    n_tokens <= overlap``.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -737,6 +748,9 @@ def chunk_documents(
                 " ",
             ).alias("chunk_text"),
         )
+        .where(
+            (F.col("chunk_idx") == 0) | (F.col("n_tokens") > overlap)
+        )
         .select(
             id_col,
             "chunk_idx",
@@ -754,7 +768,10 @@ def bpe_encode_counts(
     merges: list[tuple[str, str]],
 ) -> DataFrame:
     """Apply learned BPE merge rules and report per-document token
-    economics: (id, n_words, n_ws_tokens, n_bpe_tokens, bpe_per_word).
+    economics: (id, n_words, n_char_symbols, n_bpe_tokens, bpe_per_word)
+    — whitespace words, pre-merge character symbols (len + the
+    end-of-word marker, the BPE baseline), post-merge BPE tokens, and
+    the tokens-per-word ratio.
     ``merges`` is the (left, right) rule list from ``bpe_train`` in
     merge order.
 

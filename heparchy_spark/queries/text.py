@@ -783,6 +783,7 @@ def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            string_agg(tok, ' ' ORDER BY pos) AS chunk_text
     FROM fan GROUP BY doc_id, chunk_idx
+    HAVING chunk_idx = 0 OR COUNT(*) > 8
     """,
     doc="RAG document chunking: 32-token chunks with 8-token overlap "
     "(operators/text.py chunk_documents). Tokens explode once with "
@@ -939,6 +940,7 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id * 100000 + chunk_idx AS chunk_uid,
              string_agg(tok, ' ' ORDER BY pos) AS chunk_text
       FROM fan GROUP BY doc_id, chunk_idx
+      HAVING chunk_idx = 0 OR COUNT(*) > 8
     ),
     q(query_id, term) AS (VALUES (0, 'spark'), (0, 'join'),
                                  (1, 'window'), (1, 'sort'),

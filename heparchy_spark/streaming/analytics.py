@@ -27,6 +27,9 @@ __all__ = [
     "running_user_totals",
     "purchase_view_join",
     "streaming_count_min",
+    "streaming_funnel",
+    "streaming_scd2",
+    "windowed_token_counts",
 ]
 
 
@@ -243,7 +246,6 @@ _FUNNEL_STATE_SCHEMA = T.StructType(
 def streaming_funnel(
     events: DataFrame,
     steps: list[str],
-    timeout: str = "NoTimeout",
 ) -> DataFrame:
     """Streaming twin of ``operators.funnel``: a per-user stage machine in
     the state store.  State is (stage, timestamp of reaching it); a
@@ -259,7 +261,9 @@ def streaming_funnel(
 
     State is two scalars per user — O(active users), far below the
     windowed aggregates' state; the per-key Python loop touches only
-    that user's batch slice.
+    that user's batch slice.  State lives until the query stops (no
+    timeout registration — funnel positions must survive quiet users);
+    bound the key universe upstream if user ids are unbounded.
     """
     from pyspark.sql.streaming.state import GroupState
 
@@ -267,7 +271,8 @@ def streaming_funnel(
         key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
     ) -> ty.Iterator[pd.DataFrame]:
         stage, last_us = state.get if state.exists else (0, 0)
-        rows = pd.concat(list(pdfs))
+        chunks = [c for c in pdfs if len(c)]
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
             for et, ts in zip(rows["event_type"], rows["ts"]):
@@ -294,7 +299,7 @@ def streaming_funnel(
         outputStructType=_FUNNEL_OUT_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=timeout,
+        timeoutConf="NoTimeout",
     )
 
 
@@ -321,7 +326,6 @@ _SCD2_STATE_SCHEMA = T.StructType(
 def streaming_scd2(
     events: DataFrame,
     attr_col: str = "event_type",
-    timeout: str = "NoTimeout",
 ) -> DataFrame:
     """Streaming twin of ``operators.upsert.scd2_history``: per-user
     attribute-run tracker in the state store.  State is the OPEN run
@@ -344,7 +348,8 @@ def streaming_scd2(
             state.get if state.exists else (None, 0, 0, -1)
         )
         out: list[tuple] = []
-        rows = pd.concat(list(pdfs))
+        chunks = [c for c in pdfs if len(c)]
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
             for et, ts in zip(rows[attr_col], rows["ts"]):
@@ -378,7 +383,7 @@ def streaming_scd2(
         outputStructType=_SCD2_OUT_SCHEMA,
         stateStructType=_SCD2_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=timeout,
+        timeoutConf="NoTimeout",
     )
 
 

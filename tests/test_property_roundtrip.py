@@ -105,9 +105,11 @@ def test_chunking_reconstruction_property(spark, docs, chunk, overlap):
             assert r.chunk_idx == i
             ctoks = r.chunk_text.split(" ")
             assert r.n_tokens == len(ctoks)
-            rebuilt.extend(ctoks if i == 0 else ctoks[overlap:] if len(ctoks) > overlap or i == len(chunks) - 1 else [])
-        # last chunk may be shorter than overlap; the slice above keeps
-        # its tail correctly because the final chunk always appends
+            # subset-chunk suppression: every non-initial chunk must add
+            # tokens beyond the overlap it shares with its predecessor
+            if i > 0:
+                assert len(ctoks) > overlap
+            rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
         assert rebuilt == toks, (did, chunks)
 
 

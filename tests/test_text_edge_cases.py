@@ -307,7 +307,7 @@ def test_chunk_documents_overlap_and_edges(spark):
     from heparchy_spark.operators.text import chunk_documents
 
     rows = [
-        (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks at 0,4,8
+        (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks at 0,4
         (1, "one"),
         (2, ""),
         (3, None),
@@ -316,14 +316,16 @@ def test_chunk_documents_overlap_and_edges(spark):
     out = chunk_documents(df, "text", "doc_id", chunk_tokens=6, overlap=2)
     got = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
     assert {k[0] for k in got} == {0, 1}
-    c0 = [got[(0, k)] for k in range(3)]
+    # the would-be chunk at start 8 ("t8 t9") is a strict subset of
+    # chunk 1 and must be dropped
+    c0 = [got[(0, k)] for k in range(2)]
+    assert (0, 2) not in got
     assert [r.chunk_text for r in c0] == [
         "t0 t1 t2 t3 t4 t5",
         "t4 t5 t6 t7 t8 t9",
-        "t8 t9",
     ]
-    assert [r.start_pos for r in c0] == [0, 4, 8]
-    assert [r.n_tokens for r in c0] == [6, 6, 2]
+    assert [r.start_pos for r in c0] == [0, 4]
+    assert [r.n_tokens for r in c0] == [6, 6]
     assert got[(1, 0)].chunk_text == "one"
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
