@@ -27,6 +27,15 @@ def funnel_reach(
     requires each stage within that window of the previous stage's
     first-reach time — the time-bounded conversion-funnel variant.
 
+    Windowing is GREEDY-ANCHORED: each stage's window opens at the
+    user's FIRST qualifying completion of the previous stage, never a
+    later one.  A user with view@T, view@T+10h, click@T+25h does NOT
+    convert under a 24h gap here (the window anchored at T), although a
+    re-anchoring funnel definition would credit the T+10h -> T+25h
+    sequence.  Greedy anchoring is one shuffle-light pass; re-anchoring
+    needs per-user sequential scans (a stateful/session operator —
+    see ``streaming_funnel`` for the per-user state-machine shape).
+
     Stage k+1 filters the event scan to ONE event type before its only
     shuffle (the per-user min), then joins the previous stage's compact
     (user, t) frame — each stage costs one combinable aggregate plus a

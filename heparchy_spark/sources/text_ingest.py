@@ -83,11 +83,24 @@ def read_documents(
 
     df = df.withColumn("source_file", F.input_file_name())
     if text_col != "text":
+        if "text" in df.columns:
+            # the input already carries an unrelated 'text' column — move
+            # it aside instead of producing two ambiguous 'text' columns
+            df = df.withColumnRenamed("text", "text_raw")
         df = df.withColumnRenamed(text_col, "text")
     if not keep_corrupt:
         df = df.where(F.col("text").isNotNull())
         if CORRUPT_COL in df.columns:
             df = df.drop(CORRUPT_COL)
+    # quarantined rows have NULL text; hashing NULL would give every one
+    # the same id (xxhash64's seed), collapsing the quarantine set — id
+    # them by the raw corrupt line instead (still content-addressed)
+    id_parts = [F.col("text")]
+    if CORRUPT_COL in df.columns:
+        id_parts.append(F.col(CORRUPT_COL))
+    id_src = F.coalesce(*id_parts, F.lit(""))
     out_cols = ["doc_id", "source_file", "text"]
-    rest = [c for c in df.columns if c not in ("source_file", "text")]
-    return df.withColumn("doc_id", F.xxhash64("text")).select(*out_cols, *rest)
+    # 'doc_id' excluded: withColumn REPLACES an input doc_id column, and
+    # listing it again in rest would select it twice (ambiguous refs)
+    rest = [c for c in df.columns if c not in ("doc_id", "source_file", "text")]
+    return df.withColumn("doc_id", F.xxhash64(id_src)).select(*out_cols, *rest)

@@ -97,3 +97,34 @@ def test_exact_dupes_collapse_to_one_id(spark, tmp_path):
     df = read_documents(spark, str(d), "jsonl", schema=SCHEMA)
     ids = [r["doc_id"] for r in df.collect()]
     assert len(ids) == 2 and len(set(ids)) == 1
+
+
+def test_read_documents_handles_reserved_column_collisions(spark, tmp_path):
+    """Input already carrying doc_id (a re-ingested dump) must not yield
+    duplicate columns; corrupt rows get distinct content-addressed ids
+    from their raw line instead of collapsing onto the null-hash."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.sources.text_ingest import read_documents
+
+    p = tmp_path / "dump.jsonl"
+    lines = [
+        json.dumps({"doc_id": 7, "text": "alpha beta"}),
+        json.dumps({"doc_id": 8, "text": "gamma delta"}),
+        "{broken json A",
+        "{broken json B",
+    ]
+    p.write_text("\n".join(lines))
+    schema = "doc_id long, text string"
+    out = read_documents(
+        spark, str(p), "jsonl", schema=schema, keep_corrupt=True
+    )
+    assert out.columns.count("doc_id") == 1
+    rows = out.collect()
+    # the two corrupt lines carry DIFFERENT ids (hashed from raw line)
+    corrupt_ids = [r.doc_id for r in rows if r.text is None]
+    assert len(corrupt_ids) == 2 and len(set(corrupt_ids)) == 2
+    # downstream references resolve unambiguously
+    assert out.where(F.col("doc_id").isNotNull()).count() == 4

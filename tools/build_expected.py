@@ -574,7 +574,7 @@ def main() -> None:
         ),
     )
 
-    # multimodal_frame_sample: video payload frame fan-out (every 60th)
+    # multimodal_frame_sample: video payload frame fan-out (every 8th)
     frames = [
         row
         for d, p in payloads
@@ -761,11 +761,18 @@ def semantic_dedup_rows(
     for i in range(len(ids_s)):
         by_cluster.setdefault(int(cell[i]), []).append(i)
     kept: dict[int, bool] = {}
+    # mirror of the operator's predicate EXACTLY: raw dot against
+    # (t * |x|) * |y| with zero-norm vectors excluded — NOT dot/(nx*ny)
+    # >= t, which rounds differently within a ULP of the threshold
+    norms = [_seq_norm(x_all[i]) for i in range(len(ids_s))]
     for members in by_cluster.values():
         members.sort(key=lambda i: (dists[i], ids_s[i]))
         for pos, i in enumerate(members):
             kept[i] = not any(
-                _cosine(x_all[i], x_all[y]) >= threshold
+                norms[i] > 0
+                and norms[y] > 0
+                and _seq_dot(x_all[i], x_all[y])
+                >= threshold * norms[i] * norms[y]
                 for y in members[:pos]
             )
     return [
@@ -925,9 +932,7 @@ def cdc_shared_chunks(docs, divisor=16) -> list[tuple]:
             # Spark drops null-text docs: split(normalize_text(NULL)) is
             # NULL and posexplode emits no rows — mirror exactly.
             continue
-        toks = [t for t in normalize_text(text).split(" ")]
-        if toks == [""]:
-            toks = [""]
+        toks = normalize_text(text).split(" ")
         hs = [xxhash64(t) for t in toks]
         chunks = []
         cur = []
