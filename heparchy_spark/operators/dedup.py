@@ -215,7 +215,9 @@ def duplicated_ngram_spans(
     bounds — the caller cuts or drops the spans.
 
     Spark shape, all whole-stage-codegen: posexplode tokens → lead-window
-    gram hashes (reuses ``shingle_hash_stream``'s no-HOF formulation) →
+    gram hashes (the same no-HOF formulation as
+    ``shingle_hash_stream``, restated here because this stream must keep
+    positions — fold any tokenization change into both) →
     one combinable groupBy on the gram hash → equi join back (uniform
     64-bit key, AQE-splittable) → per-doc windows.  The suffix-array
     construction of the paper is replaced by gram hashing: at 64 bits a
@@ -299,6 +301,12 @@ def minhash_near_dup_pairs(
     duration of the query since three consumers read it; pass False for
     a purely lazy plan (recomputes the stream per consumer).
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "the banding would silently ignore the remainder permutations "
+            "while still paying to compute them"
+        )
     rows = num_perm // bands
     # Multi-consumer staging: the banding self-join reads the signature
     # twice and verification reads the shingle sets twice; exchange reuse
@@ -516,7 +524,11 @@ def simhash_near_dup_pairs(
                     F.struct(
                         F.lit(k).alias("blk"),
                         F.shiftright(F.col("__sim"), k * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .bitwiseAND(
+                            # width=64 (max_hamming=0): (1<<64)-1 does not
+                            # fit a long literal; -1 is the all-ones mask
+                            F.lit(-1 if width == 64 else (1 << width) - 1)
+                        )
                         .alias("blkval"),
                     )
                     for k in range(nblocks)
@@ -684,6 +696,10 @@ def connected_components(
     keep their own id).  The returned DataFrame is persisted (the final
     round's labels); callers should ``unpersist()`` once consumed.
     """
+    # sym is read EVERY round; without staging, the full upstream edge
+    # pipeline (e.g. a candidate-pair join feeding dedup clustering)
+    # re-executes once per propagation round.  localCheckpoint severs
+    # the lineage the same way the per-round labels do.
     sym = (
         edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
         .union(
@@ -691,7 +707,7 @@ def connected_components(
                 F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")
             )
         )
-    )
+    ).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).localCheckpoint(eager=True)

@@ -69,8 +69,6 @@ _MAGIC = [
     ("52494646", "riff"),  # wav/avi container
     ("664C6143", "flac"),
     ("1A45DFA3", "matroska"),
-    ("00000018", "mp4"),
-    ("00000020", "mp4"),
 ]
 
 
@@ -79,7 +77,12 @@ def sniff_format(payload: Column | str) -> Column:
     reads only the first 4 payload bytes per row."""
     p = F.col(payload) if isinstance(payload, str) else payload
     head = F.upper(F.hex(F.substring(p, 1, 4)))
-    expr: Column = F.lit("unknown")
+    # ISO-BMFF (mp4/mov) has no leading magic: the signature is the
+    # 'ftyp' box TYPE at bytes 5-8 (the first 4 bytes are the box SIZE,
+    # which varies with the compatible-brand list — matching a size
+    # literal both misses real mp4s and mislabels arbitrary binaries)
+    ftyp = F.upper(F.hex(F.substring(p, 5, 4))) == "66747970"
+    expr: Column = F.when(ftyp, F.lit("mp4")).otherwise(F.lit("unknown"))
     for magic, name in reversed(_MAGIC):
         expr = F.when(head.startswith(magic.upper()), F.lit(name)).otherwise(expr)
     return expr
