@@ -218,3 +218,105 @@ def test_bloom_file_index_prunes_and_agrees(spark, tmp_path):
         spark, path, "o_orderkey", -999_999_999
     ).count() == 0
     assert len(missing_files) <= 1  # at most a false positive, never a miss
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve layout
+# ---------------------------------------------------------------------------
+
+
+def _xy2d(n_bits: int, x: int, y: int) -> int:
+    """Plain-Python Hilbert xy->d (the public reference algorithm) —
+    shares nothing with the column-algebra implementation."""
+    d = 0
+    s = 1 << (n_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_exhaustive_bijective_and_local(spark):
+    """bits=4: every one of the 256 cells matches the reference value,
+    the key is a bijection onto [0, 256), and consecutive keys are grid
+    NEIGHBORS (Manhattan distance 1) — the locality property Z-order
+    lacks (its power-of-two seam jumps are also asserted)."""
+    from heparchy_spark.operators.layout import hilbert_key, zorder_key
+
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"),
+    )
+    rows = grid.select(
+        "x",
+        "y",
+        hilbert_key(F.col("x"), F.col("y"), 4).alias("d"),
+        zorder_key([F.col("x"), F.col("y")], 4).alias("z"),
+    ).collect()
+
+    by_d = {}
+    for r in rows:
+        assert r["d"] == _xy2d(4, r["x"], r["y"]), (r["x"], r["y"])
+        by_d[r["d"]] = (r["x"], r["y"])
+    assert sorted(by_d) == list(range(256))  # bijection
+
+    def max_step(mapping):
+        cells = [mapping[k] for k in sorted(mapping)]
+        return max(
+            abs(ax - bx) + abs(ay - by)
+            for (ax, ay), (bx, by) in zip(cells, cells[1:])
+        )
+
+    assert max_step(by_d) == 1  # Hilbert: always a neighbor
+    by_z = {r["z"]: (r["x"], r["y"]) for r in rows}
+    assert max_step(by_z) > 1  # Morton: seam jumps — why Hilbert exists
+
+
+def test_cluster_by_hilbert_tightens_file_stats(spark, tmp_path):
+    """Hilbert re-layout must shrink per-file extents on BOTH clustered
+    columns vs the natural layout (same file count), like Z-order."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from heparchy_spark.operators.layout import cluster_by_hilbert
+
+    o = load(spark, SF_DIR, "orders")
+    plain_dir = str(tmp_path / "plain")
+    h_dir = str(tmp_path / "hilbert")
+    o.repartition(8).write.mode("overwrite").parquet(plain_dir)
+    cluster_by_hilbert(
+        o, ["o_custkey", "o_totalprice"], bits_per_col=10, num_files=8
+    ).write.mode("overwrite").parquet(h_dir)
+
+    def mean_extent(d: str, col: str) -> float:
+        extents = []
+        for f in pathlib.Path(d).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                extents.append(float(hi) - float(lo))
+        assert extents
+        return sum(extents) / len(extents)
+
+    for col in ["o_custkey", "o_totalprice"]:
+        assert mean_extent(h_dir, col) < mean_extent(plain_dir, col) * 0.7
+
+    assert spark.read.parquet(h_dir).count() == o.count()
+    with pytest.raises(ValueError):
+        cluster_by_hilbert(o, ["o_custkey"], bits_per_col=4)
