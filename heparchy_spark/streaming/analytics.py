@@ -173,15 +173,32 @@ def purchase_view_join(
     watermark: str = "1 hour",
     horizon: str = "2 hours",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases matched to the same user's views
+    """Stream-stream join: purchases matched to the same user's views
     within ``horizon`` before the purchase. In streaming mode both sides
     carry watermarks and the time-range condition bounds join state (rows
     older than watermark+horizon are evicted); the same expression runs in
     batch for the oracle-checkable twin.
 
+    ``how="left_outer"`` adds abandoned views: a view with no qualifying
+    purchase emits once with NULL purchase columns — but only when the
+    watermark passes ``view_ts + horizon`` and the engine can PROVE no
+    future purchase can match (null-extension happens at state eviction,
+    so outer results trail the watermark; the tail of the stream stays
+    unemitted until the watermark advances past it).  Same bounded-state
+    story as the inner join — eviction is what produces the outer rows.
+    Right/full outer are rejected: the build-side analog risks emitting
+    a purchase before its views arrive only under misconfigured
+    watermarks, and the corpus has no use for it.
+
     Output: (user_id, view_ts, purchase_ts, purchase_value).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"purchase_view_join: how={how!r} not supported "
+            "(inner or left_outer)"
+        )
     v = _maybe_watermark(views, ts_col, watermark).select(
         F.col("user_id").alias("v_user"), F.col(ts_col).alias("view_ts")
     )
@@ -198,6 +215,7 @@ def purchase_view_join(
             F.col("view_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
         ),
+        how,
     ).select(
         F.col("v_user").alias("user_id"),
         "view_ts",

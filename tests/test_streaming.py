@@ -495,3 +495,55 @@ def test_streaming_hll_ledger_matches_batch(spark, landing):
     ).collect()[0].est_distinct
     est_batch = hll_estimate_df(batch).collect()[0].est_distinct
     assert est_stream == est_batch
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, landing):
+    """Left-outer stream-stream join: abandoned views (no purchase within
+    the horizon) must null-extend once the watermark proves no match can
+    arrive. Outer results trail the watermark, so the comparison is
+    restricted to views old enough that eviction has provably fired
+    (max_ts - watermark - horizon - 1h slack); the batch twin gets the
+    same cutoff."""
+    from datetime import timedelta
+
+    from heparchy_spark.streaming import purchase_view_join
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    out = purchase_view_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        watermark="1 hour",
+        horizon="2 hours",
+        how="left_outer",
+    )
+    _run_to_memory(out, "t_ssloj", "append")
+
+    ev = load(spark, SF_DIR, "events")
+    cutoff = ev.agg(F.max("ts")).first()[0] - timedelta(hours=4)
+
+    def keyset(rows):
+        return {
+            (r["user_id"], r["view_ts"], r["purchase_ts"])
+            for r in rows
+            if r["view_ts"] <= cutoff
+        }
+
+    got = keyset(spark.sql("select * from t_ssloj").collect())
+    want = keyset(
+        purchase_view_join(
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type") == "purchase"),
+            watermark=None,
+            horizon="2 hours",
+            how="left_outer",
+        ).collect()
+    )
+    assert got == want
+    # the outer semantics were actually exercised: unmatched views exist
+    assert any(p is None for (_, _, p) in got)
+    # and matched rows ride along identically
+    assert any(p is not None for (_, _, p) in got)
+
+    with pytest.raises(ValueError):
+        purchase_view_join(ev, ev, how="full_outer")
+
