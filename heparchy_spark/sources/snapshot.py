@@ -1,0 +1,263 @@
+"""Snapshot-manifest table layer — atomic multi-file commits over plain
+Parquet (the Delta/Iceberg core idea, minimal form).
+
+``sources/maintenance.py`` documents the gap this closes: plain Parquet
+has no atomic multi-file commit, so writers that produce several files
+(every distributed writer) expose readers to torn states, and directory
+listing is both slow and non-transactional at scale.  Table formats fix
+this with a manifest: the table IS the manifest, data files are
+immutable, and a commit is one atomic metadata operation.  Reference
+scope analog: the reference's HDF5 store gets atomicity from the single
+``.h5`` file (``/root/reference/heparchy/write/hdf.py:567-569``, file
+handle open→close); a multi-file Parquet store needs this layer to offer
+the same "a reader never sees half a write" contract.
+
+Layout::
+
+    <table>/data/<commit-uuid>-<part>.parquet   immutable data files
+    <table>/_snapshots/v00000042.json           manifest: file list + schema
+    <table>/_snapshots/_latest                  current-version pointer
+
+Commit protocol (optimistic concurrency):
+
+1. stage data files with a fresh commit uuid (never visible to readers —
+   only manifest-listed files are),
+2. create manifest ``v{N+1}`` with ``open(..., "x")`` — exclusive
+   create; a concurrent committer that won the race makes this fail and
+   the loser raises ``SnapshotConflict`` (retry = re-read latest,
+   re-commit; staged files are re-linkable),
+3. flip ``_latest`` via write-temp + ``os.replace`` (atomic on POSIX).
+
+Readers resolve a version (pinned or latest) and read EXACTLY the
+manifest's files — no directory listing, so scan planning is O(manifest)
+not O(list bucket), and a pinned ``read(version=...)`` is snapshot
+isolation: later commits never change which files it sees (files stay on
+disk until ``vacuum``).
+
+Scale: the manifest is a driver-side metadata object (KBs per thousand
+files — same shape as Iceberg's metadata layer); data movement stays a
+Spark job.  ``read_incremental`` turns the file-level append log into
+incremental consumption: only files added between two versions are
+scanned — the "process new data since yesterday" pattern without any
+record-level change tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["SnapshotTable", "SnapshotConflict"]
+
+
+class SnapshotConflict(RuntimeError):
+    """Another committer created the next version first; re-read and retry."""
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str | Path) -> None:
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        (self.root / "_snapshots").mkdir(exist_ok=True)
+
+    # -- metadata -----------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.root / "_snapshots" / f"v{version:08d}.json"
+
+    def latest_version(self) -> int:
+        """Current version, 0 if never committed."""
+        ptr = self.root / "_snapshots" / "_latest"
+        if not ptr.exists():
+            return 0
+        return int(ptr.read_text().strip())
+
+    def _load_manifest(self, version: int) -> dict:
+        p = self._manifest_path(version)
+        if not p.exists():
+            raise ValueError(
+                f"snapshot v{version} does not exist (expired by vacuum, "
+                f"or never committed); latest is v{self.latest_version()}"
+            )
+        return json.loads(p.read_text())
+
+    def versions(self) -> list[dict]:
+        """All retained manifests, oldest first: version / operation /
+        file and row counts — the table history."""
+        out = []
+        for p in sorted((self.root / "_snapshots").glob("v*.json")):
+            m = json.loads(p.read_text())
+            out.append(
+                {
+                    "version": m["version"],
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                    "n_added": m["n_added"],
+                    "rows": m["rows"],
+                }
+            )
+        return out
+
+    # -- write path ---------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Atomically commit ``df``'s rows as the next table version.
+
+        ``append`` keeps the previous version's files and requires the
+        schema to match the table's exactly (names + types — silent
+        column drift is the classic multi-writer corruption);
+        ``overwrite`` replaces the file list and may change schema.
+        Returns the new version number.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"commit: mode must be append|overwrite, not {mode!r}")
+        base = self.latest_version()
+        prev_files: list[str] = []
+        rows_prev = 0
+        if base > 0:
+            prev = self._load_manifest(base)
+            if mode == "append":
+                if json.loads(prev["schema"]) != json.loads(df.schema.json()):
+                    raise ValueError(
+                        "append schema mismatch: committed schema "
+                        f"{prev['schema']} != incoming {df.schema.json()}; "
+                        "use mode='overwrite' to change the table schema"
+                    )
+                prev_files = prev["files"]
+                rows_prev = prev["rows"]
+
+        # 1. stage data files under a commit uuid (invisible until listed)
+        commit_id = uuid.uuid4().hex[:12]
+        staging = self.root / "_staging" / commit_id
+        df.write.parquet(str(staging))
+        new_files: list[str] = []
+        rows_new = 0
+        for f in sorted(staging.glob("*.parquet")):
+            import pyarrow.parquet as pq
+
+            rows_new += pq.read_metadata(f).num_rows
+            dest = self.root / "data" / f"{commit_id}-{f.name}"
+            f.rename(dest)
+            new_files.append(f"data/{dest.name}")
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            staging.parent.rmdir()  # remove _staging/ when empty
+        except OSError:
+            pass
+
+        # 2. exclusive-create the next manifest (optimistic concurrency)
+        version = base + 1
+        manifest = {
+            "version": version,
+            "operation": mode,
+            "files": (prev_files if mode == "append" else []) + new_files,
+            "n_added": len(new_files),
+            "rows": (rows_prev if mode == "append" else 0) + rows_new,
+            "schema": df.schema.json(),
+        }
+        try:
+            with open(self._manifest_path(version), "x") as fh:
+                json.dump(manifest, fh)
+        except FileExistsError:
+            raise SnapshotConflict(
+                f"snapshot v{version} already committed by a concurrent "
+                "writer; re-read latest_version() and retry"
+            ) from None
+
+        # 3. atomic pointer flip
+        tmp = self.root / "_snapshots" / f"._latest.{commit_id}"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.root / "_snapshots" / "_latest")
+        return version
+
+    def rollback(self, version: int) -> int:
+        """Restore ``version``'s content as a NEW commit (Iceberg-style:
+        history is append-only; rollback never rewrites it)."""
+        m = self._load_manifest(version)
+        base = self.latest_version()
+        new_version = base + 1
+        manifest = {
+            **m,
+            "version": new_version,
+            "operation": f"rollback(v{version})",
+            "n_added": 0,
+        }
+        try:
+            with open(self._manifest_path(new_version), "x") as fh:
+                json.dump(manifest, fh)
+        except FileExistsError:
+            raise SnapshotConflict(
+                f"snapshot v{new_version} already committed by a concurrent "
+                "writer; re-read latest_version() and retry"
+            ) from None
+        tmp = self.root / "_snapshots" / f"._latest.rb{new_version}"
+        tmp.write_text(str(new_version))
+        os.replace(tmp, self.root / "_snapshots" / "_latest")
+        return new_version
+
+    # -- read path ----------------------------------------------------------
+
+    def _read_files(self, manifest: dict) -> DataFrame:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        files = [str(self.root / f) for f in manifest["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # explicit file list + pinned schema: no directory listing, no
+        # schema inference — the manifest is the source of truth
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest).  A pinned version is
+        a consistent snapshot no concurrent commit can disturb."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError("snapshot table has no commits yet")
+        return self._read_files(self._load_manifest(v))
+
+    def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
+        """Rows in files ADDED after ``from_version`` up to ``to_version``
+        — incremental consumption of an append-only table without
+        record-level CDC.  Raises if either version was an overwrite /
+        rollback boundary crossing (file-set diff would not equal the
+        row-level delta there)."""
+        lo = self._load_manifest(from_version)
+        hi = self._load_manifest(to_version)
+        lo_set = set(lo["files"])
+        if not lo_set.issubset(set(hi["files"])):
+            raise ValueError(
+                "read_incremental: file set is not append-only between "
+                f"v{from_version} and v{to_version} (overwrite or rollback "
+                "in between); read the full snapshot instead"
+            )
+        added = [f for f in hi["files"] if f not in lo_set]
+        return self._read_files({**hi, "files": added})
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Expire all but the last ``keep_last`` snapshots and delete data
+        files no retained snapshot references.  Time travel to expired
+        versions then fails with a clear error (their manifests are
+        removed).  Returns ``{"manifests_removed", "files_removed"}``."""
+        if keep_last < 1:
+            raise ValueError("vacuum: keep_last must be >= 1")
+        manifests = sorted((self.root / "_snapshots").glob("v*.json"))
+        expired, retained = manifests[:-keep_last], manifests[-keep_last:]
+        keep_files = set()
+        for p in retained:
+            keep_files |= set(json.loads(p.read_text())["files"])
+        files_removed = 0
+        for f in (self.root / "data").glob("*.parquet"):
+            if f"data/{f.name}" not in keep_files:
+                f.unlink()
+                files_removed += 1
+        for p in expired:
+            p.unlink()
+        return {"manifests_removed": len(expired), "files_removed": files_removed}

@@ -1,0 +1,123 @@
+"""Snapshot-manifest table layer: atomic commits, snapshot isolation,
+time travel, rollback, incremental reads, vacuum, conflict detection."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from heparchy_spark.sources.snapshot import SnapshotConflict, SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, tmp_path / "tbl")
+
+
+def _batch(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_commits_accumulate(spark, table):
+    assert table.latest_version() == 0
+    v1 = table.commit(_batch(spark, 0, 10))
+    v2 = table.commit(_batch(spark, 10, 25))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 25
+    assert sorted(r["id"] for r in table.read().collect()) == list(range(25))
+    hist = table.versions()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["rows"] for h in hist] == [10, 25]
+
+
+def test_time_travel_and_isolation(spark, table):
+    table.commit(_batch(spark, 0, 10))
+    pinned = table.read(version=1)  # snapshot-isolated handle
+    table.commit(_batch(spark, 0, 3).select("id", (F.col("id") + 99).alias("v")),
+                 mode="overwrite")
+    # latest sees the overwrite, the pinned version still the original
+    assert table.read().count() == 3
+    assert table.read(version=1).count() == 10
+    assert pinned.count() == 10  # files untouched until vacuum
+    assert table.versions()[-1]["operation"] == "overwrite"
+
+
+def test_rollback_restores_as_new_version(spark, table):
+    table.commit(_batch(spark, 0, 10))
+    table.commit(_batch(spark, 0, 1), mode="overwrite")
+    v3 = table.rollback(1)
+    assert v3 == 3
+    assert table.read().count() == 10
+    # history is append-only: the overwrite version is still readable
+    assert table.read(version=2).count() == 1
+
+
+def test_read_incremental_is_exactly_the_new_rows(spark, table):
+    table.commit(_batch(spark, 0, 10))
+    table.commit(_batch(spark, 10, 18))
+    inc = table.read_incremental(1, 2)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 18))
+    # overwrite breaks append-only lineage -> explicit error, not wrong data
+    table.commit(_batch(spark, 0, 2), mode="overwrite")
+    with pytest.raises(ValueError, match="append-only"):
+        table.read_incremental(1, 3)
+
+
+def test_append_schema_mismatch_rejected(spark, table):
+    table.commit(_batch(spark, 0, 5))
+    bad = spark.range(5).select(F.col("id").cast("int").alias("id"),
+                                F.lit("x").alias("v"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(bad)
+    # overwrite may change the schema
+    v = table.commit(bad, mode="overwrite")
+    assert dict(table.read(version=v).dtypes)["v"] == "string"
+
+
+def test_concurrent_commit_conflict(spark, table):
+    table.commit(_batch(spark, 0, 5))
+    # simulate a racing committer that won: next manifest already exists
+    table._manifest_path(2).write_text("{}")
+    with pytest.raises(SnapshotConflict):
+        table.commit(_batch(spark, 5, 10))
+    # loser retries after re-reading latest: but latest pointer still 1,
+    # so clean up the racer's manifest and retry succeeds
+    table._manifest_path(2).unlink()
+    assert table.commit(_batch(spark, 5, 10)) == 2
+
+
+def test_vacuum_expires_and_deletes_unreferenced(spark, table):
+    table.commit(_batch(spark, 0, 10))
+    table.commit(_batch(spark, 0, 2), mode="overwrite")
+    table.commit(_batch(spark, 2, 4))
+    n_data = len(list((table.root / "data").glob("*.parquet")))
+    stats = table.vacuum(keep_last=2)
+    assert stats["manifests_removed"] == 1
+    # v1's files (10-row batch) are unreferenced by v2/v3 -> deleted
+    assert stats["files_removed"] > 0
+    assert len(list((table.root / "data").glob("*.parquet"))) == (
+        n_data - stats["files_removed"]
+    )
+    # retained versions read fine; expired version errors clearly
+    assert table.read(version=3).count() == 4
+    with pytest.raises(ValueError, match="expired|does not exist"):
+        table.read(version=1)
+
+
+def test_reader_never_sees_staged_files(spark, table):
+    """Files are invisible until the manifest lists them: a crashed
+    writer's staged-but-uncommitted files never surface in reads."""
+    table.commit(_batch(spark, 0, 5))
+    # simulate a crash: data file present in data/ but in no manifest
+    orphan_src = _batch(spark, 100, 105)
+    orphan_src.write.parquet(str(table.root / "_staging" / "crashed"))
+    for f in (table.root / "_staging" / "crashed").glob("*.parquet"):
+        f.rename(table.root / "data" / f"crashed-{f.name}")
+    assert table.read().count() == 5  # manifest-scoped, not listing-scoped
+    # vacuum clears the orphan
+    table.commit(_batch(spark, 5, 6))
+    stats = table.vacuum(keep_last=1)
+    assert stats["files_removed"] >= 1
+    assert table.read().count() == 6
