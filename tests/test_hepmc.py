@@ -87,3 +87,40 @@ def test_ingest_colliding_event_ids_across_files(spark, tmp_path):
     assert len(per_event) == 4
     assert per_event[0] == 4 and per_event[1] == 2
     assert per_event[2**32] == 4 and per_event[2**32 + 1] == 2
+
+
+def test_hepmc_datasource_format(spark, tmp_path):
+    """spark.read.format('hepmc'): one partition per file, rows identical
+    to the mapInPandas ingest path on the same files."""
+    from heparchy_spark.sources.hepmc_datasource import register_hepmc_source
+
+    f1 = tmp_path / "a.hepmc"
+    f1.write_text("\n".join(SAMPLE))
+    f2 = tmp_path / "b.hepmc"
+    f2.write_text("\n".join(SAMPLE))
+    register_hepmc_source(spark)
+
+    df = spark.read.format("hepmc").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2  # file-parallel planning
+
+    cols = ["event_id", "file_event_id", "file_ord", "pcl_id", "pdg",
+            "px", "e", "status", "src", "dst", "mask_final", "e_unit"]
+    via_ds = sorted(tuple(r) for r in df.select(*cols).collect())
+    via_ingest = sorted(
+        tuple(r)
+        for r in ingest_hepmc(spark, [str(f1), str(f2)])
+        .select(*cols)
+        .collect()
+    )
+    assert via_ds == via_ingest and len(via_ds) == 12
+
+    # single-file load and glob load agree with themselves
+    one = spark.read.format("hepmc").load(str(f1))
+    assert one.count() == 6 and one.rdd.getNumPartitions() == 1
+    globbed = spark.read.format("hepmc").load(str(tmp_path / "*.hepmc"))
+    assert globbed.count() == 12
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no files match"):
+        spark.read.format("hepmc").load(str(tmp_path / "none-*.hepmc")).count()
