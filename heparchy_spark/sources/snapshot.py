@@ -53,7 +53,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["SnapshotTable", "SnapshotConflict"]
+__all__ = [
+    "SnapshotTable",
+    "SnapshotConflict",
+    "snapshot_sink",
+    "commit_batch_once",
+]
 
 
 class SnapshotConflict(RuntimeError):
@@ -107,7 +112,9 @@ class SnapshotTable:
 
     # -- write path ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", batch_id: int | None = None
+    ) -> int:
         """Atomically commit ``df``'s rows as the next table version.
 
         ``append`` keeps the previous version's files and requires the
@@ -115,6 +122,10 @@ class SnapshotTable:
         column drift is the classic multi-writer corruption);
         ``overwrite`` replaces the file list and may change schema.
         Returns the new version number.
+
+        ``batch_id`` tags the manifest with a streaming micro-batch id —
+        the idempotence token ``snapshot_sink`` uses for exactly-once
+        delivery (a replayed batch is recognized and skipped).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"commit: mode must be append|overwrite, not {mode!r}")
@@ -162,6 +173,8 @@ class SnapshotTable:
             "rows": (rows_prev if mode == "append" else 0) + rows_new,
             "schema": df.schema.json(),
         }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         try:
             with open(self._manifest_path(version), "x") as fh:
                 json.dump(manifest, fh)
@@ -239,6 +252,20 @@ class SnapshotTable:
         added = [f for f in hi["files"] if f not in lo_set]
         return self._read_files({**hi, "files": added})
 
+    def latest_batch_id(self) -> int | None:
+        """Highest streaming micro-batch id any retained manifest carries
+        (None if the table has never been a streaming sink).  One stream
+        per table: the id namespace is the sink query's, so two different
+        streams writing one table would alias each other's tokens —
+        use one table per stream (documented contract, like the
+        checkpoint dir itself)."""
+        best: int | None = None
+        for p in (self.root / "_snapshots").glob("v*.json"):
+            b = json.loads(p.read_text()).get("batch_id")
+            if b is not None and (best is None or b > best):
+                best = b
+        return best
+
     # -- maintenance --------------------------------------------------------
 
     def vacuum(self, keep_last: int = 2) -> dict:
@@ -261,3 +288,53 @@ class SnapshotTable:
         for p in expired:
             p.unlink()
         return {"manifests_removed": len(expired), "files_removed": files_removed}
+
+
+def commit_batch_once(
+    table: SnapshotTable, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """The sink's idempotence guard: commit unless ``batch_id`` is already
+    represented in the manifest history (a foreachBatch replay).  Returns
+    whether a commit happened."""
+    last = table.latest_batch_id()
+    if last is not None and batch_id <= last:
+        return False
+    table.commit(batch_df, mode="append", batch_id=batch_id)
+    return True
+
+
+def snapshot_sink(
+    stream_df: DataFrame,
+    table: SnapshotTable,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Exactly-once streaming sink: each micro-batch becomes one atomic
+    snapshot commit, keyed by the engine's batch id.
+
+    Structured Streaming's file/parquet sink is at-least-once on
+    non-transactional stores (a task retry after a partial write leaves
+    orphan files a plain directory read picks up).  Here the composition
+    closes the gap from both sides: staged files are INVISIBLE until the
+    manifest commit (the snapshot layer's core property), and a replayed
+    micro-batch — foreachBatch reruns after failure/restart with the SAME
+    batch_id — is recognized via the manifest's ``batch_id`` token and
+    skipped, so its rows commit exactly once.  This is the same
+    idempotent-commit protocol Delta's streaming sink uses (txn version
+    per (appId, batchId)).
+
+    One stream per table (see ``latest_batch_id``).  Returns the started
+    ``StreamingQuery``.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch_once(table, batch_df, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

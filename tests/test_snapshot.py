@@ -121,3 +121,60 @@ def test_reader_never_sees_staged_files(spark, table):
     stats = table.vacuum(keep_last=1)
     assert stats["files_removed"] >= 1
     assert table.read().count() == 6
+
+
+def test_snapshot_sink_exactly_once(spark, tmp_path):
+    """Streaming sink into the snapshot table: one atomic commit per
+    micro-batch; restarting from the same checkpoint and replaying a
+    batch both leave the table unchanged (exactly-once)."""
+    from heparchy_spark.queries.tables import load
+    from heparchy_spark.sources.snapshot import snapshot_sink
+    from heparchy_spark.streaming import read_event_stream
+
+    # two arrival files -> two micro-batches
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    half = ev.count() // 2
+    flat = tmp_path / "landing"
+    flat.mkdir()
+    for i, pred in enumerate([F.col("event_id") < half,
+                              F.col("event_id") >= half]):
+        sub = tmp_path / f"b{i}"
+        ev.where(pred).coalesce(1).write.parquet(str(sub))
+        for j, f in enumerate(sorted(sub.glob("*.parquet"))):
+            f.rename(flat / f"part-{i}{j}.parquet")
+
+    table = SnapshotTable(spark, tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, str(flat), max_files_per_trigger=1)
+    q = snapshot_sink(stream, table, ckpt)
+    q.awaitTermination(120)
+
+    total = ev.count()
+    assert table.read().count() == total
+    versions = table.versions()
+    assert len(versions) >= 2  # one commit per micro-batch
+    assert table.latest_batch_id() == len(versions) - 1
+
+    # restart from the same checkpoint: no new data, no new commits
+    q2 = snapshot_sink(
+        read_event_stream(spark, str(flat), max_files_per_trigger=1),
+        table,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert table.read().count() == total
+    assert len(table.versions()) == len(versions)
+
+    # a foreachBatch replay after failure re-delivers the SAME batch_id:
+    # the guard must refuse it, and accept a genuinely new batch id
+    from heparchy_spark.sources.snapshot import commit_batch_once
+
+    before = table.latest_version()
+    last_bid = table.latest_batch_id()
+    replay = table.read()
+    assert commit_batch_once(table, replay, last_bid) is False
+    assert table.latest_version() == before
+    assert table.read().count() == total
+    assert commit_batch_once(table, replay.limit(0), last_bid + 1) is True
+    assert table.read().count() == total  # empty batch, rows unchanged
+    assert table.latest_batch_id() == last_bid + 1
