@@ -65,6 +65,32 @@ class SnapshotConflict(RuntimeError):
     """Another committer created the next version first; re-read and retry."""
 
 
+def _footer_minmax(md) -> dict:
+    """Per-file column min/max from the parquet footer (already in hand at
+    commit time — no extra IO), JSON-safe types only (int/float/str).
+    These power manifest-level file skipping: Iceberg keeps the same
+    stats in its manifests so planning prunes files BEFORE any footer is
+    opened — at 100 TB that is the difference between reading thousands
+    of footers and reading one metadata object."""
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            s = c.statistics
+            if s is None or not s.has_min_max:
+                continue
+            lo, hi = s.min, s.max
+            if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                continue
+            name = c.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str | Path) -> None:
         self.spark = spark
@@ -113,7 +139,11 @@ class SnapshotTable:
     # -- write path ---------------------------------------------------------
 
     def commit(
-        self, df: DataFrame, mode: str = "append", batch_id: int | None = None
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        batch_id: int | None = None,
+        operation: str | None = None,
     ) -> int:
         """Atomically commit ``df``'s rows as the next table version.
 
@@ -131,6 +161,7 @@ class SnapshotTable:
             raise ValueError(f"commit: mode must be append|overwrite, not {mode!r}")
         base = self.latest_version()
         prev_files: list[str] = []
+        prev_stats: dict[str, dict] = {}
         rows_prev = 0
         if base > 0:
             prev = self._load_manifest(base)
@@ -142,6 +173,7 @@ class SnapshotTable:
                         "use mode='overwrite' to change the table schema"
                     )
                 prev_files = prev["files"]
+                prev_stats = prev.get("file_stats", {})
                 rows_prev = prev["rows"]
 
         # 1. stage data files under a commit uuid (invisible until listed)
@@ -149,14 +181,18 @@ class SnapshotTable:
         staging = self.root / "_staging" / commit_id
         df.write.parquet(str(staging))
         new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
         rows_new = 0
         for f in sorted(staging.glob("*.parquet")):
             import pyarrow.parquet as pq
 
-            rows_new += pq.read_metadata(f).num_rows
+            md = pq.read_metadata(f)
+            rows_new += md.num_rows
             dest = self.root / "data" / f"{commit_id}-{f.name}"
             f.rename(dest)
-            new_files.append(f"data/{dest.name}")
+            rel = f"data/{dest.name}"
+            new_files.append(rel)
+            new_stats[rel] = _footer_minmax(md)
         shutil.rmtree(staging, ignore_errors=True)
         try:
             staging.parent.rmdir()  # remove _staging/ when empty
@@ -167,11 +203,12 @@ class SnapshotTable:
         version = base + 1
         manifest = {
             "version": version,
-            "operation": mode,
+            "operation": operation or mode,
             "files": (prev_files if mode == "append" else []) + new_files,
             "n_added": len(new_files),
             "rows": (rows_prev if mode == "append" else 0) + rows_new,
             "schema": df.schema.json(),
+            "file_stats": {**prev_stats, **new_stats},
         }
         if batch_id is not None:
             manifest["batch_id"] = batch_id
@@ -251,6 +288,75 @@ class SnapshotTable:
             )
         added = [f for f in hi["files"] if f not in lo_set]
         return self._read_files({**hi, "files": added})
+
+    def read_where(
+        self,
+        col: str,
+        lo,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range/point read with MANIFEST-level file skipping: files whose
+        committed [min, max] cannot contain ``[lo, hi]`` (``hi`` defaults
+        to ``lo`` — an equality probe) are dropped at planning, before
+        Spark opens a single footer.  The residual predicate is still
+        applied to the surviving files, so correctness never depends on
+        the stats — a file with missing stats is conservatively kept.
+
+        Effective when commits are value-clustered (per-batch ranges,
+        `optimize(zorder_by=...)`); useless-but-harmless on random
+        layouts, like every min/max index.
+        """
+        if hi is None:
+            hi = lo
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError("snapshot table has no commits yet")
+        m = self._load_manifest(v)
+        stats = m.get("file_stats", {})
+
+        def may_contain(f: str) -> bool:
+            mm = stats.get(f, {}).get(col)
+            if mm is None:
+                return True  # no stats -> cannot prune safely
+            fmin, fmax = mm
+            return not (hi < fmin or lo > fmax)
+
+        kept = [f for f in m["files"] if may_contain(f)]
+        from pyspark.sql import functions as F
+
+        df = self._read_files({**m, "files": kept})
+        return df.where(F.col(col).between(lo, hi))
+
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
+        """Rewrite the current version compacted (and optionally
+        Z-order-clustered) as a NEW version — OPTIMIZE [ZORDER BY] with
+        time travel intact: the pre-optimize version still reads until
+        vacuum.  Row count is verified against the previous manifest; a
+        mismatch rolls the pointer back and raises."""
+        base = self.latest_version()
+        if base == 0:
+            raise ValueError("snapshot table has no commits yet")
+        rows_before = self._load_manifest(base)["rows"]
+        df = self.read()
+        if zorder_by:
+            from heparchy_spark.operators.layout import cluster_by_zorder
+
+            out = cluster_by_zorder(df, zorder_by, num_files=num_files)
+        else:
+            out = df.coalesce(num_files or 1)
+        v = self.commit(out, mode="overwrite", operation="optimize")
+        if self._load_manifest(v)["rows"] != rows_before:
+            self.rollback(base)
+            raise RuntimeError(
+                "optimize changed the row count — pointer rolled back to "
+                f"v{base}; optimized v{v} left for inspection"
+            )
+        return v
 
     def latest_batch_id(self) -> int | None:
         """Highest streaming micro-batch id any retained manifest carries

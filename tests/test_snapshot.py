@@ -178,3 +178,53 @@ def test_snapshot_sink_exactly_once(spark, tmp_path):
     assert commit_batch_once(table, replay.limit(0), last_bid + 1) is True
     assert table.read().count() == total  # empty batch, rows unchanged
     assert table.latest_batch_id() == last_bid + 1
+
+
+def test_read_where_prunes_files_by_manifest_stats(spark, table):
+    """Three commits with disjoint id ranges -> an id probe must plan
+    only the matching commit's files (manifest min/max skipping), and
+    the result must equal the unpruned filter."""
+    table.commit(_batch(spark, 0, 100).coalesce(1))
+    table.commit(_batch(spark, 100, 200).coalesce(1))
+    table.commit(_batch(spark, 200, 300).coalesce(1))
+
+    probe = table.read_where("id", 150)
+    assert [r["id"] for r in probe.collect()] == [150]
+    # planning proof: only the middle commit's file survives pruning
+    assert len(probe.inputFiles()) == 1
+    full = table.read().where(F.col("id") == 150)
+    assert probe.collect() == full.collect()
+
+    rng = table.read_where("id", 90, 110)
+    assert len(rng.inputFiles()) == 2  # spans two commits
+    assert sorted(r["id"] for r in rng.collect()) == list(range(90, 111))
+
+    # stats-free manifests (pre-stats history) are conservatively kept
+    m = table._load_manifest(table.latest_version())
+    m.pop("file_stats")
+    table._manifest_path(table.latest_version()).write_text(__import__("json").dumps(m))
+    unpruned = table.read_where("id", 150)
+    assert len(unpruned.inputFiles()) == 3
+    assert [r["id"] for r in unpruned.collect()] == [150]
+
+
+def test_optimize_compacts_with_time_travel(spark, table):
+    for lo in range(0, 300, 100):
+        table.commit(_batch(spark, lo, lo + 100))
+    files_before = len(table._load_manifest(3)["files"])
+    v = table.optimize(num_files=1)
+    assert v == 4
+    m = table._load_manifest(4)
+    assert m["operation"] == "optimize"
+    assert len(m["files"]) == 1 < files_before
+    assert m["rows"] == 300
+    assert table.read().count() == 300
+    # pre-optimize version still reads (time travel until vacuum)
+    assert table.read(version=3).count() == 300
+
+    # zorder variant keeps rows and re-tightens stats for pruning
+    v2 = table.optimize(zorder_by=["id", "v"], num_files=4)
+    assert table.read(version=v2).count() == 300
+    probe = table.read_where("id", 5)
+    assert len(probe.inputFiles()) <= 2
+    assert [r["id"] for r in probe.collect()] == [5]
