@@ -85,6 +85,8 @@ HEADLINE = [
     "events_funnel_conversion",
     "graph_triangle_counts",
     "text_chunk_documents",
+    "profile_table_stats",
+    "join_salted_brand_counts",
 ]
 
 

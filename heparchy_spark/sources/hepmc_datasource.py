@@ -30,6 +30,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -74,6 +75,31 @@ def _expand(path: str) -> list[str]:
     return [str(f) for f in files]
 
 
+def _parse_one(path: str, ford: int):
+    """Stream one file's particles as schema-ordered tuples (executor
+    side, shared by the batch and stream readers)."""
+    with open(path, encoding="utf-8") as fh:
+        for row in parse_hepmc_ascii(fh):
+            gid = ford * (1 << 32) + row["event_id"]
+            yield (
+                gid,
+                row["event_id"],
+                ford,
+                row["pcl_id"],
+                row["px"],
+                row["py"],
+                row["pz"],
+                row["e"],
+                row["mass"],
+                row["pdg"],
+                row["status"],
+                row["src"],
+                row["dst"],
+                row["mask_final"],
+                row["e_unit"],
+            )
+
+
 class _HepMCReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -93,27 +119,56 @@ class _HepMCReader(DataSourceReader):
         ]
 
     def read(self, partition: InputPartition):
-        path, ford = partition.value
-        with open(path, encoding="utf-8") as fh:
-            for row in parse_hepmc_ascii(fh):
-                gid = ford * (1 << 32) + row["event_id"]
-                yield (
-                    gid,
-                    row["event_id"],
-                    ford,
-                    row["pcl_id"],
-                    row["px"],
-                    row["py"],
-                    row["pz"],
-                    row["e"],
-                    row["mass"],
-                    row["pdg"],
-                    row["status"],
-                    row["src"],
-                    row["dst"],
-                    row["mask_final"],
-                    row["e_unit"],
-                )
+        yield from _parse_one(*partition.value)
+
+
+class _HepMCStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("hepmc")`` — micro-batches of newly
+    arrived HepMC files (the generator-drop ingest pattern; pairs with
+    ``snapshot_sink`` for an exactly-once file→table pipeline).
+
+    Offsets carry the set of files already assigned, so each file is
+    read exactly once even across restarts (the engine replays
+    ``partitions(start, end)`` deterministically from checkpointed
+    offsets).  ``file_ord`` is the file's rank in the end offset's
+    sorted listing, globally disambiguated by the same 2^32 base as the
+    batch reader.  Contract: drop files with monotonically sorting
+    names (``part-00001`` style, the standard drop-dir convention) — a
+    late file whose name sorts BEFORE already-assigned ones would shift
+    ranks and alias event-id namespaces.  The file list in the offset
+    grows with the
+    directory — fine for drop-dir scale (thousands); a production
+    variant would compact acknowledged files into a watermark on
+    ``commit``, exactly like the built-in file source's log.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("hepmc stream source requires a path")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"assigned": []}
+
+    def latestOffset(self) -> dict:
+        return {"assigned": _expand(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start["assigned"])
+        ordered = end["assigned"]  # sorted by _expand: stable ranks
+        new = [
+            (f, i) for i, f in enumerate(ordered) if f not in seen
+        ]
+        # offsets must advance even when empty; the engine handles an
+        # empty partition list as a no-data batch
+        return [InputPartition(fi) for fi in new]
+
+    def read(self, partition: InputPartition):
+        yield from _parse_one(*partition.value)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to acknowledge: files are immutable drops
 
 
 class HepMCDataSource(DataSource):
@@ -126,6 +181,9 @@ class HepMCDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> _HepMCReader:
         return _HepMCReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> _HepMCStreamReader:
+        return _HepMCStreamReader(self.options)
 
 
 def register_hepmc_source(spark: SparkSession) -> None:
