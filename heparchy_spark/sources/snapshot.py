@@ -144,6 +144,7 @@ class SnapshotTable:
         mode: str = "append",
         batch_id: int | None = None,
         operation: str | None = None,
+        app_meta: dict | None = None,
     ) -> int:
         """Atomically commit ``df``'s rows as the next table version.
 
@@ -212,6 +213,10 @@ class SnapshotTable:
         }
         if batch_id is not None:
             manifest["batch_id"] = batch_id
+        if app_meta:
+            # application-owned JSON blob (e.g. a materialized view's
+            # base-table version) — rides the same atomic commit
+            manifest["app_meta"] = app_meta
         try:
             with open(self._manifest_path(version), "x") as fh:
                 json.dump(manifest, fh)
@@ -357,6 +362,14 @@ class SnapshotTable:
                 f"v{base}; optimized v{v} left for inspection"
             )
         return v
+
+    def app_meta(self, version: int | None = None) -> dict:
+        """The application metadata blob committed with ``version``
+        (default latest); empty dict if none."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {}
+        return self._load_manifest(v).get("app_meta", {})
 
     def latest_batch_id(self) -> int | None:
         """Highest streaming micro-batch id any retained manifest carries

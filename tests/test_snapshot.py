@@ -228,3 +228,74 @@ def test_optimize_compacts_with_time_travel(spark, table):
     probe = table.read_where("id", 5)
     assert len(probe.inputFiles()) <= 2
     assert [r["id"] for r in probe.collect()] == [5]
+
+
+def test_materialized_aggregate_incremental_refresh(spark, tmp_path):
+    """IVM: after each append, an incremental refresh must equal the
+    full recompute; overwrites break lineage and force (correct) full
+    recompute; a fresh view refresh is a no-op."""
+    from heparchy_spark.sources.matview import MaterializedAggregate
+
+    base = SnapshotTable(spark, tmp_path / "base")
+    view = SnapshotTable(spark, tmp_path / "view")
+    mv = MaterializedAggregate(
+        base,
+        view,
+        ["grp"],
+        {
+            "n": ("count", None),
+            "total": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("grp"), F.col("id").alias("v")
+        )
+
+    def expected():
+        return sorted(
+            tuple(r)
+            for r in base.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .select("grp", "n", "total", "lo", "hi")
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            tuple(r)
+            for r in mv.read().select("grp", "n", "total", "lo", "hi").collect()
+        )
+
+    base.commit(batch(0, 50))
+    assert mv.refresh()["mode"] == "full"  # first build
+    assert got() == expected()
+
+    base.commit(batch(50, 80))
+    base.commit(batch(80, 100))  # two appends -> one delta spanning both
+    assert mv.refresh()["mode"] == "incremental"
+    assert got() == expected()
+
+    assert mv.refresh()["mode"] == "noop"
+
+    # overwrite breaks append-only lineage -> full recompute, still right
+    base.commit(batch(0, 10), mode="overwrite")
+    assert mv.refresh()["mode"] == "full"
+    assert got() == expected()
+
+    # and incremental resumes on the new lineage
+    base.commit(batch(10, 30))
+    assert mv.refresh()["mode"] == "incremental"
+    assert got() == expected()
+
+    with pytest.raises(ValueError, match="kind"):
+        MaterializedAggregate(base, view, ["grp"], {"x": ("avg", "v")})
