@@ -71,7 +71,13 @@ def _footer_minmax(md) -> dict:
     These power manifest-level file skipping: Iceberg keeps the same
     stats in its manifests so planning prunes files BEFORE any footer is
     opened — at 100 TB that is the difference between reading thousands
-    of footers and reading one metadata object."""
+    of footers and reading one metadata object.
+
+    String-stats truncation is safe to prune on: parquet writers that
+    truncate long binary stats round the min DOWN and the max UP
+    (parquet-mr's BinaryTruncator increments the last byte), so footer
+    bounds stay conservative — truncation can only widen a file's
+    apparent range and keep it, never wrongly drop it."""
     out: dict[str, list] = {}
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
