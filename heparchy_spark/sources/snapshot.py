@@ -173,7 +173,16 @@ class SnapshotTable:
         if base > 0:
             prev = self._load_manifest(base)
             if mode == "append":
-                if json.loads(prev["schema"]) != json.loads(df.schema.json()):
+                # order-insensitive: reads resolve columns by name against
+                # the pinned schema, so field ORDER is not part of the
+                # contract — names and types are
+                def _fieldset(sj: str):
+                    return sorted(
+                        (f["name"], json.dumps(f["type"], sort_keys=True))
+                        for f in json.loads(sj)["fields"]
+                    )
+
+                if _fieldset(prev["schema"]) != _fieldset(df.schema.json()):
                     raise ValueError(
                         "append schema mismatch: committed schema "
                         f"{prev['schema']} != incoming {df.schema.json()}; "

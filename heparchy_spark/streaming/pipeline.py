@@ -26,7 +26,11 @@ from pyspark.sql.streaming import StreamingQuery
 from heparchy_spark.operators.text import lang_id, quality_score
 from heparchy_spark.streaming.ingest import dedup_append_batch
 
-__all__ = ["corpus_gates", "stream_corpus_pipeline"]
+__all__ = [
+    "corpus_gates",
+    "stream_corpus_pipeline",
+    "stream_corpus_pipeline_txn",
+]
 
 
 def corpus_gates(
@@ -72,6 +76,70 @@ def stream_corpus_pipeline(
         dedup_append_batch(
             batch, text_col, id_col, dest, sidecar, partition_by=["shard"]
         )
+
+    writer = (
+        gated.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_corpus_pipeline_txn(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table,
+    checkpoint: str,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    n_shards: int = 8,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """The transactional corpus pipeline: gates -> exact cross-corpus
+    dedup -> EXACTLY-ONCE snapshot commit per micro-batch.
+
+    Differences from ``stream_corpus_pipeline`` (plain append + hash
+    sidecar, at-least-once on the landing dir):
+
+    * ``table`` is a ``SnapshotTable`` — each batch is one atomic
+      manifest commit keyed by the micro-batch id, so task retries and
+      foreachBatch replays cannot double-land documents
+      (``commit_batch_once``);
+    * the dedup reference is the table ITSELF: the batch anti-joins the
+      corpus' ``__h`` content-hash COLUMN (Parquet column pruning reads
+      just that column — same scan bytes as the sidecar, none of its
+      consistency burden: hashes and rows are one atomic commit by
+      construction);
+    * a batch whose rows all dedup away still commits an empty version,
+      banking the batch-id token — replay safety does not depend on the
+      batch having survivors.
+
+    Scale: gates are scan-side projections; the anti-join shuffles the
+    (uniform) hash key; the per-batch corpus re-read is the hash column
+    only. At very large corpora swap the dedup reference for a bucketed
+    hash projection maintained by OPTIMIZE — the commit protocol is
+    unchanged.
+    """
+    from heparchy_spark.sources.snapshot import commit_batch_once
+
+    gated = corpus_gates(
+        stream_df, text_col, min_quality=min_quality, langs=langs,
+        n_shards=n_shards,
+    ).withColumn("__h", F.sha2(F.col(text_col), 256))
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        last = table.latest_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        b = batch.dropDuplicates(["__h"])  # within-batch exact dedup
+        if table.latest_version() > 0:
+            seen = table.read().select("__h")
+            b = b.join(seen, "__h", "left_anti")  # cross-corpus dedup
+        # joins reorder columns; keep the table's file layout stable
+        commit_batch_once(table, b.select(*batch.columns), batch_id)
 
     writer = (
         gated.writeStream.foreachBatch(process)

@@ -547,3 +547,74 @@ def test_stream_stream_left_outer_join_matches_batch(spark, landing):
     with pytest.raises(ValueError):
         purchase_view_join(ev, ev, how="full_outer")
 
+
+
+def test_stream_corpus_pipeline_txn_exactly_once(spark, tmp_path):
+    """Transactional corpus pipeline: gates -> cross-corpus dedup ->
+    atomic snapshot commits; matches the batch twin, and a checkpointed
+    re-run commits nothing new."""
+    from heparchy_spark.sources.snapshot import SnapshotTable
+    from heparchy_spark.streaming import corpus_gates
+    from heparchy_spark.streaming.pipeline import stream_corpus_pipeline_txn
+
+    docs = load(spark, SF_DIR, "documents")
+    half = docs.where(F.col("doc_id") < 250)
+    rest = docs.where(F.col("doc_id") >= 250)
+    redelivered = half.limit(40).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, part in enumerate([half, rest.unionByName(redelivered)]):
+        sub = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        for j, f in enumerate(sorted(sub.glob("*.parquet"))):
+            f.rename(flat / f"part-{i}{j}.parquet")
+
+    def run_once(tbl):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        q = stream_corpus_pipeline_txn(
+            stream, "text", "doc_id", tbl, str(tmp_path / "ckpt"),
+            min_quality=0.5, langs=("en", "de"), n_shards=4,
+        )
+        q.awaitTermination(180)
+
+    table = SnapshotTable(spark, tmp_path / "corpus_tbl")
+    run_once(table)
+
+    got_set = {
+        (r["doc_id"], r["shard"])
+        for r in table.read().select("doc_id", "shard").collect()
+    }
+    twin = corpus_gates(
+        docs.unionByName(redelivered), "text",
+        min_quality=0.5, langs=("en", "de"), n_shards=4,
+    ).withColumn("__ch", F.sha2(F.col("text"), 256))
+    from pyspark.sql import Window as W
+
+    twin_dedup = twin.withColumn(
+        "__rn", F.row_number().over(W.partitionBy("__ch").orderBy("doc_id"))
+    ).where(F.col("__rn") == 1)
+    want_set = {
+        (r["doc_id"], r["shard"])
+        for r in twin_dedup.select("doc_id", "shard").collect()
+    }
+    assert got_set == want_set and len(want_set) > 100
+    assert not any(d >= 100_000 for d, _ in got_set)  # dups suppressed
+    # every micro-batch landed as an atomic append with its batch token
+    vers = table.versions()
+    assert {v["operation"] for v in vers} == {"append"}
+    assert table.latest_batch_id() == len(vers) - 1
+
+    # checkpointed re-run: engine replays nothing, table unchanged
+    n_before = len(vers)
+    run_once(table)
+    assert len(table.versions()) == n_before
+    assert {
+        (r["doc_id"], r["shard"])
+        for r in table.read().select("doc_id", "shard").collect()
+    } == want_set
