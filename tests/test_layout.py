@@ -320,3 +320,91 @@ def test_cluster_by_hilbert_tightens_file_stats(spark, tmp_path):
     assert spark.read.parquet(h_dir).count() == o.count()
     with pytest.raises(ValueError):
         cluster_by_hilbert(o, ["o_custkey"], bits_per_col=4)
+
+
+def _skilling_index(xs: list[int], bits: int) -> int:
+    """Plain-Python Skilling AxesToTranspose + interleave (the public
+    algorithm, AIP Conf. Proc. 707) — independent mirror."""
+    x = list(xs)
+    n = len(x)
+    m = 1 << (bits - 1)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if x[i] & q:
+                x[0] ^= p
+            else:
+                t = (x[0] ^ x[i]) & p
+                x[0] ^= t
+                x[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        x[i] ^= x[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if x[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    x = [v ^ t for v in x]
+    # MSB-first interleave, x0 most significant
+    d = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << 1) | ((x[i] >> j) & 1)
+    return d
+
+
+def test_hilbert_nd_exhaustive_bijective_and_local(spark):
+    """3-D, bits=3: all 512 cells match the Skilling mirror, the key is
+    a bijection onto [0, 512), and consecutive keys are grid neighbors
+    (Manhattan distance 1) — the k-D Hilbert guarantee."""
+    from heparchy_spark.operators.layout import hilbert_key_nd
+
+    grid = spark.range(512).select(
+        (F.col("id") % 8).alias("x"),
+        ((F.col("id") / 8).cast("long") % 8).alias("y"),
+        (F.col("id") / 64).cast("long").alias("z"),
+    )
+    rows = grid.select(
+        "x", "y", "z",
+        hilbert_key_nd([F.col("x"), F.col("y"), F.col("z")], 3).alias("d"),
+    ).collect()
+
+    by_d = {}
+    for r in rows:
+        assert r["d"] == _skilling_index([r["x"], r["y"], r["z"]], 3), (
+            r["x"], r["y"], r["z"],
+        )
+        by_d[r["d"]] = (r["x"], r["y"], r["z"])
+    assert sorted(by_d) == list(range(512))  # bijection
+
+    cells = [by_d[k] for k in sorted(by_d)]
+    assert all(
+        sum(abs(a - b) for a, b in zip(c1, c2)) == 1
+        for c1, c2 in zip(cells, cells[1:])
+    )  # every consecutive pair is a grid neighbor
+
+    with pytest.raises(ValueError):
+        hilbert_key_nd([F.col("x")], 3)
+    with pytest.raises(ValueError):
+        hilbert_key_nd([F.col("x")] * 3, 21)  # 63 > 62 key bits
+
+
+def test_cluster_by_hilbert_3d_roundtrip(spark, tmp_path):
+    """k=3 re-layout preserves content and routes through the nd key."""
+    from heparchy_spark.operators.layout import cluster_by_hilbert
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    out = cluster_by_hilbert(
+        li, ["l_partkey", "l_quantity", "l_extendedprice"],
+        bits_per_col=8, num_files=4,
+    )
+    d = str(tmp_path / "h3")
+    out.write.mode("overwrite").parquet(d)
+    got = spark.read.parquet(d)
+    assert got.count() == li.count()
+    assert sorted(got.columns) == sorted(li.columns)
