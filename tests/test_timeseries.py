@@ -1,0 +1,123 @@
+"""Time-series regularization: resample buckets, gap-fill completeness,
+LOCF semantics, and the runaway-axis guard."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from heparchy_spark.operators.timeseries import gap_fill, locf, resample
+from heparchy_spark.queries.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tiny(spark):
+    rows = [
+        ("a", "2024-01-01 00:05:00", 1.0),
+        ("a", "2024-01-01 00:20:00", 2.0),
+        ("a", "2024-01-01 02:10:00", 4.0),  # hour 01 missing
+        ("b", "2024-01-01 03:00:00", 10.0),
+    ]
+    return spark.createDataFrame(
+        rows, "g string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_resample_buckets_and_aggregates(tiny):
+    got = {
+        (r["g"], str(r["bucket"]), r["total"])
+        for r in resample(
+            tiny, "ts", "1 hour", ["g"], [F.sum("v").alias("total")]
+        ).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:00", 3.0),
+        ("a", "2024-01-01 02:00:00", 4.0),
+        ("b", "2024-01-01 03:00:00", 10.0),
+    }
+
+
+def test_gap_fill_completes_each_groups_axis(tiny):
+    rows = gap_fill(
+        tiny, "ts", "1 hour", ["g"], [F.sum("v").alias("total")]
+    ).collect()
+    got = {(r["g"], str(r["bucket"]), r["total"]) for r in rows}
+    # group a: complete 00..02 axis with a NULL hole; group b: its own
+    # single-bucket axis (never a's span — axes are per group)
+    assert got == {
+        ("a", "2024-01-01 00:00:00", 3.0),
+        ("a", "2024-01-01 01:00:00", None),
+        ("a", "2024-01-01 02:00:00", 4.0),
+        ("b", "2024-01-01 03:00:00", 10.0),
+    }
+
+
+def test_locf_carries_forward_but_not_backward(tiny, spark):
+    gf = gap_fill(tiny, "ts", "1 hour", ["g"], [F.sum("v").alias("total")])
+    filled = {
+        (r["g"], str(r["bucket"]), r["total"])
+        for r in locf(gf, ["total"], "bucket", ["g"]).collect()
+    }
+    assert ("a", "2024-01-01 01:00:00", 3.0) in filled  # hole carried
+    # leading NULL stays NULL: a group whose first bucket is a hole
+    lead = spark.createDataFrame(
+        [("c", "2024-01-01 05:00:00", None), ("c", "2024-01-01 06:00:00", 7.0)],
+        "g string, bucket string, total double",
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+    out = {
+        (str(r["bucket"]), r["total"])
+        for r in locf(lead, ["total"], "bucket", ["g"]).collect()
+    }
+    assert ("2024-01-01 05:00:00", None) in out
+    assert ("2024-01-01 06:00:00", 7.0) in out
+
+
+def test_gap_fill_runaway_axis_guard(tiny, spark):
+    stray = tiny.unionByName(
+        spark.createDataFrame(
+            [("a", "1970-01-01 00:00:00", 0.0)], "g string, ts string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        gap_fill(
+            stray, "ts", "1 hour", ["g"], [F.sum("v").alias("total")],
+            max_buckets=1000,
+        ).count()
+
+
+def test_gap_fill_events_axis_is_dense(spark):
+    """Real events table: every group's hourly axis is dense (consecutive
+    buckets differ by exactly the step) and observed buckets match the
+    plain resample."""
+    ev = load(spark, SF_DIR, "events")
+    gf = gap_fill(
+        ev, "ts", "6 hours", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")],
+    )
+    import datetime as dt
+
+    by_g: dict[str, list] = {}
+    for r in gf.collect():
+        by_g.setdefault(r["event_type"], []).append(r["bucket"])
+    assert by_g
+    for g, buckets in by_g.items():
+        buckets.sort()
+        steps = {
+            (b2 - b1) for b1, b2 in zip(buckets, buckets[1:])
+        }
+        assert steps <= {dt.timedelta(hours=6)}, g
+    # non-null rows agree with resample
+    rs = resample(
+        ev, "ts", "6 hours", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")],
+    )
+    got = {
+        (r["event_type"], r["bucket"], r["n"], r["v"])
+        for r in gf.where(F.col("n").isNotNull()).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"], r["n"], r["v"]) for r in rs.collect()
+    }
+    assert got == want
