@@ -32,7 +32,7 @@ import typing as ty
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["resample", "gap_fill", "locf"]
+__all__ = ["resample", "gap_fill", "locf", "interpolate_linear"]
 
 
 def _step_seconds(step: str) -> Column:
@@ -130,3 +130,48 @@ def locf(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: ty.Sequence[str],
+) -> DataFrame:
+    """Linear interpolation of NULL ``value_col`` rows between their
+    nearest non-null neighbors per group (Timescale's ``interpolate``):
+    v = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev).
+
+    Two ordered window passes (backward-looking last + forward-looking
+    first, both ``ignorenulls``) carry each neighbor's value AND
+    timestamp; rows with only one neighbor (leading/trailing holes)
+    stay NULL — interpolation needs both ends, and inventing an
+    extrapolation silently would be a correctness trap.  No self-joins:
+    cost is two sorts per group, same shape as ``locf``.
+    """
+    gcols = list(group_cols)
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("double")
+    back = (
+        Window.partitionBy(*gcols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*gcols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    # neighbor value/time pairs must come from the SAME row: carry a
+    # struct so a null value cannot pair with a different row's time
+    obs = F.when(v.isNotNull(), F.struct(v.alias("v"), t.alias("t")))
+    prev = F.last(obs, ignorenulls=True).over(back)
+    nxt = F.first(obs, ignorenulls=True).over(fwd)
+    frac = (t - prev["t"]) / (nxt["t"] - prev["t"])
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            prev["v"] + (nxt["v"] - prev["v"]) * frac,
+        )
+    )
+    return df.withColumn(value_col, filled)

@@ -121,3 +121,37 @@ def test_gap_fill_events_axis_is_dense(spark):
         (r["event_type"], r["bucket"], r["n"], r["v"]) for r in rs.collect()
     }
     assert got == want
+
+
+def test_interpolate_linear_between_neighbors(tiny, spark):
+    from heparchy_spark.operators.timeseries import interpolate_linear
+
+    gf = gap_fill(tiny, "ts", "1 hour", ["g"], [F.sum("v").alias("total")])
+    out = {
+        (r["g"], str(r["bucket"]), r["total"])
+        for r in interpolate_linear(gf, "total", "bucket", ["g"]).collect()
+    }
+    # hour 01 hole sits midway between 3.0 (hour 00) and 4.0 (hour 02)
+    assert ("a", "2024-01-01 01:00:00", 3.5) in out
+    assert ("a", "2024-01-01 00:00:00", 3.0) in out  # observed untouched
+
+    # leading/trailing holes stay NULL (no extrapolation)
+    edge = spark.createDataFrame(
+        [
+            ("c", "2024-01-01 00:00:00", None),
+            ("c", "2024-01-01 01:00:00", 2.0),
+            ("c", "2024-01-01 02:00:00", None),
+            ("c", "2024-01-01 03:00:00", 6.0),
+            ("c", "2024-01-01 04:00:00", None),
+        ],
+        "g string, bucket string, total double",
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+    got = {
+        (str(r["bucket"]), r["total"])
+        for r in interpolate_linear(edge, "total", "bucket", ["g"]).collect()
+    }
+    assert ("2024-01-01 00:00:00", None) in got
+    assert ("2024-01-01 04:00:00", None) in got
+    # unevenly spaced hole: 2h into a 1h->3h span of 2.0->6.0 -> 4.0
+    # (time-weighted, NOT midpoint-of-values)
+    assert ("2024-01-01 02:00:00", 4.0) in got
