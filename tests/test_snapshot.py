@@ -299,3 +299,41 @@ def test_materialized_aggregate_incremental_refresh(spark, tmp_path):
 
     with pytest.raises(ValueError, match="kind"):
         MaterializedAggregate(base, view, ["grp"], {"x": ("avg", "v")})
+
+
+def test_concurrent_committers_with_retry_lose_nothing(spark, table):
+    """Two real threads race append commits with the documented
+    retry-on-conflict protocol: versions serialize, every batch lands
+    exactly once, and at least the table ends fully consistent."""
+    import threading
+
+    from heparchy_spark.sources.snapshot import SnapshotConflict
+
+    errors: list[Exception] = []
+
+    def committer(lo: int, hi: int) -> None:
+        df = _batch(spark, lo, hi)
+        for _ in range(25):  # retry loop per the SnapshotConflict contract
+            try:
+                table.commit(df)
+                return
+            except SnapshotConflict:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+        errors.append(RuntimeError("retries exhausted"))
+
+    ranges = [(0, 40), (40, 90), (90, 150), (150, 220)]
+    threads = [threading.Thread(target=committer, args=r) for r in ranges]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert table.latest_version() == len(ranges)  # serialized, none lost
+    assert sorted(r["id"] for r in table.read().collect()) == list(range(220))
+    # history row counts are monotone (each commit appended)
+    rows = [v["rows"] for v in table.versions()]
+    assert rows == sorted(rows) and rows[-1] == 220
