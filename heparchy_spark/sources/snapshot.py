@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import typing as ty
 import uuid
 from pathlib import Path
 
@@ -151,6 +152,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         operation: str | None = None,
         app_meta: dict | None = None,
+        expectations: ty.Sequence | None = None,
     ) -> int:
         """Atomically commit ``df``'s rows as the next table version.
 
@@ -196,6 +198,26 @@ class SnapshotTable:
         commit_id = uuid.uuid4().hex[:12]
         staging = self.root / "_staging" / commit_id
         df.write.parquet(str(staging))
+
+        # 1b. quality gate on the STAGED files — what was actually
+        # written, not the plan that produced it; a failing batch is
+        # deleted before it can ever become visible
+        if expectations:
+            from heparchy_spark.sources.expectations import (
+                ExpectationFailed,
+                check_expectations,
+            )
+
+            staged = self.spark.read.schema(df.schema).parquet(str(staging))
+            report = check_expectations(staged, expectations)
+            if any(v > 0 for k, v in report.items() if k != "__rows"):
+                shutil.rmtree(staging, ignore_errors=True)
+                try:
+                    staging.parent.rmdir()
+                except OSError:
+                    pass
+                raise ExpectationFailed(report)
+
         new_files: list[str] = []
         new_stats: dict[str, dict] = {}
         rows_new = 0

@@ -337,3 +337,54 @@ def test_concurrent_committers_with_retry_lose_nothing(spark, table):
     # history row counts are monotone (each commit appended)
     rows = [v["rows"] for v in table.versions()]
     assert rows == sorted(rows) and rows[-1] == 220
+
+
+def test_expectations_gate_commits_atomically(spark, table):
+    """Violating batches are rejected BEFORE visibility: the table
+    version, row count, and data dir are untouched; clean batches with
+    the same rules commit."""
+    from heparchy_spark.sources.expectations import (
+        ExpectationFailed,
+        accepted_values,
+        check_expectations,
+        in_range,
+        not_null,
+        unique_key,
+    )
+
+    rules = [
+        not_null("id", "v"),
+        in_range("v", 0, 100),
+        unique_key("id"),
+    ]
+    good = _batch(spark, 0, 40)  # v = 2*id in [0, 78]
+    assert table.commit(good, expectations=rules) == 1
+
+    bad = good.unionByName(_batch(spark, 30, 35))  # duplicate ids
+    n_data = len(list((table.root / "data").glob("*.parquet")))
+    with pytest.raises(ExpectationFailed, match="unique_key"):
+        table.commit(bad, expectations=rules)
+    # nothing changed, nothing staged left behind, nothing visible
+    assert table.latest_version() == 1
+    assert table.read().count() == 40
+    assert len(list((table.root / "data").glob("*.parquet"))) == n_data
+    assert not (table.root / "_staging").exists()
+
+    out_of_range = spark.range(200, 203).select(
+        F.col("id"), (F.col("id") * 2).alias("v")  # v up to 404 > 100
+    )
+    with pytest.raises(ExpectationFailed, match="in_range"):
+        table.commit(out_of_range, expectations=rules)
+
+    # the report itself: exact violation counts, one pass
+    report = check_expectations(
+        bad.unionByName(
+            spark.createDataFrame([(None, 5.0)], "id long, v double")
+            .select("id", F.col("v").cast("long").alias("v"))
+        ),
+        [*rules, accepted_values("v", list(range(0, 80, 2)))],
+    )
+    assert report["__rows"] == 46
+    assert report["not_null(id,v)"] == 1
+    assert report["unique_key(id)"] == 6  # 5 dup rows + 1 null-key row
+    assert report["in_range(v,0,100)"] == 0
