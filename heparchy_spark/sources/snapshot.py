@@ -153,6 +153,7 @@ class SnapshotTable:
         operation: str | None = None,
         app_meta: dict | None = None,
         expectations: ty.Sequence | None = None,
+        allow_add_columns: bool = False,
     ) -> int:
         """Atomically commit ``df``'s rows as the next table version.
 
@@ -184,12 +185,23 @@ class SnapshotTable:
                         for f in json.loads(sj)["fields"]
                     )
 
-                if _fieldset(prev["schema"]) != _fieldset(df.schema.json()):
-                    raise ValueError(
-                        "append schema mismatch: committed schema "
-                        f"{prev['schema']} != incoming {df.schema.json()}; "
-                        "use mode='overwrite' to change the table schema"
-                    )
+                prev_fields = _fieldset(prev["schema"])
+                new_fields = _fieldset(df.schema.json())
+                if prev_fields != new_fields:
+                    # additive evolution: a strict SUPERSET (same types on
+                    # common columns) is safe schema-on-read — old files
+                    # simply lack the new columns and read as NULL under
+                    # the pinned (evolved) schema. Dropping or retyping a
+                    # column is never an append.
+                    is_additive = set(prev_fields) < set(new_fields)
+                    if not (allow_add_columns and is_additive):
+                        raise ValueError(
+                            "append schema mismatch: committed schema "
+                            f"{prev['schema']} != incoming {df.schema.json()};"
+                            " pass allow_add_columns=True for additive "
+                            "evolution, or mode='overwrite' to change the "
+                            "table schema"
+                        )
                 prev_files = prev["files"]
                 prev_stats = prev.get("file_stats", {})
                 rows_prev = prev["rows"]

@@ -388,3 +388,27 @@ def test_expectations_gate_commits_atomically(spark, table):
     assert report["not_null(id,v)"] == 1
     assert report["unique_key(id)"] == 6  # 5 dup rows + 1 null-key row
     assert report["in_range(v,0,100)"] == 0
+
+
+def test_additive_schema_evolution_on_append(spark, table):
+    table.commit(_batch(spark, 0, 5))
+    wider = _batch(spark, 5, 8).withColumn("w", F.lit("x"))
+    # without the flag: rejected
+    with pytest.raises(ValueError, match="allow_add_columns"):
+        table.commit(wider)
+    v2 = table.commit(wider, expectations=None, allow_add_columns=True)
+    got = table.read(version=v2)
+    assert set(got.columns) == {"id", "v", "w"}
+    rows = {r["id"]: r["w"] for r in got.collect()}
+    assert rows[6] == "x" and rows[0] is None  # old files read as NULL
+    # the evolved schema is now the pinned contract: plain append of the
+    # wider shape works, the NARROWER old shape no longer does
+    table.commit(_batch(spark, 8, 9).withColumn("w", F.lit("y")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(_batch(spark, 9, 10))
+    # dropping or retyping is never additive, flag or not
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.commit(
+            _batch(spark, 9, 10).withColumn("w", F.lit(1)),
+            allow_add_columns=True,
+        )
