@@ -319,7 +319,16 @@ class SnapshotTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default: latest).  A pinned version is
-        a consistent snapshot no concurrent commit can disturb."""
+        a consistent snapshot no concurrent commit can disturb.
+
+        Because the DataFrame is an explicit file list (not a directory),
+        this pinning extends to stream-static joins: a ``read()`` used as
+        the static side stays on its manifest for the streaming query's
+        whole lifetime — no mid-query dimension drift, unlike a
+        directory-based static side that can pick up newly landed files
+        between micro-batches.  For per-batch dimension refresh, resolve
+        ``read()`` inside ``foreachBatch`` instead (see
+        ``stream_corpus_pipeline_txn`` for the pattern)."""
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError("snapshot table has no commits yet")
