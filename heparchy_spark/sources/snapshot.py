@@ -251,8 +251,11 @@ class SnapshotTable:
 
         # 2. exclusive-create the next manifest (optimistic concurrency)
         version = base + 1
+        import datetime as _dt
+
         manifest = {
             "version": version,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": operation or mode,
             "files": (prev_files if mode == "append" else []) + new_files,
             "n_added": len(new_files),
@@ -352,6 +355,32 @@ class SnapshotTable:
         added = [f for f in hi["files"] if f not in lo_set]
         return self._read_files({**hi, "files": added})
 
+    def read_asof(self, ts: str) -> DataFrame:
+        """Time travel by wall clock: the table as of ISO-8601 instant
+        ``ts`` (latest version whose commit time is <= ts).  Commit
+        times are the committer's clock — version-based travel
+        (``read(version=...)``) is the precise form; this is the
+        convenience for "what did the dashboard see yesterday"."""
+        import datetime as _dt
+
+        want = _dt.datetime.fromisoformat(ts)
+        if want.tzinfo is None:
+            want = want.replace(tzinfo=_dt.timezone.utc)
+        best = 0
+        for p in sorted((self.root / "_snapshots").glob("v*.json")):
+            m = json.loads(p.read_text())
+            at = m.get("committed_at")
+            if at is None:
+                continue
+            if _dt.datetime.fromisoformat(at) <= want:
+                best = max(best, m["version"])
+        if best == 0:
+            raise ValueError(
+                f"no snapshot committed at or before {ts} "
+                "(or all retained manifests predate committed_at support)"
+            )
+        return self.read(version=best)
+
     def read_where(
         self,
         col: str,
@@ -395,21 +424,32 @@ class SnapshotTable:
         self,
         zorder_by: list[str] | None = None,
         num_files: int | None = None,
+        curve: str = "zorder",
     ) -> int:
         """Rewrite the current version compacted (and optionally
-        Z-order-clustered) as a NEW version — OPTIMIZE [ZORDER BY] with
-        time travel intact: the pre-optimize version still reads until
-        vacuum.  Row count is verified against the previous manifest; a
-        mismatch rolls the pointer back and raises."""
+        space-filling-curve clustered) as a NEW version — OPTIMIZE
+        [ZORDER BY] with time travel intact: the pre-optimize version
+        still reads until vacuum.  ``curve="hilbert"`` swaps Morton for
+        the locality-tighter Hilbert key (liquid-clustering's choice).
+        Row count is verified against the previous manifest; a mismatch
+        rolls the pointer back and raises."""
+        if curve not in ("zorder", "hilbert"):
+            raise ValueError(f"optimize: curve must be zorder|hilbert, not {curve!r}")
         base = self.latest_version()
         if base == 0:
             raise ValueError("snapshot table has no commits yet")
         rows_before = self._load_manifest(base)["rows"]
         df = self.read()
         if zorder_by:
-            from heparchy_spark.operators.layout import cluster_by_zorder
+            from heparchy_spark.operators.layout import (
+                cluster_by_hilbert,
+                cluster_by_zorder,
+            )
 
-            out = cluster_by_zorder(df, zorder_by, num_files=num_files)
+            cluster = (
+                cluster_by_hilbert if curve == "hilbert" else cluster_by_zorder
+            )
+            out = cluster(df, zorder_by, num_files=num_files)
         else:
             out = df.coalesce(num_files or 1)
         v = self.commit(out, mode="overwrite", operation="optimize")

@@ -412,3 +412,34 @@ def test_additive_schema_evolution_on_append(spark, table):
             _batch(spark, 9, 10).withColumn("w", F.lit(1)),
             allow_add_columns=True,
         )
+
+
+def test_read_asof_wall_clock(spark, table):
+    import json as _json
+
+    table.commit(_batch(spark, 0, 5))
+    table.commit(_batch(spark, 5, 10))
+    # pin distinct commit times so the cutpoints are unambiguous
+    for v, at in [(1, "2024-01-01T00:00:00+00:00"),
+                  (2, "2024-06-01T00:00:00+00:00")]:
+        p = table._manifest_path(v)
+        m = _json.loads(p.read_text())
+        m["committed_at"] = at
+        p.write_text(_json.dumps(m))
+
+    assert table.read_asof("2024-03-01T00:00:00+00:00").count() == 5
+    assert table.read_asof("2024-07-01").count() == 10  # naive -> UTC
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.read_asof("2023-01-01T00:00:00+00:00")
+
+
+def test_optimize_hilbert_curve(spark, table):
+    for lo in range(0, 200, 50):
+        table.commit(_batch(spark, lo, lo + 50))
+    v = table.optimize(zorder_by=["id", "v"], num_files=4, curve="hilbert")
+    assert table.read(version=v).count() == 200
+    probe = table.read_where("id", 7)
+    assert [r["id"] for r in probe.collect()] == [7]
+    assert len(probe.inputFiles()) <= 2
+    with pytest.raises(ValueError, match="curve"):
+        table.optimize(zorder_by=["id", "v"], curve="peano")
