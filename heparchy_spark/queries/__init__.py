@@ -101,68 +101,48 @@ def _load_all() -> None:
     )
 
 
-# Queries the round-1 driver hash-verified (CORRECTNESS_r01.json).
-# The driver checks a bounded window of the registry in iteration order, so
-# queries it has NOT yet verified are surfaced first — every registered
-# query accumulates at least one driver-green row across rounds.
-_DRIVER_CHECKED_R01: frozenset[str] = frozenset({
-    "agg_count_distinct", "agg_global_stats", "cube_status_priority",
-    "dataset_mix_sources", "dataset_pack_bins", "dataset_shuffle_shards",
-    "dataset_split_assign", "dataset_stratified_sample",
-    "dataset_training_corpus", "dedup_cluster_representatives",
-    "dedup_contamination_check", "dedup_exact", "dedup_exact_normalized",
-    "dedup_incremental_new_docs", "dedup_jaccard_components",
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_fingerprints", "dedup_simhash_pairs",
-    "join_anti_idle_customers", "join_left_order_counts",
-    "join_parts_by_brand_volume", "join_semi_active_customers",
-    "multimodal_byte_stats", "multimodal_crc32", "multimodal_decode_meta",
-    "multimodal_frame_sample", "multimodal_payload_embedding",
-    "multimodal_sniff_profile", "q10_returned_items", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "rollup_flag_status", "text_bpe_ish_tokens", "text_char_stats",
-    "text_filter_funnel", "text_fingerprints", "text_lang_breakdown",
-    "text_lang_id_heuristic", "text_pii_scan", "text_profile_full",
-    "text_quality_filter", "text_repetition_signals", "text_sentence_split",
-    "text_stopword_ratio", "text_token_counts", "text_token_freqs",
-    "text_top_bigram_transitions",
-})
+def _driver_evidence() -> tuple[frozenset[str], tuple[str, ...]]:
+    """Derive the driver-evidence tiers from the committed
+    ``CORRECTNESS_r*.json`` files themselves — no hand-maintained name
+    lists to go stale between rounds (the round-2 verdict's task 3,
+    made permanent).
+
+    * checked  = every query ANY driver round has recorded a row for;
+    * retry    = the LATEST round's red rows (an error, or any of the
+      rows/schema/hash comparisons false) — these were presumably just
+      fixed and must re-verify before anything else in the window.
+    """
+    root = Path(__file__).resolve().parents[2]
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    checked: set[str] = set()
+    retry: tuple[str, ...] = ()
+    import json as _json
+
+    for p in files:
+        try:
+            data = _json.loads(p.read_text())
+        except (OSError, ValueError):  # pragma: no cover - corrupt file
+            continue
+        if not isinstance(data, dict):
+            continue
+        checked.update(k for k in data if isinstance(k, str))
+        red = tuple(
+            name
+            for name, row in data.items()
+            if isinstance(row, dict)
+            and (
+                row.get("err") is not None
+                or any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+            )
+        )
+        retry = red  # the latest file's reds win (files are sorted)
+    return frozenset(checked), retry
 
 
-# Queries the round-2 driver checked (keys of CORRECTNESS_r02.json) —
-# 48 green plus the two red rows (q12_late_priority_lines hash mismatch,
-# map_funcs_events canonicalizer error), both fixed in round 3 and pinned
-# to the FRONT of the window via _RETRY_FIRST so the fixes get a fresh
-# driver row.
-_DRIVER_CHECKED_R02: frozenset[str] = frozenset({
-    "agg_percentiles_quantity", "array_funcs_embeddings",
-    "case_when_price_tiers", "date_funcs_orders", "dedup_bloom_prefilter",
-    "dedup_cdc_shared_chunks", "distinct_segments",
-    "graph_pagerank_supply_network", "join_range_events_after_order",
-    "json_extract_events", "layout_zorder_key", "map_funcs_events",
-    "math_funcs_lineitem", "pivot_qty_by_status", "point_lookup_order",
-    "projection_filter_pushdown", "q2_min_cost_supplier",
-    "q4_order_priority", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_late_priority_lines",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q19_disjunctive_revenue",
-    "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "setop_except_nations",
-    "setop_intersect_nations", "setop_union_nations",
-    "similarity_knn_label_vote", "similarity_pq_topk",
-    "sketch_count_min_users", "sketch_hll_daily_user_registers",
-    "sketch_hll_registers_users", "sketch_hll_weekly_rollup",
-    "string_funcs_part", "text_bigram_nll_scores", "text_tfidf_top_terms",
-    "topk_orders_global", "unpivot_lineitem_measures",
-    "window_lag_user_events", "window_ntile_rank_customers",
-    "window_running_customer_spend", "window_topk_orders_per_customer",
-    "window_trailing_30d_customer_spend",
-})
-
-_DRIVER_CHECKED: frozenset[str] = _DRIVER_CHECKED_R01 | _DRIVER_CHECKED_R02
-
-# Round-2 driver-RED rows, now fixed — re-verify before anything else.
-_RETRY_FIRST: tuple[str, ...] = ("q12_late_priority_lines", "map_funcs_events")
+_DRIVER_CHECKED, _RETRY_FIRST = _driver_evidence()
 
 
 def _ordered_names() -> list[str]:
