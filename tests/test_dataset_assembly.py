@@ -438,3 +438,47 @@ def test_salted_join_rejects_unsafe_types(spark):
         with _pytest.raises(ValueError, match="salt-safe"):
             salted_join(a, b, "k", factor=4, how=how)
     assert salted_join(a, b, "k", factor=4, how="inner").count() == 1
+
+
+def test_topk_per_group_matches_window_form(spark):
+    """Two-phase bounded top-k equals the declarative window top-k on
+    real data (multiple partitions + small Arrow batches so the pruning
+    phase actually prunes), and boundary ties resolve by the tiebreak."""
+    from pyspark.sql import Window as W
+
+    from heparchy_spark.operators.topk import topk_per_group
+    from heparchy_spark.queries.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .where(F.col("value").isNotNull())
+        .repartition(8)
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        got = {
+            (r["event_type"], r["event_id"], r["rk"])
+            for r in topk_per_group(
+                ev, ["event_type"], "value", 5, tiebreak="event_id"
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    want = {
+        (r["event_type"], r["event_id"], r["rk"])
+        for r in ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # boundary ties: 3 rows share the k-th value; tiebreak picks lowest id
+    rows = [("g", i, 10.0 if i < 4 else 5.0) for i in range(8)]
+    tied = spark.createDataFrame(rows, "g string, id long, v double")
+    top = topk_per_group(
+        tied.repartition(4), ["g"], "v", 5, tiebreak="id"
+    ).collect()
+    assert sorted(r["id"] for r in top) == [0, 1, 2, 3, 4]
