@@ -287,12 +287,17 @@ class SnapshotTable:
     def rollback(self, version: int) -> int:
         """Restore ``version``'s content as a NEW commit (Iceberg-style:
         history is append-only; rollback never rewrites it)."""
+        import datetime as _dt
+
         m = self._load_manifest(version)
         base = self.latest_version()
         new_version = base + 1
         manifest = {
             **m,
             "version": new_version,
+            # fresh stamp: inheriting the source's committed_at would let
+            # read_asof resolve a LATER version at an EARLIER instant
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "operation": f"rollback(v{version})",
             "n_added": 0,
         }

@@ -443,3 +443,19 @@ def test_optimize_hilbert_curve(spark, table):
     assert len(probe.inputFiles()) <= 2
     with pytest.raises(ValueError, match="curve"):
         table.optimize(zorder_by=["id", "v"], curve="peano")
+
+
+def test_rollback_stamps_fresh_commit_time(spark, table):
+    """read_asof monotonicity: a rollback's committed_at is its own
+    commit instant, never the restored version's."""
+    import json as _json
+
+    table.commit(_batch(spark, 0, 5))
+    table.commit(_batch(spark, 0, 1), mode="overwrite")
+    table.rollback(1)
+    times = [
+        _json.loads(table._manifest_path(v).read_text())["committed_at"]
+        for v in (1, 2, 3)
+    ]
+    assert times[2] >= times[1] >= times[0]
+    assert times[2] != times[0]  # not inherited from v1
