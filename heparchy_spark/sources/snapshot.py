@@ -513,7 +513,10 @@ class SnapshotTable:
 
 
 def commit_batch_once(
-    table: SnapshotTable, batch_df: DataFrame, batch_id: int
+    table: SnapshotTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    expectations: ty.Sequence | None = None,
 ) -> bool:
     """The sink's idempotence guard: commit unless ``batch_id`` is already
     represented in the manifest history (a foreachBatch replay).  Returns
@@ -521,7 +524,9 @@ def commit_batch_once(
     last = table.latest_batch_id()
     if last is not None and batch_id <= last:
         return False
-    table.commit(batch_df, mode="append", batch_id=batch_id)
+    table.commit(
+        batch_df, mode="append", batch_id=batch_id, expectations=expectations
+    )
     return True
 
 
@@ -530,6 +535,7 @@ def snapshot_sink(
     table: SnapshotTable,
     checkpoint: str,
     trigger_available_now: bool = True,
+    expectations: ty.Sequence | None = None,
 ):
     """Exactly-once streaming sink: each micro-batch becomes one atomic
     snapshot commit, keyed by the engine's batch id.
@@ -550,7 +556,12 @@ def snapshot_sink(
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        commit_batch_once(table, batch_df, batch_id)
+        # an ExpectationFailed here fails the streaming query; the batch
+        # is neither committed nor checkpointed, so a restart (with
+        # fixed data/rules) redelivers it under the SAME batch id —
+        # quality gating composes with exactly-once instead of silently
+        # dropping or double-landing the batch
+        commit_batch_once(table, batch_df, batch_id, expectations)
 
     writer = (
         stream_df.writeStream.foreachBatch(_write)

@@ -459,3 +459,37 @@ def test_rollback_stamps_fresh_commit_time(spark, table):
     ]
     assert times[2] >= times[1] >= times[0]
     assert times[2] != times[0]  # not inherited from v1
+
+
+def test_snapshot_sink_expectations_fail_then_retry_same_batch(spark, tmp_path):
+    """A violating micro-batch fails the stream BEFORE commit or
+    checkpoint; restarting with permissive rules redelivers the SAME
+    batch and lands it exactly once."""
+    from heparchy_spark.sources.expectations import in_range
+    from heparchy_spark.sources.snapshot import snapshot_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _batch(spark, 0, 10).coalesce(1).write.parquet(str(tmp_path / "b"))
+    for f in (tmp_path / "b").glob("*.parquet"):
+        f.rename(src / "part-000.parquet")
+
+    table = SnapshotTable(spark, tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(rules):
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .parquet(str(src))
+        )
+        q = snapshot_sink(stream, table, ckpt, expectations=rules)
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="in_range"):
+        run([in_range("v", 0, 5)])  # v goes to 18 -> violation
+    assert table.latest_version() == 0  # nothing landed
+    assert not (table.root / "_staging").exists()
+
+    run([in_range("v", 0, 100)])  # restart, permissive rules
+    assert table.read().count() == 10
+    assert table.latest_batch_id() == 0  # the SAME batch id, once
