@@ -10,25 +10,54 @@ Modules:
 - ``similarity`` — cosine top-k, hyperplane LSH, IVF index
 - ``text``       — token counts, char stats, quality, lang-id, fingerprints
 - ``multimodal`` — binary payload columns: sniff/stats/decode/frames
-- ``layout``     — bucketed co-located joins, skew salting
+- ``layout``     — bucketed co-located joins, skew salting, Z-order/Hilbert
+- ``timeseries`` — resample, gap-fill, LOCF, linear interpolation
+- ``topk``       — two-phase bounded top-k per group (giant-group path)
+- ``dataset``    — splits, sampling, packing, mixing, contrastive negatives
+- ``sketch``     — Count-Min, HyperLogLog ledgers and set algebra
+- ``graph``      — PageRank, connected components, triangles, k-core
+- ``upsert``     — lakehouse MERGE, SCD2 history, incremental SCD2
+- ``funnel``     — multi-stage conversion funnels (strict / time-bounded)
+- ``fuzzy``      — blocked edit-distance record linkage
+- ``web``        — URL canonicalization; ``psl`` — public-suffix snapshot
 """
 
 from heparchy_spark.operators import (  # noqa: F401
     asof,
+    dataset,
     dedup,
+    funnel,
+    fuzzy,
+    graph,
     layout,
     multimodal,
+    psl,
     similarity,
+    sketch,
     text,
+    timeseries,
+    topk,
+    upsert,
+    web,
 )
 from heparchy_spark.operators.asof import asof_join  # noqa: F401
 
 __all__ = [
     "asof",
+    "dataset",
     "dedup",
+    "funnel",
+    "fuzzy",
+    "graph",
     "layout",
     "multimodal",
+    "psl",
     "similarity",
+    "sketch",
     "text",
+    "timeseries",
+    "topk",
+    "upsert",
+    "web",
     "asof_join",
 ]
