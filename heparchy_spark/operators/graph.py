@@ -18,7 +18,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank", "triangle_counts", "kcore", "SCALE"]
+__all__ = [
+    "pagerank",
+    "triangle_counts",
+    "kcore",
+    "label_propagation",
+    "SCALE",
+]
 
 SCALE = 10**12  # fixed-point unit: 1 rank = SCALE ticks
 
@@ -206,3 +212,64 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
         if e.isEmpty():
             return deg.where(F.lit(False))
     raise RuntimeError(f"k-core did not converge in {max_iters} rounds")
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node starts with its own id as label; each round,
+    every node adopts the most frequent label among its neighbours.
+    Returns (node, community) after ``iters`` fixed rounds.
+
+    Determinism: the classic algorithm breaks frequency ties randomly
+    and updates asynchronously — both unreproducible.  This is the
+    deterministic parallel form: ALL nodes update simultaneously from
+    the previous round's labels, and the argmax tie-break is total
+    (vote count desc, then label asc), so the trajectory is a pure
+    function of the edge set and an oracle can replay it round by round
+    (the unrolled-CTE pattern ``pagerank`` established).  Synchronous
+    LPA can oscillate between two colourings on bipartite-ish structure
+    instead of converging — a fixed ``iters`` makes the output
+    well-defined either way, and community quality at 4 rounds is the
+    method's published behaviour (labels stabilize in a handful of
+    sweeps on real graphs).
+
+    Scale shape per round: propagate labels across edges (one join on
+    the neighbour key), count votes per (node, label) — map-side
+    combinable — then a bounded per-node window for the argmax.  Labels
+    ``localCheckpoint`` each round so lineage stays one round deep.
+    ``edges`` must be canonical undirected (src < dst, distinct); both
+    directions are derived here so every endpoint votes.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -218,6 +218,81 @@ def graph_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=18)
 
 
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous-LPA replay (the pagerank-CTE pattern): each
+    round every node takes the (count desc, label asc)-first label over
+    its neighbours' previous labels.  MATERIALIZED like the k-core
+    oracle — each round is referenced by the next."""
+    parts = [
+        """supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= 49
+    )""",
+        """eu AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM supply a JOIN supply b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )""",
+        """e AS MATERIALIZED (
+      SELECT src, dst FROM eu
+      UNION ALL SELECT dst AS src, src AS dst FROM eu
+    )""",
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM e
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.src AS node, p.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.src
+                 ORDER BY COUNT(*) DESC, p.label
+               ) AS rk
+        FROM e JOIN l{i - 1} p ON p.node = e.dst
+        GROUP BY e.src, p.label
+      ) WHERE rk = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, label AS community FROM l{iters}"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle_sql(4),
+    doc="Community detection over the high-quantity co-supply graph by "
+    "deterministic synchronous label propagation "
+    "(operators/graph.py label_propagation): 4 fixed rounds, argmax "
+    "tie-break (votes desc, label asc) makes the trajectory a pure "
+    "function of the edge set, so the oracle replays it as unrolled "
+    "CTEs — the pagerank pattern. Per round: one label join, one "
+    "combinable vote count, one bounded per-node window.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    a = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(edges, iters=4)
+
+
 @register(
     "graph_clustering_coefficient",
     """

@@ -592,6 +592,30 @@ def test_kcore_toy_graph(spark):
     assert kcore(df, 4).count() == 0
 
 
+def test_label_propagation_two_cliques(spark):
+    """LPA: two triangles joined by one bridge edge resolve to two
+    communities. Hand trace with the (votes desc, label asc) tie-break:
+    round 1 gives {1:2, 2:1, 3:1, 4:3, 5:4, 6:4} (each node takes the
+    min neighbour id — all votes tie), round 2 floods clique A with 1
+    while the bridge-injected 3 survives in B as {4:4, 5:3, 6:3}, and
+    round 3 settles B on 3; round 4 is stable."""
+    from heparchy_spark.operators.graph import label_propagation
+
+    edges = [
+        (1, 2), (1, 3), (2, 3),          # clique A
+        (4, 5), (4, 6), (5, 6),          # clique B
+        (3, 4),                          # bridge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.community for r in label_propagation(df, iters=4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    # determinism: a second run reproduces the labelling exactly
+    again = {
+        r.node: r.community for r in label_propagation(df, iters=4).collect()
+    }
+    assert again == out
+
+
 def test_bpe_encode_counts_compression(spark):
     """BPE application: words covered by learned merges compress to
     single tokens; unseen words fall back to character symbols."""
