@@ -33,6 +33,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "semantic_dedup",
+    "rrf_fuse",
 ]
 
 
@@ -720,4 +721,59 @@ def pq_adc_topk(
     )
     return dist.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= k
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    truncated per-query rankings — the standard lexical+dense hybrid
+    retrieval combiner.  Each input carries (query_id, doc_id, rk);
+    fused score(d) = sum over arms of 1/(c + rank_arm(d)), missing arms
+    contribute nothing.  Returns the top ``k`` per query as
+    (query_id, doc_id, rrf_score, rk), ties broken by ascending doc id.
+
+    Scale shape: a union of the (already bounded, <= arms * arm_k per
+    query) candidate lists, one combinable per-(query, doc) sum, and a
+    bounded per-query window — nothing touches the corpus again.
+
+    Determinism: contributions 1/(c + rk) from integer ranks are exact
+    identical doubles on any engine, and with two arms the fused sum is
+    order-independent (IEEE addition is commutative; only associativity
+    fails, which needs >= 3 addends).  With three or more arms a
+    cross-engine oracle should accumulate on a decimal grid instead.
+    """
+    from functools import reduce
+
+    contribs = reduce(
+        DataFrame.unionByName,
+        [
+            r.select(
+                "query_id",
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("rk").cast("double"))
+                ).alias("__contrib"),
+            )
+            for r in rankings
+        ],
+    )
+    fused = contribs.groupBy("query_id", "doc_id").agg(
+        F.sum("__contrib").alias("__rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("__rrf", 9).alias("rrf_score"),
+            "rk",
+        )
     )

@@ -305,10 +305,21 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
+    exclude: DataFrame | None = None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """BM25 top-k retrieval: score every document against each query in
     ``queries`` (columns ``query_id``, ``term``) and keep the ``k`` best
     per query, ties broken by ascending doc id.
+
+    ``exclude`` (optional, columns ``query_id``/``doc_id``) drops pairs
+    BEFORE ranking — the more-like-this self-match filter.
+    ``exact_scores`` accumulates per-term score parts on a round-8 grid
+    in exact decimal (the corpus determinism discipline,
+    ``queries/numeric.py``): more-like-this queries sum ~20 float parts
+    per doc, where plain double summation is aggregation-order-dependent
+    and a cross-engine oracle could rank near-ties differently.  The
+    default float path is the production shape.
 
     Lucene-flavoured BM25: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
     ``tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``, document
@@ -384,11 +395,23 @@ def bm25_topk(
             ).alias("__part"),
         )
     )
+    from heparchy_spark.queries.numeric import dsum
+
+    part_agg = (
+        dsum(F.round(F.col("__part"), 8), 8) if exact_scores
+        else F.sum("__part")
+    )
     per_doc = (
         scored.join(F.broadcast(queries), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("__part").alias("__score"))
+        .agg(part_agg.alias("__score"))
     )
+    if exclude is not None:
+        per_doc = per_doc.join(
+            F.broadcast(exclude.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.asc("doc_id")
     )

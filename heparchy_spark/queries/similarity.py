@@ -456,3 +456,160 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist_to_centroid", 6).alias("dist_to_centroid"),
         "kept",
     )
+
+
+def _rrf_hybrid_sql() -> str:
+    from heparchy_spark.queries.dedup import _NORM_SQL
+    from heparchy_spark.queries.numeric import sql_davg, sql_dsum
+
+    part = (
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))"
+    )
+    cos = f"""
+             list_sum(list_transform(generate_series(1, {DIM}),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))"""
+    return f"""
+    WITH qt AS (
+      SELECT doc_id AS query_id, tok AS term FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents WHERE doc_id < 3
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks
+      WHERE tok IN (SELECT DISTINCT term FROM qt) AND tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_SQL}, ' ')) END AS DOUBLE)
+               AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, {sql_davg('dl')} AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, ROUND({part}, 8) AS part
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT query_id, scored.doc_id, {sql_dsum('part', 8)} AS score
+      FROM scored JOIN qt ON scored.term = qt.term
+      GROUP BY query_id, scored.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rk
+        FROM per_doc WHERE doc_id <> query_id
+      ) WHERE rk <= 20
+    ),
+    qv AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 3
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             ROUND({cos}, 9) AS sim
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> q.query_id
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, doc_id
+               ) AS rk
+        FROM sims
+      ) WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id, SUM(1.0 / (60 + rk)) AS rrf
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, ROUND(rrf, 9) AS rrf_score, rk FROM (
+      SELECT query_id, doc_id, rrf,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+             ) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    _rrf_hybrid_sql(),
+    doc="Hybrid lexical+dense retrieval with reciprocal-rank fusion "
+    "(Cormack et al. 2009, the standard BM25+ANN combiner): for query "
+    "docs 0-2, arm A is more-like-this BM25 over the query doc's "
+    "distinct normalized tokens (self excluded, decimal-accumulated "
+    "round-8 score parts — ~20-term sums are aggregation-order-"
+    "dependent in plain doubles), arm B is brute cosine against the "
+    "matching embedding (rank on round-9 sims), and the fusion "
+    "1/(60+rk) sums the two bounded top-20 lists — one combinable "
+    "aggregate + a bounded window, the corpus is never rescanned. "
+    "Composes operators/text.py bm25_topk + operators/similarity.py "
+    "rrf_fuse across the documents AND embeddings tables.",
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import normalize_text
+    from heparchy_spark.operators.similarity import rrf_fuse
+    from heparchy_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qdocs = docs.where(F.col("doc_id") < 3)
+    qterms = (
+        qdocs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(normalize_text("text"), " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    self_pairs = qdocs.select(F.col("doc_id").alias("query_id"), "doc_id")
+    lex = bm25_topk(
+        docs, "text", "doc_id", qterms,
+        k=20, exclude=self_pairs, exact_scores=True,
+    ).select("query_id", "doc_id", "rk")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__q")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    dense = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("query_id", "doc_id", "rk")
+    )
+    return rrf_fuse([lex, dense], k=10, c=60)

@@ -197,3 +197,60 @@ def test_semantic_dedup_no_duplicate_rows_under_ties(spark):
     assert len(out) == 4
     kept = {r.vec_id: r.kept for r in out}
     assert kept == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_rrf_fuse_two_arms(spark):
+    """RRF: a doc ranked by both arms outscores a doc ranked first by
+    one arm only when the rank sum dominates; singleton docs contribute
+    one term; c=60 standard constant; ties break by doc id."""
+    from heparchy_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rk int",
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2), (0, 13, 3)],
+        "query_id long, doc_id long, rk int",
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, dense], k=10).collect()}
+    # doc 11: 1/62 + 1/61; doc 12: 1/63 + 1/62; doc 10: 1/61; doc 13: 1/63
+    assert out[11].rk == 1 and out[12].rk == 2
+    assert round(1 / 62 + 1 / 61, 9) == out[11].rrf_score
+    assert round(1 / 61, 9) == out[10].rrf_score
+    # bounded output: k truncates
+    top1 = rrf_fuse([lex, dense], k=1).collect()
+    assert len(top1) == 1 and top1[0].doc_id == 11
+
+
+def test_bm25_exclude_and_exact_scores(spark):
+    """bm25_topk: exclude drops (query, doc) pairs BEFORE ranking (ranks
+    close up), and exact_scores changes only the accumulation grid, not
+    the ranking of well-separated scores."""
+    from heparchy_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join window"),
+            (1, "spark spark spark join"),
+            (2, "window sort merge"),
+            (3, "spark other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "spark"), (0, "join")], "query_id long, term string"
+    )
+    base = bm25_topk(docs, "text", "doc_id", q, k=4)
+    assert [r.doc_id for r in base.orderBy("rk").collect()][0] == 1
+    ex = spark.createDataFrame([(0, 1)], "query_id long, doc_id long")
+    excl = bm25_topk(docs, "text", "doc_id", q, k=4, exclude=ex)
+    got = [r.doc_id for r in excl.orderBy("rk").collect()]
+    assert 1 not in got and got[0] != 1
+    assert [r.rk for r in excl.orderBy("rk").collect()] == list(
+        range(1, len(got) + 1)
+    )
+    exact = bm25_topk(docs, "text", "doc_id", q, k=4, exact_scores=True)
+    assert [r.doc_id for r in exact.orderBy("rk").collect()] == [
+        r.doc_id for r in base.orderBy("rk").collect()
+    ]
