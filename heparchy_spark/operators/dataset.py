@@ -22,6 +22,7 @@ __all__ = [
     "shuffle_shards",
     "weighted_sample",
     "contrastive_negatives",
+    "dsir_logweights",
 ]
 
 #: hex digits of the sha256 prefix used for bucketing (48 bits fits long)
@@ -357,4 +358,76 @@ def contrastive_negatives(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("anchor_id", "neg_id", "neg_label", "rk")
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    grid: int = 8,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al. 2023,
+    "DSIR") under unigram bag-of-words language models: per-document log
+    importance ``log w(d) = sum over token occurrences of
+    ln p_target(tok) - ln p_raw(tok)`` with add-one smoothing over the
+    shared corpus vocabulary.  ``target`` is a boolean column marking the
+    rows that define the target distribution (e.g. a trusted high-quality
+    subset); the raw distribution is the whole input.  Sampling
+    proportionally to ``exp(logweight)`` then reshapes the corpus toward
+    the target domain — the paper's importance-resampling step, which the
+    caller applies with ``weighted_sample``.
+
+    Returns (doc_id, n_toks, dsir_logweight), one row per document with
+    at least one token.
+
+    Scale shape: ONE corpus wordcount (map-side combinable counts for
+    raw and target together — the target counter rides the same
+    aggregate as a conditional sum), a vocabulary-sized log-ratio table
+    (joined back token->logratio; broadcast when small, plain equi-join
+    otherwise), and one per-doc aggregate over the token stream.  Two
+    linear passes, no driver state.  Log-ratios round to ``grid`` and
+    accumulate in exact decimal so the per-doc sum is
+    aggregation-order-independent (the corpus determinism discipline).
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+    from heparchy_spark.queries.numeric import dsum
+
+    ts = df.select(
+        F.col(id_col).alias("__id"),
+        target.cast("int").alias("__t"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    ).where(F.length("__tok") > 0)
+    tc = ts.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__c_raw"),
+        F.sum("__t").alias("__c_tgt"),
+    )
+    tot = tc.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("__c_raw").alias("__n_raw"),
+        F.sum("__c_tgt").alias("__n_tgt"),
+    )
+    lr = tc.join(F.broadcast(tot)).select(
+        "__tok",
+        F.round(
+            F.log(
+                (F.col("__c_tgt") + 1).cast("double")
+                / (F.col("__n_tgt") + F.col("__v")).cast("double")
+            )
+            - F.log(
+                (F.col("__c_raw") + 1).cast("double")
+                / (F.col("__n_raw") + F.col("__v")).cast("double")
+            ),
+            grid,
+        ).alias("__logratio"),
+    )
+    return (
+        ts.select("__id", "__tok")
+        .join(lr, "__tok")
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            dsum(F.col("__logratio"), 6).alias("dsir_logweight"),
+        )
     )

@@ -296,3 +296,57 @@ def dataset_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load(spark, sf_dir, "embeddings")
     return contrastive_negatives(emb, "vec_id", "label", k=4, n_buckets=16)
+
+
+def _dsir_sql() -> str:
+    from heparchy_spark.queries.dedup import _NORM_SQL
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (
+      SELECT tok, COUNT(*) AS c_raw, SUM(t) AS c_tgt
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (
+      SELECT COUNT(*) AS v, SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt
+      FROM tc
+    ),
+    lr AS (
+      SELECT tok,
+             ROUND(
+               ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE))
+               - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v AS DOUBLE)),
+               8) AS logratio
+      FROM tc CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           {sql_dsum('logratio', 6)} AS dsir_logweight
+    FROM (SELECT doc_id, tok FROM toks WHERE tok <> '') s
+    JOIN lr USING (tok)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dataset_dsir_logweights",
+    _dsir_sql(),
+    doc="DSIR importance weights (Xie et al. 2023) for resampling the "
+    "corpus toward the English subset: per-doc sum of add-one-smoothed "
+    "unigram log-ratios ln(p_en/p_raw) (operators/dataset.py "
+    "dsir_logweights). One wordcount pass (the target counter rides the "
+    "same combinable aggregate as a conditional sum), a vocabulary-"
+    "sized broadcast log-ratio table, one per-doc aggregate; round-8 "
+    "ratios accumulate in exact decimal so the sum is order-independent.",
+)
+def dataset_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, "text", "doc_id", F.col("lang") == "en"
+    )

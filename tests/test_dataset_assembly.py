@@ -482,3 +482,47 @@ def test_topk_per_group_matches_window_form(spark):
         tied.repartition(4), ["g"], "v", 5, tiebreak="id"
     ).collect()
     assert sorted(r["id"] for r in top) == [0, 1, 2, 3, 4]
+
+
+def test_dsir_logweights_orders_by_target_affinity(spark):
+    """DSIR: documents made of target-typical tokens get higher log
+    importance than off-target documents, and the value matches the
+    plain-Python unigram mirror exactly (round-8 ratios, round-6 sum)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dataset import dsir_logweights
+
+    rows = [
+        (0, "good clean prose", "en"),
+        (1, "good good text", "en"),
+        (2, "spam spam spam", "xx"),
+        (3, "good spam", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_logweights(
+            df, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    # python mirror
+    toks = {i: t.split() for i, t, _ in rows}
+    tgt = [tok for i, t, l in rows if l == "en" for tok in t.split()]
+    raw = [tok for i, t, l in rows for tok in t.split()]
+    vocab = sorted(set(raw))
+    v, n_t, n_r = len(vocab), len(tgt), len(raw)
+    lr = {
+        w: round(
+            math.log((tgt.count(w) + 1) / (n_t + v))
+            - math.log((raw.count(w) + 1) / (n_r + v)),
+            8,
+        )
+        for w in vocab
+    }
+    for i, t, _ in rows:
+        expect = round(sum(lr[w] for w in toks[i]), 6)
+        assert out[i].dsir_logweight == expect, (i, out[i], expect)
+        assert out[i].n_toks == len(toks[i])
+    assert out[1].dsir_logweight > out[2].dsir_logweight

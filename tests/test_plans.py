@@ -202,6 +202,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "orders_above_avg_value",
         "similarity_knn_label_vote",
         "retrieval_rrf_hybrid",
+        "dataset_dsir_logweights",
         "q11_important_parts",
         "q22_global_sales_opportunity",
         "dataset_mix_sources",
