@@ -38,6 +38,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "incremental_exact_dedup",
+    "incremental_minhash_near_dups",
     "duplicated_ngram_spans",
     "connected_components",
     "connected_components_star",
@@ -284,6 +285,50 @@ def duplicated_ngram_spans(
     )
 
 
+def _band_table(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(__id, band, bucket) LSH band table from a (__id, __shh) sets frame.
+
+    Signature: num_perm scalar min-aggregates over the set explode (the
+    array is a materialized column, so the explode is cheap and safe);
+    each band's bucket is the hash of its row slice.  This is the
+    persistable near-dup index sidecar shape: banding any two tables
+    built with the same (num_perm, bands, shingle_n) is a plain
+    (band, bucket) equi-join.
+    """
+    rows = num_perm // bands
+    mask = F.lit((1 << 32) - 1).cast("long")
+    exploded = sets.select("__id", F.explode("__shh").alias("__e")).select(
+        "__id",
+        F.col("__e").bitwiseAND(mask).alias("__t1"),
+        F.xxhash64("__e", F.lit(1)).bitwiseAND(mask).alias("__t2"),
+    )
+    sig = exploded.groupBy("__id").agg(
+        *[
+            F.min(F.col("__t1") + F.lit(j).cast("long") * F.col("__t2")).alias(
+                f"__p{j}"
+            )
+            for j in range(num_perm)
+        ]
+    )
+
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"__p{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -307,7 +352,6 @@ def minhash_near_dup_pairs(
             "the banding would silently ignore the remainder permutations "
             "while still paying to compute them"
         )
-    rows = num_perm // bands
     # Multi-consumer staging: the banding self-join reads the signature
     # twice and verification reads the shingle sets twice; exchange reuse
     # does NOT cover this (AQE may broadcast one join side, and aggregates
@@ -321,39 +365,7 @@ def minhash_near_dup_pairs(
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Signature: num_perm scalar min-aggregates over the set explode (the
-    # array is a materialized column, so the explode is cheap and safe).
-    mask = F.lit((1 << 32) - 1).cast("long")
-    exploded = sets.select("__id", F.explode("__shh").alias("__e")).select(
-        "__id",
-        F.col("__e").bitwiseAND(mask).alias("__t1"),
-        F.xxhash64("__e", F.lit(1)).bitwiseAND(mask).alias("__t2"),
-    )
-    sig = exploded.groupBy("__id").agg(
-        *[
-            F.min(F.col("__t1") + F.lit(j).cast("long") * F.col("__t2")).alias(
-                f"__p{j}"
-            )
-            for j in range(num_perm)
-        ]
-    )
-
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"__p{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
+    banded = _band_table(sets, num_perm, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -381,6 +393,77 @@ def minhash_near_dup_pairs(
         verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_near_dups(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an already-ingested SEEN
+    corpus: (new_id, seen_id, jaccard), jaccard >= threshold — the
+    incremental-ingest twin of ``minhash_near_dup_pairs``, which the
+    exact-hash ``incremental_exact_dedup`` cannot cover (one edited
+    sentence defeats it).
+
+    Candidates come from a (band, bucket) equi-join between the batch's
+    band table and the seen corpus' band table, so seen-seen pairs are
+    never generated and candidate volume is bounded by shared buckets —
+    O(batch) band rows probing the index, not O(corpus^2).
+
+    At 100 TB the seen side is a persisted sidecar written at ingest
+    (the ``_band_table`` shape: (id, band, bucket), plus the per-doc
+    sorted shingle-hash array for exact verification), bucketed on
+    (band, bucket) so the probe join co-locates without a corpus-side
+    shuffle; the raw seen text is never re-read.  This function derives
+    both from the frames it is given — same results, self-contained
+    API — so the seen text IS rescanned here; production callers feed
+    the sidecar through the same band/verify joins.
+    """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "the banding would silently ignore the remainder permutations "
+            "while still paying to compute them"
+        )
+    new_sets = hashed_shingles_df(new_df, text_col, id_col, shingle_n)
+    seen_sets = hashed_shingles_df(seen_df, text_col, id_col, shingle_n)
+    if materialize:
+        from pyspark import StorageLevel
+
+        new_sets = new_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        seen_sets = seen_sets.persist(StorageLevel.MEMORY_AND_DISK)
+    nb = _band_table(new_sets, num_perm, bands).withColumnsRenamed(
+        {"__id": "new_id"}
+    )
+    sb = _band_table(seen_sets, num_perm, bands).withColumnsRenamed(
+        {"__id": "seen_id"}
+    )
+    cand = nb.join(sb, ["band", "bucket"]).select(
+        "new_id", "seen_id"
+    ).dropDuplicates(["new_id", "seen_id"])
+    sh_n = new_sets.select(
+        F.col("__id").alias("new_id"), F.col("__shh").alias("sh_n")
+    )
+    sh_s = seen_sets.select(
+        F.col("__id").alias("seen_id"), F.col("__shh").alias("sh_s")
+    )
+    verified = cand.join(sh_n, "new_id").join(sh_s, "seen_id")
+    inter = F.size(F.array_intersect("sh_n", "sh_s")).cast("double")
+    union = (
+        F.size("sh_n").cast("double") + F.size("sh_s").cast("double") - inter
+    )
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "seen_id", "jaccard")
     )
 
 

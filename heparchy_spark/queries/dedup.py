@@ -139,6 +139,32 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    expected_fixture_sql("dedup_incremental_minhash"),
+    doc="Incremental near-dup ingest: docs 400+ arrive as a new batch and "
+    "are checked against the already-ingested corpus (docs < 400) via a "
+    "(band, bucket) equi-join between the batch's band table and the "
+    "corpus' persisted index — seen-seen pairs are never generated, and "
+    "at 100 TB the seen side is a bucketed sidecar, not a rescan "
+    "(operators/dedup.py incremental_minhash_near_dups). Oracle = the "
+    "cross-split slice of the plain-Python minhash mirror.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import incremental_minhash_near_dups
+
+    docs = load(spark, sf_dir, "documents")
+    return incremental_minhash_near_dups(
+        docs.where(F.col("doc_id") >= 400),
+        docs.where(F.col("doc_id") < 400),
+        "text",
+        "doc_id",
+        num_perm=64,
+        bands=16,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
     "dedup_simhash_fingerprints",
     expected_fixture_sql("dedup_simhash_fingerprints"),
     doc="64-bit SimHash fingerprint per document (column algebra, no UDF); "

@@ -329,3 +329,36 @@ def test_chunk_documents_overlap_and_edges(spark):
     assert got[(1, 0)].chunk_text == "one"
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_incremental_minhash_only_cross_pairs(spark):
+    """Incremental near-dup: batch docs are matched against the seen
+    corpus only — seen-seen and batch-batch duplicate pairs are never
+    reported, exact cross dups score jaccard 1.0, and unrelated batch
+    docs stay silent."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.dedup import incremental_minhash_near_dups
+
+    seen = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # seen dup
+            (2, "an entirely different seen document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # cross dup
+            (101, "the quick brown fox jumps over the lazy dog"),  # batch dup
+            (102, "nothing like anything already ingested here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_near_dups(
+        batch, seen, "text", "doc_id", jaccard_threshold=0.5
+    ).collect()
+    pairs = {(r.new_id, r.seen_id): r.jaccard for r in out}
+    assert set(pairs) == {(100, 0), (100, 1), (101, 0), (101, 1)}
+    assert all(j == 1.0 for j in pairs.values())

@@ -470,6 +470,23 @@ def main() -> None:
         ),
     )
 
+    # dedup_incremental_minhash: the batch/corpus split of the SAME band
+    # join — a (new, seen) pair shares a bucket independently of which
+    # table holds each side, so the incremental result is exactly the
+    # cross-split slice of the full pair set (new ids all exceed seen ids
+    # because the split is an id cut).
+    inc = [(b, a, j) for a, b, j in mp if a < 400 <= b]
+    write(
+        "dedup_incremental_minhash",
+        pa.table(
+            {
+                "new_id": pa.array([n for n, _, _ in inc], pa.int64()),
+                "seen_id": pa.array([s for _, s, _ in inc], pa.int64()),
+                "jaccard": pa.array([j for _, _, j in inc], pa.float64()),
+            }
+        ),
+    )
+
     # multimodal
     payloads = [(d, payload_for(d, t)) for d, t in docs]
     write(
