@@ -34,6 +34,7 @@ __all__ = [
     "pq_adc_topk",
     "semantic_dedup",
     "rrf_fuse",
+    "mmr_rerank",
 ]
 
 
@@ -777,3 +778,84 @@ def rrf_fuse(
             "rk",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vec_col: str,
+    rel_col: str = "relevance",
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998) of per-query candidate lists: greedily pick the candidate
+    maximizing ``lam * relevance - (1 - lam) * max cosine to the
+    already-selected set``, k times.  Returns (query_id, doc_id,
+    mmr_rank, relevance, mmr_score).
+
+    The greedy sweep is inherently sequential in k, so it runs as
+    ``applyInPandas`` over query groups — each group is an
+    already-bounded candidate list (the retrieval top-N), never the
+    corpus, and queries parallelize freely.  This is the serving-side
+    rerank stage of a RAG pipeline: candidate generation (ANN / BM25 /
+    RRF) is the distributed part; diversification touches N rows per
+    query.
+
+    Determinism contract: pairwise cosines use sequential left-to-right
+    float folds (the ``_seq_dot`` convention the ANN fixture mirrors
+    pin), scores round to 9, ties break by ascending id — the whole
+    trajectory is a pure function of the candidate set.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, mmr_rank int, "
+        f"{rel_col} double, mmr_score double"
+    )
+
+    def _dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def _norm(a) -> float:
+        s = 0.0
+        for x in a:
+            s += float(x) * float(x)
+        return s**0.5
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values(id_col).to_dict("records")
+        selected: list[dict] = []
+        remaining = list(rows)
+        while remaining and len(selected) < k:
+            best = None
+            best_score = None
+            for r in remaining:
+                pen = 0.0
+                for s in selected:
+                    c = _dot(r[vec_col], s[vec_col]) / (
+                        _norm(r[vec_col]) * _norm(s[vec_col])
+                    )
+                    if c > pen:
+                        pen = c
+                score = round(lam * float(r[rel_col]) - (1.0 - lam) * pen, 9)
+                if best is None or score > best_score:
+                    best, best_score = r, score
+            selected.append(best)
+            best["__score"] = best_score
+            remaining = [r for r in remaining if r[id_col] != best[id_col]]
+        return pd.DataFrame(
+            {
+                query_col: [r[query_col] for r in selected],
+                id_col: [r[id_col] for r in selected],
+                "mmr_rank": list(range(1, len(selected) + 1)),
+                rel_col: [float(r[rel_col]) for r in selected],
+                "mmr_score": [r["__score"] for r in selected],
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(greedy, out_schema)

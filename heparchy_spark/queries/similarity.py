@@ -613,3 +613,50 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rk")
     )
     return rrf_fuse([lex, dense], k=10, c=60)
+
+
+@register(
+    "similarity_mmr_rerank",
+    expected_fixture_sql("similarity_mmr_rerank"),
+    doc="MMR diversification (Carbonell & Goldstein 1998) of the brute-"
+    "cosine top-20 candidates for queries 0-2: greedy "
+    "0.7*rel - 0.3*max-sim-to-selected sweep, 5 picks per query, run as "
+    "applyInPandas over the BOUNDED per-query candidate groups — the "
+    "serving-side rerank stage; candidate generation stays distributed "
+    "and the corpus is never touched by the greedy loop "
+    "(operators/similarity.py mmr_rerank). Oracle = plain-Python mirror "
+    "with the _seq_dot fold convention, precomputed.",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__q")), 9).alias(
+                "relevance"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("relevance"), F.asc("doc_id")
+    )
+    cand = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select("query_id", "doc_id", "relevance", "embedding")
+    )
+    return mmr_rerank(cand, "embedding", k=5, lam=0.7)

@@ -203,6 +203,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "similarity_knn_label_vote",
         "retrieval_rrf_hybrid",
         "dataset_dsir_logweights",
+        "similarity_mmr_rerank",
         "q11_important_parts",
         "q22_global_sales_opportunity",
         "dataset_mix_sources",

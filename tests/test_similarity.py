@@ -254,3 +254,28 @@ def test_bm25_exclude_and_exact_scores(spark):
     assert [r.doc_id for r in exact.orderBy("rk").collect()] == [
         r.doc_id for r in base.orderBy("rk").collect()
     ]
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """MMR: after picking the most relevant candidate, a near-duplicate
+    of it loses to a moderately-relevant orthogonal candidate; plain
+    relevance order would pick the duplicate."""
+    from heparchy_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # (query_id, doc_id, relevance, vector)
+        (0, 10, 0.99, [1.0, 0.0, 0.0, 0.0]),
+        (0, 11, 0.98, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 10
+        (0, 12, 0.60, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, doc_id long, relevance double, "
+        "embedding array<double>",
+    )
+    out = mmr_rerank(df, "embedding", k=3, lam=0.7).orderBy("mmr_rank")
+    got = [r.doc_id for r in out.collect()]
+    assert got == [10, 12, 11]
+    # first pick's score is pure relevance (no penalty yet)
+    first = out.collect()[0]
+    assert first.mmr_score == round(0.7 * 0.99, 9)

@@ -798,6 +798,43 @@ def semantic_dedup_rows(
     ]
 
 
+def mmr_rerank_rows(
+    vec_ids, vecs, n_queries=3, n_cand=20, k=5, lam=0.7
+) -> list[tuple]:
+    """Mirror of operators.similarity.mmr_rerank over the brute-cosine
+    top-20 candidates (self excluded): greedy lam*rel - (1-lam)*max-sim
+    sweep, pen clamped at 0, ties to the ascending-id first-seen row."""
+    vmap = dict(zip(vec_ids, vecs))
+    out = []
+    for qid in range(n_queries):
+        q = vmap[qid]
+        sims = [
+            (did, spark_round(_cosine(v, q), 9))
+            for did, v in zip(vec_ids, vecs)
+            if did != qid
+        ]
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        remaining = sorted(sims[:n_cand])
+        selected: list[tuple] = []
+        while remaining and len(selected) < k:
+            best = None
+            best_score = None
+            for did, rel in remaining:
+                pen = 0.0
+                for sdid, _, _ in selected:
+                    c = _cosine(vmap[did], vmap[sdid])
+                    if c > pen:
+                        pen = c
+                score = round(lam * float(rel) - (1.0 - lam) * pen, 9)
+                if best is None or score > best_score:
+                    best, best_score = (did, rel), score
+            selected.append((best[0], best[1], best_score))
+            remaining = [r for r in remaining if r[0] != best[0]]
+        for rank, (did, rel, score) in enumerate(selected, start=1):
+            out.append((qid, did, rank, rel, score))
+    return out
+
+
 def write_ann_fixtures(sf_dir: str, write) -> None:
     et = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -821,6 +858,20 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
                 }
             ),
         )
+
+    mmr = mmr_rerank_rows(vec_ids, vecs)
+    write(
+        "similarity_mmr_rerank",
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in mmr], pa.int64()),
+                "doc_id": pa.array([r[1] for r in mmr], pa.int64()),
+                "mmr_rank": pa.array([r[2] for r in mmr], pa.int32()),
+                "relevance": pa.array([r[3] for r in mmr], pa.float64()),
+                "mmr_score": pa.array([r[4] for r in mmr], pa.float64()),
+            }
+        ),
+    )
 
     sem = semantic_dedup_rows(vec_ids, vecs)
     write(
