@@ -1,0 +1,185 @@
+"""Linear text-quality classifier — hashed bag-of-words features +
+batch-gradient logistic regression, trained and applied as plain
+DataFrame algebra (the CCNet/fastText-style quality-filter stage of a
+pretraining pipeline, reduced to its Spark-native core).
+
+Why this shape: a quality filter must SCORE the full corpus (that part
+has to be distributed — one feature join + one per-doc aggregate), while
+TRAINING only needs aggregate gradients — each iteration is a per-doc
+aggregate and a per-bucket aggregate, both map-side combinable, with the
+weight vector itself bounded (n_buckets + 1 doubles) and carried between
+iterations as a broadcast table.  No MLlib, no Python in the hot path.
+
+Determinism contract (the corpus discipline, ``queries/numeric.py``):
+every float reduction accumulates round-8 addends in exact decimal, the
+sigmoid input/output sit on the round-8 grid, and weight updates round
+engine-side (Spark and DuckDB both round half-away-from-zero; Python's
+``round`` does not, so no weight arithmetic happens on the driver) — the
+whole training trajectory is a pure function of the input and replays
+bit-for-bit as unrolled SQL CTEs, the ``pagerank`` oracle pattern.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["hashed_features", "logreg_train", "logreg_score"]
+
+
+def _default_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable token bucket: sha256 prefix % n (the
+    ``dataset.hash_bucket`` convention).  Production pipelines that never
+    cross engines can pass ``bucket_fn=lambda c: F.xxhash64(c) % n`` for
+    a cheaper hash."""
+    return (
+        F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+    bucket_fn=None,
+) -> DataFrame:
+    """Sparse hashed bag-of-words: (doc_id, bucket, x) rows where ``x``
+    is the round-8 term frequency cnt/doc_len, plus one bias row per
+    document (bucket = n_buckets, x = 1.0).
+
+    Term frequencies, not raw counts: with raw counts the dot product
+    grows with document LENGTH, so a uniform residual drives z tens of
+    units per step and full-batch gradient descent oscillates between
+    saturated sigmoids instead of converging (observed: 4 steps on
+    ~50-token docs landed every score at 0.996).  Normalized, the
+    feature mass per document is exactly 1 (+bias) and z stays within
+    +-2 max|w|.
+
+    One token-stream pass folded by (doc, bucket), then a per-doc
+    window for the length normalizer; the bias rides a second narrow
+    projection of the same scan.  Documents with no tokens still get
+    their bias row, so every input row is scorable.
+    """
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import normalize_text
+
+    bucket = bucket_fn or (lambda c: _default_bucket(c, n_buckets))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    ).where(F.length("__tok") > 0)
+    counts = (
+        toks.select("doc_id", bucket(F.col("__tok")).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dl = Window.partitionBy("doc_id")
+    tf = counts.select(
+        "doc_id",
+        "bucket",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(dl), 8
+        ).alias("x"),
+    )
+    bias = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(n_buckets).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return tf.unionByName(bias)
+
+
+def _z_scores(feats: DataFrame, w_df: DataFrame) -> DataFrame:
+    """(doc_id, z): decimal-accumulated round-8 dot products."""
+    from heparchy_spark.queries.numeric import dsum
+
+    return (
+        feats.join(F.broadcast(w_df), "bucket")
+        .groupBy("doc_id")
+        .agg(dsum(F.round(F.col("x") * F.col("w"), 8), 8).alias("z"))
+    )
+
+
+def logreg_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_buckets: int = 64,
+    iters: int = 4,
+    lr_pct: int = 50,
+) -> list[float]:
+    """Batch-gradient logistic regression over hashed features: returns
+    the trained weight vector (length n_buckets + 1, bias last) after
+    ``iters`` full-batch steps of ``w += lr * mean((y - sigma(w.x)) x)``.
+
+    ``labels`` carries (doc_id, y) with y in {0, 1}.  ``lr_pct`` is an
+    integer percentage so the step scale is exactly representable.
+
+    Scale shape per iteration: one per-doc aggregate (the dot products),
+    one doc-keyed join attaching residuals to the feature rows, one
+    per-bucket aggregate (<= n_buckets + 1 groups, map-side combinable),
+    and a bounded (n_buckets + 1)-row collect carrying the weights to
+    the next broadcast — the same bounded-driver-state pattern as
+    ``bpe_train``'s argmax and ``pq_train``'s codebooks.  All rounding
+    happens engine-side; the driver only ferries exact doubles.
+    """
+    spark = feats.sparkSession
+    n = labels.count()
+    lr = lr_pct / 100.0
+    weights = [0.0] * (n_buckets + 1)
+    for _ in range(iters):
+        w_df = spark.createDataFrame(
+            [(b, w) for b, w in enumerate(weights)], "bucket long, w double"
+        )
+        z = _z_scores(feats, w_df)
+        resid = z.join(labels, "doc_id").select(
+            "doc_id",
+            (
+                F.col("y").cast("double")
+                - F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 8
+                )
+            ).alias("r"),
+        )
+        from heparchy_spark.queries.numeric import dsum
+
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(dsum(F.round(F.col("r") * F.col("x"), 8), 8).alias("g"))
+        )
+        updated = (
+            w_df.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                F.round(
+                    F.col("w")
+                    + F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)) / n,
+                    8,
+                ).alias("w"),
+            )
+            .collect()
+        )
+        weights = [0.0] * (n_buckets + 1)
+        for row in updated:
+            weights[row["bucket"]] = row["w"]
+    return weights
+
+
+def logreg_score(feats: DataFrame, weights: list[float]) -> DataFrame:
+    """(doc_id, quality_score, keep): sigmoid scores under a trained
+    weight vector — the corpus-scale application pass (one broadcast
+    join + one per-doc aggregate; linear, no Python)."""
+    spark = feats.sparkSession
+    w_df = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(weights)], "bucket long, w double"
+    )
+    z = _z_scores(feats, w_df)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    return z.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -350,3 +350,110 @@ def dataset_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(
         docs, "text", "doc_id", F.col("lang") == "en"
     )
+
+
+def _logreg_sql(n_buckets: int, iters: int, lr_pct: int) -> str:
+    """Unrolled training-trajectory replay (the pagerank-CTE pattern):
+    every reduction is decimal-accumulated on the round-8 grid and every
+    weight update rounds engine-side, so the SQL replay is bit-exact."""
+    from heparchy_spark.queries.dedup import _NORM_SQL
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    bucket = (
+        f"('0x' || substr(sha256(tok), 1, 12))::BIGINT % {n_buckets}"
+    )
+    lr = lr_pct / 100.0
+    parts = [
+        f"""feats AS MATERIALIZED (
+      SELECT doc_id, bucket,
+             ROUND(CAST(cnt AS DOUBLE)
+                   / SUM(cnt) OVER (PARTITION BY doc_id), 8) AS x
+      FROM (
+        SELECT doc_id, {bucket} AS bucket, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2
+      )
+      UNION ALL
+      SELECT doc_id, {n_buckets}, 1.0 FROM documents
+    )""",
+        """lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    )""",
+        "nn AS (SELECT COUNT(*) AS n FROM lab)",
+        f"""w0 AS (
+      SELECT unnest(generate_series(0, {n_buckets})) AS bucket, 0.0 AS w
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""z{i} AS MATERIALIZED (
+      SELECT doc_id, {sql_dsum('ROUND(x * w, 8)', 8)} AS z
+      FROM feats JOIN w{i - 1} USING (bucket) GROUP BY doc_id
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT z{i}.doc_id,
+             CAST(y AS DOUBLE) - ROUND(1.0 / (1.0 + exp(-z)), 8) AS r
+      FROM z{i} JOIN lab USING (doc_id)
+    )"""
+        )
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+      SELECT bucket, {sql_dsum('ROUND(r * x, 8)', 8)} AS g
+      FROM feats JOIN r{i} USING (doc_id) GROUP BY bucket
+    )"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT prev.bucket,
+             ROUND(prev.w + {lr} * COALESCE(g{i}.g, 0.0) / n, 8) AS w
+      FROM w{i - 1} prev LEFT JOIN g{i} USING (bucket) CROSS JOIN nn
+    )"""
+        )
+    parts.append(
+        f"""zf AS (
+      SELECT doc_id, {sql_dsum('ROUND(x * w, 8)', 8)} AS z
+      FROM feats JOIN w{iters} USING (bucket) GROUP BY doc_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+    FROM zf
+    """
+    )
+
+
+@register(
+    "quality_logreg_scores",
+    _logreg_sql(n_buckets=64, iters=4, lr_pct=50),
+    doc="CCNet/fastText-style quality filter as pure DataFrame algebra: "
+    "batch-gradient logistic regression over 64 hashed bag-of-words "
+    "buckets (+bias), 4 full-batch steps toward the English subset, "
+    "then corpus-wide sigmoid scoring (operators/classifier.py). Per "
+    "step: one per-doc dot-product aggregate, one doc-keyed residual "
+    "join, one <=65-group gradient aggregate, one bounded 65-row weight "
+    "collect; every reduction decimal-accumulates round-8 addends and "
+    "weights round engine-side, so the oracle replays the trajectory as "
+    "unrolled CTEs (the pagerank pattern).",
+)
+def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = hashed_features(docs, "text", "doc_id", n_buckets=64).persist()
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    weights = logreg_train(feats, labels, n_buckets=64, iters=4, lr_pct=50)
+    return logreg_score(feats, weights)

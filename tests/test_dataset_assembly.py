@@ -526,3 +526,38 @@ def test_dsir_logweights_orders_by_target_affinity(spark):
         assert out[i].dsir_logweight == expect, (i, out[i], expect)
         assert out[i].n_toks == len(toks[i])
     assert out[1].dsir_logweight > out[2].dsir_logweight
+
+
+def test_logreg_learns_separable_toy_corpus(spark):
+    """Logistic quality classifier: on a corpus where the label is
+    token-separable, training pushes positive docs above 0.5 and
+    negative docs below; a repeat run reproduces identical weights
+    (engine-exact trajectory)."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    rows = [
+        (0, "good clean helpful prose", 1),
+        (1, "good careful writing good", 1),
+        (2, "good good good content", 1),
+        (3, "spam junk garbage words", 0),
+        (4, "junk spam noise spam", 0),
+        (5, "garbage noise junk filler", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    feats = hashed_features(df, "text", "doc_id", n_buckets=16)
+    labels = df.select("doc_id", "y")
+    w = logreg_train(feats, labels, n_buckets=16, iters=8, lr_pct=900)
+    scored = {r.doc_id: r for r in logreg_score(feats, w).collect()}
+    for did, _, y in rows:
+        assert scored[did].keep == bool(y), (did, scored[did])
+    assert min(scored[d].quality_score for d in (0, 1, 2)) > max(
+        scored[d].quality_score for d in (3, 4, 5)
+    )
+    w2 = logreg_train(feats, labels, n_buckets=16, iters=8, lr_pct=900)
+    assert w2 == w
