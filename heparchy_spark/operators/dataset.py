@@ -23,6 +23,7 @@ __all__ = [
     "weighted_sample",
     "contrastive_negatives",
     "dsir_logweights",
+    "temperature_sample",
 ]
 
 #: hex digits of the sha256 prefix used for bucketing (48 bits fits long)
@@ -430,4 +431,67 @@ def dsir_logweights(
             F.count(F.lit(1)).alias("n_toks"),
             dsum(F.col("__logratio"), 6).alias("dsir_logweight"),
         )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    content_col: str,
+    id_col: str,
+    total: int,
+    alpha_pct: int = 50,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based multilingual/source sampling (the mT5 / XLM-R
+    alpha-sampling rule): draw ``total`` rows with per-source quotas
+    proportional to ``n_s ** alpha`` — alpha < 1 flattens the source
+    distribution so low-resource sources are upweighted relative to
+    their raw share without duplicating rows.
+
+    ``alpha_pct`` is an integer percentage (50 -> alpha = 0.5, i.e. the
+    square-root rule).  Quotas are ``floor(total * n_s^a / sum n^a)``
+    (never exceeding ``n_s``); rows are chosen per source by
+    content-hash order — deterministic, engine-portable, stable for
+    non-binding sources under corpus growth (the ``mix_sources``
+    conventions).  Powers round to the 8-grid and the normalizer
+    accumulates in exact decimal so quota arithmetic is
+    order-independent cross-engine.
+
+    Scale shape: a |sources|-row count aggregate, the single-row
+    normalizer, both broadcast back; the only full-data shuffle is the
+    per-source hash-order ranking window (skew note as in
+    ``mix_sources``).
+    """
+    from heparchy_spark.queries.numeric import dsum
+
+    alpha = alpha_pct / 100.0
+    cnt = df.groupBy(F.col(source_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pw = cnt.select(
+        "__s",
+        "__n",
+        F.round(F.pow(F.col("__n").cast("double"), F.lit(alpha)), 8).alias(
+            "__pw"
+        ),
+    )
+    norm = pw.agg(dsum(F.col("__pw"), 8).alias("__z"))
+    quota = pw.join(F.broadcast(norm)).select(
+        "__s",
+        F.least(
+            F.col("__n"),
+            F.floor(F.lit(total) * F.col("__pw") / F.col("__z")).cast("long"),
+        ).alias("__q"),
+    )
+    h = F.sha2(F.concat(F.col(content_col), F.lit(salt)), 256)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(quota),
+            F.col(source_col) == F.col("__s"),
+        )
+        .where(F.col("__rn") <= F.col("__q"))
+        .select(F.col(id_col), F.col(source_col))
     )

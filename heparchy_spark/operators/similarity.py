@@ -35,6 +35,7 @@ __all__ = [
     "semantic_dedup",
     "rrf_fuse",
     "mmr_rerank",
+    "random_projection",
 ]
 
 
@@ -859,3 +860,40 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(greedy, out_schema)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Gaussian random projection (Johnson-Lindenstrauss) of a vector
+    column to ``out_dim`` dimensions: (id, projection) with each
+    component the round-9 dot against a seeded hyperplane.
+
+    The cheap pre-ANN reduction: pairwise distances survive within
+    ~(1 +- eps) for out_dim = O(log n / eps^2), so downstream LSH / IVF
+    runs on 4x-shorter vectors at the same recall dial.  Planes ship as
+    literal arrays (out_dim x dim doubles — the ``hyperplane_bucket``
+    convention), so the projection is a pure scan-side map: no shuffle,
+    no broadcast, deterministic under any partitioning.  ``||Pv||^2 /
+    out_dim`` is the unbiased estimate of ``||v||^2`` (each Gaussian
+    component has variance ``||v||^2``).
+    """
+    planes = _hyperplanes(dim, out_dim, seed)
+    projs = [
+        F.round(
+            dot(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in planes[j]]),
+            ),
+            9,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(
+        F.col(id_col), F.array(*projs).alias("projection")
+    )

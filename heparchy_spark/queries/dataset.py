@@ -457,3 +457,48 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weights = logreg_train(feats, labels, n_buckets=64, iters=4, lr_pct=50)
     return logreg_score(feats, weights)
+
+
+def _temperature_sql(total: int, alpha_pct: int) -> str:
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    alpha = alpha_pct / 100.0
+    return f"""
+    WITH cnt AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY lang),
+    pw AS (
+      SELECT s, n, ROUND(pow(CAST(n AS DOUBLE), {alpha}), 8) AS pw FROM cnt
+    ),
+    norm AS (SELECT {sql_dsum('pw', 8)} AS z FROM pw),
+    quota AS (
+      SELECT s, LEAST(n, CAST(floor({total} * pw / z) AS BIGINT)) AS q
+      FROM pw CROSS JOIN norm
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY sha256(text || 'temp'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN quota ON lang = s WHERE rn <= q
+    """
+
+
+@register(
+    "dataset_temperature_sample",
+    _temperature_sql(total=200, alpha_pct=50),
+    doc="Temperature-based multilingual sampling (the mT5/XLM-R alpha "
+    "rule, alpha=0.5): 200-row draw with per-language quotas "
+    "proportional to n^0.5 — low-resource languages upweighted relative "
+    "to raw share, rows picked by content-hash order "
+    "(operators/dataset.py temperature_sample). Quota math rides "
+    "round-8 powers + decimal normalizer; the only full shuffle is the "
+    "per-source ranking window.",
+)
+def dataset_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "lang", "text", "doc_id", total=200, alpha_pct=50
+    )

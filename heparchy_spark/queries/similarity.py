@@ -660,3 +660,33 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "relevance", "embedding")
     )
     return mmr_rerank(cand, "embedding", k=5, lam=0.7)
+
+
+@register(
+    "similarity_random_projection",
+    expected_fixture_sql("similarity_random_projection"),
+    doc="Gaussian random projection 64->16 (Johnson-Lindenstrauss) with "
+    "per-vector norm-preservation diagnostics: l2 of the original, the "
+    "scaled l2 of the projection (||Pv||/sqrt(k), the unbiased norm "
+    "estimate), and their ratio — the cheap pre-ANN reduction "
+    "(operators/similarity.py random_projection; planes are seeded "
+    "literal arrays, the projection is a pure scan-side map with no "
+    "shuffle). Oracle = plain-Python _seq_dot mirror, precomputed.",
+)
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import random_projection
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "embedding", "vec_id", dim=DIM, out_dim=16)
+    joined = emb.select("vec_id", "embedding").join(proj, "vec_id")
+    sq = F.aggregate(
+        "projection", F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    l2p = F.round(F.sqrt(sq / F.lit(16.0)), 9)
+    l2o = F.round(l2_norm(F.col("embedding")), 9)
+    return joined.select(
+        "vec_id",
+        l2o.alias("l2_orig"),
+        l2p.alias("l2_proj_scaled"),
+        F.round(l2p / l2o, 6).alias("jl_ratio"),
+    )

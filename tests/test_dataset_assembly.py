@@ -561,3 +561,28 @@ def test_logreg_learns_separable_toy_corpus(spark):
     )
     w2 = logreg_train(feats, labels, n_buckets=16, iters=8, lr_pct=900)
     assert w2 == w
+
+
+def test_temperature_sample_flattens_distribution(spark):
+    """Alpha-sampling: with alpha=0.5, a 4:1 source imbalance flattens
+    to 2:1 quotas (sqrt rule); every quota is capped by availability and
+    the draw is reproducible."""
+    rows = [(i, f"doc number {i} text", "big" if i < 80 else "small")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from heparchy_spark.operators.dataset import temperature_sample
+
+    out = temperature_sample(df, "lang", "text", "doc_id", total=60,
+                             alpha_pct=50)
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    # sqrt(80)=8.944..., sqrt(20)=4.472... -> shares 2/3 and 1/3 of 60;
+    # the small share is exactly 1/3 in the reals but the round-8 power
+    # grid lands 60*pw/z at 19.999999x, and the floor rule takes 19 —
+    # quotas are documented as floor-of-grid, never rounded up.
+    assert by == {"big": 40, "small": 19}
+    again = temperature_sample(df, "lang", "text", "doc_id", total=60,
+                               alpha_pct=50)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

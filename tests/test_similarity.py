@@ -279,3 +279,29 @@ def test_mmr_rerank_prefers_diversity(spark):
     # first pick's score is pure relevance (no penalty yet)
     first = out.collect()[0]
     assert first.mmr_score == round(0.7 * 0.99, 9)
+
+
+def test_random_projection_preserves_norms(spark):
+    """JL: scaled projection norms concentrate around the true norms —
+    mean ratio within 10% of 1 over 64-dim Gaussian-ish vectors, and the
+    projection is a pure function (same seed, same output)."""
+    import numpy as np
+
+    from heparchy_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p1 = random_projection(df, "embedding", "vec_id", dim=64, out_dim=16)
+    p2 = random_projection(df, "embedding", "vec_id", dim=64, out_dim=16)
+    assert p1.collect() == p2.collect()
+    import pyspark.sql.functions as F
+
+    sq = F.aggregate("projection", F.lit(0.0), lambda a, v: a + v * v)
+    joined = df.join(p1, "vec_id").select(
+        (F.sqrt(sq / 16.0)
+         / F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
+         ).alias("ratio")
+    )
+    mean_ratio = joined.agg(F.avg("ratio")).head()[0]
+    assert 0.9 < mean_ratio < 1.1

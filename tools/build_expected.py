@@ -835,6 +835,26 @@ def mmr_rerank_rows(
     return out
 
 
+def random_projection_rows(
+    vec_ids, vecs, dim=64, out_dim=16, seed=7
+) -> list[tuple]:
+    """Mirror of operators.similarity.random_projection + the JL norm
+    diagnostics of the similarity_random_projection corpus query."""
+    planes = np.random.RandomState(seed).standard_normal((out_dim, dim))
+    out = []
+    for did, v in zip(vec_ids, vecs):
+        proj = [
+            spark_round(_seq_dot(v, planes[j]), 9) for j in range(out_dim)
+        ]
+        s = 0.0
+        for p in proj:
+            s += p * p
+        l2p = spark_round((s / float(out_dim)) ** 0.5, 9)
+        l2o = spark_round(_seq_norm(v), 9)
+        out.append((did, l2o, l2p, spark_round(l2p / l2o, 6)))
+    return out
+
+
 def write_ann_fixtures(sf_dir: str, write) -> None:
     et = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -858,6 +878,19 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
                 }
             ),
         )
+
+    rp = random_projection_rows(vec_ids, vecs)
+    write(
+        "similarity_random_projection",
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rp], pa.int64()),
+                "l2_orig": pa.array([r[1] for r in rp], pa.float64()),
+                "l2_proj_scaled": pa.array([r[2] for r in rp], pa.float64()),
+                "jl_ratio": pa.array([r[3] for r in rp], pa.float64()),
+            }
+        ),
+    )
 
     mmr = mmr_rerank_rows(vec_ids, vecs)
     write(
