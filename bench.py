@@ -87,6 +87,13 @@ HEADLINE = [
     "text_chunk_documents",
     "profile_table_stats",
     "join_salted_brand_counts",
+    "retrieval_rrf_hybrid",
+    "graph_label_propagation",
+    "dataset_dsir_logweights",
+    "dedup_incremental_minhash",
+    "similarity_mmr_rerank",
+    "dataset_temperature_sample",
+    "similarity_random_projection",
 ]
 
 
