@@ -541,3 +541,94 @@ def dedup_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=4,
         min_dist=1,
     )
+
+
+@register(
+    "dedup_entity_resolution",
+    """
+    WITH RECURSIVE
+    vals AS (
+      SELECT p_name AS value, split_part(p_name, ' ', 1) AS blk,
+             COUNT(*) AS n
+      FROM part GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.value AS va, b.value AS vb
+      FROM vals a JOIN vals b ON a.blk = b.blk AND a.value < b.value
+      WHERE levenshtein(a.value, b.value) BETWEEN 1 AND 4
+    ),
+    sym AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION ALL SELECT vb, va FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT value, value FROM vals
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+      SELECT node AS value, MIN(lab) AS cluster_key FROM reach GROUP BY node
+    ),
+    canon AS (
+      SELECT cluster_key, value AS canonical FROM (
+        SELECT c.cluster_key, c.value,
+               row_number() OVER (
+                 PARTITION BY c.cluster_key ORDER BY v.n DESC, c.value
+               ) AS rk
+        FROM comp c JOIN vals v ON v.value = c.value
+      ) WHERE rk = 1
+    )
+    SELECT c.value, canon.canonical, v.n AS n_rows,
+           c.value <> canon.canonical AS merged
+    FROM comp c
+    JOIN canon ON canon.cluster_key = c.cluster_key
+    JOIN vals v ON v.value = c.value
+    """,
+    doc="Entity resolution end-to-end over part names: blocked banded-"
+    "Levenshtein candidate pairs (operators/fuzzy.py) feed min-label "
+    "connected components (operators/dedup.py), and each cluster "
+    "canonicalizes to its most frequent value (ties to the "
+    "lexicographically first) — the blocking/linkage/clustering/"
+    "canonicalization pipeline of a record-dedup system as one "
+    "declarative composition. Every stage is an equi-join or combinable "
+    "aggregate over the DISTINCT-value dictionary, never the raw rows; "
+    "the oracle replays clustering as a recursive CTE.",
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import connected_components
+    from heparchy_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    part = load(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        block=F.split(F.col("value"), " ")[0],
+        max_dist=4,
+        min_dist=1,
+    )
+    vals = part.groupBy(F.col("p_name").alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cc = connected_components(
+        pairs, "value_a", "value_b", vals, "value", max_iter=25
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n"), F.asc("node")
+    )
+    ranked = cc.join(vals, cc["node"] == vals["value"]).select(
+        "node", "component", "n", F.row_number().over(w).alias("rk")
+    )
+    canon = ranked.where(F.col("rk") == 1).select(
+        "component", F.col("node").alias("canonical")
+    )
+    return (
+        ranked.join(canon, "component")
+        .select(
+            F.col("node").alias("value"),
+            "canonical",
+            F.col("n").alias("n_rows"),
+            (F.col("node") != F.col("canonical")).alias("merged"),
+        )
+    )

@@ -362,3 +362,45 @@ def test_incremental_minhash_only_cross_pairs(spark):
     pairs = {(r.new_id, r.seen_id): r.jaccard for r in out}
     assert set(pairs) == {(100, 0), (100, 1), (101, 0), (101, 1)}
     assert all(j == 1.0 for j in pairs.values())
+
+
+def test_entity_resolution_canonicalizes_variants(spark):
+    """Entity resolution composition: spelling variants of one entity
+    (blocked on first token, within edit distance) cluster together and
+    canonicalize to the most frequent spelling; unrelated names stay
+    their own clusters."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import connected_components
+    from heparchy_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    rows = (
+        [("acme corp",)] * 5
+        + [("acme corpp",)] * 2
+        + [("acme c0rp",)] * 1
+        + [("globex inc",)] * 3
+    )
+    df = spark.createDataFrame(rows, "p_name string")
+    pairs = blocked_fuzzy_pairs(
+        df, "p_name", block=F.split(F.col("value"), " ")[0],
+        max_dist=4, min_dist=1,
+    )
+    vals = df.groupBy(F.col("p_name").alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cc = connected_components(pairs, "value_a", "value_b", vals, "value")
+    w = Window.partitionBy("component").orderBy(F.desc("n"), F.asc("node"))
+    ranked = cc.join(vals, cc["node"] == vals["value"]).select(
+        "node", "component", "n", F.row_number().over(w).alias("rk")
+    )
+    canon = ranked.where(F.col("rk") == 1).select(
+        "component", F.col("node").alias("canonical")
+    )
+    out = {
+        r.node: r.canonical
+        for r in ranked.join(canon, "component").collect()
+    }
+    assert out["acme corpp"] == "acme corp"
+    assert out["acme c0rp"] == "acme corp"
+    assert out["globex inc"] == "globex inc"
