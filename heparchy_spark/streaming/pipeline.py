@@ -97,9 +97,20 @@ def stream_corpus_pipeline_txn(
     langs: tuple[str, ...] = ("en",),
     n_shards: int = 8,
     trigger_available_now: bool = True,
+    batch_gate_fn=None,
 ) -> StreamingQuery:
     """The transactional corpus pipeline: gates -> exact cross-corpus
     dedup -> EXACTLY-ONCE snapshot commit per micro-batch.
+
+    ``batch_gate_fn`` (optional, ``DataFrame -> DataFrame``) runs INSIDE
+    each micro-batch, where aggregates and joins are plain batch ops --
+    the hook for model-based gating (e.g. scoring the batch with the
+    trained ``operators/classifier.py`` quality filter and keeping
+    ``keep`` rows), which cannot run on the unbounded stream frame (a
+    streaming groupBy would be a stateful aggregate, not a gate).  The
+    stateless heuristic gates stay on the stream side where they prune
+    before the batch even forms.  A batch whose rows all gate away still
+    banks its batch-id token, exactly like a fully-deduped batch.
 
     Differences from ``stream_corpus_pipeline`` (plain append + hash
     sidecar, at-least-once on the landing dir):
@@ -135,6 +146,8 @@ def stream_corpus_pipeline_txn(
         if last is not None and batch_id <= last:
             return  # replayed batch: already committed
         b = batch.dropDuplicates(["__h"])  # within-batch exact dedup
+        if batch_gate_fn is not None:
+            b = batch_gate_fn(b)
         if table.latest_version() > 0:
             seen = table.read().select("__h")
             b = b.join(seen, "__h", "left_anti")  # cross-corpus dedup

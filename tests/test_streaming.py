@@ -618,3 +618,65 @@ def test_stream_corpus_pipeline_txn_exactly_once(spark, tmp_path):
         (r["doc_id"], r["shard"])
         for r in table.read().select("doc_id", "shard").collect()
     } == want_set
+
+
+def test_txn_pipeline_classifier_batch_gate(spark, tmp_path):
+    """Model-based gating composes with exactly-once ingest: a logistic
+    quality classifier trained on a labeled seed corpus scores each
+    micro-batch inside foreachBatch (batch_gate_fn), only keep=True
+    docs land in the snapshot table, and every batch still banks its
+    batch-id token."""
+    from heparchy_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+    from heparchy_spark.sources.snapshot import SnapshotTable
+    from heparchy_spark.streaming.pipeline import stream_corpus_pipeline_txn
+
+    seed = spark.createDataFrame(
+        [
+            (0, "good clean helpful prose", 1),
+            (1, "good careful writing good", 1),
+            (2, "good good good content here", 1),
+            (3, "spam junk garbage words", 0),
+            (4, "junk spam noise spam", 0),
+            (5, "garbage noise junk filler", 0),
+        ],
+        "doc_id long, text string, y int",
+    )
+    weights = logreg_train(
+        hashed_features(seed, "text", "doc_id", n_buckets=16),
+        seed.select("doc_id", "y"),
+        n_buckets=16, iters=8, lr_pct=900,
+    )
+
+    def gate(batch):
+        feats = hashed_features(batch, "text", "doc_id", n_buckets=16)
+        keep = logreg_score(feats, weights).where(F.col("keep")).select(
+            "doc_id"
+        )
+        return batch.join(keep, "doc_id")
+
+    incoming = spark.createDataFrame(
+        [
+            (100, "the good clean prose arrives", "en", "s", 1),
+            (101, "the junk spam garbage arrives", "en", "s", 1),
+            (102, "the good good clean helpful prose arrives", "en", "s", 1),
+            (103, "the noise junk filler arrives", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    flat = tmp_path / "in"
+    incoming.coalesce(1).write.parquet(str(flat))
+    stream = spark.readStream.schema(incoming.schema).parquet(str(flat))
+    table = SnapshotTable(spark, tmp_path / "tbl")
+    q = stream_corpus_pipeline_txn(
+        stream, "text", "doc_id", table, str(tmp_path / "ckpt"),
+        min_quality=0.0, langs=("en",), n_shards=2,
+        batch_gate_fn=gate,
+    )
+    q.awaitTermination(120)
+    landed = sorted(r.doc_id for r in table.read().select("doc_id").collect())
+    assert landed == [100, 102]
+    assert table.latest_batch_id() is not None  # token banked regardless
