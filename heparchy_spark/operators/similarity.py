@@ -750,6 +750,11 @@ def rrf_fuse(
     """
     from functools import reduce
 
+    if not rankings:
+        raise ValueError(
+            "rrf_fuse needs at least one ranking frame: an empty fusion "
+            "has no candidate lists to score"
+        )
     contribs = reduce(
         DataFrame.unionByName,
         [

@@ -305,3 +305,34 @@ def test_random_projection_preserves_norms(spark):
     )
     mean_ratio = joined.agg(F.avg("ratio")).head()[0]
     assert 0.9 < mean_ratio < 1.1
+
+
+def test_rrf_fuse_properties(spark):
+    """RRF invariants: empty arm list is a loud error; a single arm
+    reproduces that arm's order; improving a doc's rank in one arm never
+    lowers its fused score."""
+    import pytest
+
+    from heparchy_spark.operators.similarity import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    arm = spark.createDataFrame(
+        [(0, 5, 1), (0, 6, 2), (0, 7, 3)],
+        "query_id long, doc_id long, rk int",
+    )
+    solo = [r.doc_id for r in rrf_fuse([arm], k=3).orderBy("rk").collect()]
+    assert solo == [5, 6, 7]
+    better = spark.createDataFrame(
+        [(0, 7, 1)], "query_id long, doc_id long, rk int"
+    )
+    worse = spark.createDataFrame(
+        [(0, 7, 3)], "query_id long, doc_id long, rk int"
+    )
+    s_better = {
+        r.doc_id: r.rrf_score for r in rrf_fuse([arm, better], k=3).collect()
+    }
+    s_worse = {
+        r.doc_id: r.rrf_score for r in rrf_fuse([arm, worse], k=3).collect()
+    }
+    assert s_better[7] > s_worse[7]
