@@ -19,6 +19,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "winnowing_fingerprints",
     "fingerprint_df",
     "text_profile",
     "token_stream",
@@ -853,4 +854,73 @@ def bpe_encode_counts(
                 F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
             ).alias("bpe_per_word"),
         )
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm) at word-k-gram
+    granularity: select the MINIMUM gram hash of every sliding window of
+    ``window`` consecutive k-gram hashes, deduplicated per document.
+    Output: distinct (doc_id, fingerprint) rows.
+
+    The winnowing guarantee: any shared run of at least
+    ``k + window - 1`` tokens contributes at least one COMMON
+    fingerprint to both documents (every full window over the shared
+    region selects from the same hashes), while density is ~2/(window+1)
+    of all grams — a tunable recall/size dial that a global MinHash
+    signature cannot give for LOCAL matches.  Documents shorter than
+    ``k + window - 1`` tokens produce no fingerprints (no full window).
+
+    Scale shape: the token stream explodes once, gram hashes compose via
+    window ``lead`` (the ``shingle_hash_stream`` construction, kept here
+    with positions), the per-window minimum is one bounded
+    ``rowsBetween`` frame over the same (id, pos) sort, and the distinct
+    folds per doc — one shuffle on the id, everything else rides that
+    partitioning.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    hashed = tok.select("__id", "__pos", F.xxhash64("__tok").alias("__h0"))
+    lead_cols = [
+        F.lead("__h0", j).over(w).alias(f"__h{j}") for j in range(1, k)
+    ]
+    sh = hashed.select("__id", "__pos", "__h0", *lead_cols)
+    if k > 1:
+        sh = sh.where(F.col(f"__h{k - 1}").isNotNull())
+    grams = sh.select(
+        "__id",
+        "__pos",
+        F.xxhash64(*[f"__h{j}" for j in range(k)]).alias("__g"),
+    )
+    wmin = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(0, window - 1)
+    )
+    sel = grams.select(
+        "__id",
+        F.min("__g").over(wmin).alias("__wmin"),
+        F.lead("__g", window - 1).over(w).alias("__full"),
+    )
+    return (
+        sel.where(F.col("__full").isNotNull())
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.col("__wmin").alias("fingerprint"),
+        )
+        .distinct()
     )

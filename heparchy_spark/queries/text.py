@@ -1016,3 +1016,22 @@ def text_bm25_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("doc_id").alias("chunk_uid"), "score", "rk"
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    expected_fixture_sql("text_winnowing_fingerprints"),
+    doc="Winnowing fingerprints (Schleimer et al. 2003, the MOSS local "
+    "fingerprinting algorithm): per-window minima of word-3-gram hashes "
+    "(window 4), distinct per doc — any shared run of >= 6 tokens "
+    "yields a common fingerprint at ~2/(w+1) density, the LOCAL-match "
+    "guarantee a global MinHash signature cannot give "
+    "(operators/text.py winnowing_fingerprints). One id-keyed shuffle; "
+    "gram hashes, window minima, and the distinct all ride the same "
+    "partitioning. Oracle = plain-Python xxhash mirror, precomputed.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4)

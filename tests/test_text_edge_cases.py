@@ -404,3 +404,30 @@ def test_entity_resolution_canonicalizes_variants(spark):
     assert out["acme corpp"] == "acme corp"
     assert out["acme c0rp"] == "acme corp"
     assert out["globex inc"] == "globex inc"
+
+
+def test_winnowing_guarantee_on_shared_runs(spark):
+    """Winnowing (k=3, w=4): documents sharing a run of >= k+w-1 = 6
+    tokens share at least one fingerprint (the MOSS guarantee);
+    token-disjoint documents share none; short docs (< 6 tokens)
+    produce no fingerprints."""
+    from heparchy_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words here {shared} trailing content"),
+            (1, f"{shared} completely different ending text"),
+            (2, "unrelated vocabulary entirely separate tokens forever"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    assert 3 not in by_doc

@@ -115,6 +115,23 @@ def shingle_hash_set(text: str | None, n: int = 3) -> set[int]:
     }
 
 
+def winnowing_rows(
+    docs: list[tuple[int, str | None]], k: int = 3, window: int = 4
+) -> list[tuple[int, int]]:
+    """Mirror of operators.text.winnowing_fingerprints: per-window
+    minimum of word-k-gram hashes, distinct per doc, full windows only.
+    Token stream matches the Spark side (split of normalized text with
+    empty tokens kept, the shingle_hash_stream convention)."""
+    out = set()
+    for did, text in docs:
+        toks = tokens(text)
+        hs = [xxhash64(t) for t in toks]
+        grams = [xxhash64(*hs[i : i + k]) for i in range(len(hs) - k + 1)]
+        for i in range(len(grams) - window + 1):
+            out.add((did, min(grams[i : i + window])))
+    return sorted(out)
+
+
 def minhash_pairs(
     docs: list[tuple[int, str | None]],
     num_perm: int = 64,
@@ -466,6 +483,18 @@ def main() -> None:
                 "id_a": pa.array([a for a, _, _ in mp], pa.int64()),
                 "id_b": pa.array([b for _, b, _ in mp], pa.int64()),
                 "jaccard": pa.array([j for _, _, j in mp], pa.float64()),
+            }
+        ),
+    )
+
+    # text_winnowing_fingerprints
+    wf = winnowing_rows(docs)
+    write(
+        "text_winnowing_fingerprints",
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in wf], pa.int64()),
+                "fingerprint": pa.array([f for _, f in wf], pa.int64()),
             }
         ),
     )
