@@ -284,6 +284,58 @@ class SnapshotTable:
         os.replace(tmp, self.root / "_snapshots" / "_latest")
         return version
 
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        delete_missing: bool = False,
+        app_meta: dict | None = None,
+    ) -> int:
+        """Transactional MERGE INTO: apply the upsert semantics of
+        ``operators/upsert.merge_snapshot`` (update-side wins on matched
+        keys including genuine value->NULL updates, base rows survive
+        otherwise, ``delete_missing`` drops base keys absent from the
+        update side) and commit the merged table as a new OVERWRITE
+        version — Delta/Iceberg MERGE with this layer's atomicity:
+        concurrent committers conflict on the exclusive version file
+        (``SnapshotConflict``), never corrupt, and the pre-merge version
+        time-travels until vacuum.
+
+        ``updates`` must carry the table's full schema (MERGE never
+        changes the shape of the table — schema evolution is
+        ``commit(allow_add_columns=...)``'s job).
+
+        Scale note: this is copy-on-write at TABLE granularity — one
+        full-outer key shuffle plus a rewrite of every file.  At large
+        tables, restrict the rewrite by partitioning the merge on a key
+        range and committing per-partition (the OPTIMIZE trade-off);
+        the commit protocol is unchanged either way.
+        """
+        from heparchy_spark.operators.upsert import merge_snapshot
+
+        if self.latest_version() == 0:
+            raise ValueError("snapshot table has no commits yet")
+        base = self.read()
+        missing = set(base.columns) - set(updates.columns)
+        if missing:
+            raise ValueError(
+                f"merge: updates are missing table columns {sorted(missing)}"
+                " — MERGE never changes the table shape"
+            )
+        merged = merge_snapshot(
+            base,
+            updates.select(*base.columns),
+            keys,
+            compare_cols=sorted(set(base.columns) - set(keys)),
+            delete_missing=delete_missing,
+        )
+        return self.commit(
+            merged.select(*base.columns),
+            mode="overwrite",
+            operation="merge",
+            app_meta=app_meta,
+        )
+
     def rollback(self, version: int) -> int:
         """Restore ``version``'s content as a NEW commit (Iceberg-style:
         history is append-only; rollback never rewrites it)."""

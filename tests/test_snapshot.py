@@ -493,3 +493,51 @@ def test_snapshot_sink_expectations_fail_then_retry_same_batch(spark, tmp_path):
     run([in_range("v", 0, 100)])  # restart, permissive rules
     assert table.read().count() == 10
     assert table.latest_batch_id() == 0  # the SAME batch id, once
+
+
+def test_snapshot_merge_upserts_atomically(spark, tmp_path):
+    """MERGE INTO on the snapshot table: matched keys take the update
+    side (including value->NULL), unmatched base rows survive, new keys
+    insert; the pre-merge version still time-travels; updates missing
+    table columns are rejected; delete_missing drops absent base keys."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, tmp_path / "t")
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, v double",
+        )
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", None), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    v = t.merge(updates, keys=["k"])
+    got = {
+        r.k: (r.name, r.v)
+        for r in t.read().orderBy("k").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", None),   # genuine value->NULL update preserved
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+    # pre-merge version still readable (time travel)
+    pre = {r.k for r in t.read(version=v - 1).collect()}
+    assert pre == {1, 2, 3}
+    assert [m["operation"] for m in t.versions()][-1] == "merge"
+    # schema guard
+    import pytest
+
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge(spark.createDataFrame([(9,)], "k long"), keys=["k"])
+    # delete_missing drops base keys absent from the update side
+    t.merge(
+        spark.createDataFrame([(2, "b3", 2.0)], "k long, name string, v double"),
+        keys=["k"],
+        delete_missing=True,
+    )
+    assert {r.k for r in t.read().collect()} == {2}
