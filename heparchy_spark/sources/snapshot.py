@@ -51,6 +51,7 @@ import typing as ty
 import uuid
 from pathlib import Path
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -334,6 +335,63 @@ class SnapshotTable:
             mode="overwrite",
             operation="merge",
             app_meta=app_meta,
+        )
+
+    def diff(
+        self,
+        from_version: int,
+        to_version: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Key-level change feed between two versions (Delta's
+        ``table_changes`` shape): one row per key whose content changed,
+        with ``change`` in {insert, delete, update} and both sides'
+        columns (``old_*`` / ``new_*``).  Reads exactly two manifests —
+        no history scan; the comparison is one full-outer key join, and
+        a null-safe equality over the non-key columns decides
+        ``update`` vs unchanged (unchanged keys are not emitted).
+
+        For APPEND-only history prefer ``read_incremental`` (file-level,
+        no join at all); ``diff`` is the general form that also covers
+        overwrite commits — OPTIMIZE, MERGE, rollback — where file
+        lineage says nothing about row identity.
+        """
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        if set(old.columns) != set(new.columns):
+            raise ValueError(
+                "diff: versions have different schemas — compare columns "
+                f"{sorted(set(old.columns) ^ set(new.columns))} are not shared"
+            )
+        vals = sorted(set(old.columns) - set(keys))
+        o = old.select(
+            *keys, *[F.col(c).alias(f"old_{c}") for c in vals],
+            F.lit(True).alias("__in_old"),
+        )
+        n = new.select(
+            *keys, *[F.col(c).alias(f"new_{c}") for c in vals],
+            F.lit(True).alias("__in_new"),
+        )
+        j = o.join(n, keys, "full_outer")
+        changed = F.lit(False)
+        for c in vals:
+            changed = changed | ~F.col(f"old_{c}").eqNullSafe(
+                F.col(f"new_{c}")
+            )
+        change = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        return (
+            j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(
+                *keys,
+                "change",
+                *[f"old_{c}" for c in vals],
+                *[f"new_{c}" for c in vals],
+            )
         )
 
     def rollback(self, version: int) -> int:

@@ -541,3 +541,38 @@ def test_snapshot_merge_upserts_atomically(spark, tmp_path):
         delete_missing=True,
     )
     assert {r.k for r in t.read().collect()} == {2}
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    """Version diff: insert/delete/update classification across a MERGE
+    commit, unchanged keys silent, null-safe value comparison."""
+    from heparchy_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, tmp_path / "t")
+    v1 = t.commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+        )
+    )
+    v2 = t.merge(
+        spark.createDataFrame(
+            [(2, 21.0), (3, None), (4, 40.0)], "k long, v double"
+        ),
+        keys=["k"],
+        delete_missing=True,
+    )
+    got = {
+        r.k: (r.change, r.old_v, r.new_v)
+        for r in t.diff(v1, v2, keys=["k"]).collect()
+    }
+    # key 3: value None -> None is UNCHANGED under null-safe equality,
+    # but delete_missing=False would have kept it; here the update side
+    # carries it, so it is not deleted and not emitted.
+    assert got == {
+        1: ("delete", 10.0, None),
+        2: ("update", 20.0, 21.0),
+        4: ("insert", None, 40.0),
+    }
+    # reverse direction flips the classification
+    rev = {r.k: r.change for r in t.diff(v2, v1, keys=["k"]).collect()}
+    assert rev == {1: "insert", 2: "update", 4: "delete"}
