@@ -431,3 +431,72 @@ def test_winnowing_guarantee_on_shared_runs(spark):
     assert not (by_doc[0] & by_doc[2])
     assert not (by_doc[1] & by_doc[2])
     assert 3 not in by_doc
+
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _rand_corpus(draw):
+    """Small random corpora with planted duplicate structure: a shared
+    vocabulary keeps shingle collisions realistic, and copying an
+    existing doc's text (with probability) plants true near-dups."""
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    n = draw(st.integers(min_value=4, max_value=10))
+    docs = []
+    for i in range(n):
+        if docs and draw(st.booleans()):
+            base = docs[draw(st.integers(0, len(docs) - 1))][1]
+            extra = draw(st.lists(st.sampled_from(vocab), max_size=2))
+            text = (base + " " + " ".join(extra)).strip()
+        else:
+            words = draw(
+                st.lists(st.sampled_from(vocab), min_size=3, max_size=12)
+            )
+            text = " ".join(words)
+        docs.append((i, text))
+    split = draw(st.integers(min_value=1, max_value=n - 1))
+    return docs, split
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_rand_corpus())
+def test_incremental_minhash_equals_cross_split_slice(spark, case):
+    """Property: for ANY corpus and split, the incremental batch-vs-seen
+    result equals the cross-split slice of the full-corpus near-dup
+    pairs — banding a pair is independent of which table holds each
+    side."""
+    from heparchy_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+        minhash_near_dup_pairs,
+    )
+
+    docs, split = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_near_dup_pairs(
+            df, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    # pairs always have a < b, so cross-split means a seen, b new
+    want = {
+        (b, a): j for (a, b), j in full.items() if a < split <= b
+    }
+    got = {
+        (r.new_id, r.seen_id): round(r.jaccard, 9)
+        for r in incremental_minhash_near_dups(
+            df.where(F.col("doc_id") >= split),
+            df.where(F.col("doc_id") < split),
+            "text",
+            "doc_id",
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert got == want
