@@ -20,6 +20,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnowing_fingerprints",
+    "compression_signals",
     "fingerprint_df",
     "text_profile",
     "token_stream",
@@ -924,3 +925,59 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def compression_signals(
+    df: DataFrame, text_col: str, id_col: str, level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signals (the Gopher/MassiveText
+    repetitiveness filter): per-document UTF-8 byte length, zlib
+    deflate length at ``level``, and their ratio — highly repetitive or
+    templated documents compress far below prose (~0.4), randomness
+    compresses near 1, and both tails are filter candidates.
+
+    Runs as Arrow-batched ``mapInPandas`` (the multimodal byte-stats
+    path): zlib is not expressible as Column algebra, so this is a
+    deliberate, labeled Python boundary — one linear pass, no shuffle,
+    batch-amortized. zlib output is bit-stable for a fixed level across
+    builds (same zlib stream format), so the signal is deterministic
+    and fixture-mirrorable.
+    """
+    import typing as ty
+    import zlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("n_compressed", T.LongType(), False),
+            T.StructField("compression_ratio", T.DoubleType(), False),
+        ]
+    )
+
+    def signals(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                buf = (text or "").encode("utf-8")
+                comp = zlib.compress(buf, level)
+                ids.append(did)
+                nb.append(len(buf))
+                nc.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(buf), 6) if buf else 1.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(signals, schema=out_schema)

@@ -1035,3 +1035,21 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "text", "doc_id", k=3, window=4)
+
+
+@register(
+    "text_compression_signals",
+    expected_fixture_sql("text_compression_signals"),
+    doc="Compression-ratio repetitiveness signals (the Gopher/"
+    "MassiveText quality filter): per-doc UTF-8 bytes, zlib-6 deflate "
+    "bytes, and their ratio — templated/repetitive text compresses far "
+    "below prose. Arrow-batched mapInPandas (zlib has no Column form; "
+    "the multimodal byte-stats path), one linear pass, no shuffle "
+    "(operators/text.py compression_signals). Oracle = Python zlib at "
+    "the same level — deflate streams are bit-stable per level.",
+)
+def text_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import compression_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return compression_signals(docs, "text", "doc_id")

@@ -500,3 +500,23 @@ def test_incremental_minhash_equals_cross_split_slice(spark, case):
         ).collect()
     }
     assert got == want
+
+
+def test_compression_signals_separate_repetition(spark):
+    """Compression ratio: a highly repetitive doc compresses far below
+    a varied-text doc; empty text gets ratio 1.0 and zero bytes."""
+    from heparchy_spark.operators.text import compression_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 200),
+            (1, "the quick brown fox jumps over a lazy dog while seven "
+                "wizards juggle bright vexing quartz orbs plus many other "
+                "unusual phrases never repeated verbatim anywhere else"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_signals(df, "text", "doc_id").collect()}
+    assert out[0].compression_ratio < 0.1 < out[1].compression_ratio
+    assert out[2].n_bytes == 0 and out[2].compression_ratio == 1.0

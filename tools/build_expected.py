@@ -487,6 +487,33 @@ def main() -> None:
         ),
     )
 
+    # text_compression_signals (zlib streams are bit-stable per level)
+    comp = []
+    for did, text in docs:
+        buf = (text or "").encode("utf-8")
+        c = zlib.compress(buf, 6)
+        comp.append(
+            (
+                did,
+                len(buf),
+                len(c),
+                round(len(c) / len(buf), 6) if buf else 1.0,
+            )
+        )
+    write(
+        "text_compression_signals",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in comp], pa.int64()),
+                "n_bytes": pa.array([r[1] for r in comp], pa.int64()),
+                "n_compressed": pa.array([r[2] for r in comp], pa.int64()),
+                "compression_ratio": pa.array(
+                    [r[3] for r in comp], pa.float64()
+                ),
+            }
+        ),
+    )
+
     # text_winnowing_fingerprints
     wf = winnowing_rows(docs)
     write(
