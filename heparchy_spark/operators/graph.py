@@ -23,6 +23,7 @@ __all__ = [
     "triangle_counts",
     "kcore",
     "label_propagation",
+    "bfs_hops",
     "SCALE",
 ]
 
@@ -273,3 +274,59 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Minimal hop distance from a source set over an undirected graph
+    (Pregel-style frontier BFS): returns (node, hops) for every node
+    reached within ``max_hops``; unreached nodes are absent.
+
+    ``edges`` must be canonical (src < dst, distinct); ``sources`` is a
+    single-column (node) frame.  Hop distances are unique minima, so
+    the result is a pure function of (edges, sources, max_hops) —
+    frontier scheduling cannot change it, and a SQL oracle replays the
+    levels as unrolled CTEs (extra unrolled levels past the true
+    eccentricity are empty no-ops).
+
+    Scale shape per level: one equi-join frontier->neighbors, a
+    distinct (combinable), and an anti-join against the visited set;
+    ``localCheckpoint`` caps lineage like the other iterative graph
+    operators, and the per-level driver check is a bounded emptiness
+    probe.  Frontier size is bounded by the node set; no level touches
+    more than the graph's edges once.
+    """
+    e = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(h).alias("hops"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -375,3 +375,83 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def _bfs_oracle_sql(max_hops: int) -> str:
+    """Unrolled frontier-BFS replay: levels past the true eccentricity
+    are empty no-ops, so any unroll >= the reached depth is exact."""
+    parts = [
+        """supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= 49
+    )""",
+        """eu AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM supply a JOIN supply b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )""",
+        """e AS MATERIALIZED (
+      SELECT src, dst FROM eu
+      UNION ALL SELECT dst AS src, src AS dst FROM eu
+    )""",
+        """f0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e WHERE src <= 3
+    )""",
+        "v0 AS MATERIALIZED (SELECT node, 0 AS hops FROM f0)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node
+      FROM f{i - 1} JOIN e ON e.src = f{i - 1}.node
+      WHERE e.dst NOT IN (SELECT node FROM v{i - 1})
+    )"""
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+      SELECT node, hops FROM v{i - 1}
+      UNION ALL SELECT node, {i} FROM f{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(hops AS INTEGER) AS hops FROM v{max_hops}"
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    _bfs_oracle_sql(6),
+    doc="Hop distances from the low-id supplier seed set over the high-"
+    "quantity co-supply graph (operators/graph.py bfs_hops): Pregel-"
+    "style frontier BFS — per level one neighbor equi-join, a "
+    "combinable distinct, and an anti-join against the visited set; "
+    "minimal hop counts are unique so the result is scheduling-"
+    "independent and the oracle unrolls the levels as CTEs.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    a = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = nodes.where(F.col("node") <= 3)
+    out = bfs_hops(edges, sources, max_hops=6)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))

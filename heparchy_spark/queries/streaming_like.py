@@ -382,3 +382,60 @@ def events_asof_next_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     )
     return joined.select("o_orderkey", "next_event_ts")
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts, MAX(v.ts) AS view_ts
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_id, user_id,
+           view_ts IS NOT NULL
+             AND date_diff('second', view_ts, ts) <= 86400 AS attributed,
+           CASE WHEN view_ts IS NOT NULL
+                     AND date_diff('second', view_ts, ts) <= 86400
+                THEN CAST(floor(date_diff('second', view_ts, ts) / 60)
+                          AS BIGINT)
+           END AS gap_minutes
+    FROM m
+    """,
+    doc="Marketing attribution (last-touch, 24h lookback): each purchase "
+    "attributes to the user's most recent view within the window — the "
+    "as-of join in its second composition (operators/asof.py: one "
+    "union + per-user window, no per-row range probe; the oracle's "
+    "LEFT JOIN + MAX form is the quadratic shape the operator avoids). "
+    "Unattributed purchases keep a NULL gap.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    att = asof_join(
+        p, v, on="ts", by="user_id",
+        right_cols={"ts": "view_ts"}, direction="backward",
+    )
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp("view_ts")
+    attributed = F.col("view_ts").isNotNull() & (gap_s <= 86400)
+    return att.select(
+        "event_id",
+        "user_id",
+        attributed.alias("attributed"),
+        F.when(attributed, F.floor(gap_s / 60).cast("long")).alias(
+            "gap_minutes"
+        ),
+    )

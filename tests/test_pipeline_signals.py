@@ -664,3 +664,17 @@ def test_funnel_max_gap_boundary(spark):
         df, "user_id", "ts", "event_type", ["view", "click"]
     ).collect()}
     assert open_funnel == {"view": 2, "click": 2}
+
+
+def test_bfs_hops_chain_and_unreached(spark):
+    """BFS: hop counts along a chain are exact, max_hops truncates, and
+    disconnected nodes are absent."""
+    from heparchy_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(e, src, max_hops=6).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    short = {r.node: r.hops for r in bfs_hops(e, src, max_hops=2).collect()}
+    assert short == {1: 0, 2: 1, 3: 2}
