@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from heparchy_spark.queries import register
+from heparchy_spark.queries.numeric import sql_dsum
 from heparchy_spark.queries.tables import load
 
 # ---------------------------------------------------------------------------
@@ -175,4 +176,103 @@ def join_salted_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, pt, on="l_partkey", factor=8)
     return salted_groupby_count(
         joined.select("p_brand", "l_orderkey", "l_linenumber"), "p_brand"
+    )
+
+
+@register(
+    "profile_key_skew",
+    f"""
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows
+      FROM c
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, key) AS rk,
+             SUM(n) OVER (ORDER BY n, key
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ),
+    g AS (
+      SELECT {sql_dsum('CAST((2 * rk - n_keys - 1) AS DOUBLE) * n', 4)} AS gsum
+      FROM ranked CROSS JOIN tot
+    ),
+    topk AS (
+      SELECT CAST(SUM(CASE WHEN drk <= 10 THEN n ELSE 0 END) AS BIGINT)
+               AS top10_rows
+      FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS drk FROM c
+      )
+    )
+    SELECT n_keys, n_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6)
+             AS max_over_mean,
+           ROUND(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share,
+           ROUND(gsum / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini
+    FROM tot CROSS JOIN g CROSS JOIN topk
+    """,
+    doc="Join/groupBy skew diagnostic over the orders custkey: per-key "
+    "counts fold to max/mean ratio, top-10-key row share, and the Gini "
+    "coefficient (sum formulation over rank-ordered counts, decimal-"
+    "accumulated) — the 'do I need salting or AQE skew-join here?' "
+    "number. One combinable count aggregate; everything after runs on "
+    "the |keys|-sized frame.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.queries.numeric import dsum
+
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    w_asc = Window.orderBy(F.asc("n"), F.asc("key"))
+    ranked = c.select(
+        "n", F.row_number().over(w_asc).alias("rk")
+    )
+    g = ranked.join(F.broadcast(tot)).agg(
+        dsum(
+            (2 * F.col("rk") - F.col("n_keys") - 1).cast("double")
+            * F.col("n"),
+            4,
+        ).alias("gsum")
+    )
+    w_desc = Window.orderBy(F.desc("n"), F.asc("key"))
+    topk = (
+        c.select("n", F.row_number().over(w_desc).alias("drk"))
+        .agg(
+            F.sum(F.when(F.col("drk") <= 10, F.col("n")).otherwise(0))
+            .alias("top10_rows")
+        )
+    )
+    return (
+        tot.join(F.broadcast(g))
+        .join(F.broadcast(topk))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("max_key_rows").cast("double")
+                * F.col("n_keys") / F.col("n_rows"),
+                6,
+            ).alias("max_over_mean"),
+            F.round(
+                F.col("top10_rows").cast("double") / F.col("n_rows"), 6
+            ).alias("top10_share"),
+            F.round(
+                F.col("gsum")
+                / (F.col("n_keys").cast("double") * F.col("n_rows")),
+                6,
+            ).alias("gini"),
+        )
     )

@@ -205,6 +205,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "dataset_dsir_logweights",
         "similarity_mmr_rerank",
         "dataset_temperature_sample",
+        "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
         "dataset_mix_sources",
