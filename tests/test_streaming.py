@@ -680,3 +680,75 @@ def test_txn_pipeline_classifier_batch_gate(spark, tmp_path):
     landed = sorted(r.doc_id for r in table.read().select("doc_id").collect())
     assert landed == [100, 102]
     assert table.latest_batch_id() is not None  # token banked regardless
+
+
+def test_txn_pipeline_near_dup_batch_gate(spark, tmp_path):
+    """Near-dup dedup at ingest: the batch gate probes the TABLE ITSELF
+    as the seen corpus through incremental_minhash_near_dups — an
+    edited copy of an already-ingested doc (which exact-hash dedup
+    cannot catch) is dropped, fresh docs land."""
+    from heparchy_spark.operators.dedup import incremental_minhash_near_dups
+    from heparchy_spark.sources.snapshot import SnapshotTable
+    from heparchy_spark.streaming.pipeline import stream_corpus_pipeline_txn
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then naps in "
+        "the warm afternoon sun for quite a while"
+    )
+    table = SnapshotTable(spark, tmp_path / "tbl")
+
+    def near_dup_gate(batch):
+        if table.latest_version() == 0:
+            return batch
+        seen = table.read().select("doc_id", "text")
+        dups = (
+            incremental_minhash_near_dups(
+                batch, seen, "text", "doc_id", jaccard_threshold=0.5
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        return batch.join(dups, "doc_id", "left_anti")
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    seed = spark.createDataFrame([(1, base, "en", "s", 1)], schema)
+    b2 = spark.createDataFrame(
+        [
+            # one edited word: not an exact dup, but jaccard >> 0.5
+            (2, base.replace("warm", "cold"), "en", "s", 1),
+            (3, "the completely different new document talks about spark "
+                "shuffle partitions and the adaptive query engine today",
+             "en", "s", 1),
+        ],
+        schema,
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    seed.coalesce(1).write.mode("append").parquet(str(in_dir / "b0"))
+    for f in (in_dir / "b0").glob("*.parquet"):
+        f.rename(in_dir / "part-0.parquet")
+    q = stream_corpus_pipeline_txn(
+        spark.readStream.schema(seed.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(in_dir)),
+        "text", "doc_id", table, str(tmp_path / "ckpt"),
+        min_quality=0.0, langs=("en",), n_shards=2,
+        batch_gate_fn=near_dup_gate,
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in table.read().select("doc_id").collect()} == {1}
+
+    b2.coalesce(1).write.mode("append").parquet(str(in_dir / "b1"))
+    for f in (in_dir / "b1").glob("*.parquet"):
+        f.rename(in_dir / "part-1.parquet")
+    q = stream_corpus_pipeline_txn(
+        spark.readStream.schema(seed.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(in_dir)),
+        "text", "doc_id", table, str(tmp_path / "ckpt"),
+        min_quality=0.0, langs=("en",), n_shards=2,
+        batch_gate_fn=near_dup_gate,
+    )
+    q.awaitTermination(120)
+    landed = {r.doc_id for r in table.read().select("doc_id").collect()}
+    assert landed == {1, 3}, landed  # near-dup 2 gated, fresh 3 landed
