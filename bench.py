@@ -94,6 +94,8 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "dataset_temperature_sample",
     "similarity_random_projection",
+    "text_winnowing_fingerprints",
+    "text_compression_signals",
 ]
 
 
