@@ -36,6 +36,7 @@ __all__ = [
     "rrf_fuse",
     "mmr_rerank",
     "random_projection",
+    "power_iteration_top_pc",
 ]
 
 
@@ -901,4 +902,79 @@ def random_projection(
     ]
     return df.select(
         F.col(id_col), F.array(*projs).alias("projection")
+    )
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    iters: int = 4,
+) -> DataFrame:
+    """Dominant principal direction of a vector column by power
+    iteration on the (uncentered) Gram matrix: returns one row per
+    dimension (dim_idx 1-based, weight, eigenvalue) with ``weight`` the
+    unit top-eigenvector entry and ``eigenvalue`` the final iterate's
+    Rayleigh-quotient estimate ``||A^T A x||``.
+
+    This is the embedding-anisotropy diagnostic (the dominant common
+    direction retrieval pipelines subtract — Mu & Viswanath 2018,
+    "All-but-the-Top"): a large top eigenvalue relative to the trace
+    means cosine scores are dominated by one shared component.
+
+    ``A^T A x`` never materializes the Gram matrix: per iteration each
+    row contributes ``(v . x) v`` — one scan-side fold against the
+    broadcast-literal ``x`` (round-8), then a per-dimension
+    decimal-accumulated aggregate over the exploded components (dim
+    groups, map-side combinable), a 1-row norm reduction, and a bounded
+    ``dim``-row collect carrying the normalized iterate to the next
+    literal (the ``logreg_train`` driver-state pattern).  Every float
+    op sits on the round-8 grid with decimal accumulation, so the whole
+    trajectory replays bit-exact as unrolled SQL CTEs.
+
+    Power iteration converges to +-v; with deterministic arithmetic the
+    sign is likewise a pure function of the input and the (uniform)
+    start vector.
+    """
+    from heparchy_spark.queries.numeric import dsum
+
+    spark = df.sparkSession
+    x = [round(1.0 / dim**0.5, 8)] * dim
+    comp = df.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode(vec_col).alias("__i0", "__val"),
+    ).select(
+        "__rid",
+        (F.col("__i0") + 1).alias("__i"),
+        F.col("__val").cast("double").alias("__val"),
+    )
+    nrm_row = None
+    for _ in range(iters):
+        xlit = F.array(*[F.lit(v) for v in x])
+        dots = df.select(
+            F.col(id_col).alias("__rid"),
+            F.round(dot(F.col(vec_col), xlit), 8).alias("__d"),
+        )
+        y = (
+            comp.join(dots, "__rid")
+            .groupBy("__i")
+            .agg(dsum(F.round(F.col("__val") * F.col("__d"), 8), 8).alias("__y"))
+        )
+        nrm = y.agg(
+            F.round(
+                F.sqrt(dsum(F.round(F.col("__y") * F.col("__y"), 8), 8)), 8
+            ).alias("__n")
+        )
+        rows = (
+            y.join(F.broadcast(nrm))
+            .select("__i", F.round(F.col("__y") / F.col("__n"), 8).alias("__x"))
+            .collect()
+        )
+        nrm_row = nrm.collect()[0]["__n"]
+        xs = {r["__i"]: r["__x"] for r in rows}
+        x = [xs[i + 1] for i in range(dim)]
+    return spark.createDataFrame(
+        [(i + 1, x[i], float(nrm_row)) for i in range(dim)],
+        "dim_idx int, weight double, eigenvalue double",
     )

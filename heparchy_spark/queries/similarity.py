@@ -690,3 +690,76 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2p.alias("l2_proj_scaled"),
         F.round(l2p / l2o, 6).alias("jl_ratio"),
     )
+
+
+def _power_iteration_sql(dim: int, iters: int) -> str:
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    parts = [
+        f"""x0 AS (
+      SELECT i, 0.125 AS x FROM generate_series(1, {dim}) t(i)
+    )""",
+        f"""comp AS MATERIALIZED (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, {dim}) t(i)
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""xa{t - 1} AS (
+      SELECT list(x ORDER BY i) AS xs FROM x{t - 1}
+    )"""
+        )
+        parts.append(
+            f"""dots{t} AS MATERIALIZED (
+      SELECT vec_id,
+             ROUND(list_sum(list_transform(generate_series(1, {dim}),
+                   j -> CAST(embedding[j] AS DOUBLE) * xs[j])), 8) AS d
+      FROM embeddings CROSS JOIN xa{t - 1}
+    )"""
+        )
+        parts.append(
+            f"""y{t} AS MATERIALIZED (
+      SELECT i, {sql_dsum('ROUND(val * d, 8)', 8)} AS y
+      FROM comp JOIN dots{t} USING (vec_id)
+      GROUP BY i
+    )"""
+        )
+        parts.append(
+            f"""n{t} AS (
+      SELECT ROUND(sqrt({sql_dsum('ROUND(y * y, 8)', 8)}), 8) AS nrm
+      FROM y{t}
+    )"""
+        )
+        parts.append(
+            f"""x{t} AS MATERIALIZED (
+      SELECT i, ROUND(y / nrm, 8) AS x FROM y{t} CROSS JOIN n{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(i AS INTEGER) AS dim_idx, x AS weight, nrm AS eigenvalue
+    FROM x{iters} CROSS JOIN n{iters}
+    """
+    )
+
+
+@register(
+    "similarity_power_iteration_pc",
+    _power_iteration_sql(DIM, 4),
+    doc="Dominant principal direction of the embedding table by power "
+    "iteration on the uncentered Gram matrix (operators/similarity.py "
+    "power_iteration_top_pc) — the embedding-anisotropy diagnostic "
+    "(Mu & Viswanath 2018): per iteration one scan-side fold against "
+    "the broadcast-literal iterate, one per-dimension decimal "
+    "aggregate, a 1-row norm, and a bounded dim-row collect. Every "
+    "float op sits on the round-8 grid, so the oracle replays the 4 "
+    "iterations as unrolled CTEs (the pagerank pattern).",
+)
+def similarity_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import power_iteration_top_pc
+
+    emb = load(spark, sf_dir, "embeddings")
+    return power_iteration_top_pc(emb, "embedding", "vec_id", dim=DIM, iters=4)
