@@ -763,3 +763,83 @@ def similarity_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load(spark, sf_dir, "embeddings")
     return power_iteration_top_pc(emb, "embedding", "vec_id", dim=DIM, iters=4)
+
+
+def _debias_sql(dim: int, iters: int) -> str:
+    base = _power_iteration_sql(dim, iters)
+    # reuse the full unrolled power-iteration chain; strip its final
+    # SELECT and project every vector against the converged direction
+    body = base[: base.rindex("SELECT CAST(i AS INTEGER)")].rstrip()
+    return (
+        body
+        + f""",
+    xf AS (SELECT list(x ORDER BY i) AS xs FROM x{iters})
+    SELECT e.vec_id,
+           ROUND(ROUND(list_sum(list_transform(generate_series(1, {dim}),
+                 j -> CAST(e.embedding[j] AS DOUBLE) * xs[j])), 8), 6)
+             AS pc1_component,
+           ROUND(sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                 j -> CAST(e.embedding[j] AS DOUBLE)
+                      * CAST(e.embedding[j] AS DOUBLE)))), 6)
+             AS norm_before,
+           ROUND(sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                 j -> (CAST(e.embedding[j] AS DOUBLE)
+                       - ROUND(list_sum(list_transform(
+                           generate_series(1, {dim}),
+                           k -> CAST(e.embedding[k] AS DOUBLE) * xs[k])), 8)
+                         * xs[j])
+                      * (CAST(e.embedding[j] AS DOUBLE)
+                       - ROUND(list_sum(list_transform(
+                           generate_series(1, {dim}),
+                           k -> CAST(e.embedding[k] AS DOUBLE) * xs[k])), 8)
+                         * xs[j])))), 6)
+             AS norm_after
+    FROM embeddings e CROSS JOIN xf
+    """
+    )
+
+
+@register(
+    "similarity_debias_embeddings",
+    _debias_sql(DIM, 4),
+    doc="All-but-the-top debiasing (Mu & Viswanath 2018): project every "
+    "embedding against the power-iteration dominant direction and "
+    "report the removed component plus norms before/after — the "
+    "isotropy-restoring postprocessing step for retrieval. The "
+    "projection is a pure scan-side fold against the broadcast-literal "
+    "direction (no shuffle after training); composes "
+    "power_iteration_top_pc.",
+)
+def similarity_debias_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import (
+        dot,
+        power_iteration_top_pc,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pc = (
+        power_iteration_top_pc(emb, "embedding", "vec_id", dim=DIM, iters=4)
+        .orderBy("dim_idx")
+        .collect()
+    )
+    w = [r.weight for r in pc]
+    wlit = F.array(*[F.lit(v) for v in w])
+    d = F.round(dot(F.col("embedding"), wlit), 8)
+    resid = F.zip_with(
+        F.col("embedding"),
+        wlit,
+        lambda v, x: v.cast("double") - d * x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(d, 6).alias("pc1_component"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("norm_before"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    resid, F.lit(0.0), lambda acc, r: acc + r * r
+                )
+            ),
+            6,
+        ).alias("norm_after"),
+    )
