@@ -13,7 +13,9 @@ Modules:
 - ``layout``     — bucketed co-located joins, skew salting, Z-order/Hilbert
 - ``timeseries`` — resample, gap-fill, LOCF, linear interpolation
 - ``topk``       — two-phase bounded top-k per group (giant-group path)
-- ``dataset``    — splits, sampling, packing, mixing, contrastive negatives
+- ``dataset``    — splits, sampling (stratified/weighted/temperature),
+                   packing, mixing, DSIR weights, contrastive negatives
+- ``classifier`` — hashed-feature logistic quality filter (train + score)
 - ``sketch``     — Count-Min, HyperLogLog ledgers and set algebra
 - ``graph``      — PageRank, connected components, triangles, k-core
 - ``upsert``     — lakehouse MERGE, SCD2 history, incremental SCD2
@@ -24,6 +26,7 @@ Modules:
 
 from heparchy_spark.operators import (  # noqa: F401
     asof,
+    classifier,
     dataset,
     dedup,
     funnel,
