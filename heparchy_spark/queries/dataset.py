@@ -502,3 +502,44 @@ def dataset_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         docs, "lang", "text", "doc_id", total=200, alpha_pct=50
     )
+
+
+@register(
+    "dataset_dsir_resample",
+    f"""
+    WITH lw AS ({_dsir_sql()}),
+    s AS (
+      SELECT d.doc_id, ROUND(exp(lw.dsir_logweight), 8) AS weight,
+             ROUND(
+               ln((('0x' || substr(sha256(d.text || 'dsir'), 1, 12))::BIGINT
+                   + 0.5) / 281474976710656.0)
+               / ROUND(exp(lw.dsir_logweight), 8), 9) AS skey
+      FROM documents d JOIN lw ON lw.doc_id = d.doc_id
+      WHERE ROUND(exp(lw.dsir_logweight), 8) > 0
+    )
+    SELECT doc_id, weight, skey FROM s
+    ORDER BY skey DESC, doc_id LIMIT 100
+    """,
+    doc="The DSIR importance-RESAMPLING step (Xie et al. 2023): draw a "
+    "100-doc weighted sample with inclusion probability proportional "
+    "to exp(dsir_logweight) — the corpus reshaped toward the English "
+    "target distribution. Composes dsir_logweights with the A-ES "
+    "weighted sampler (content-hash uniforms, TakeOrdered plan); the "
+    "oracle nests the full DSIR chain as a CTE.",
+)
+def dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import (
+        dsir_logweights,
+        weighted_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lw = dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en")
+    joined = docs.join(lw.select("doc_id", "dsir_logweight"), "doc_id")
+    return weighted_sample(
+        joined,
+        "text",
+        F.round(F.exp(F.col("dsir_logweight")), 8),
+        k=100,
+        salt="dsir",
+    )
