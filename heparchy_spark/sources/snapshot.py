@@ -394,6 +394,31 @@ class SnapshotTable:
             )
         )
 
+    def schema_diff(self, from_version: int, to_version: int) -> dict:
+        """Schema drift between two versions from their manifests alone
+        (no file IO): ``{"added": {col: type}, "removed": {col: type},
+        "retyped": {col: (old, new)}}``.  The audit companion to
+        ``commit(allow_add_columns=...)`` — additive evolution shows up
+        under ``added``; anything under ``removed``/``retyped`` means an
+        overwrite commit changed the table shape.
+        """
+        def fields(version: int) -> dict:
+            sch = StructType.fromJson(
+                json.loads(self._load_manifest(version)["schema"])
+            )
+            return {f.name: f.dataType.simpleString() for f in sch.fields}
+
+        old, new = fields(from_version), fields(to_version)
+        return {
+            "added": {c: t for c, t in new.items() if c not in old},
+            "removed": {c: t for c, t in old.items() if c not in new},
+            "retyped": {
+                c: (old[c], new[c])
+                for c in old.keys() & new.keys()
+                if old[c] != new[c]
+            },
+        }
+
     def rollback(self, version: int) -> int:
         """Restore ``version``'s content as a NEW commit (Iceberg-style:
         history is append-only; rollback never rewrites it)."""

@@ -576,3 +576,30 @@ def test_snapshot_diff_change_feed(spark, tmp_path):
     # reverse direction flips the classification
     rev = {r.k: r.change for r in t.diff(v2, v1, keys=["k"]).collect()}
     assert rev == {1: "insert", 2: "update", 4: "delete"}
+
+
+def test_snapshot_schema_diff(spark, tmp_path):
+    """Schema drift audit: additive evolution reports added columns,
+    an overwrite retype reports retyped, and identical versions are
+    empty — all from manifests, no file IO."""
+    from heparchy_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, tmp_path / "t")
+    v1 = t.commit(spark.createDataFrame([(1, "a")], "k long, name string"))
+    v2 = t.commit(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "k long, name string, score double"
+        ),
+        allow_add_columns=True,
+    )
+    d = t.schema_diff(v1, v2)
+    assert d == {"added": {"score": "double"}, "removed": {}, "retyped": {}}
+    v3 = t.commit(
+        spark.createDataFrame([(3, "c", 2)], "k long, name string, score int"),
+        mode="overwrite",
+    )
+    d = t.schema_diff(v2, v3)
+    assert d["retyped"] == {"score": ("double", "int")}
+    assert t.schema_diff(v3, v3) == {
+        "added": {}, "removed": {}, "retyped": {},
+    }
