@@ -203,6 +203,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "similarity_knn_label_vote",
         "retrieval_rrf_hybrid",
         "dataset_dsir_logweights",
+        "dataset_dsir_resample",
         "similarity_mmr_rerank",
         "dataset_temperature_sample",
         "profile_key_skew",
