@@ -27,6 +27,18 @@ byte-identical code was indistinguishable from a real regression):
   norm recorded in prior BENCH_r{N}.json files;
 * ``noise_floor`` — median per-query spread, one number summarizing how
   trustworthy this round's timings are.
+
+Output-size contract (round-3 post-mortem): the driver records only the
+LAST 2000 characters of stdout and parses the JSON line out of that
+tail.  Round 3's line carried 56 per-query timings plus a per-query
+spread dict — >2000 chars — so the tail cut off the front of the line
+and the round recorded ``parsed: null``.  The fix is structural: ALL
+queries are still timed, but the printed line's ``queries`` dict is the
+fixed 39-query COMPARABLE set from BENCH_r02 (so round-over-round
+totals compare like for like), scalars summarize the rest
+(``total_all``/``n_all``), and the full per-query detail (all timings,
+spreads, canary) goes to ``BENCH_DETAILS.json`` beside this file.  A
+hard assert keeps the printed line under 1900 chars forever.
 """
 
 from __future__ import annotations
@@ -98,6 +110,52 @@ HEADLINE = [
     "text_compression_signals",
 ]
 
+# The fixed subset whose timings go on the printed JSON line — exactly the
+# 39 queries BENCH_r02 recorded, so the judge's round-over-round total
+# compares identical workloads.  Everything in HEADLINE is still timed;
+# the rest land in BENCH_DETAILS.json and the total_all scalar.
+PRINTED = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "join_left_order_counts",
+    "agg_count_distinct",
+    "window_topk_orders_per_customer",
+    "window_running_customer_spend",
+    "topk_orders_global",
+    "events_tumbling_hourly",
+    "events_sessionize_30m",
+    "events_asof_latest_before_order",
+    "json_extract_events",
+    "agg_percentiles_quantity",
+    "pivot_qty_by_status",
+    "dedup_exact",
+    "dedup_contamination_check",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "text_profile_full",
+    "text_fingerprints",
+    "text_repetition_signals",
+    "text_token_freqs",
+    "text_filter_funnel",
+    "dataset_shuffle_shards",
+    "dataset_training_corpus",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "sketch_count_min_users",
+    "dedup_bloom_prefilter",
+    "multimodal_byte_stats",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,28 +207,46 @@ def main() -> None:
     noise_floor = (
         round(valid_spreads[len(valid_spreads) // 2], 3) if valid_spreads else 0.0
     )
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "noise_floor": noise_floor,
-                "canary": {
-                    "query": CANARY,
-                    "first": canary_first,
-                    "last": canary_last,
-                    "drift": round(
-                        canary_last / canary_first if canary_first > 0 else 1.0, 3
-                    ),
-                },
-                "sf": sf,
-            }
-        )
+    total_all = round(sum(t for t in timings.values() if t >= 0), 3)
+    printed = {n: timings[n] for n in PRINTED if n in timings}
+    total = round(sum(t for t in printed.values() if t >= 0), 3)
+    drift = round(canary_last / canary_first if canary_first > 0 else 1.0, 3)
+
+    details = {
+        "queries": timings,
+        "spread": spreads,
+        "noise_floor": noise_floor,
+        "canary": {
+            "query": CANARY,
+            "first": canary_first,
+            "last": canary_last,
+            "drift": drift,
+        },
+        "sf": sf,
+        "total_all": total_all,
+        "printed_total": total,
+    }
+    (Path(__file__).resolve().parent / "BENCH_DETAILS.json").write_text(
+        json.dumps(details, indent=1)
     )
+
+    line = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": printed,
+            "total_all": total_all,
+            "n_all": len(timings),
+            "noise_floor": noise_floor,
+            "drift": drift,
+            "sf": sf,
+        }
+    )
+    # The driver keeps only the last 2000 chars of stdout; a longer line
+    # is silently unparseable (what happened to BENCH_r03).
+    assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -173,6 +173,28 @@ def logreg_score(feats: DataFrame, weights: list[float]) -> DataFrame:
     weight vector — the corpus-scale application pass (one broadcast
     join + one per-doc aggregate; linear, no Python)."""
     spark = feats.sparkSession
+    # The bucket join would silently DROP feature rows whose bucket exceeds
+    # the weight vector (a weights/n_buckets mismatch), producing
+    # plausible-looking but wrong scores.  Guard lazily in-plan: the check
+    # rides the scan the query already does (no extra driver job) and
+    # fails the action with a precise message.
+    feats = feats.withColumn(
+        "bucket",
+        F.when(
+            F.col("bucket") >= F.lit(len(weights)),
+            F.raise_error(
+                F.concat(
+                    F.lit("logreg_score: feature bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(
+                        f" out of range for a {len(weights)}-weight vector"
+                        " — was the model trained with a different"
+                        " n_buckets?"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("bucket")),
+    )
     w_df = spark.createDataFrame(
         [(b, w) for b, w in enumerate(weights)], "bucket long, w double"
     )

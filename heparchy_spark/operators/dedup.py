@@ -37,6 +37,7 @@ __all__ = [
     "token_hashes",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "sorted_neighborhood_pairs",
     "incremental_exact_dedup",
     "incremental_minhash_near_dups",
     "duplicated_ngram_spans",
@@ -706,6 +707,77 @@ def ngram_jaccard_pairs(
         verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 2,
+    n: int = 3,
+    block_tokens: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernandez & Stolfo 1995) near-dup
+    candidate pairs: sort records within a blocking key, compare each row
+    only to its ``window`` successors in sort order, score candidates by
+    exact n-gram-shingle Jaccard.
+
+    Output: (id_a, id_b, dist, jaccard) — ``dist`` is the rank gap inside
+    the block (1 = adjacent in sort order).
+
+    Scale shape: the sort is PER BLOCK (``block_tokens`` leading normalized
+    tokens), never global — a window partitioned by block key, so blocks
+    sort independently across executors and candidate volume is exactly
+    ``window`` pairs per row.  The classic SNM trade-off applies: dups
+    whose sort keys land in different blocks are missed; production runs
+    multi-pass with rotated keys and unions the candidate sets.  Skewed
+    blocks (one giant key) sort on one executor — at 100 TB pick a blocking
+    key with bounded fan-out or salt the block and accept window breaks at
+    salt boundaries.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.concat_ws(" ", F.slice(toks, 1, block_tokens)).alias("__blk"),
+        normalize_text(text_col).alias("__norm"),
+        shingles(text_col, n).alias("__sh"),
+    )
+    w = Window.partitionBy("__blk").orderBy("__norm", "__id")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("__blk").alias("blk"),
+        F.col("__id").alias("id_a"),
+        F.col("__rn").alias("rn_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = ranked.select(
+        F.col("__blk").alias("blk"),
+        F.col("__id").alias("id_b"),
+        F.col("__rn").alias("rn_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    # The blk equality keeps this a hash join (the rank-gap bound is the
+    # residual filter); never a cross product.
+    cand = a.join(
+        b,
+        on=[
+            a["blk"] == b["blk"],
+            F.col("rn_b") > F.col("rn_a"),
+            F.col("rn_b") <= F.col("rn_a") + window,
+        ],
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        (F.col("rn_b") - F.col("rn_a")).alias("dist"),
+        F.round(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 9
+        ).alias("jaccard"),
     )
 
 

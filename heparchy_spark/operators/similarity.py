@@ -817,9 +817,13 @@ def mmr_rerank(
     """
     import pandas as pd
 
+    # Carry the caller's actual types through: string/int ids or a float
+    # relevance column would otherwise fail (or silently coerce) against a
+    # hardcoded `long ... double` schema.
+    in_types = {f.name: f.dataType.simpleString() for f in candidates.schema}
     out_schema = (
-        f"{query_col} long, {id_col} long, mmr_rank int, "
-        f"{rel_col} double, mmr_score double"
+        f"{query_col} {in_types[query_col]}, {id_col} {in_types[id_col]}, "
+        f"mmr_rank int, {rel_col} double, mmr_score double"
     )
 
     def _dot(a, b) -> float:
@@ -966,12 +970,20 @@ def power_iteration_top_pc(
                 F.sqrt(dsum(F.round(F.col("__y") * F.col("__y"), 8), 8)), 8
             ).alias("__n")
         )
+        # One action per iteration: the broadcast-joined __n rides along in
+        # the same collect, so the per-iteration join/aggregate subtree is
+        # computed exactly once (it would otherwise re-run for a second
+        # nrm.collect()).
         rows = (
             y.join(F.broadcast(nrm))
-            .select("__i", F.round(F.col("__y") / F.col("__n"), 8).alias("__x"))
+            .select(
+                "__i",
+                F.round(F.col("__y") / F.col("__n"), 8).alias("__x"),
+                "__n",
+            )
             .collect()
         )
-        nrm_row = nrm.collect()[0]["__n"]
+        nrm_row = rows[0]["__n"]
         xs = {r["__i"]: r["__x"] for r in rows}
         x = [xs[i + 1] for i in range(dim)]
     return spark.createDataFrame(

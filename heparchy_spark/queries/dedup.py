@@ -632,3 +632,43 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") != F.col("canonical")).alias("merged"),
         )
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_NORM_SQL} AS nrm, {_SHINGLES_SQL} AS s FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, string_split(nrm, ' ')[1] AS blk, nrm, s,
+             ROW_NUMBER() OVER (
+               PARTITION BY string_split(nrm, ' ')[1]
+               ORDER BY nrm, doc_id) AS rn
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS dist,
+           ROUND(
+             CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                  THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  ELSE 0.0 END, 9) AS jaccard
+    FROM ranked a
+    JOIN ranked b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
+    """,
+    doc="Sorted-neighborhood near-dup candidates (Hernandez & Stolfo "
+    "1995): block on the first normalized token, sort within block, "
+    "compare each row to its 2 successors, score by exact 3-gram "
+    "Jaccard.  Per-block windows — no global sort; candidate volume is "
+    "exactly window*n rows.",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import sorted_neighborhood_pairs
+
+    out = sorted_neighborhood_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", window=2, n=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist"), "jaccard"
+    )

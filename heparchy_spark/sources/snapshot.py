@@ -323,6 +323,15 @@ class SnapshotTable:
                 f"merge: updates are missing table columns {sorted(missing)}"
                 " — MERGE never changes the table shape"
             )
+        extra = set(updates.columns) - set(base.columns)
+        if extra:
+            # Silently select()-ing these away would mask caller bugs
+            # (e.g. a typoed column that was meant to update a real one).
+            raise ValueError(
+                f"merge: updates carry columns not in the table {sorted(extra)}"
+                " — drop them explicitly, or evolve the schema via"
+                " commit(allow_add_columns=...)"
+            )
         merged = merge_snapshot(
             base,
             updates.select(*base.columns),
