@@ -18,6 +18,7 @@ Modules:
 - ``classifier`` — hashed-feature logistic quality filter (train + score)
 - ``sketch``     — Count-Min, HyperLogLog ledgers and set algebra
 - ``graph``      — PageRank, connected components, triangles, k-core
+- ``clustering`` — full-corpus distributed Lloyd k-means
 - ``upsert``     — lakehouse MERGE, SCD2 history, incremental SCD2
 - ``funnel``     — multi-stage conversion funnels (strict / time-bounded)
 - ``fuzzy``      — blocked edit-distance record linkage
@@ -27,6 +28,7 @@ Modules:
 from heparchy_spark.operators import (  # noqa: F401
     asof,
     classifier,
+    clustering,
     dataset,
     dedup,
     funnel,
@@ -47,6 +49,8 @@ from heparchy_spark.operators.asof import asof_join  # noqa: F401
 
 __all__ = [
     "asof",
+    "classifier",
+    "clustering",
     "dataset",
     "dedup",
     "funnel",

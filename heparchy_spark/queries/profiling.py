@@ -276,3 +276,95 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_numeric_corr — Pearson correlation matrix from decimal moments
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+]
+
+
+def _corr_oracle() -> str:
+    aggs = []
+    for i, (x, y) in enumerate(_CORR_PAIRS):
+        aggs += [
+            f"{sql_dsum(x, 4)} AS sx{i}",
+            f"{sql_dsum(y, 4)} AS sy{i}",
+            f"{sql_dsum(f'ROUND({x} * {y}, 4)', 4)} AS sxy{i}",
+            f"{sql_dsum(f'ROUND({x} * {x}, 4)', 4)} AS sxx{i}",
+            f"{sql_dsum(f'ROUND({y} * {y}, 4)', 4)} AS syy{i}",
+        ]
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{x}' AS col_a, '{y}' AS col_b, "
+        f"ROUND((n * sxy{i} - sx{i} * sy{i}) / "
+        f"SQRT((n * sxx{i} - sx{i} * sx{i}) * (n * syy{i} - sy{i} * sy{i})), 6)"
+        f" AS pearson_r FROM __m"
+        for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+    agg_sql = ",\n      ".join(["CAST(COUNT(*) AS DOUBLE) AS n"] + aggs)
+    return f"""
+    WITH __m AS (
+      SELECT
+      {agg_sql}
+      FROM lineitem
+    )
+    {arms}
+    """
+
+
+@register(
+    "profile_numeric_corr",
+    _corr_oracle(),
+    doc="Pearson correlation matrix over lineitem numeric pairs in ONE "
+    "combinable scan — the moments form (n, Sx, Sy, Sxy, Sxx, Syy per "
+    "pair), NOT the streaming co-moment corr(), whose partial-merge order "
+    "makes the low bits partitioning-dependent. Each moment accumulates "
+    "round-4 addends in DECIMAL(38,10) (exact, order-independent), so "
+    "the assembled r is bit-identical across engines and partitionings. "
+    "At 100 TB this is the same one-pass map-side-combinable aggregate; "
+    "5 decimal sums per pair replace corr()'s co-moment state.",
+)
+def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, (x, y) in enumerate(_CORR_PAIRS):
+        aggs += [
+            dsum(F.col(x), 4).alias(f"sx{i}"),
+            dsum(F.col(y), 4).alias(f"sy{i}"),
+            dsum(F.round(F.col(x) * F.col(y), 4), 4).alias(f"sxy{i}"),
+            dsum(F.round(F.col(x) * F.col(x), 4), 4).alias(f"sxx{i}"),
+            dsum(F.round(F.col(y) * F.col(y), 4), 4).alias(f"syy{i}"),
+        ]
+    m = li.agg(*aggs)
+    # One aggregate row -> stack() to long form: the scan and the moment
+    # aggregation run ONCE (a per-pair union would replay the whole
+    # aggregate subtree per pair — DataFrame plans share no CTEs).
+    rs = [
+        F.round(
+            (F.col("n") * F.col(f"sxy{i}") - F.col(f"sx{i}") * F.col(f"sy{i}"))
+            / F.sqrt(
+                (F.col("n") * F.col(f"sxx{i}") - F.col(f"sx{i}") * F.col(f"sx{i}"))
+                * (F.col("n") * F.col(f"syy{i}") - F.col(f"sy{i}") * F.col(f"sy{i}"))
+            ),
+            6,
+        ).alias(f"r{i}")
+        for i in range(len(_CORR_PAIRS))
+    ]
+    one = m.select(*rs)
+    stack_args = ", ".join(
+        f"'{x}', '{y}', r{i}" for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args})"
+            " AS (col_a, col_b, pearson_r)"
+        )
+    )

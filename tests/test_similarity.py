@@ -367,3 +367,39 @@ def test_power_iteration_matches_numpy_eig(spark):
         df, "embedding", "vec_id", dim=8, iters=8
     ).orderBy("dim_idx").collect()
     assert [r.weight for r in again] == [r.weight for r in got]
+
+
+def test_kmeans_fit_assign_separates_and_is_deterministic(spark):
+    """Distributed Lloyd on planted Gaussian blobs: every planted group
+    lands in one cluster, re-running reproduces the identical assignment
+    (the fixture-determinism contract), and dist2 is the true squared
+    distance to the winning centroid."""
+    from heparchy_spark.operators.clustering import kmeans_fit_assign
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((3, 8)) * 10.0
+    rows = []
+    for i in range(90):
+        g = i % 3
+        v = centers[g] + rng.standard_normal(8) * 0.05
+        rows.append((i, [float(x) for x in v.astype("float32")]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = kmeans_fit_assign(df, "embedding", "vec_id", k=3, iters=4)
+    pdf = out.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(pdf) == 90
+    # each planted group maps to exactly one cluster, groups to distinct ones
+    lab = {g: set(pdf[pdf.vec_id % 3 == g]["cluster"]) for g in range(3)}
+    assert all(len(s) == 1 for s in lab.values())
+    assert len(set().union(*lab.values())) == 3
+    # tight blobs -> small distances
+    assert pdf["dist2"].max() < 1.0
+
+    again = (
+        kmeans_fit_assign(df, "embedding", "vec_id", k=3, iters=4)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (pdf["cluster"] == again["cluster"]).all()
+    assert (pdf["dist2"] == again["dist2"]).all()

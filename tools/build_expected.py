@@ -614,6 +614,9 @@ def main() -> None:
     # ANN top-k expected values (similarity_lsh_topk / similarity_ivf_topk)
     write_ann_fixtures(sf_dir, write)
 
+    # similarity_kmeans_assign: distributed-Lloyd trajectory mirror
+    write_kmeans_fixture(sf_dir, write)
+
     # dedup_cdc_shared_chunks: content-defined chunking shared spans
     cdc_rows = cdc_shared_chunks(docs)
     write(
@@ -1114,6 +1117,81 @@ def cdc_shared_chunks(docs, divisor=16) -> list[tuple]:
                 (chash, n_docs, len(hits), min(n for _, n in hits))
             )
     return rows
+
+
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means expected values (mirror of operators/clustering)
+# --------------------------------------------------------------------------
+# Replays heparchy_spark.operators.clustering.kmeans_fit_assign exactly:
+# init = first k vectors by vec_id; assignment argmin over the identical
+# NumPy expression (|c|^2 - 2 x.c, first-match tie-break); per-(cluster,dim)
+# sums accumulate DECIMAL quantizations of round-10 addends (mirroring
+# Spark's round(x,10) -> cast decimal(38,10) -> SUM chain); centroid =
+# round8(float(sum)/count); final dist2 = round6(((x-c)^2).sum()).
+
+
+def kmeans_assign_rows(vec_ids, vecs, k=8, iters=4):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal("1e-10")
+
+    def dec10(x: float) -> Decimal:
+        # Spark: round(double, 10) then cast decimal(38,10) — two steps.
+        r = spark_round(float(x), 10)
+        return Decimal(repr(r)).quantize(q10, rounding=ROUND_HALF_UP)
+
+    ids = np.asarray(vec_ids, dtype="int64")
+    x = np.stack([np.asarray(v, dtype="float32") for v in vecs]).astype(
+        "float64"
+    )
+    order = np.argsort(ids, kind="stable")
+    cents = x[order[:k]].copy()
+    dim = x.shape[1]
+    for _ in range(iters):
+        c = np.ascontiguousarray(cents, dtype="float64")
+        cn2 = (c**2).sum(axis=1)
+        d2 = cn2[None, :] - 2.0 * (x @ c.T)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for ci in range(k):
+            members = x[assign == ci]
+            if not len(members):
+                continue
+            for di in range(dim):
+                s = sum((dec10(v) for v in members[:, di]), Decimal(0))
+                new[ci, di] = spark_round(float(s) / len(members), 8)
+        cents = new
+    c = np.ascontiguousarray(cents, dtype="float64")
+    cn2 = (c**2).sum(axis=1)
+    d2 = cn2[None, :] - 2.0 * (x @ c.T)
+    assign = d2.argmin(axis=1)
+    chosen = c[assign]
+    true_d2 = ((x - chosen) ** 2).sum(axis=1)
+    return [
+        (int(ids[i]), int(assign[i]), spark_round(true_d2[i], 6))
+        for i in range(len(ids))
+    ]
+
+
+def write_kmeans_fixture(sf_dir: str, write) -> None:
+    et = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = kmeans_assign_rows(
+        et["vec_id"].to_pylist(), et["embedding"].to_pylist()
+    )
+    write(
+        "similarity_kmeans_assign",
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "cluster": pa.array([r[1] for r in rows], pa.int32()),
+                "dist2": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+    )
 
 
 if __name__ == "__main__":
