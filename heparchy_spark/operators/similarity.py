@@ -990,3 +990,76 @@ def power_iteration_top_pc(
         [(i + 1, x[i], float(nrm_row)) for i in range(dim)],
         "dim_idx int, weight double, eigenvalue double",
     )
+
+
+def broadcast_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination: every (eval, train) pair
+    with cosine >= ``threshold`` — the contaminated training rows a corpus
+    release must drop (the embedding twin of the shingle-overlap
+    ``decontaminate`` in operators/text.py).
+
+    Output: (eval_id, train_id, cosine_sim), exact — no recall loss.
+
+    Scale shape: the EVAL side is small by nature (benchmarks are 1e3-1e5
+    rows), so it is collected once and rides the task closure as a
+    normalized matrix (the IVF-centroid pattern) while the 100 TB train
+    side streams through ``mapInPandas`` — a pure map over the scan: zero
+    shuffles, zero joins, no candidate-generation recall dial.  Each Arrow
+    batch does ONE BLAS matmul against the eval matrix, then only the few
+    pairs that clear a 1e-6-loosened matmul screen are re-scored with a
+    sequential left-to-right fold — bit-identical to the zip_with/
+    aggregate fold the exact-cosine queries use, so the emitted value is
+    engine-portable (the matmul's blocked summation is not).
+    """
+    ev = eval_df.select(
+        F.col(id_col).alias("__eid"),
+        F.col(vec_col).cast("array<double>").alias("__ev"),
+    ).collect()
+    out_schema = "eval_id long, train_id long, cosine_sim double"
+    spark = train.sparkSession
+    if not ev:
+        return spark.createDataFrame([], out_schema)
+    eids = np.array([r["__eid"] for r in ev], dtype="int64")
+    em = np.stack([np.asarray(r["__ev"], dtype="float64") for r in ev])
+    em_n = em / np.linalg.norm(em, axis=1, keepdims=True)
+    evl = [list(map(float, v)) for v in em]
+
+    src = train.select(
+        F.col(id_col).alias("__tid"),
+        F.col(vec_col).cast("array<double>").alias("__tv"),
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__tv"].to_numpy()).astype("float64")
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = xn @ em_n.T
+            ti, ei = np.nonzero(sims >= threshold - 1e-6)
+            rows = []
+            for t, e in zip(ti, ei):
+                tv = pdf["__tv"].iloc[t]
+                qv = evl[e]
+                # sequential fold — the engine-portable dot (see docstring)
+                d = 0.0
+                nt = 0.0
+                nq = 0.0
+                for a, b in zip(tv, qv):
+                    d += float(a) * float(b)
+                    nt += float(a) * float(a)
+                    nq += float(b) * float(b)
+                cs = d / (nt**0.5 * nq**0.5)
+                if cs >= threshold:
+                    rows.append(
+                        (int(eids[e]), int(pdf["__tid"].iloc[t]), cs)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["eval_id", "train_id", "cosine_sim"]
+            )
+
+    return src.mapInPandas(scan, out_schema)

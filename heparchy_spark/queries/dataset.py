@@ -543,3 +543,90 @@ def dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=100,
         salt="dsir",
     )
+
+
+def _auc_sql() -> str:
+    scored = _logreg_sql(n_buckets=64, iters=4, lr_pct=50)
+    return f"""
+    WITH s AS (
+      SELECT sc.quality_score AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM ({scored}) sc JOIN documents d ON sc.doc_id = d.doc_id
+    ),
+    hist AS (
+      SELECT score, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+      FROM s GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, n, npos,
+             COALESCE(SUM(n) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM hist
+    )
+    SELECT
+      CAST(SUM(npos) AS BIGINT) AS n_pos,
+      CAST(SUM(n - npos) AS BIGINT) AS n_neg,
+      ROUND(
+        (SUM(npos * (before + (n + 1) / 2.0))
+         - SUM(npos) * (SUM(npos) + 1) / 2.0)
+        / (SUM(npos) * SUM(n - npos)),
+        6) AS auc
+    FROM ranked
+    """
+
+
+@register(
+    "quality_logreg_auc",
+    _auc_sql(),
+    doc="ROC AUC of the logistic quality classifier against its own "
+    "training label (lang == 'en') — the Mann-Whitney rank statistic "
+    "with tie-averaged ranks, computed from the SCORE HISTOGRAM: one "
+    "combinable (score -> count, positives) aggregate over the corpus, "
+    "then the rank algebra on the grouped frame, whose size is bounded "
+    "by the round-6 score grid (<= 1e6 rows at ANY corpus scale) — "
+    "never a per-row global rank window, which would funnel 100 TB "
+    "through one reducer.",
+)
+def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = hashed_features(docs, "text", "doc_id", n_buckets=64).persist()
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    weights = logreg_train(feats, labels, n_buckets=64, iters=4, lr_pct=50)
+    scored = logreg_score(feats, weights).join(labels, "doc_id")
+    hist = scored.groupBy(F.col("quality_score").alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(
+                    F.col("npos")
+                    * (F.col("before") + (F.col("n") + F.lit(1)) / F.lit(2.0))
+                )
+                - F.sum("npos") * (F.sum("npos") + F.lit(1)) / F.lit(2.0)
+            )
+            / (F.sum("npos") * F.sum(F.col("n") - F.col("npos"))),
+            6,
+        ).alias("auc"),
+    )

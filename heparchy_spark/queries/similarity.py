@@ -862,3 +862,88 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_fit_assign(emb, "embedding", "vec_id", k=8, iters=4)
+
+
+_DECON_SQL = f"""
+    WITH ev AS (
+      SELECT vec_id + 10000 AS eval_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * (1.0 + 0.0005 * ((vec_id + i - 1) % 3))) AS ev
+      FROM embeddings WHERE vec_id < 50
+      UNION ALL
+      SELECT vec_id + 10000 AS eval_id,
+             list_reverse(list_transform(generate_series(1, {DIM}),
+               i -> CAST(embedding[i] AS DOUBLE))) AS ev
+      FROM embeddings WHERE vec_id >= 50 AND vec_id < 100
+    ),
+    scored AS (
+      SELECT e.eval_id, t.vec_id AS train_id,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> e.ev[i] * CAST(t.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> e.ev[i] * e.ev[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> CAST(t.embedding[i] AS DOUBLE)
+                       * CAST(t.embedding[i] AS DOUBLE))))) AS cs
+      FROM ev e, embeddings t
+    )
+    SELECT eval_id, train_id, ROUND(cs, 9) AS cosine_sim
+    FROM scored WHERE cs >= 0.99
+"""
+
+
+def _decon_eval(emb: DataFrame) -> DataFrame:
+    """Synthetic eval set: 50 CONTAMINATED rows (the planted-perturbation
+    formula — near-copies of train rows 0..49) and 50 NOVEL rows
+    (dimension-reversed vectors of rows 50..99: natural max cross-cosine
+    in this corpus is ~0.51, far below threshold)."""
+    vid = F.col("vec_id")
+    contaminated = (
+        emb.where(vid < 50)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.0005) * ((vid + i) % 3).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        .select((vid + 10000).alias("vec_id"), "embedding")
+    )
+    novel = emb.where((vid >= 50) & (vid < 100)).select(
+        (vid + 10000).alias("vec_id"),
+        F.reverse(F.col("embedding").cast("array<double>")).alias(
+            "embedding"
+        ),
+    )
+    return contaminated.unionByName(novel)
+
+
+@register(
+    "similarity_eval_decontamination",
+    _DECON_SQL,
+    doc="Embedding-level eval-set decontamination: exact (eval, train) "
+    "cosine matches at >= 0.99 over a synthetic eval set of 50 planted "
+    "near-copies + 50 novel vectors — every contaminated pair found, no "
+    "recall dial.  The eval matrix rides the mapInPandas closure "
+    "(bounded by nature) against a pure-map scan of the train side: "
+    "zero shuffles at any train scale; candidates screen through one "
+    "matmul per Arrow batch, survivors re-score with the engine-portable "
+    "sequential fold.",
+)
+def similarity_eval_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.similarity import broadcast_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = broadcast_decontaminate(
+        emb, _decon_eval(emb), "embedding", "vec_id", threshold=0.99
+    )
+    return pairs.select(
+        "eval_id", "train_id", F.round("cosine_sim", 9).alias("cosine_sim")
+    )

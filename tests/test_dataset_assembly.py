@@ -586,3 +586,42 @@ def test_temperature_sample_flattens_distribution(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_histogram_auc_known_values(spark):
+    """The score-histogram AUC algebra (quality_logreg_auc's shape) on
+    hand-checkable inputs: perfect separation -> 1.0, a tie block of
+    half-positives -> the Mann-Whitney tie-averaged value."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score double, y int")
+        hist = df.groupBy("score").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("npos")
+        )
+        w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = hist.withColumn(
+            "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+        )
+        return ranked.agg(
+            (
+                (
+                    F.sum(
+                        F.col("npos")
+                        * (F.col("before") + (F.col("n") + F.lit(1)) / F.lit(2.0))
+                    )
+                    - F.sum("npos") * (F.sum("npos") + F.lit(1)) / F.lit(2.0)
+                )
+                / (F.sum("npos") * F.sum(F.col("n") - F.col("npos")))
+            ).alias("auc")
+        ).head()["auc"]
+
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    assert auc_of(perfect) == 1.0
+    # every score tied: AUC must be exactly 0.5
+    tied = [(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)]
+    assert auc_of(tied) == 0.5
+    # one discordant pair out of 4: AUC = 3/4
+    mixed = [(0.9, 1), (0.3, 1), (0.5, 0), (0.1, 0)]
+    assert auc_of(mixed) == 0.75

@@ -403,3 +403,34 @@ def test_kmeans_fit_assign_separates_and_is_deterministic(spark):
     )
     assert (pdf["cluster"] == again["cluster"]).all()
     assert (pdf["dist2"] == again["dist2"]).all()
+
+
+def test_broadcast_decontaminate_finds_planted_only(spark):
+    """Exact eval-vs-train decontamination: planted near-copies are all
+    found at >= 0.99, unrelated vectors never match, and an empty eval
+    set yields an empty result with the contract schema."""
+    from heparchy_spark.operators.similarity import broadcast_decontaminate
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # eval: 5 exact copies of train rows 0..4 (ids 1000+), 5 fresh randoms
+    ev_rows = [(1000 + i, [float(x) for x in base[i]]) for i in range(5)]
+    fresh = rng.standard_normal((5, 16))
+    ev_rows += [(2000 + i, [float(x) for x in fresh[i]]) for i in range(5)]
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<double>")
+
+    out = broadcast_decontaminate(train, ev, "embedding", "vec_id", 0.99)
+    pdf = out.toPandas().sort_values("eval_id").reset_index(drop=True)
+    assert list(pdf["eval_id"]) == [1000, 1001, 1002, 1003, 1004]
+    assert list(pdf["train_id"]) == [0, 1, 2, 3, 4]
+    assert (pdf["cosine_sim"] > 0.999999).all()
+
+    empty = broadcast_decontaminate(
+        train, ev.where("vec_id < 0"), "embedding", "vec_id", 0.99
+    )
+    assert empty.columns == ["eval_id", "train_id", "cosine_sim"]
+    assert empty.count() == 0
