@@ -19,6 +19,7 @@ Modules:
 - ``sketch``     — Count-Min, HyperLogLog ledgers and set algebra
 - ``graph``      — PageRank, connected components, triangles, k-core
 - ``clustering`` — full-corpus distributed Lloyd k-means
+- ``jets``       — anti-kT sequential-recombination jet finding
 - ``upsert``     — lakehouse MERGE, SCD2 history, incremental SCD2
 - ``funnel``     — multi-stage conversion funnels (strict / time-bounded)
 - ``fuzzy``      — blocked edit-distance record linkage
@@ -34,6 +35,7 @@ from heparchy_spark.operators import (  # noqa: F401
     funnel,
     fuzzy,
     graph,
+    jets,
     layout,
     multimodal,
     psl,
@@ -56,6 +58,7 @@ __all__ = [
     "funnel",
     "fuzzy",
     "graph",
+    "jets",
     "layout",
     "multimodal",
     "psl",

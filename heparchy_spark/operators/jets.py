@@ -1,0 +1,185 @@
+"""Anti-kT jet clustering over per-event particle groups.
+
+THE canonical operation of the reference's domain (heparchy stores HEP
+event/particle four-momenta — `/root/reference/README.md:7-12`, pmu model
+`/root/reference/heparchy/write/hdf.py:186-205` — and leaves kinematics to
+caller-side NumPy): sequential-recombination jet finding with the anti-kT
+measure (Cacciari, Salam, Soyez 2008, arXiv:0802.1189), E-scheme
+recombination, rapidity-azimuth distance.
+
+Spark shape: events are INDEPENDENT — the algorithm is sequential only
+within one event's particle list (n ~ 100s), so each event clusters inside
+one ``applyInPandas`` group while events fan out across every executor.
+One shuffle on the event key, bounded per-group state, no driver
+involvement: the same per-event parallelism a 100 TB reconstruction
+pipeline uses.  The O(n^2)-per-merge naive pairwise search is fine at
+n ~ 200; swap the group kernel for a FastJet-style tiled/Voronoi search
+if per-event multiplicity grows to tens of thousands — the Spark plan
+(group fan-out) is unchanged.
+
+Determinism: every float op inside the kernel is plain NumPy double
+arithmetic on inputs that are exact integers (JVM-side xxhash64) divided
+by 2^32 — the fixture mirror in tools/build_expected.py runs the
+IDENTICAL expressions, so the full merge trajectory replays bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["antikt_cluster", "synth_particles", "antikt_jets"]
+
+TWO32 = float(1 << 32)
+
+
+def synth_particles(h1, h2, h3):
+    """Deterministic particle kinematics from three 64-bit hash words
+    (uniforms = low 32 bits / 2^32): pt in [1, 50), |eta| < 3.2, phi in
+    (-pi, pi].  Returns (px, py, pz, e) float64 arrays — massless inputs.
+    Identical expressions in the fixture mirror."""
+    u1 = (h1 & 0xFFFFFFFF).astype("float64") / TWO32
+    u2 = (h2 & 0xFFFFFFFF).astype("float64") / TWO32
+    u3 = (h3 & 0xFFFFFFFF).astype("float64") / TWO32
+    pt = 1.0 + 49.0 * u1 * u1
+    eta = 6.4 * (u2 - 0.5)
+    phi = 2.0 * np.pi * (u3 - 0.5)
+    px = pt * np.cos(phi)
+    py = pt * np.sin(phi)
+    pz = pt * np.sinh(eta)
+    e = pt * np.cosh(eta)
+    return px, py, pz, e
+
+
+def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
+    """Anti-kT sequential recombination on one event's particles.
+
+    Returns a list of (n_constituents, pt, y, phi, mass) tuples for jets
+    with pt >= ptmin, sorted by pt descending.  Distance measures:
+    d_ij = min(ptI^-2, ptJ^-2) * dR^2 / R^2 with dR^2 = dy^2 + dphi^2
+    (rapidity-azimuth), d_iB = ptI^-2; E-scheme (four-vector sum)
+    recombination — the standard inclusive algorithm.
+    """
+    px = np.asarray(px, dtype="float64").copy()
+    py = np.asarray(py, dtype="float64").copy()
+    pz = np.asarray(pz, dtype="float64").copy()
+    e = np.asarray(e, dtype="float64").copy()
+    nc = np.ones(len(px), dtype="int64")
+    jets = []
+    while len(px):
+        pt2 = px * px + py * py
+        inv = 1.0 / pt2
+        y = 0.5 * np.log((e + pz) / (e - pz))
+        phi = np.arctan2(py, px)
+        n = len(px)
+        if n == 1:
+            best_ij = None
+            dmin = inv[0]
+        else:
+            dy = y[:, None] - y[None, :]
+            dphi = np.abs(phi[:, None] - phi[None, :])
+            dphi = np.where(dphi > np.pi, 2.0 * np.pi - dphi, dphi)
+            dr2 = dy * dy + dphi * dphi
+            dij = np.minimum(inv[:, None], inv[None, :]) * dr2 / (R * R)
+            iu = np.triu_indices(n, k=1)
+            flat = dij[iu]
+            k = int(np.argmin(flat))
+            dmin_ij = flat[k]
+            kb = int(np.argmin(inv))
+            if inv[kb] <= dmin_ij:
+                best_ij = None
+                dmin = inv[kb]
+            else:
+                best_ij = (int(iu[0][k]), int(iu[1][k]))
+                dmin = dmin_ij
+        if best_ij is None:
+            b = int(np.argmin(inv)) if n > 1 else 0
+            jpt = float(np.sqrt(pt2[b]))
+            if jpt >= ptmin:
+                m2 = float(e[b] ** 2 - px[b] ** 2 - py[b] ** 2 - pz[b] ** 2)
+                jets.append(
+                    (
+                        int(nc[b]),
+                        jpt,
+                        float(y[b]),
+                        float(phi[b]),
+                        float(np.sqrt(max(m2, 0.0))),
+                    )
+                )
+            keep = np.arange(n) != b
+        else:
+            i, j = best_ij
+            px[i] += px[j]
+            py[i] += py[j]
+            pz[i] += pz[j]
+            e[i] += e[j]
+            nc[i] += nc[j]
+            keep = np.arange(n) != j
+        px, py, pz, e, nc = px[keep], py[keep], pz[keep], e[keep], nc[keep]
+    jets.sort(key=lambda t: -t[1])
+    return jets
+
+
+def antikt_jets(
+    events: DataFrame,
+    event_col: str = "event_id",
+    particles_per_event: int = 200,
+    R: float = 0.4,
+    ptmin: float = 5.0,
+) -> DataFrame:
+    """Cluster hash-synthesized particles (one per input row, grouped into
+    collision events of ``particles_per_event`` rows) into anti-kT jets.
+
+    Output: (jet_event, jet_rank, n_constituents, jet_pt, jet_y, jet_phi,
+    jet_mass) — pt-ordered per event, kinematics rounded to 6.
+    """
+    src = events.select(
+        (F.col(event_col) / F.lit(particles_per_event))
+        .cast("long")
+        .alias("jev"),
+        *[
+            F.xxhash64(F.col(event_col), F.lit(j)).alias(f"h{j}")
+            for j in (1, 2, 3)
+        ],
+    )
+
+    def cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        px, py, pz, e = synth_particles(
+            pdf["h1"].to_numpy().astype("uint64"),
+            pdf["h2"].to_numpy().astype("uint64"),
+            pdf["h3"].to_numpy().astype("uint64"),
+        )
+        jets = antikt_cluster(px, py, pz, e, R=R, ptmin=ptmin)
+        jev = int(pdf["jev"].iloc[0])
+        return pd.DataFrame(
+            [
+                (jev, r + 1, ncon, jpt, jy, jphi, jm)
+                for r, (ncon, jpt, jy, jphi, jm) in enumerate(jets)
+            ],
+            columns=[
+                "jet_event",
+                "jet_rank",
+                "n_constituents",
+                "jet_pt",
+                "jet_y",
+                "jet_phi",
+                "jet_mass",
+            ],
+        )
+
+    out = src.groupBy("jev").applyInPandas(
+        cluster,
+        "jet_event long, jet_rank int, n_constituents long, "
+        "jet_pt double, jet_y double, jet_phi double, jet_mass double",
+    )
+    return out.select(
+        "jet_event",
+        "jet_rank",
+        "n_constituents",
+        F.round("jet_pt", 6).alias("jet_pt"),
+        F.round("jet_y", 6).alias("jet_y"),
+        F.round("jet_phi", 6).alias("jet_phi"),
+        F.round("jet_mass", 6).alias("jet_mass"),
+    )

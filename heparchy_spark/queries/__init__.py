@@ -90,6 +90,7 @@ def _load_all() -> None:
         graph,
         layout,
         multimodal,
+        physics,
         profiling,
         relational,
         similarity,

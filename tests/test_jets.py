@@ -1,0 +1,101 @@
+"""Anti-kT jet clustering: hand-checkable physics on tiny events plus the
+Spark group fan-out path."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from heparchy_spark.operators.jets import antikt_cluster, antikt_jets
+
+
+def _p4(pt, eta, phi):
+    return (
+        pt * math.cos(phi),
+        pt * math.sin(phi),
+        pt * math.sinh(eta),
+        pt * math.cosh(eta),
+    )
+
+
+def test_collinear_pair_merges_into_one_jet():
+    a = _p4(30.0, 0.0, 0.0)
+    b = _p4(20.0, 0.1, 0.1)  # within R=0.4 of a
+    px, py, pz, e = zip(a, b)
+    jets = antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0)
+    assert len(jets) == 1
+    n, jpt, jy, jphi, jm = jets[0]
+    assert n == 2
+    assert jpt > 49.0  # ~ vector sum of 30 + 20 nearly collinear
+    # E-scheme: merged massless pair acquires invariant mass
+    assert jm > 0.0
+
+
+def test_back_to_back_pair_stays_two_jets():
+    a = _p4(30.0, 0.0, 0.0)
+    b = _p4(20.0, 0.0, math.pi)
+    px, py, pz, e = zip(a, b)
+    jets = antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0)
+    assert len(jets) == 2
+    # pt-ordered, massless singletons
+    assert jets[0][1] > jets[1][1]
+    assert abs(jets[0][1] - 30.0) < 1e-9 and abs(jets[1][1] - 20.0) < 1e-9
+    assert jets[0][4] == 0.0 and jets[1][4] == 0.0
+
+
+def test_soft_particle_clusters_into_hard_jet_antikt_property():
+    """Anti-kT's defining behavior: soft radiation clusters AROUND hard
+    cores (hard particles eat their neighborhood first), so a soft
+    particle between two hard ones joins the HARDER one when in reach of
+    both."""
+    hard = _p4(100.0, 0.0, 0.0)
+    soft = _p4(1.0, 0.0, 0.35)  # within R of hard1 only via phi distance
+    hard2 = _p4(50.0, 0.0, 0.7)
+    px, py, pz, e = zip(hard, soft, hard2)
+    jets = antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0)
+    assert len(jets) == 2
+    # the soft particle went to the 100 GeV jet (n_constituents == 2)
+    lead = jets[0]
+    assert lead[0] == 2 and abs(lead[1] - 100.0) < 2.0
+
+
+def test_ptmin_drops_soft_jets():
+    a = _p4(30.0, 0.0, 0.0)
+    b = _p4(2.0, 0.0, math.pi)  # isolated, below ptmin
+    px, py, pz, e = zip(a, b)
+    jets = antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0)
+    assert len(jets) == 1
+    assert abs(jets[0][1] - 30.0) < 1e-9
+
+
+def test_antikt_jets_spark_groups_match_local_kernel(spark):
+    """The applyInPandas fan-out reproduces the local kernel per event and
+    conserves constituents (every particle lands in exactly one jet when
+    ptmin=0)."""
+    from heparchy_spark.operators.jets import synth_particles
+
+    df = spark.range(0, 400).withColumnRenamed("id", "event_id")
+    out = antikt_jets(df, "event_id", particles_per_event=100, ptmin=0.0)
+    pdf = out.toPandas()
+    assert set(pdf["jet_event"]) == {0, 1, 2, 3}
+    # constituent conservation per 100-particle event
+    tot = pdf.groupby("jet_event")["n_constituents"].sum()
+    assert (tot == 100).all()
+    # local replay of event 0
+    import tools.xxh64 as xx
+
+    eids = list(range(100))
+    hs = [
+        np.array(
+            [xx.xxhash64(i, ("int", j)) & ((1 << 64) - 1) for i in eids],
+            dtype="uint64",
+        )
+        for j in (1, 2, 3)
+    ]
+    px, py, pz, e = synth_particles(*hs)
+    local = antikt_cluster(px, py, pz, e, R=0.4, ptmin=0.0)
+    got = pdf[pdf.jet_event == 0].sort_values("jet_rank")
+    assert len(got) == len(local)
+    assert [int(n) for n in got["n_constituents"]] == [t[0] for t in local]
+    assert np.allclose(got["jet_pt"].to_numpy(), [t[1] for t in local], atol=1e-6)

@@ -617,6 +617,9 @@ def main() -> None:
     # similarity_kmeans_assign: distributed-Lloyd trajectory mirror
     write_kmeans_fixture(sf_dir, write)
 
+    # physics_antikt_jets: anti-kT merge-trajectory mirror
+    write_jets_fixture(sf_dir, write)
+
     # dedup_cdc_shared_chunks: content-defined chunking shared spans
     cdc_rows = cdc_shared_chunks(docs)
     write(
@@ -1189,6 +1192,115 @@ def write_kmeans_fixture(sf_dir: str, write) -> None:
                 "vec_id": pa.array([r[0] for r in rows], pa.int64()),
                 "cluster": pa.array([r[1] for r in rows], pa.int32()),
                 "dist2": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+    )
+
+
+
+
+# --------------------------------------------------------------------------
+# Anti-kT jets expected values (mirror of operators/jets — plain NumPy)
+# --------------------------------------------------------------------------
+# The kernel below REPLAYS operators/jets.py's synth + merge trajectory with
+# the identical NumPy expressions (the ANN-fixture technique): inputs are
+# exact xxhash64 words, so both sides see the same doubles end to end.
+
+
+def _jets_synth(h1, h2, h3):
+    two32 = float(1 << 32)
+    u1 = (h1 & 0xFFFFFFFF).astype("float64") / two32
+    u2 = (h2 & 0xFFFFFFFF).astype("float64") / two32
+    u3 = (h3 & 0xFFFFFFFF).astype("float64") / two32
+    pt = 1.0 + 49.0 * u1 * u1
+    eta = 6.4 * (u2 - 0.5)
+    phi = 2.0 * np.pi * (u3 - 0.5)
+    return pt * np.cos(phi), pt * np.sin(phi), pt * np.sinh(eta), pt * np.cosh(eta)
+
+
+def _jets_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
+    px, py, pz, e = (np.array(a, dtype="float64") for a in (px, py, pz, e))
+    nc = np.ones(len(px), dtype="int64")
+    jets = []
+    while len(px):
+        pt2 = px * px + py * py
+        inv = 1.0 / pt2
+        y = 0.5 * np.log((e + pz) / (e - pz))
+        phi = np.arctan2(py, px)
+        n = len(px)
+        best_ij = None
+        if n > 1:
+            dy = y[:, None] - y[None, :]
+            dphi = np.abs(phi[:, None] - phi[None, :])
+            dphi = np.where(dphi > np.pi, 2.0 * np.pi - dphi, dphi)
+            dr2 = dy * dy + dphi * dphi
+            dij = np.minimum(inv[:, None], inv[None, :]) * dr2 / (R * R)
+            iu = np.triu_indices(n, k=1)
+            flat = dij[iu]
+            k = int(np.argmin(flat))
+            kb = int(np.argmin(inv))
+            if not inv[kb] <= flat[k]:
+                best_ij = (int(iu[0][k]), int(iu[1][k]))
+        if best_ij is None:
+            b = int(np.argmin(inv)) if n > 1 else 0
+            jpt = float(np.sqrt(pt2[b]))
+            if jpt >= ptmin:
+                m2 = float(e[b] ** 2 - px[b] ** 2 - py[b] ** 2 - pz[b] ** 2)
+                jets.append((int(nc[b]), jpt, float(y[b]), float(phi[b]),
+                             float(np.sqrt(max(m2, 0.0)))))
+            keep = np.arange(n) != b
+        else:
+            i, j = best_ij
+            px[i] += px[j]; py[i] += py[j]; pz[i] += pz[j]; e[i] += e[j]
+            nc[i] += nc[j]
+            keep = np.arange(n) != j
+        px, py, pz, e, nc = px[keep], py[keep], pz[keep], e[keep], nc[keep]
+    jets.sort(key=lambda t: -t[1])
+    return jets
+
+
+def write_jets_fixture(sf_dir: str, write) -> None:
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ids = sorted(ev["event_id"].to_pylist())
+    by_event: dict[int, list[int]] = {}
+    for eid in ids:
+        by_event.setdefault(eid // 200, []).append(eid)
+    rows = []
+    for jev in sorted(by_event):
+        eids = by_event[jev]
+        hs = [
+            np.array(
+                [xxhash64(eid, ("int", j)) & ((1 << 64) - 1) for eid in eids],
+                dtype="uint64",
+            )
+            for j in (1, 2, 3)
+        ]
+        px, py, pz, e = _jets_synth(*hs)
+        for r, (ncon, jpt, jy, jphi, jm) in enumerate(
+            _jets_cluster(px, py, pz, e)
+        ):
+            rows.append(
+                (
+                    jev,
+                    r + 1,
+                    ncon,
+                    spark_round(jpt, 6),
+                    spark_round(jy, 6),
+                    spark_round(jphi, 6),
+                    spark_round(jm, 6),
+                )
+            )
+    write(
+        "physics_antikt_jets",
+        pa.table(
+            {
+                "jet_event": pa.array([r[0] for r in rows], pa.int64()),
+                "jet_rank": pa.array([r[1] for r in rows], pa.int32()),
+                "n_constituents": pa.array([r[2] for r in rows], pa.int64()),
+                "jet_pt": pa.array([r[3] for r in rows], pa.float64()),
+                "jet_y": pa.array([r[4] for r in rows], pa.float64()),
+                "jet_phi": pa.array([r[5] for r in rows], pa.float64()),
+                "jet_mass": pa.array([r[6] for r in rows], pa.float64()),
             }
         ),
     )
