@@ -108,6 +108,15 @@ HEADLINE = [
     "similarity_random_projection",
     "text_winnowing_fingerprints",
     "text_compression_signals",
+    # round-4 additions (timed into total_all/BENCH_DETAILS, not PRINTED)
+    "dedup_sorted_neighborhood",
+    "similarity_kmeans_assign",
+    "profile_numeric_corr",
+    "similarity_eval_decontamination",
+    "quality_logreg_auc",
+    "physics_antikt_jets",
+    "physics_event_shapes",
+    "agg_approx_percentile",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

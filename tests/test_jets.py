@@ -99,3 +99,44 @@ def test_antikt_jets_spark_groups_match_local_kernel(spark):
     assert len(got) == len(local)
     assert [int(n) for n in got["n_constituents"]] == [t[0] for t in local]
     assert np.allclose(got["jet_pt"].to_numpy(), [t[1] for t in local], atol=1e-6)
+
+
+def test_event_shapes_match_numpy_eigh(spark):
+    """The closed-form trigonometric 3x3 eigensolver inside
+    physics_event_shapes agrees with numpy.linalg.eigh, and the
+    observables respect their physical bounds."""
+    from heparchy_spark.queries.physics import physics_event_shapes
+
+    out = physics_event_shapes(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 5  # 1000 events / 200
+    assert ((out["sphericity"] >= 0) & (out["sphericity"] <= 1.0)).all()
+    assert ((out["aplanarity"] >= 0) & (out["aplanarity"] <= 0.5)).all()
+    assert (out["aplanarity"] <= out["sphericity"] + 1e-9).all()
+
+    # independent recomputation: rebuild the tensor per event with sha256
+    # uniforms and diagonalize with LAPACK
+    import hashlib
+
+    ids = list(range(1000))
+
+    def unif(eid, j):
+        h = hashlib.sha256(f"{eid}p{j}".encode()).hexdigest()
+        return int(h[:12], 16) / 281474976710656.0
+
+    for jev in range(5):
+        eids = [i for i in ids if i // 200 == jev]
+        P = np.array(
+            [
+                [
+                    20.0 * (unif(i, 1) - 0.5),
+                    20.0 * (unif(i, 2) - 0.5),
+                    40.0 * (unif(i, 3) - 0.5),
+                ]
+                for i in eids
+            ]
+        )
+        S = (P.T @ P) / (P**2).sum()
+        lam = np.sort(np.linalg.eigvalsh(S))[::-1]
+        row = out[out.jet_event == jev].iloc[0]
+        assert abs(row["sphericity"] - 1.5 * (lam[1] + lam[2])) < 1e-5
+        assert abs(row["aplanarity"] - 1.5 * lam[2]) < 1e-5
