@@ -625,3 +625,66 @@ def test_histogram_auc_known_values(spark):
     # one discordant pair out of 4: AUC = 3/4
     mixed = [(0.9, 1), (0.3, 1), (0.5, 0), (0.1, 0)]
     assert auc_of(mixed) == 0.75
+
+
+def test_histogram_auc_equals_pair_counting_property(spark):
+    """Property: the score-histogram AUC algebra equals the O(n^2)
+    pair-counting definition (ties count half) on random score/label
+    multisets — ties, duplicate scores, and degenerate distributions
+    included."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def spark_auc(rows):
+        df = spark.createDataFrame(rows, "score double, y int")
+        hist = df.groupBy("score").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("npos")
+        )
+        w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = hist.withColumn(
+            "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+        )
+        return ranked.agg(
+            (
+                (
+                    F.sum(
+                        F.col("npos")
+                        * (F.col("before") + (F.col("n") + F.lit(1)) / F.lit(2.0))
+                    )
+                    - F.sum("npos") * (F.sum("npos") + F.lit(1)) / F.lit(2.0)
+                )
+                / (F.sum("npos") * F.sum(F.col("n") - F.col("npos")))
+            ).alias("auc")
+        ).head()["auc"]
+
+    def pair_auc(rows):
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        total = 0.0
+        for p in pos:
+            for q in neg:
+                total += 1.0 if p > q else (0.5 if p == q else 0.0)
+        return total / (len(pos) * len(neg))
+
+    # scores drawn from a tiny grid to force heavy ties
+    row = st.tuples(
+        st.sampled_from([0.1, 0.2, 0.3, 0.5, 0.5, 0.9]), st.integers(0, 1)
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(row, min_size=2, max_size=24))
+    def check(rows):
+        from hypothesis import assume
+
+        ys = {y for _, y in rows}
+        assume(ys == {0, 1})  # need at least one of each class
+        assert abs(spark_auc(rows) - pair_auc(rows)) < 1e-12
+
+    check()
