@@ -140,3 +140,21 @@ def test_event_shapes_match_numpy_eigh(spark):
         row = out[out.jet_event == jev].iloc[0]
         assert abs(row["sphericity"] - 1.5 * (lam[1] + lam[2])) < 1e-5
         assert abs(row["aplanarity"] - 1.5 * lam[2]) < 1e-5
+
+
+def test_incremental_kernel_equals_naive():
+    """The O(n^2) incremental kernel must replay the naive full-rebuild
+    trajectory bit-exactly (same merges, same doubles) on random events,
+    including ptmin=0 (all jets emitted)."""
+    from heparchy_spark.operators.jets import antikt_cluster_naive
+
+    rng = np.random.RandomState(5)
+    for trial in range(6):
+        n = rng.randint(2, 120)
+        px = rng.standard_normal(n) * 10
+        py = rng.standard_normal(n) * 10
+        pz = rng.standard_normal(n) * 20
+        e = np.sqrt(px**2 + py**2 + pz**2) * (1.0 + rng.rand(n) * 0.1)
+        fast = antikt_cluster(px, py, pz, e, R=0.4, ptmin=0.0)
+        slow = antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=0.0)
+        assert fast == slow, f"trial {trial}: kernels diverged"
