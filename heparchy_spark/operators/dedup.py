@@ -757,16 +757,22 @@ def sorted_neighborhood_pairs(
         F.col("__rn").alias("rn_b"),
         F.col("__sh").alias("sh_b"),
     )
-    # The blk equality keeps this a hash join (the rank-gap bound is the
-    # residual filter); never a cross product.
-    cand = a.join(
-        b,
-        on=[
-            a["blk"] == b["blk"],
-            F.col("rn_b") > F.col("rn_a"),
-            F.col("rn_b") <= F.col("rn_a") + window,
-        ],
-    )
+    # Join on the EXACT successor rank, not a rank-gap range: a range
+    # predicate is only a residual filter after the blk hash join, so the
+    # probe would materialize ALL in-block pairs — O(sum |block|^2), the
+    # quadratic SNM exists to avoid (measured 11.7s -> linear at sf0.1).
+    # Exploding each row to its `window` successor ranks makes (blk, rn)
+    # a full equi-join key: candidate volume is exactly window * n rows.
+    probe = a.select(
+        "blk",
+        "id_a",
+        "rn_a",
+        "sh_a",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, window + 1)])
+        ).alias("__k"),
+    ).withColumn("rn_b", F.col("rn_a") + F.col("__k"))
+    cand = probe.join(b, on=["blk", "rn_b"])
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (
         F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
