@@ -290,20 +290,29 @@ _CORR_PAIRS = [
 ]
 
 
+def _corr_cols() -> list[str]:
+    cols = []
+    for x, y in _CORR_PAIRS:
+        for c in (x, y):
+            if c not in cols:
+                cols.append(c)
+    return cols
+
+
 def _corr_oracle() -> str:
+    cols = _corr_cols()
     aggs = []
-    for i, (x, y) in enumerate(_CORR_PAIRS):
+    for c in cols:
         aggs += [
-            f"{sql_dsum(x, 4)} AS sx{i}",
-            f"{sql_dsum(y, 4)} AS sy{i}",
-            f"{sql_dsum(f'ROUND({x} * {y}, 4)', 4)} AS sxy{i}",
-            f"{sql_dsum(f'ROUND({x} * {x}, 4)', 4)} AS sxx{i}",
-            f"{sql_dsum(f'ROUND({y} * {y}, 4)', 4)} AS syy{i}",
+            f"{sql_dsum(c, 4)} AS s_{c}",
+            f"{sql_dsum(f'ROUND({c} * {c}, 4)', 4)} AS ss_{c}",
         ]
+    for i, (x, y) in enumerate(_CORR_PAIRS):
+        aggs.append(f"{sql_dsum(f'ROUND({x} * {y}, 4)', 4)} AS sxy{i}")
     arms = "\nUNION ALL\n".join(
         f"SELECT '{x}' AS col_a, '{y}' AS col_b, "
-        f"ROUND((n * sxy{i} - sx{i} * sy{i}) / "
-        f"SQRT((n * sxx{i} - sx{i} * sx{i}) * (n * syy{i} - sy{i} * sy{i})), 6)"
+        f"ROUND((n * sxy{i} - s_{x} * s_{y}) / "
+        f"SQRT((n * ss_{x} - s_{x} * s_{x}) * (n * ss_{y} - s_{y} * s_{y})), 6)"
         f" AS pearson_r FROM __m"
         for i, (x, y) in enumerate(_CORR_PAIRS)
     )
@@ -328,35 +337,40 @@ def _corr_oracle() -> str:
     "round-4 addends in DECIMAL(38,10) (exact, order-independent), so "
     "the assembled r is bit-identical across engines and partitionings. "
     "At 100 TB this is the same one-pass map-side-combinable aggregate; "
-    "5 decimal sums per pair replace corr()'s co-moment state.",
+    "per-column moments are shared across pairs (12 decimal sums for 4 "
+    "pairs over 4 columns) replacing corr()'s co-moment state.",
 )
 def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
 
     li = load(spark, sf_dir, "lineitem")
+    cols = _corr_cols()
+    # Shared moments are computed ONCE per column (8 + one cross sum per
+    # pair = 12 decimal aggregates, not 5 per pair = 20): decimal
+    # accumulation is the scan's dominant cost, so duplicate sums are
+    # duplicate work at any scale.
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    for i, (x, y) in enumerate(_CORR_PAIRS):
+    for c in cols:
         aggs += [
-            dsum(F.col(x), 4).alias(f"sx{i}"),
-            dsum(F.col(y), 4).alias(f"sy{i}"),
-            dsum(F.round(F.col(x) * F.col(y), 4), 4).alias(f"sxy{i}"),
-            dsum(F.round(F.col(x) * F.col(x), 4), 4).alias(f"sxx{i}"),
-            dsum(F.round(F.col(y) * F.col(y), 4), 4).alias(f"syy{i}"),
+            dsum(F.col(c), 4).alias(f"s_{c}"),
+            dsum(F.round(F.col(c) * F.col(c), 4), 4).alias(f"ss_{c}"),
         ]
+    for i, (x, y) in enumerate(_CORR_PAIRS):
+        aggs.append(dsum(F.round(F.col(x) * F.col(y), 4), 4).alias(f"sxy{i}"))
     m = li.agg(*aggs)
     # One aggregate row -> stack() to long form: the scan and the moment
     # aggregation run ONCE (a per-pair union would replay the whole
     # aggregate subtree per pair — DataFrame plans share no CTEs).
     rs = [
         F.round(
-            (F.col("n") * F.col(f"sxy{i}") - F.col(f"sx{i}") * F.col(f"sy{i}"))
+            (F.col("n") * F.col(f"sxy{i}") - F.col(f"s_{x}") * F.col(f"s_{y}"))
             / F.sqrt(
-                (F.col("n") * F.col(f"sxx{i}") - F.col(f"sx{i}") * F.col(f"sx{i}"))
-                * (F.col("n") * F.col(f"syy{i}") - F.col(f"sy{i}") * F.col(f"sy{i}"))
+                (F.col("n") * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+                * (F.col("n") * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
             ),
             6,
         ).alias(f"r{i}")
-        for i in range(len(_CORR_PAIRS))
+        for i, (x, y) in enumerate(_CORR_PAIRS)
     ]
     one = m.select(*rs)
     stack_args = ", ".join(
