@@ -22,7 +22,7 @@ from __future__ import annotations
 import typing as ty
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
     "sha_slice_pos",
@@ -32,6 +32,8 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_estimate_df",
+    "kmv_sketch",
+    "kmv_estimate",
 ]
 
 
@@ -236,3 +238,62 @@ def hll_estimate_df(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*g, F.round(est, 6).alias("est_distinct"))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: Column,
+    k: int = 64,
+    group_cols: ty.Sequence[str] = (),
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch state:
+    the ``k`` smallest distinct 60-bit hash values per group, one row per
+    kept hash — (group..., kmv_rank, kmv_h).
+
+    Bar-Yossef et al. 2002 / the Theta-sketch family: bottom-k of a
+    uniform hash is a MERGEABLE distinct sketch — union of two sketches =
+    bottom-k of their union, so state merges across batches/partitions/
+    days with one sort-limit, never recounting keys.  Estimate from the
+    kth smallest normalized value: (k-1) / u_k.
+
+    The hash is the portable sha256 slice (``sha_slice_pos`` family), so
+    the DuckDB oracle rebuilds the state bit-for-bit.  Shape: one
+    map-side-combinable distinct on (group, hash) then a per-group
+    window over the surviving distincts; at corpus scale swap the
+    distinct for the per-batch bounded pruning ``topk_per_group`` uses —
+    the sketch algebra is unchanged.
+    """
+    gcols = list(group_cols)
+    h = F.sha2(key.cast("string"), 256)
+    v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")  # 60 bits
+    pairs = df.select(*gcols, v.alias("kmv_h")).dropDuplicates(
+        gcols + ["kmv_h"]
+    )
+    w = Window.partitionBy(*gcols).orderBy("kmv_h")
+    return (
+        pairs.withColumn("kmv_rank", F.row_number().over(w))
+        .where(F.col("kmv_rank") <= k)
+        .select(*gcols, "kmv_rank", "kmv_h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int, group_cols: ty.Sequence[str]) -> DataFrame:
+    """Distinct-count estimate per group from KMV state: (k-1)/u_k with
+    u_k = kth-smallest hash / 2^60 when the sketch is full, else the
+    exact count of kept hashes (fewer than k distinct keys seen)."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("kmv_h").alias("max_h"),
+    )
+    full = F.col("n_kept") >= F.lit(k)
+    u_k = F.col("max_h").cast("double") / F.lit(float(1 << 60))
+    return agg.select(
+        *gcols,
+        F.round(
+            F.when(full, (F.lit(float(k - 1))) / u_k).otherwise(
+                F.col("n_kept").cast("double")
+            ),
+            4,
+        ).alias("kmv_est"),
+    )

@@ -303,3 +303,57 @@ def sketch_hll_intersection_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS kmv_h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, kmv_h,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY kmv_h) AS kmv_rank
+      FROM pairs
+    ),
+    st AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(kmv_h) AS max_h
+      FROM ranked WHERE kmv_rank <= 64 GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT st.event_type,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN n_kept >= 64
+                 THEN 63.0 / (CAST(max_h AS DOUBLE) / 1152921504606846976.0)
+                 ELSE CAST(n_kept AS DOUBLE) END, 4) AS kmv_est
+    FROM st JOIN ex ON st.event_type = ex.event_type
+    """,
+    doc="KMV (bottom-64) distinct-user sketch per event type beside the "
+    "exact count: the k smallest distinct sha256-slice hashes are "
+    "mergeable state (union of sketches = bottom-k of the union), and "
+    "(k-1)/u_k estimates cardinality from the kth-smallest normalized "
+    "value.  The estimate column itself hash-checks because the hash is "
+    "the portable sha256 slice — the oracle rebuilds the sketch "
+    "bit-for-bit in SQL.  One combinable distinct + a per-group window "
+    "over surviving distincts; merging day sketches into week sketches "
+    "is one sort-limit, never a recount.",
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    st = kmv_sketch(ev, F.col("user_id"), k=64, group_cols=["event_type"])
+    est = kmv_estimate(st, k=64, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_distinct", "kmv_est"
+    )

@@ -167,3 +167,40 @@ def test_hll_estimate_df_matches_driver_estimate(spark):
     assert per_day.keys() == exact_day.keys()
     for d, n in exact_day.items():
         assert abs(per_day[d] - n) / n < 0.08, d
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV properties: union of two day-sketches equals the sketch of the
+    union (mergeability), and the estimate lands within the theoretical
+    ~1/sqrt(k-1) relative-error band on a known cardinality."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("day"), F.col("id").alias("uid")
+    )
+    k = 64
+    # merged-by-hand union of the two per-day sketches
+    per_day = kmv_sketch(df, F.col("uid"), k=k, group_cols=["day"])
+    merged = (
+        per_day.select("kmv_h")
+        .dropDuplicates(["kmv_h"])
+        .orderBy("kmv_h")
+        .limit(k)
+    )
+    direct = kmv_sketch(df, F.col("uid"), k=k).select("kmv_h")
+    assert sorted(r.kmv_h for r in merged.collect()) == sorted(
+        r.kmv_h for r in direct.collect()
+    )
+    est = kmv_estimate(
+        kmv_sketch(df, F.col("uid"), k=k, group_cols=[]), k=k, group_cols=[]
+    ).head()["kmv_est"]
+    assert abs(est - n) / n < 4.0 / (k - 1) ** 0.5  # ~4 sigma band
+    # under-full sketch is exact
+    small = spark.range(10).select(F.col("id").alias("uid"))
+    est_small = kmv_estimate(
+        kmv_sketch(small, F.col("uid"), k=k), k=k, group_cols=[]
+    ).head()["kmv_est"]
+    assert est_small == 10.0
