@@ -117,6 +117,8 @@ HEADLINE = [
     "physics_antikt_jets",
     "physics_event_shapes",
     "agg_approx_percentile",
+    "sketch_kmv_distinct_users",
+    "agg_bootstrap_ci_value",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -1609,3 +1609,129 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("event_id", "event_type", "value", "robust_z", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bootstrap_ci_value — Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), shared literals in
+# both engines so the hash-derived replicate weights are identical doubles.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+]
+_N_REPS = 32
+
+
+def _bootstrap_sql() -> str:
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    ) + " ELSE 9 END"
+    return f"""
+    WITH reps AS (SELECT unnest(range(1, {_N_REPS + 1})) AS b),
+    weighted AS (
+      SELECT b,
+             {w_case} AS w, value
+      FROM (
+        SELECT b, value,
+               CAST(('0x' || substr(sha256(
+                 CAST(event_id AS VARCHAR) || 'boot' || CAST(b AS VARCHAR)),
+                 1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+        FROM events, reps
+      )
+    ),
+    means AS (
+      SELECT b,
+             ROUND({sql_dsum('ROUND(w * value, 6)', 6)}
+                   / SUM(w), 6) AS rep_mean
+      FROM weighted GROUP BY b HAVING SUM(w) > 0
+    ),
+    pt AS (SELECT {sql_dsum('ROUND(value, 6)', 6)} / COUNT(*) AS m FROM events)
+    SELECT ROUND(pt.m, 6) AS point_mean,
+           ROUND(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(rep_mean, 0.975), 6) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates
+    FROM means, pt GROUP BY pt.m
+    """
+
+
+@register(
+    "agg_bootstrap_ci_value",
+    _bootstrap_sql(),
+    doc="95% bootstrap CI for mean(events.value) via the POISSON bootstrap "
+    "— the resampling scheme that works at 100 TB: classic bootstrap "
+    "needs n draws with replacement per replicate (a global shuffle per "
+    "replicate); Poisson(1) weights are independent PER ROW, so all 32 "
+    "replicates ride ONE scan as an explode(x32) + combinable weighted "
+    "aggregate.  Weights are hash-derived (sha256 slice -> inverse CDF), "
+    "so replicates are deterministic and the oracle replays them "
+    "exactly; the CI is the 2.5/97.5 interpolated percentile of the 32 "
+    "replicate means (Spark percentile == DuckDB quantile_cont).",
+)
+def agg_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    ev = load(spark, sf_dir, "events")
+    reps = F.explode(
+        F.array(*[F.lit(b) for b in range(1, _N_REPS + 1)])
+    ).alias("b")
+    u = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("boot"),
+                    F.col("b").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(1152921504606846976.0)
+    w = F.lit(9)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = (
+        ev.select("event_id", "value", reps)
+        .withColumn("u", u)
+        .withColumn("w", w)
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            dsum(F.round(F.col("w") * F.col("value"), 6), 6).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .where(F.col("wn") > 0)
+        .select(F.round(F.col("ws") / F.col("wn"), 6).alias("rep_mean"))
+    )
+    pt = ev.agg(
+        (dsum(F.round(F.col("value"), 6), 6) / F.count(F.lit(1))).alias("m")
+    )
+    return (
+        means.agg(
+            F.round(F.percentile("rep_mean", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("rep_mean", F.lit(0.975)), 6).alias("ci_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        )
+        .join(F.broadcast(pt))
+        .select(
+            F.round(F.col("m"), 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            "n_replicates",
+        )
+    )

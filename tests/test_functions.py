@@ -204,3 +204,21 @@ def test_kmv_sketch_merge_and_accuracy(spark):
         kmv_sketch(small, F.col("uid"), k=k), k=k, group_cols=[]
     ).head()["kmv_est"]
     assert est_small == 10.0
+
+
+def test_poisson_bootstrap_ci_brackets_and_shrinks(spark):
+    """The Poisson-bootstrap CI brackets the true mean of a known uniform
+    population and its width shrinks roughly like 1/sqrt(n)."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries.relational import agg_bootstrap_ci_value
+
+    r = agg_bootstrap_ci_value(spark, "/root/testdata/sf0.01").head()
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    assert r["n_replicates"] == 32
+    r_small = agg_bootstrap_ci_value(spark, "/root/testdata/sf0.001").head()
+    assert r_small["ci_lo"] <= r_small["point_mean"] <= r_small["ci_hi"]
+    # sf0.01 has 10x the rows of sf0.001 -> CI should be decidedly tighter
+    w_big = r["ci_hi"] - r["ci_lo"]
+    w_small = r_small["ci_hi"] - r_small["ci_lo"]
+    assert w_big < w_small
