@@ -119,6 +119,7 @@ HEADLINE = [
     "agg_approx_percentile",
     "sketch_kmv_distinct_users",
     "agg_bootstrap_ci_value",
+    "profile_group_trend",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

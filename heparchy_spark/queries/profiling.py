@@ -382,3 +382,79 @@ def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col_a, col_b, pearson_r)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_group_trend — per-group OLS slope/intercept/r^2 from moments
+# ---------------------------------------------------------------------------
+
+_TREND_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC, the corpus' day zero
+
+
+def _trend_oracle() -> str:
+    # floor, not CAST: DuckDB's double->BIGINT cast ROUNDS fractional
+    # seconds, Spark's unix_timestamp floors them
+    x = f"(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH}) / 86400.0"
+    return f"""
+    WITH mo AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum(f'ROUND({x}, 6)', 6)} AS sx,
+             {sql_dsum('ROUND(value, 6)', 6)} AS sy,
+             {sql_dsum(f'ROUND(ROUND({x}, 6) * value, 6)', 6)} AS sxy,
+             {sql_dsum(f'ROUND(ROUND({x}, 6) * ROUND({x}, 6), 8)', 8)} AS sxx,
+             {sql_dsum('ROUND(value * value, 6)', 6)} AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((n * sxy - sx * sy)
+                 / nullif(n * sxx - sx * sx, 0), 6) AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy)
+                 / nullif(n * sxx - sx * sx, 0) * sx) / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+             AS r2
+    FROM mo
+    """
+
+
+@register(
+    "profile_group_trend",
+    _trend_oracle(),
+    doc="Per-event-type OLS trend of value over time (slope/day, "
+    "intercept at the corpus day-zero, r^2) assembled from the same "
+    "order-independent decimal moments as profile_numeric_corr — one "
+    "combinable scan per the whole answer, closed-form normal equations "
+    "on the grouped frame.  The at-scale regression shape: no per-group "
+    "iteration, no matrix solve; segment-level drift monitoring over "
+    "100 TB costs one aggregation.",
+)
+def profile_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    ev = load(spark, sf_dir, "events")
+    x = F.round(
+        (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH)) / F.lit(86400.0), 6
+    )
+    y = F.col("value")
+    mo = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, 6).alias("sx"),
+        dsum(F.round(y, 6), 6).alias("sy"),
+        dsum(F.round(x * y, 6), 6).alias("sxy"),
+        dsum(F.round(x * x, 8), 8).alias("sxx"),
+        dsum(F.round(y * y, 6), 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    # nullif guards: zero x-variance (all one timestamp) or zero
+    # y-variance (constant value) yields NULL, not an ANSI divide error
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    den_r2 = F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))
+    return mo.select(
+        "event_type",
+        F.round(num / den, 6).alias("slope_per_day"),
+        F.round((sy - num / den * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / den_r2, 6).alias("r2"),
+    )

@@ -222,3 +222,57 @@ def test_poisson_bootstrap_ci_brackets_and_shrinks(spark):
     w_big = r["ci_hi"] - r["ci_lo"]
     w_small = r_small["ci_hi"] - r_small["ci_lo"]
     assert w_big < w_small
+
+
+def test_group_trend_recovers_planted_slope(spark):
+    """OLS-from-moments recovers a planted linear trend exactly (r^2 = 1
+    up to rounding) and a constant series gives slope 0."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries.profiling import _TREND_EPOCH
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        ts = base + dt.timedelta(hours=i)
+        rows.append((i, ts, "lin", 10.0 + 2.5 * (i / 24.0)))  # slope 2.5/day
+        rows.append((1000 + i, ts, "flat", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from heparchy_spark.queries.numeric import dsum
+
+    x = F.round(
+        (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH)) / F.lit(86400.0), 6
+    )
+    y = F.col("value")
+    mo = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, 6).alias("sx"),
+        dsum(F.round(y, 6), 6).alias("sy"),
+        dsum(F.round(x * y, 6), 6).alias("sxy"),
+        dsum(F.round(x * x, 8), 8).alias("sxx"),
+        dsum(F.round(y * y, 6), 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.nullif(n * F.col("sxx") - sx * sx, F.lit(0.0))
+    den_r2 = F.nullif(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy),
+        F.lit(0.0),
+    )
+    out = {
+        r["event_type"]: r
+        for r in mo.select(
+            "event_type",
+            F.round(num / den, 6).alias("slope"),
+            F.round((num * num) / den_r2, 6).alias("r2"),
+        ).collect()
+    }
+    assert abs(out["lin"]["slope"] - 2.5) < 1e-4
+    assert out["lin"]["r2"] > 0.999999
+    # constant series: zero y-variance -> NULL r2, slope exactly 0
+    assert abs(out["flat"]["slope"]) < 1e-9
+    assert out["flat"]["r2"] is None
