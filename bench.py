@@ -120,6 +120,8 @@ HEADLINE = [
     "sketch_kmv_distinct_users",
     "agg_bootstrap_ci_value",
     "profile_group_trend",
+    "physics_ca_jets",
+    "physics_dijet_mass",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

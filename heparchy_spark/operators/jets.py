@@ -30,9 +30,28 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["antikt_cluster", "synth_particles", "antikt_jets"]
+__all__ = [
+    "antikt_cluster",
+    "synth_particles",
+    "antikt_jets",
+    "genkt_jets",
+]
 
 TWO32 = float(1 << 32)
+
+
+def _beam_weights(pt2: np.ndarray, p: float) -> np.ndarray:
+    """Generalized-kT beam measure pt^(2p) (Cacciari, Salam, Soyez 2008):
+    p = -1 anti-kT, p = 0 Cambridge/Aachen, p = 1 inclusive kT.  The
+    p = -1 branch keeps the exact ``1.0 / pt2`` expression so the anti-kT
+    trajectory (and its committed fixture) stays bit-identical."""
+    if p == -1.0:
+        return 1.0 / pt2
+    if p == 0.0:
+        return np.ones_like(pt2)
+    if p == 1.0:
+        return pt2.copy()
+    return pt2 ** float(p)
 
 
 def synth_particles(h1, h2, h3):
@@ -53,8 +72,9 @@ def synth_particles(h1, h2, h3):
     return px, py, pz, e
 
 
-def antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=5.0):
-    """Reference anti-kT implementation: rebuild the full n x n distance
+def antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=5.0, p=-1.0):
+    """Reference generalized-kT implementation (``p`` selects the member:
+    -1 anti-kT, 0 Cambridge/Aachen, 1 kT): rebuild the full n x n distance
     matrix every merge (O(n^3) per event).  Kept as the readable spec and
     the equivalence target for the incremental kernel below; the fixture
     mirror in tools/build_expected.py replays THIS form."""
@@ -66,7 +86,7 @@ def antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=5.0):
     jets = []
     while len(px):
         pt2 = px * px + py * py
-        inv = 1.0 / pt2
+        inv = _beam_weights(pt2, p)
         y = 0.5 * np.log((e + pz) / (e - pz))
         phi = np.arctan2(py, px)
         n = len(px)
@@ -115,8 +135,9 @@ def antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=5.0):
     return jets
 
 
-def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
-    """Anti-kT sequential recombination on one event's particles.
+def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0, p=-1.0):
+    """Generalized-kT sequential recombination on one event's particles
+    (``p``: -1 anti-kT, 0 Cambridge/Aachen, 1 kT; default anti-kT).
 
     Returns a list of (n_constituents, pt, y, phi, mass) tuples for jets
     with pt >= ptmin, sorted by pt descending.  Distance measures:
@@ -144,7 +165,7 @@ def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
     nc = np.ones(n0, dtype="int64")
     alive = np.ones(n0, dtype=bool)
     pt2 = px * px + py * py
-    inv = 1.0 / pt2
+    inv = _beam_weights(pt2, p)
     y = 0.5 * np.log((e + pz) / (e - pz))
     phi = np.arctan2(py, px)
     R2 = R * R
@@ -212,7 +233,7 @@ def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
             e[i] += e[j]
             nc[i] += nc[j]
             pt2[i] = px[i] * px[i] + py[i] * py[i]
-            inv[i] = 1.0 / pt2[i]
+            inv[i] = _beam_weights(pt2[i : i + 1], p)[0]
             y[i] = 0.5 * np.log((e[i] + pz[i]) / (e[i] - pz[i]))
             phi[i] = float(np.arctan2(py[i], px[i]))
             inv_m[i] = inv[i]
@@ -226,15 +247,17 @@ def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
     return jets
 
 
-def antikt_jets(
+def genkt_jets(
     events: DataFrame,
     event_col: str = "event_id",
     particles_per_event: int = 200,
     R: float = 0.4,
     ptmin: float = 5.0,
+    p: float = -1.0,
 ) -> DataFrame:
     """Cluster hash-synthesized particles (one per input row, grouped into
-    collision events of ``particles_per_event`` rows) into anti-kT jets.
+    collision events of ``particles_per_event`` rows) into generalized-kT
+    jets (``p``: -1 anti-kT, 0 Cambridge/Aachen, 1 kT).
 
     Output: (jet_event, jet_rank, n_constituents, jet_pt, jet_y, jet_phi,
     jet_mass) — pt-ordered per event, kinematics rounded to 6.
@@ -255,7 +278,7 @@ def antikt_jets(
             pdf["h2"].to_numpy().astype("uint64"),
             pdf["h3"].to_numpy().astype("uint64"),
         )
-        jets = antikt_cluster(px, py, pz, e, R=R, ptmin=ptmin)
+        jets = antikt_cluster(px, py, pz, e, R=R, ptmin=ptmin, p=p)
         jev = int(pdf["jev"].iloc[0])
         return pd.DataFrame(
             [
@@ -286,4 +309,18 @@ def antikt_jets(
         F.round("jet_y", 6).alias("jet_y"),
         F.round("jet_phi", 6).alias("jet_phi"),
         F.round("jet_mass", 6).alias("jet_mass"),
+    )
+
+
+def antikt_jets(
+    events: DataFrame,
+    event_col: str = "event_id",
+    particles_per_event: int = 200,
+    R: float = 0.4,
+    ptmin: float = 5.0,
+) -> DataFrame:
+    """Anti-kT member of :func:`genkt_jets` (p = -1) — the standard
+    inclusive jet algorithm."""
+    return genkt_jets(
+        events, event_col, particles_per_event, R=R, ptmin=ptmin, p=-1.0
     )

@@ -203,3 +203,156 @@ def physics_event_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.5) * (F.lit(3.0) * qc - l1), 6).alias("sphericity"),
         F.round(F.lit(1.5) * l3, 6).alias("aplanarity"),
     )
+
+
+@register(
+    "physics_ca_jets",
+    expected_fixture_sql("physics_ca_jets"),
+    doc="Cambridge/Aachen (generalized-kT p=0) inclusive jets over the "
+    "same hash-synthesized 200-particle events as physics_antikt_jets: "
+    "the purely geometric member of the family (d_ij = dR^2/R^2, "
+    "d_iB = 1), the substructure-analysis algorithm.  Same Spark shape — "
+    "one applyInPandas group per event, events fan out — exercising the "
+    "p parameter of the shared incremental kernel; the plain-NumPy "
+    "mirror replays the identical merge trajectory.",
+)
+def physics_ca_jets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.jets import genkt_jets
+
+    ev = load(spark, sf_dir, "events")
+    return genkt_jets(ev, "event_id", particles_per_event=200, p=0.0)
+
+
+def _dijet_sql() -> str:
+    from heparchy_spark.queries import _EXPECTED_DIR
+
+    jets = _EXPECTED_DIR / "physics_antikt_jets.parquet"
+    # cosh/sinh via exp on BOTH engines (DuckDB lacks cosh); every
+    # four-vector component rounds to 8 before combination so 1-ulp
+    # transcendental drift between engines dies before the cancellation
+    # in the invariant-mass subtraction
+    return f"""
+    WITH lead AS (
+      SELECT jet_event,
+             max(CASE WHEN jet_rank = 1 THEN jet_pt END) AS pt1,
+             max(CASE WHEN jet_rank = 1 THEN jet_y END) AS y1,
+             max(CASE WHEN jet_rank = 1 THEN jet_phi END) AS phi1,
+             max(CASE WHEN jet_rank = 1 THEN jet_mass END) AS m1,
+             max(CASE WHEN jet_rank = 2 THEN jet_pt END) AS pt2,
+             max(CASE WHEN jet_rank = 2 THEN jet_y END) AS y2,
+             max(CASE WHEN jet_rank = 2 THEN jet_phi END) AS phi2,
+             max(CASE WHEN jet_rank = 2 THEN jet_mass END) AS m2,
+             COUNT(*) AS nj
+      FROM read_parquet('{jets}') WHERE jet_rank <= 2
+      GROUP BY jet_event
+    ),
+    four AS (
+      SELECT jet_event, pt1, pt2, y1, y2, phi1, phi2,
+             ROUND(pt1 * cos(phi1), 8) AS px1,
+             ROUND(pt1 * sin(phi1), 8) AS py1,
+             ROUND(sqrt(m1*m1 + pt1*pt1) * (exp(y1) - exp(-y1)) / 2.0, 8)
+               AS pz1,
+             ROUND(sqrt(m1*m1 + pt1*pt1) * (exp(y1) + exp(-y1)) / 2.0, 8)
+               AS e1,
+             ROUND(pt2 * cos(phi2), 8) AS px2,
+             ROUND(pt2 * sin(phi2), 8) AS py2,
+             ROUND(sqrt(m2*m2 + pt2*pt2) * (exp(y2) - exp(-y2)) / 2.0, 8)
+               AS pz2,
+             ROUND(sqrt(m2*m2 + pt2*pt2) * (exp(y2) + exp(-y2)) / 2.0, 8)
+               AS e2
+      FROM lead WHERE nj = 2
+    )
+    SELECT jet_event,
+           ROUND(sqrt(GREATEST(
+             (e1 + e2) * (e1 + e2) - (px1 + px2) * (px1 + px2)
+             - (py1 + py2) * (py1 + py2) - (pz1 + pz2) * (pz1 + pz2),
+             0.0)), 4) AS m_jj,
+           ROUND(CASE WHEN abs(phi1 - phi2) > 3.141592653589793
+                      THEN 6.283185307179586 - abs(phi1 - phi2)
+                      ELSE abs(phi1 - phi2) END, 6) AS delta_phi,
+           ROUND(abs(y1 - y2), 6) AS delta_y,
+           ROUND(pt2 / pt1, 6) AS pt_ratio
+    FROM four
+    """
+
+
+@register(
+    "physics_dijet_mass",
+    _dijet_sql(),
+    doc="Leading-dijet system per event from the anti-kT jets: invariant "
+    "mass m_jj, wrapped delta-phi, delta-y, and pt balance of the two "
+    "highest-pt jets (events with >= 2 jets).  Composition shape: the "
+    "clustered jet table (bounded — a few jets per event) feeds a "
+    "conditional-aggregation pivot and closed-form kinematics, all "
+    "column algebra; the oracle replays the identical formulas in SQL "
+    "over the committed anti-kT fixture, so the jet-finder and the "
+    "downstream analysis are verified independently.",
+)
+def physics_dijet_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.jets import antikt_jets
+
+    ev = load(spark, sf_dir, "events")
+    jets = antikt_jets(ev, "event_id", particles_per_event=200).where(
+        F.col("jet_rank") <= 2
+    )
+
+    def pick(col: str, rank: int):
+        return F.max(
+            F.when(F.col("jet_rank") == rank, F.col(col))
+        ).alias(f"{col[4:] if col.startswith('jet_') else col}{rank}")
+
+    lead = jets.groupBy("jet_event").agg(
+        pick("jet_pt", 1), pick("jet_y", 1), pick("jet_phi", 1),
+        pick("jet_mass", 1),
+        pick("jet_pt", 2), pick("jet_y", 2), pick("jet_phi", 2),
+        pick("jet_mass", 2),
+        F.count(F.lit(1)).alias("nj"),
+    ).where(F.col("nj") == 2)
+
+    def four(r: int):
+        pt, yy = F.col(f"pt{r}"), F.col(f"y{r}")
+        phi, m = F.col(f"phi{r}"), F.col(f"mass{r}")
+        mt = F.sqrt(m * m + pt * pt)
+        return [
+            F.round(pt * F.cos(phi), 8).alias(f"px{r}"),
+            F.round(pt * F.sin(phi), 8).alias(f"py{r}"),
+            F.round(mt * (F.exp(yy) - F.exp(-yy)) / F.lit(2.0), 8).alias(
+                f"pz{r}"
+            ),
+            F.round(mt * (F.exp(yy) + F.exp(-yy)) / F.lit(2.0), 8).alias(
+                f"e{r}"
+            ),
+        ]
+
+    f4 = lead.select(
+        "jet_event", "pt1", "pt2", "y1", "y2", "phi1", "phi2",
+        *four(1), *four(2),
+    )
+    e_s = F.col("e1") + F.col("e2")
+    px_s = F.col("px1") + F.col("px2")
+    py_s = F.col("py1") + F.col("py2")
+    pz_s = F.col("pz1") + F.col("pz2")
+    dphi = F.abs(F.col("phi1") - F.col("phi2"))
+    return f4.select(
+        "jet_event",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    e_s * e_s - px_s * px_s - py_s * py_s - pz_s * pz_s,
+                    F.lit(0.0),
+                )
+            ),
+            4,
+        ).alias("m_jj"),
+        F.round(
+            F.when(
+                dphi > F.lit(3.141592653589793),
+                F.lit(6.283185307179586) - dphi,
+            ).otherwise(dphi),
+            6,
+        ).alias("delta_phi"),
+        F.round(F.abs(F.col("y1") - F.col("y2")), 6).alias("delta_y"),
+        F.round(F.col("pt2") / F.col("pt1"), 6).alias("pt_ratio"),
+    )

@@ -9,6 +9,8 @@ import numpy as np
 
 from heparchy_spark.operators.jets import antikt_cluster, antikt_jets
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 def _p4(pt, eta, phi):
     return (
@@ -158,3 +160,92 @@ def test_incremental_kernel_equals_naive():
         fast = antikt_cluster(px, py, pz, e, R=0.4, ptmin=0.0)
         slow = antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=0.0)
         assert fast == slow, f"trial {trial}: kernels diverged"
+
+
+def test_incremental_kernel_equals_naive_genkt():
+    """Kernel equality holds for every generalized-kT member (C/A p=0,
+    kT p=1), including the all-equal-beam-weight tie-break path of p=0."""
+    from heparchy_spark.operators.jets import antikt_cluster_naive
+
+    rng = np.random.RandomState(11)
+    for p in (0.0, 1.0):
+        for trial in range(4):
+            n = rng.randint(2, 100)
+            px = rng.standard_normal(n) * 10
+            py = rng.standard_normal(n) * 10
+            pz = rng.standard_normal(n) * 20
+            e = np.sqrt(px**2 + py**2 + pz**2) * (1.0 + rng.rand(n) * 0.1)
+            fast = antikt_cluster(px, py, pz, e, R=0.4, ptmin=0.0, p=p)
+            slow = antikt_cluster_naive(px, py, pz, e, R=0.4, ptmin=0.0, p=p)
+            assert fast == slow, f"p={p} trial {trial}: kernels diverged"
+
+
+def test_genkt_final_jets_separated_by_R():
+    """Inclusive sequential recombination guarantee: any two FINAL jets
+    are separated by dR > R in (y, phi) — otherwise they would have
+    merged before beam emission.  Holds for every family member."""
+    from heparchy_spark.operators.jets import synth_particles
+
+    h = np.arange(1, 241, dtype="uint64")
+    px, py, pz, e = synth_particles(h * 2654435761, h * 40503, h * 2246822519)
+    for p in (-1.0, 0.0, 1.0):
+        jets = antikt_cluster(px, py, pz, e, R=0.4, ptmin=0.0, p=p)
+        assert len(jets) >= 2
+        for i in range(len(jets)):
+            for j in range(i + 1, len(jets)):
+                _, _, y1, phi1, _ = jets[i]
+                _, _, y2, phi2, _ = jets[j]
+                dphi = abs(phi1 - phi2)
+                if dphi > math.pi:
+                    dphi = 2 * math.pi - dphi
+                dr = math.hypot(y1 - y2, dphi)
+                assert dr > 0.4, f"p={p}: jets {i},{j} at dR={dr}"
+
+
+def test_dijet_mass_matches_direct_four_vector_sum(spark):
+    """physics_dijet_mass recovers the invariant mass a direct NumPy
+    four-vector sum of the two leading jets gives (to the output grid)."""
+    from heparchy_spark.queries.physics import physics_dijet_mass
+
+    out = {
+        r["jet_event"]: r
+        for r in physics_dijet_mass(spark, SF_DIR).collect()
+    }
+    assert out, "no dijet rows"
+    from heparchy_spark.operators.jets import antikt_jets
+    from heparchy_spark.queries.tables import load as load_tbl
+
+    jets = (
+        antikt_jets(load_tbl(spark, SF_DIR, "events"), "event_id")
+        .where("jet_rank <= 2")
+        .collect()
+    )
+    by_ev = {}
+    for r in jets:
+        by_ev.setdefault(r["jet_event"], {})[r["jet_rank"]] = r
+    checked = 0
+    for ev, ranks in by_ev.items():
+        if set(ranks) != {1, 2} or ev not in out:
+            continue
+        vecs = []
+        for r in (1, 2):
+            jr = ranks[r]
+            mt = math.sqrt(jr["jet_mass"] ** 2 + jr["jet_pt"] ** 2)
+            vecs.append(
+                (
+                    jr["jet_pt"] * math.cos(jr["jet_phi"]),
+                    jr["jet_pt"] * math.sin(jr["jet_phi"]),
+                    mt * math.sinh(jr["jet_y"]),
+                    mt * math.cosh(jr["jet_y"]),
+                )
+            )
+        px_s = vecs[0][0] + vecs[1][0]
+        py_s = vecs[0][1] + vecs[1][1]
+        pz_s = vecs[0][2] + vecs[1][2]
+        e_s = vecs[0][3] + vecs[1][3]
+        m = math.sqrt(max(e_s**2 - px_s**2 - py_s**2 - pz_s**2, 0.0))
+        assert abs(out[ev]["m_jj"] - m) < 1e-3
+        assert 0.0 <= out[ev]["delta_phi"] <= math.pi + 1e-9
+        assert 0.0 < out[ev]["pt_ratio"] <= 1.0
+        checked += 1
+    assert checked >= 5

@@ -1218,13 +1218,25 @@ def _jets_synth(h1, h2, h3):
     return pt * np.cos(phi), pt * np.sin(phi), pt * np.sinh(eta), pt * np.cosh(eta)
 
 
-def _jets_cluster(px, py, pz, e, R=0.4, ptmin=5.0):
+def _jets_weights(pt2, p):
+    # generalized-kT beam measure pt^(2p); exact same branch
+    # expressions as operators/jets.py _beam_weights
+    if p == -1.0:
+        return 1.0 / pt2
+    if p == 0.0:
+        return np.ones_like(pt2)
+    if p == 1.0:
+        return pt2.copy()
+    return pt2 ** float(p)
+
+
+def _jets_cluster(px, py, pz, e, R=0.4, ptmin=5.0, p=-1.0):
     px, py, pz, e = (np.array(a, dtype="float64") for a in (px, py, pz, e))
     nc = np.ones(len(px), dtype="int64")
     jets = []
     while len(px):
         pt2 = px * px + py * py
-        inv = 1.0 / pt2
+        inv = _jets_weights(pt2, p)
         y = 0.5 * np.log((e + pz) / (e - pz))
         phi = np.arctan2(py, px)
         n = len(px)
@@ -1265,7 +1277,9 @@ def write_jets_fixture(sf_dir: str, write) -> None:
     by_event: dict[int, list[int]] = {}
     for eid in ids:
         by_event.setdefault(eid // 200, []).append(eid)
-    rows = []
+    # (fixture_name, generalized-kT p) — anti-kT and Cambridge/Aachen
+    variants = [("physics_antikt_jets", -1.0), ("physics_ca_jets", 0.0)]
+    rows_by: dict[str, list] = {name: [] for name, _ in variants}
     for jev in sorted(by_event):
         eids = by_event[jev]
         hs = [
@@ -1276,34 +1290,39 @@ def write_jets_fixture(sf_dir: str, write) -> None:
             for j in (1, 2, 3)
         ]
         px, py, pz, e = _jets_synth(*hs)
-        for r, (ncon, jpt, jy, jphi, jm) in enumerate(
-            _jets_cluster(px, py, pz, e)
-        ):
-            rows.append(
-                (
-                    jev,
-                    r + 1,
-                    ncon,
-                    spark_round(jpt, 6),
-                    spark_round(jy, 6),
-                    spark_round(jphi, 6),
-                    spark_round(jm, 6),
+        for name, pexp in variants:
+            for r, (ncon, jpt, jy, jphi, jm) in enumerate(
+                _jets_cluster(px, py, pz, e, p=pexp)
+            ):
+                rows_by[name].append(
+                    (
+                        jev,
+                        r + 1,
+                        ncon,
+                        spark_round(jpt, 6),
+                        spark_round(jy, 6),
+                        spark_round(jphi, 6),
+                        spark_round(jm, 6),
+                    )
                 )
-            )
-    write(
-        "physics_antikt_jets",
-        pa.table(
-            {
-                "jet_event": pa.array([r[0] for r in rows], pa.int64()),
-                "jet_rank": pa.array([r[1] for r in rows], pa.int32()),
-                "n_constituents": pa.array([r[2] for r in rows], pa.int64()),
-                "jet_pt": pa.array([r[3] for r in rows], pa.float64()),
-                "jet_y": pa.array([r[4] for r in rows], pa.float64()),
-                "jet_phi": pa.array([r[5] for r in rows], pa.float64()),
-                "jet_mass": pa.array([r[6] for r in rows], pa.float64()),
-            }
-        ),
-    )
+    for name, _ in variants:
+        rows = rows_by[name]
+        write(
+            name,
+            pa.table(
+                {
+                    "jet_event": pa.array([r[0] for r in rows], pa.int64()),
+                    "jet_rank": pa.array([r[1] for r in rows], pa.int32()),
+                    "n_constituents": pa.array(
+                        [r[2] for r in rows], pa.int64()
+                    ),
+                    "jet_pt": pa.array([r[3] for r in rows], pa.float64()),
+                    "jet_y": pa.array([r[4] for r in rows], pa.float64()),
+                    "jet_phi": pa.array([r[5] for r in rows], pa.float64()),
+                    "jet_mass": pa.array([r[6] for r in rows], pa.float64()),
+                }
+            ),
+        )
 
 
 if __name__ == "__main__":
