@@ -122,6 +122,9 @@ HEADLINE = [
     "profile_group_trend",
     "physics_ca_jets",
     "physics_dijet_mass",
+    "profile_benford_price",
+    "events_ewma_value",
+    "dedup_containment_pairs",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

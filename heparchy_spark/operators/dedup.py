@@ -792,6 +792,23 @@ def sorted_neighborhood_pairs(
         F.round(
             F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 9
         ).alias("jaccard"),
+        # asymmetric containment |A∩B|/|A| (resp. /|B|): near 1.0 means
+        # that side is (almost) a subset — quote/excerpt duplication the
+        # symmetric Jaccard under-scores when lengths differ
+        F.size("sh_a").cast("long").alias("size_a"),
+        F.size("sh_b").cast("long").alias("size_b"),
+        F.round(
+            F.when(
+                F.size("sh_a") > 0, inter / F.size("sh_a").cast("double")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("containment_a"),
+        F.round(
+            F.when(
+                F.size("sh_b") > 0, inter / F.size("sh_b").cast("double")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("containment_b"),
     )
 
 

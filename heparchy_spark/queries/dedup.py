@@ -672,3 +672,58 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("dist").cast("long").alias("dist"), "jaccard"
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_NORM_SQL} AS nrm, {_SHINGLES_SQL} AS s FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, string_split(nrm, ' ')[1] AS blk, nrm, s,
+             ROW_NUMBER() OVER (
+               PARTITION BY string_split(nrm, ' ')[1]
+               ORDER BY nrm, doc_id) AS rn
+      FROM ranked_src
+    ),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(a.s) AS BIGINT) AS size_a,
+             CAST(len(b.s) AS BIGINT) AS size_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter
+      FROM ranked a
+      JOIN ranked b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
+    )
+    SELECT id_a, id_b, size_a, size_b,
+           ROUND(CASE WHEN size_a > 0 THEN inter / size_a ELSE 0.0 END, 9)
+             AS containment_a,
+           ROUND(CASE WHEN size_b > 0 THEN inter / size_b ELSE 0.0 END, 9)
+             AS containment_b
+    FROM scored
+    WHERE GREATEST(
+            CASE WHEN size_a > 0 THEN inter / size_a ELSE 0.0 END,
+            CASE WHEN size_b > 0 THEN inter / size_b ELSE 0.0 END) >= 0.5
+    """.replace("FROM ranked_src", "FROM sh"),
+    doc="Asymmetric-containment near-dup pairs (Broder's containment "
+    "coefficient |A∩B|/|A|): catches quote/excerpt duplication — a short "
+    "doc embedded in a long one — that symmetric Jaccard under-scores "
+    "when lengths differ.  Candidates come from the same sorted-"
+    "neighborhood generator as dedup_sorted_neighborhood (per-block "
+    "windows, exact successor-rank equi-join, volume = window*n); "
+    "containment is scored on the codegen'd hashed-shingle sets attached "
+    "to candidates only, and the oracle replays string-shingle sets "
+    "(equal up to 64-bit collisions).",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import sorted_neighborhood_pairs
+
+    out = sorted_neighborhood_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", window=2, n=3
+    )
+    return out.where(
+        F.greatest("containment_a", "containment_b") >= F.lit(0.5)
+    ).select(
+        "id_a", "id_b", "size_a", "size_b",
+        "containment_a", "containment_b",
+    )

@@ -458,3 +458,75 @@ def profile_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - num / den * sx) / n, 6).alias("intercept"),
         F.round((num * num) / den_r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_benford_price — first-significant-digit audit vs Benford's law
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_benford_price",
+    """
+    WITH cents AS (
+      -- exact integer cents: *100 is within 1e-9 of an integer, so
+      -- nearest-integer rounding is tie-free and engine-identical
+      SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS c FROM orders
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ),
+    g AS (
+      SELECT digit, COUNT(*) AS n_orders,
+             CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n_orders,
+           ROUND(n_orders / total, 9) AS share,
+           ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 9) AS benford_expected,
+           ROUND(abs(n_orders / total
+                     - ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 9)), 9)
+             AS abs_dev,
+           ROUND(pow(n_orders / total
+                     - ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 9), 2)
+                 / ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 9), 9)
+             AS chi2_term
+    FROM g
+    """,
+    doc="Benford's-law first-significant-digit audit of order totals — "
+    "the fraud/data-corruption screen a 100 TB ingest runs as ONE "
+    "combinable digit histogram (9 groups).  Digit extraction is exact "
+    "integer arithmetic (price -> cents -> leading digit of the decimal "
+    "string), never float log10, so the grouping is engine-identical; "
+    "expected shares log10(1+1/d) and the chi-square contributions ride "
+    "on the bounded 9-row grouped frame.",
+)
+def profile_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    d = orders.select(
+        F.substring(c.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = F.sum("n_orders").over(Window.partitionBy()).cast("double")
+    share = F.col("n_orders") / F.col("total")
+    expected = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)),
+        9,
+    )
+    return (
+        g.withColumn("total", total)
+        .select(
+            "digit",
+            "n_orders",
+            F.round(share, 9).alias("share"),
+            expected.alias("benford_expected"),
+            F.round(F.abs(share - expected), 9).alias("abs_dev"),
+            F.round(F.pow(share - expected, F.lit(2)) / expected, 9).alias(
+                "chi2_term"
+            ),
+        )
+    )

@@ -583,3 +583,76 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cusum").alias("peak_cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_value — bounded-horizon EWMA smoothing per event type
+# ---------------------------------------------------------------------------
+
+# alpha = 0.3, horizon 16 days: weight k = 0.3 * 0.7^k, truncated where the
+# tail mass is ~0.3%.  Shared Python-computed literals so both engines sum
+# the IDENTICAL doubles in the identical left-to-right order.
+_EWMA_W = [0.3 * 0.7**k for k in range(16)]
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(ROUND({w!r} * lag(daily_mean, {k}) OVER w, 8), 0.0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(daily_mean, {k}) OVER w IS NULL"
+        f" THEN 0.0 ELSE {w!r} END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND({sql_dsum('ROUND(value, 6)', 6)} / COUNT(*), 6)
+               AS daily_mean
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, daily_mean,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """
+
+
+@register(
+    "events_ewma_value",
+    _ewma_sql(),
+    doc="Exponentially weighted moving average (alpha=0.3) of each event "
+    "type's daily mean value, BOUNDED-HORIZON form (16 lags, ~99.7% of "
+    "the weight mass): the recursive EWMA is a sequential scan per key — "
+    "unbounded state and unshardable — while the truncated form is 16 "
+    "lag() reads inside ONE window pass, so smoothing 100 TB of metrics "
+    "costs one sort per key like any other window aggregate, and the "
+    "streaming twin keeps 16 rows of state per key.  Weights are shared "
+    "Python-computed literals; near-partition-start rows renormalize "
+    "over the lags that exist.",
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            dsum(F.round(F.col("value"), 6), 6) / F.count(F.lit(1)), 6
+        ).alias("daily_mean")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for k, wk in enumerate(_EWMA_W):
+        lagk = F.lag("daily_mean", k).over(w)
+        term = F.coalesce(F.round(F.lit(wk) * lagk, 8), F.lit(0.0))
+        dterm = F.when(lagk.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_mean",
+        F.round(num / den, 6).alias("ewma"),
+    )

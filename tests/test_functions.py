@@ -276,3 +276,39 @@ def test_group_trend_recovers_planted_slope(spark):
     # constant series: zero y-variance -> NULL r2, slope exactly 0
     assert abs(out["flat"]["slope"]) < 1e-9
     assert out["flat"]["r2"] is None
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    """Digit extraction is exact integer arithmetic (999.99 -> 9,
+    1000.49 -> 1, 0.05 -> 5), shares sum to 1, and the expected shares
+    are log10(1 + 1/d)."""
+    import math
+
+    import pandas as pd
+
+    import heparchy_spark.queries.profiling  # noqa: F401  (registration)
+    from heparchy_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["profile_benford_price"].spark(spark, sf).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert abs(
+            r["benford_expected"] - math.log10(1 + 1 / r["digit"])
+        ) < 1e-8
+        assert r["chi2_term"] >= 0.0
+    # hand-checked digit extraction on a tiny frame via the same pipeline
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"o_totalprice": [999.99, 1000.49, 0.05, 123.45]})
+    )
+    c = F.round(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    digs = [
+        r[0]
+        for r in df.select(
+            F.substring(c.cast("string"), 1, 1).cast("long")
+        ).collect()
+    ]
+    assert digs == [9, 1, 5, 1]

@@ -520,3 +520,34 @@ def test_compression_signals_separate_repetition(spark):
     out = {r.doc_id: r for r in compression_signals(df, "text", "doc_id").collect()}
     assert out[0].compression_ratio < 0.1 < out[1].compression_ratio
     assert out[2].n_bytes == 0 and out[2].compression_ratio == 1.0
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully embedded in a long one scores containment 1.0
+    on the short side while the symmetric Jaccard stays low — the case
+    the containment coefficient exists for.  Docs share a leading token
+    so the sorted-neighborhood generator blocks them together."""
+    from heparchy_spark.operators.dedup import sorted_neighborhood_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    longdoc = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, longdoc), (3, "zebra unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=2, n=3
+        ).collect()
+    }
+    pair = out.get((1, 2)) or out.get((2, 1))
+    assert pair is not None, f"excerpt pair not a candidate: {out.keys()}"
+    cmax = max(pair["containment_a"], pair["containment_b"])
+    assert cmax == 1.0  # the short side is an exact subset
+    assert pair["jaccard"] < 0.2  # symmetric score misses it
+    # sizes identify which side is the excerpt
+    assert min(pair["size_a"], pair["size_b"]) == len(short.split()) - 2

@@ -196,3 +196,45 @@ def test_cusum_peaks_at_level_shift(spark):
         .collect()[0]
     )
     assert peak.day == dt.date(2024, 1, 10)  # last pre-shift day
+
+
+def test_ewma_constant_step_and_first_row(spark):
+    """Bounded-horizon EWMA: a constant series smooths to itself, the
+    first row (no lags) renormalizes to exactly its own value, and after
+    a level step the EWMA moves monotonically toward the new level while
+    lagging behind it."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    import heparchy_spark.queries.streaming_like  # noqa: F401
+    from heparchy_spark.queries import REGISTRY
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(30):
+        val = 5.0 if i < 15 else 9.0  # step at day 15
+        rows.append((i, base + dt.timedelta(days=i), "step", val, 1))
+        rows.append((1000 + i, base + dt.timedelta(days=i), "const", 3.5, 1))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, "
+        "value double, user_id long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = REGISTRY["events_ewma_value"].spark(spark, td).collect()
+    const = sorted(
+        (r for r in out if r["event_type"] == "const"), key=lambda r: r["day"]
+    )
+    step = sorted(
+        (r for r in out if r["event_type"] == "step"), key=lambda r: r["day"]
+    )
+    for r in const:
+        assert abs(r["ewma"] - 3.5) < 1e-6
+    assert abs(step[0]["ewma"] - step[0]["daily_mean"]) < 1e-6
+    post = [r["ewma"] for r in step[15:]]
+    assert all(b > a for a, b in zip(post, post[1:]))  # monotone approach
+    assert all(5.0 < v < 9.0 for v in post[:5])  # lags behind the level
+    assert post[-1] > 8.5  # converges
