@@ -125,6 +125,7 @@ HEADLINE = [
     "profile_benford_price",
     "events_ewma_value",
     "dedup_containment_pairs",
+    "graph_hits_supply",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

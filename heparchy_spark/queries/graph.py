@@ -24,12 +24,12 @@ _OFFSET = 1_000_000
 def _pagerank_sql(iters: int) -> str:
     ctes = [
         "supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
-        f"""edges AS (
+        f"""edges AS MATERIALIZED (
           SELECT l_partkey AS src, l_suppkey + {_OFFSET} AS dst FROM supply
           UNION ALL
           SELECT l_suppkey + {_OFFSET} AS src, l_partkey AS dst FROM supply
         )""",
-        """nodes AS (
+        """nodes AS MATERIALIZED (
           SELECT src AS node FROM edges UNION SELECT dst FROM edges
         )""",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
@@ -455,3 +455,86 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = nodes.where(F.col("node") <= 3)
     out = bfs_hops(edges, sources, max_hops=6)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+_HITS_ITERS = 6
+
+
+def _hits_sql(iters: int) -> str:
+    ctes = [
+        "supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        f"""edges AS (
+          SELECT l_partkey AS src, l_suppkey + {_OFFSET} AS dst FROM supply
+        )""",
+        """nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        )""",
+        f"h0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS s
+          FROM edges e JOIN h{i - 1} h ON h.node = e.src
+          GROUP BY e.dst
+        )""")
+        ctes.append(
+            f"aq{i} AS MATERIALIZED (SELECT GREATEST(MAX(s) // {SCALE}, 1)"
+            f" AS q FROM ar{i})"
+        )
+        ctes.append(f"""a{i} AS MATERIALIZED (
+          SELECT n.node, COALESCE(ar.s, 0) // aq.q AS a
+          FROM nodes n
+          LEFT JOIN ar{i} ar ON ar.node = n.node
+          CROSS JOIN aq{i} aq
+        )""")
+        ctes.append(f"""hr{i} AS MATERIALIZED (
+          SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS s
+          FROM edges e JOIN a{i} a ON a.node = e.dst
+          GROUP BY e.src
+        )""")
+        ctes.append(
+            f"hq{i} AS MATERIALIZED (SELECT GREATEST(MAX(s) // {SCALE}, 1)"
+            f" AS q FROM hr{i})"
+        )
+        ctes.append(f"""h{i} AS MATERIALIZED (
+          SELECT n.node, COALESCE(hr.s, 0) // hq.q AS h
+          FROM nodes n
+          LEFT JOIN hr{i} hr ON hr.node = n.node
+          CROSS JOIN hq{i} hq
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT n.node,
+               CAST(h.h AS DOUBLE) / {float(SCALE)} AS hub_score,
+               CAST(a.a AS DOUBLE) / {float(SCALE)} AS authority_score
+        FROM nodes n
+        JOIN h{iters} h ON h.node = n.node
+        JOIN a{iters} a ON a.node = n.node
+        """
+    )
+
+
+@register(
+    "graph_hits_supply",
+    _hits_sql(_HITS_ITERS),
+    doc="HITS hubs/authorities (6 fixed iterations) over the DIRECTED "
+    "part->supplier graph from lineitem: parts are hubs (they point at "
+    "good suppliers), suppliers are authorities — the bipartite "
+    "co-citation weighting HITS reduces to on such graphs.  Fixed-point "
+    "int64 trajectory with integer-quotient normalization makes every "
+    "round engine-exact, so the oracle replays all 6 iterations as "
+    "unrolled SQL CTEs (operators/graph.py hits — the pagerank "
+    "technique extended to a two-phase iteration).",
+)
+def graph_hits_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import hits
+
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    edges = supply.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + _OFFSET).alias("dst"),
+    )
+    return hits(edges, "src", "dst", iters=_HITS_ITERS)

@@ -678,3 +678,28 @@ def test_bfs_hops_chain_and_unreached(spark):
     assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
     short = {r.node: r.hops for r in bfs_hops(e, src, max_hops=2).collect()}
     assert short == {1: 0, 2: 1, 3: 2}
+
+
+def test_hits_ranks_shared_authority_highest(spark):
+    """Hand-traced bipartite HITS: the authority cited by every hub
+    outranks one cited by a single weak hub, and the hub pointing at
+    both authorities outranks single-target hubs."""
+    from heparchy_spark.operators.graph import hits
+
+    # hubs 1,2,3 -> authorities 10,11: 10 gets all three hubs, 11 only
+    # hub 3; hub 3 points at both.
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 11)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, "src", "dst").collect()}
+    assert out[10]["authority_score"] > out[11]["authority_score"]
+    assert out[3]["hub_score"] > out[1]["hub_score"]
+    assert out[1]["hub_score"] == out[2]["hub_score"]  # symmetric hubs
+    # sources have no in-links, sinks no out-links
+    for hub in (1, 2, 3):
+        assert out[hub]["authority_score"] == 0.0
+    for auth in (10, 11):
+        assert out[auth]["hub_score"] == 0.0
+    # integer-quotient norm bounds the top scores in [1, 2)
+    assert 1.0 <= out[10]["authority_score"] < 2.0
+    assert 1.0 <= out[3]["hub_score"] < 2.0

@@ -207,6 +207,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "similarity_mmr_rerank",
         "dataset_temperature_sample",
         "agg_bootstrap_ci_value",
+        "graph_hits_supply",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",

@@ -44,6 +44,14 @@ MARKERS = {
 }
 
 
+# Iterative operators that eagerly materialize (localCheckpoint/persist
+# INSIDE the operator call): their executedPlan depends on what the
+# CacheManager already holds when the query is built, so an operator-count
+# fingerprint is not a pure function of the code.  The corpus-wide
+# scale-killer guard (tests/test_plans.py) still covers them.
+RUNTIME_MATERIALIZED = {"graph_hits_supply"}
+
+
 def fingerprint(df) -> dict[str, int]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {k: plan.count(v) for k, v in MARKERS.items()}
@@ -58,6 +66,8 @@ def compute_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, dict]:
     qs = spark_queries()
     out = {}
     for name in HEADLINE:
+        if name in RUNTIME_MATERIALIZED:
+            continue
         out[name] = fingerprint(qs[name](spark, sf_dir))
     spark.stop()
     return out
