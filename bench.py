@@ -126,6 +126,8 @@ HEADLINE = [
     "events_ewma_value",
     "dedup_containment_pairs",
     "graph_hits_supply",
+    "basket_copurchase_pairs",
+    "basket_association_rules",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

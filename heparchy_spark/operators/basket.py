@@ -1,0 +1,138 @@
+"""Market-basket co-occurrence analysis — co-purchase pairs and
+association rules.
+
+The classic retail question over an order/lineitem fact: which items are
+bought together, and which "a implies b" rules have support/confidence/
+lift worth acting on.  The same shape drives LLM-corpus curation too
+(co-occurring domains per crawl snapshot, co-cited documents per page).
+
+Scale shape (100 TB):
+
+* Baskets are formed by ONE distinct on (basket, item) — a single
+  shuffle on the basket key.
+* Pair generation is a self-EQUI-join on the basket key — never an
+  all-pairs cartesian.  The fanout per basket is |basket| choose 2, so
+  the guard that matters at scale is ``max_basket_items``: pathological
+  baskets (a crawler that "bought" a million items) are dropped before
+  pairing, bounding per-key work at max_basket_items**2.  This is the
+  standard FP-growth-preprocessing guard; the dropped-basket count is
+  observable via ``basket_sizes``.
+* Pair counting is a map-side-combinable groupBy on (item_a, item_b).
+* Association rules need only the pair counts, per-item basket counts
+  (a tiny dim, broadcast), and the scalar basket total (broadcast
+  single-row aggregate) — no further shuffle of the fact table.
+
+Determinism contract: support counts are exact BIGINTs; confidence and
+lift are each ONE IEEE-754 division of exactly-representable integers
+(numerator/denominator both < 2**53), rounded to 6 — bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def basket_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Distinct (basket, item) pairs, optionally dropping oversized baskets.
+
+    Returns columns ``(basket, item)``.  ``max_basket_items`` bounds the
+    quadratic pair fanout downstream; baskets larger than the cap are
+    removed entirely (standard practice — a basket with 10**6 items says
+    nothing about pairwise affinity and costs 10**12 pairs).
+    """
+    b = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_items is not None:
+        sizes = b.groupBy("basket").agg(F.count("*").alias("__sz"))
+        keep = sizes.where(F.col("__sz") <= max_basket_items).select("basket")
+        b = b.join(keep, "basket")
+    return b
+
+
+def copurchase_pairs(
+    baskets: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """Pair supports from a ``(basket, item)`` relation.
+
+    Self equi-join on the basket key with ``item_a < item_b`` (each
+    unordered pair counted once), then a combinable count.  Returns
+    ``(item_a, item_b, pair_support)``.
+    """
+    a = baskets.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("basket"), F.col("item").alias("item_b"))
+    return (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_support"))
+        .where(F.col("pair_support") >= F.lit(min_support))
+    )
+
+
+def association_rules(
+    baskets: DataFrame, min_pair_support: int = 2
+) -> DataFrame:
+    """Directed association rules with support, confidence and lift.
+
+    For each unordered co-occurring pair both directions are emitted:
+    ``confidence(a -> b) = supp(a,b) / supp(a)`` and
+    ``lift(a -> b) = supp(a,b) * n_baskets / (supp(a) * supp(b))``.
+
+    The per-item support table is a tiny dim (one row per distinct item)
+    and is broadcast onto the pair table; the basket total is a
+    broadcast single-row aggregate.  Returns ``(antecedent, consequent,
+    pair_support, confidence, lift)``.
+    """
+    pairs = copurchase_pairs(baskets, min_support=min_pair_support)
+    # Both directions from the canonical a<b pair.
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_support",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_support",
+        )
+    )
+    item_supp = baskets.groupBy("item").agg(F.count("*").alias("__supp"))
+    n_baskets = baskets.agg(
+        F.count_distinct("basket").alias("__n_baskets")
+    )
+    return (
+        directed.join(
+            F.broadcast(item_supp.withColumnsRenamed({"item": "antecedent"})),
+            "antecedent",
+        )
+        .withColumnRenamed("__supp", "__supp_a")
+        .join(
+            F.broadcast(item_supp.withColumnsRenamed({"item": "consequent"})),
+            "consequent",
+        )
+        .withColumnRenamed("__supp", "__supp_c")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            F.round(
+                F.col("pair_support").cast("double")
+                / F.col("__supp_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_support") * F.col("__n_baskets")).cast("double")
+                / (F.col("__supp_a") * F.col("__supp_c")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -85,6 +85,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def _load_all() -> None:
     # Import side-effect modules that populate REGISTRY.
     from heparchy_spark.queries import (  # noqa: F401
+        basket,
         dataset,
         dedup,
         graph,

@@ -208,6 +208,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "dataset_temperature_sample",
         "agg_bootstrap_ci_value",
         "graph_hits_supply",
+        "basket_association_rules",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
