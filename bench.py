@@ -128,6 +128,7 @@ HEADLINE = [
     "graph_hits_supply",
     "basket_copurchase_pairs",
     "basket_association_rules",
+    "skyline_cheap_big_parts",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

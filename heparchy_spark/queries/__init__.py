@@ -96,6 +96,7 @@ def _load_all() -> None:
         relational,
         similarity,
         sketch,
+        skyline,
         streaming_like,
         text,
         tpch,

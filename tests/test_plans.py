@@ -209,6 +209,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "agg_bootstrap_ci_value",
         "graph_hits_supply",
         "basket_association_rules",
+        "skyline_cheap_big_parts",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
