@@ -129,6 +129,9 @@ HEADLINE = [
     "basket_copurchase_pairs",
     "basket_association_rules",
     "skyline_cheap_big_parts",
+    "events_peak_concurrent_users",
+    "scd2_user_type_history",
+    "events_markov_transitions",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -89,6 +89,7 @@ def _load_all() -> None:
         dataset,
         dedup,
         graph,
+        history,
         layout,
         multimodal,
         physics,
@@ -98,6 +99,7 @@ def _load_all() -> None:
         sketch,
         skyline,
         streaming_like,
+        sweep,
         text,
         tpch,
         web,

@@ -1,0 +1,107 @@
+"""Entity-history corpus queries: SCD Type-2 build and Markov
+transition estimation over the event stream.
+
+Both are per-key window pipelines — one shuffle on the entity key, then
+Sort+Window chains inside each partition; the 100 TB shape for
+"state over time per entity" questions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from heparchy_spark.operators.scd import scd2_build
+from heparchy_spark.queries import register
+from heparchy_spark.queries.tables import load
+
+
+@register(
+    "scd2_user_type_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Type-2 slowly-changing-dimension history of each user's "
+    "event_type: consecutive same-type runs collapse to one validity "
+    "row with half-open [valid_from, valid_to) intervals, per-user "
+    "version numbers, and an is_current flag (operators/scd.py — "
+    "run-length encoding over time via key-partitioned lag/lead "
+    "windows; one shuffle on user_id, no global sort).",
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return scd2_build(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        key_col="user_id",
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, SUM(n) AS t FROM c GROUP BY src)
+    SELECT c.src, c.dst,
+           CAST(c.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(c.n AS DOUBLE) / t, 9) AS prob
+    FROM c JOIN tot USING (src)
+    ORDER BY src, dst
+    """,
+    doc="First-order Markov transition matrix over per-user event-type "
+    "sequences: lead() within user order gives the bigram stream, one "
+    "count aggregate and a row-normalizing self-aggregate join give "
+    "MLE transition probabilities.  The |types|^2-bounded matrix is "
+    "the model a sequence-aware sampler or anomaly scorer consumes.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+    tot = c.groupBy("src").agg(F.sum("n_transitions").alias("__t"))
+    return (
+        c.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("__t"), 9
+            ).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -210,6 +210,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "graph_hits_supply",
         "basket_association_rules",
         "skyline_cheap_big_parts",
+        "events_peak_concurrent_users",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
