@@ -132,6 +132,9 @@ HEADLINE = [
     "events_peak_concurrent_users",
     "scd2_user_type_history",
     "events_markov_transitions",
+    "drift_value_ks",
+    "drift_value_psi",
+    "drift_term_logodds",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -1,0 +1,73 @@
+"""Drift operators: KS vs brute-force ECDF, PSI identity/shift
+behavior, log-odds direction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from heparchy_spark.operators.drift import (
+    ks_two_sample,
+    log_odds_terms,
+    psi_fixed_bins,
+)
+
+
+def _brute_ks(a, b):
+    xs = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best = 0
+    for x in xs:
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        best = max(best, abs(ca * nb - cb * na))
+    return best / (na * nb)
+
+
+def test_ks_matches_bruteforce(spark, rng):
+    a = [round(float(v), 2) for v in rng.normal(0.0, 1.0, 200)]
+    b = [round(float(v), 2) for v in rng.normal(0.5, 1.2, 300)]
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "value double, f boolean")
+    r = ks_two_sample(df, "value", "f").collect()[0]
+    assert (r.n_a, r.n_b) == (200, 300)
+    assert abs(r.ks_stat - _brute_ks(a, b)) < 1e-9
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [(float(v), h) for v in range(50) for h in (True, False)]
+    df = spark.createDataFrame(rows, "value double, f boolean")
+    assert ks_two_sample(df, "value", "f").collect()[0].ks_stat == 0.0
+
+
+def test_psi_zero_for_identical_halves(spark):
+    rows = [(float(v % 20), h) for v in range(200) for h in (True, False)]
+    df = spark.createDataFrame(rows, "value double, f boolean")
+    out = psi_fixed_bins(df, "value", "f").collect()
+    assert len(out) <= 10
+    assert all(abs(r.psi_term) < 1e-12 for r in out)
+    assert sum(r.n_first for r in out) == 200
+
+
+def test_psi_detects_shift(spark, rng):
+    rows = [(float(v), True) for v in rng.normal(0, 1, 500)] + [
+        (float(v), False) for v in rng.normal(3, 1, 500)
+    ]
+    df = spark.createDataFrame(rows, "value double, f boolean")
+    psi = sum(r.psi_term for r in psi_fixed_bins(df, "value", "f").collect())
+    assert psi > 0.25  # industry "significant shift" threshold
+
+
+def test_log_odds_direction(spark):
+    docs = [
+        (i, "alpha alpha beta", True) for i in range(30)
+    ] + [(100 + i, "gamma gamma beta", False) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, f boolean")
+    out = {
+        r.term: r.log_odds
+        for r in log_odds_terms(
+            df, "text", "doc_id", "f", k=10, min_count=5
+        ).collect()
+    }
+    assert out["alpha"] > 0  # over-represented in the first group
+    assert out["gamma"] < 0
+    assert abs(out["beta"]) < abs(out["alpha"])

@@ -211,6 +211,9 @@ def test_corpus_wide_no_scale_killers(spark):
         "basket_association_rules",
         "skyline_cheap_big_parts",
         "events_peak_concurrent_users",
+        "drift_value_ks",
+        "drift_value_psi",
+        "drift_term_logodds",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
