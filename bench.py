@@ -135,6 +135,8 @@ HEADLINE = [
     "drift_value_ks",
     "drift_value_psi",
     "drift_term_logodds",
+    "density_core_parts",
+    "density_dbscan_clusters",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

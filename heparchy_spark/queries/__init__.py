@@ -88,6 +88,7 @@ def _load_all() -> None:
         basket,
         dataset,
         dedup,
+        density,
         drift,
         graph,
         history,
