@@ -1632,8 +1632,9 @@ _N_REPS = 32
 
 
 def _bootstrap_sql() -> str:
-    from heparchy_spark.queries.numeric import sql_dsum
-
+    # Replicate b (1-based) draws its uniform from 8 hex chars of
+    # sha256(event_id || 'boot' || group), group = (b-1) div 8 — one hash
+    # feeds 8 replicates (the hash is the scan's dominant per-row cost).
     w_case = "CASE " + " ".join(
         f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
     ) + " ELSE 9 END"
@@ -1641,22 +1642,31 @@ def _bootstrap_sql() -> str:
     WITH reps AS (SELECT unnest(range(1, {_N_REPS + 1})) AS b),
     weighted AS (
       SELECT b,
-             {w_case} AS w, value
+             {w_case} AS w, sv
       FROM (
-        SELECT b, value,
-               CAST(('0x' || substr(sha256(
-                 CAST(event_id AS VARCHAR) || 'boot' || CAST(b AS VARCHAR)),
-                 1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
-        FROM events, reps
+        SELECT b, sv,
+               CAST(('0x' || substr(
+                 sha256(CAST(event_id AS VARCHAR) || 'boot'
+                        || CAST((b - 1) // 8 AS VARCHAR)),
+                 ((b - 1) % 8) * 8 + 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+        FROM (SELECT event_id,
+                     CAST(ROUND(value * 1000000.0) AS BIGINT) AS sv
+              FROM events), reps
       )
     ),
     means AS (
       SELECT b,
-             ROUND({sql_dsum('ROUND(w * value, 6)', 6)}
-                   / SUM(w), 6) AS rep_mean
+             ROUND(CAST(CAST(SUM(w * sv) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 / SUM(w), 6) AS rep_mean
       FROM weighted GROUP BY b HAVING SUM(w) > 0
     ),
-    pt AS (SELECT {sql_dsum('ROUND(value, 6)', 6)} / COUNT(*) AS m FROM events)
+    pt AS (
+      SELECT CAST(CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                       AS BIGINT) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS m
+      FROM events
+    )
     SELECT ROUND(pt.m, 6) AS point_mean,
            ROUND(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
            ROUND(quantile_cont(rep_mean, 0.975), 6) AS ci_hi,
@@ -1679,47 +1689,83 @@ def _bootstrap_sql() -> str:
     "replicate means (Spark percentile == DuckDB quantile_cont).",
 )
 def agg_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from heparchy_spark.queries.numeric import dsum
-
     ev = load(spark, sf_dir, "events")
-    reps = F.explode(
-        F.array(*[F.lit(b) for b in range(1, _N_REPS + 1)])
-    ).alias("b")
-    u = F.conv(
-        F.substring(
+    # One sha256 per (row, replicate-GROUP of 8): replicate b reads hex
+    # chars [((b-1)%8)*8, +8) of hash group (b-1)//8 — 4 hashes/row for
+    # 32 replicates instead of 32 (hashing dominates the scan cost).
+    # Hashes land in their own projection so each sha256 is evaluated
+    # ONCE per row (inlining them into the 32 generator fields defeats
+    # common-subexpression elimination — measured 2x slower).
+    hashed = ev.select(
+        F.round(F.col("value") * F.lit(1000000.0)).cast("long").alias("sv"),
+        *[
             F.sha2(
                 F.concat(
                     F.col("event_id").cast("string"),
                     F.lit("boot"),
-                    F.col("b").cast("string"),
+                    F.lit(str(g)),
                 ),
                 256,
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long") / F.lit(1152921504606846976.0)
+            ).alias(f"h{g}")
+            for g in range(_N_REPS // 8)
+        ],
+    )
+    draws = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.col(f"h{(b - 1) // 8}"),
+                                ((b - 1) % 8) * 8 + 1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        / F.lit(4294967296.0)
+                    ).alias("u"),
+                )
+                for b in range(1, _N_REPS + 1)
+            ]
+        )
+    ).alias("d")
     w = F.lit(9)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    weighted = (
-        ev.select("event_id", "value", reps)
-        .withColumn("u", u)
-        .withColumn("w", w)
+        w = F.when(F.col("d.u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    # Exact integer accumulation: value snaps to the 1e-6 grid as a LONG,
+    # so the weighted sums are exact integers and their double images are
+    # bit-identical across engines while |sum| < 2^53 (holds to ~1e9 rows
+    # of |value| <= 1e3 — beyond that, flip to the decimal dsum path).
+    weighted = hashed.select("sv", draws).select(
+        "sv", F.col("d.b").alias("b"), w.alias("w")
     )
     means = (
         weighted.groupBy("b")
         .agg(
-            dsum(F.round(F.col("w") * F.col("value"), 6), 6).alias("ws"),
+            F.sum(F.col("w") * F.col("sv")).alias("ws"),
             F.sum("w").alias("wn"),
         )
         .where(F.col("wn") > 0)
-        .select(F.round(F.col("ws") / F.col("wn"), 6).alias("rep_mean"))
+        .select(
+            F.round(
+                F.col("ws").cast("double")
+                / F.lit(1000000.0)
+                / F.col("wn"),
+                6,
+            ).alias("rep_mean")
+        )
     )
     pt = ev.agg(
-        (dsum(F.round(F.col("value"), 6), 6) / F.count(F.lit(1))).alias("m")
+        (
+            F.sum(
+                F.round(F.col("value") * F.lit(1000000.0)).cast("long")
+            ).cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1))
+        ).alias("m")
     )
     return (
         means.agg(
