@@ -137,6 +137,8 @@ HEADLINE = [
     "drift_term_logodds",
     "density_core_parts",
     "density_dbscan_clusters",
+    "events_top_trigrams",
+    "events_last_touch_attribution",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -105,3 +105,116 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "events_top_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_occurrences DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    doc="Top-20 contiguous event-type trigrams across per-user "
+    "sequences (PrefixSpan-lite for fixed length 3): two leads on the "
+    "user-partitioned window give the trigram stream, one combinable "
+    "count/distinct aggregate, TakeOrdered top-k.  The |types|^3 "
+    "support table is bounded regardless of corpus size.",
+)
+def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@register(
+    "events_last_touch_attribution",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_purchases,
+           COUNT(last_click_ts) FILTER (
+             ts - last_click_ts <= INTERVAL 24 HOURS
+           ) AS n_attributed,
+           ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,10))) FILTER (
+             ts - last_click_ts <= INTERVAL 24 HOURS
+           ) AS DOUBLE), 2) AS attributed_value
+    FROM marked
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase credits the "
+    "user's most recent prior click if it happened within 24 hours.  "
+    "The carried click timestamp is a running MAX over the "
+    "user-partitioned window (monotone in event order, so max = most "
+    "recent), making attribution one window pass + one daily "
+    "aggregate — no self-join of purchases against clicks.",
+)
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "last_click_ts",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w),
+    )
+    attributed = F.col("last_click_ts").isNotNull() & (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("last_click_ts").cast("timestamp"))
+        <= F.lit(24 * 3600 * 1_000_000)
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+            dsum(
+                F.when(attributed, F.round(F.col("value"), 2)), 2
+            ).alias("attributed_value"),
+        )
+        .orderBy("day")
+    )
