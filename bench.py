@@ -130,7 +130,6 @@ HEADLINE = [
     "basket_association_rules",
     "skyline_cheap_big_parts",
     "events_peak_concurrent_users",
-    "scd2_user_type_history",
     "events_markov_transitions",
     "drift_value_ks",
     "drift_value_psi",

@@ -1,9 +1,10 @@
-"""Entity-history corpus queries: SCD Type-2 build and Markov
-transition estimation over the event stream.
+"""Event-sequence corpus queries: Markov transition estimation,
+frequent contiguous trigrams, and last-touch attribution.
 
-Both are per-key window pipelines — one shuffle on the entity key, then
+All are per-key window pipelines — one shuffle on the entity key, then
 Sort+Window chains inside each partition; the 100 TB shape for
-"state over time per entity" questions.
+"state over time per entity" questions.  (Type-2 dimension history is
+``operators/upsert.py scd2_history`` / ``events_scd2_type_history``.)
 """
 
 from __future__ import annotations
@@ -11,50 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from heparchy_spark.operators.scd import scd2_build
 from heparchy_spark.queries import register
 from heparchy_spark.queries.tables import load
-
-
-@register(
-    "scd2_user_type_history",
-    """
-    WITH ordered AS (
-      SELECT user_id, event_type, ts, event_id,
-             LAG(event_type) OVER w AS prev_type,
-             LAG(ts) OVER w AS prev_ts
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    chg AS (
-      SELECT user_id, event_type, ts, event_id
-      FROM ordered
-      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
-    )
-    SELECT user_id, event_type,
-           ts AS valid_from,
-           LEAD(ts) OVER w2 AS valid_to,
-           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
-           (LEAD(ts) OVER w2 IS NULL) AS is_current
-    FROM chg
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    doc="Type-2 slowly-changing-dimension history of each user's "
-    "event_type: consecutive same-type runs collapse to one validity "
-    "row with half-open [valid_from, valid_to) intervals, per-user "
-    "version numbers, and an is_current flag (operators/scd.py — "
-    "run-length encoding over time via key-partitioned lag/lead "
-    "windows; one shuffle on user_id, no global sort).",
-)
-def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return scd2_build(
-        ev.select("user_id", "event_type", "ts", "event_id"),
-        key_col="user_id",
-        attr_cols=["event_type"],
-        ts_col="ts",
-        tiebreak_col="event_id",
-    )
 
 
 @register(
