@@ -138,6 +138,10 @@ HEADLINE = [
     "density_dbscan_clusters",
     "events_top_trigrams",
     "events_last_touch_attribution",
+    "dataset_split_leakage",
+    "quality_calibration_curve",
+    "similarity_whiten_dims",
+    "events_ab_ztest",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

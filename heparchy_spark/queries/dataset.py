@@ -14,6 +14,7 @@ from heparchy_spark.operators.text import token_count
 from heparchy_spark.queries import register
 from heparchy_spark.queries.tables import load
 from heparchy_spark.queries.text import _TOKCOUNT_SQL
+from heparchy_spark.queries.dedup import _JACCARD_PAIRS_06_SQL
 
 _BUCKET_SQL = (
     "('0x' || substr(sha256(text || 'split'), 1, 12))::BIGINT % 10000"
@@ -629,4 +630,139 @@ def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("npos") * F.sum(F.col("n") - F.col("npos"))),
             6,
         ).alias("auc"),
+    )
+
+
+@register(
+    "dataset_split_leakage",
+    f"""
+    WITH pairs AS ({_JACCARD_PAIRS_06_SQL}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN __b < 8000 THEN 'train'
+                  WHEN __b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, {_BUCKET_SQL} AS __b FROM documents)
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+    doc="Train/val/test leakage audit: near-duplicate pairs (3-gram "
+    "Jaccard >= 0.6) that STRADDLE split boundaries — exact duplicates "
+    "co-assign by content hash so they can never leak, but near-dups "
+    "hash apart; this is the release gate that catches them.  Composes "
+    "the PPJoin pair generator with the split assignment (both "
+    "broadcast-weight joins on the tiny pair set).",
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+    sp = split_assign(
+        docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    ).select("doc_id", "split")
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def _calibration_sql() -> str:
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    scored = _logreg_sql(n_buckets=64, iters=4, lr_pct=50)
+    return f"""
+    WITH s AS (
+      SELECT sc.quality_score AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM ({scored}) sc JOIN documents d ON sc.doc_id = d.doc_id
+    )
+    , r AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s)
+    SELECT CASE WHEN (SELECT hi FROM r) = (SELECT lo FROM r) THEN 0
+                ELSE LEAST(9, CAST(FLOOR(
+                  (score - (SELECT lo FROM r))
+                  / (((SELECT hi FROM r) - (SELECT lo FROM r)) / 10)
+                ) AS INT)) END AS bin,
+           COUNT(*) AS n_docs,
+           ROUND({sql_dsum('score', 8)} / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+    FROM s GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "quality_calibration_curve",
+    _calibration_sql(),
+    doc="Reliability diagram of the logistic quality classifier: scores "
+    "bucketed into 10 bins spanning the observed score range "
+    "(broadcast min/max — absolute deciles would collapse for a "
+    "lightly-trained sigmoid), per-bin count, decimal-exact mean "
+    "score, and empirical positive rate — the calibration companion "
+    "to quality_logreg_auc (same bounded-histogram shape: the grouped "
+    "frame never exceeds 10 rows regardless of corpus size).",
+)
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+    from heparchy_spark.queries.numeric import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    feats = hashed_features(docs, "text", "doc_id", n_buckets=64).persist()
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    weights = logreg_train(feats, labels, n_buckets=64, iters=4, lr_pct=50)
+    scored = logreg_score(feats, weights).join(labels, "doc_id")
+    # bins are RELATIVE to the observed score range (broadcast min/max,
+    # the psi_fixed_bins pattern): a lightly-trained sigmoid occupies a
+    # narrow band, so absolute deciles would collapse to one bin
+    bounds = scored.agg(
+        F.min("quality_score").alias("__lo"),
+        F.max("quality_score").alias("__hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(9),
+                    F.floor(
+                        (F.col("quality_score") - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / F.lit(10))
+                    ).cast("int"),
+                )
+            )
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                dsum(F.col("quality_score"), 8) / F.count(F.lit(1)), 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
     )

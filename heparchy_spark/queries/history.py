@@ -134,12 +134,15 @@ def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY 1
     """,
-    doc="Last-touch marketing attribution: each purchase credits the "
-    "user's most recent prior click if it happened within 24 hours.  "
-    "The carried click timestamp is a running MAX over the "
-    "user-partitioned window (monotone in event order, so max = most "
-    "recent), making attribution one window pass + one daily "
-    "aggregate — no self-join of purchases against clicks.",
+    doc="Daily attributed-revenue rollup: each purchase credits the "
+    "user's most recent prior CLICK within 24 hours, then attributed "
+    "count and value aggregate per day.  Third composition of the "
+    "carried-state idea (events_attribution_last_touch does per-"
+    "purchase view-attribution via the as-of operator): here the "
+    "carried click timestamp is a conditional running MAX over the "
+    "user window (monotone in event order, so max = most recent), so "
+    "attribution + rollup is one window pass + one aggregate with no "
+    "event-type self-join at all.",
 )
 def events_last_touch_attribution(
     spark: SparkSession, sf_dir: str

@@ -530,3 +530,107 @@ def profile_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_AB_ARM_SQL = (
+    "CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR) || 'ab'),"
+    " 1, 12))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END"
+)
+
+
+@register(
+    "events_ab_ztest",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_AB_ARM_SQL} AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT
+        SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+        SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS ca,
+        SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS cb
+      FROM u
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+           ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+           ROUND(
+             (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / NULLIF(SQRT(
+                 (CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1.0 / na + 1.0 / nb)
+               ), 0.0),
+             6) AS z_score
+    FROM a
+    """,
+    doc="Two-proportion z-test over a deterministic hash-assigned A/B "
+    "split: users bucket into arms by content hash (sha256 % 2 — the "
+    "split_assign convention, so assignment is reproducible and "
+    "engine-portable), conversion = any purchase above 150; pooled-variance "
+    "z-score from exact integer counts, so both engines emit identical "
+    "doubles.  One user-keyed aggregate + one 4-counter fold — the "
+    "experiment-analysis query at any event-log scale.",
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.col("user_id").cast("string"), F.lit("ab")), 256),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > F.lit(150.0))
+                ).cast("int")
+            ).alias("conv")
+        )
+        .withColumn("arm", arm)
+    )
+    a = u.agg(
+        F.sum((F.col("arm") == "A").cast("long")).alias("na"),
+        F.sum((F.col("arm") == "B").cast("long")).alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0)).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    return a.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(
+            (pa - pb)
+            / F.nullif(
+                F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -947,3 +947,69 @@ def similarity_eval_decontamination(
     return pairs.select(
         "eval_id", "train_id", F.round("cosine_sim", 9).alias("cosine_sim")
     )
+
+
+@register(
+    "similarity_whiten_dims",
+    """
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim_idx,
+             unnest(list_transform(embedding,
+                                   x -> ROUND(CAST(x AS DOUBLE), 8))) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim_idx,
+             ROUND(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 8)
+                   / COUNT(*), 8) AS mu,
+             ROUND(SQRT(
+               ROUND(CAST(SUM(CAST(ROUND(v * v, 8) AS DECIMAL(38,10)))
+                          AS DOUBLE), 8) / COUNT(*)
+               - ROUND(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 8)
+                       / COUNT(*), 8)
+                 * ROUND(ROUND(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 8)
+                         / COUNT(*), 8)
+             ), 8) AS sigma
+      FROM comp GROUP BY dim_idx
+    )
+    SELECT c.vec_id, c.dim_idx,
+           ROUND((c.v - s.mu) / s.sigma, 6) AS z
+    FROM comp c JOIN stats s USING (dim_idx)
+    """,
+    doc="Per-dimension whitening (z-normalization) of the embedding "
+    "table — the preprocessing pass ANN indexes and linear probes "
+    "want: one combinable moments aggregate per dimension (a "
+    "|dim|-row table at any corpus scale), broadcast back over a "
+    "pure-map scan.  Decimal-exact moments on the round-8 grid keep "
+    "mu/sigma bit-identical across engines.",
+)
+def similarity_whiten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("__i0", "__v0"),
+    ).select(
+        "vec_id",
+        (F.col("__i0") + 1).alias("dim_idx"),
+        F.round(F.col("__v0").cast("double"), 8).alias("v"),
+    )
+    mu = F.round(dsum(F.col("v"), 8) / F.count(F.lit(1)), 8)
+    stats = comp.groupBy("dim_idx").agg(
+        mu.alias("mu"),
+        F.round(
+            F.sqrt(
+                dsum(F.round(F.col("v") * F.col("v"), 8), 8)
+                / F.count(F.lit(1))
+                - mu * mu
+            ),
+            8,
+        ).alias("sigma"),
+    )
+    return comp.join(F.broadcast(stats), "dim_idx").select(
+        "vec_id",
+        "dim_idx",
+        F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
