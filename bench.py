@@ -142,6 +142,10 @@ HEADLINE = [
     "quality_calibration_curve",
     "similarity_whiten_dims",
     "events_ab_ztest",
+    "retrieval_ndcg_eval",
+    "agg_incremental_merge",
+    "events_kaplan_meier",
+    "privacy_k_anonymity",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

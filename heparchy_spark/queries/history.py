@@ -180,3 +180,114 @@ def events_last_touch_attribution(
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_kaplan_meier",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS last_day FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             date_diff('day', CAST(date_trunc('day', MIN(ts)) AS DATE),
+                       CAST(date_trunc('day', MAX(ts)) AS DATE)) AS t,
+             CASE WHEN CAST(date_trunc('day', MAX(ts)) AS DATE)
+                       >= (SELECT last_day FROM bounds) - 1
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    per_t AS (
+      SELECT t, SUM(churned) AS d, COUNT(*) AS leaving
+      FROM u GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM u) -
+               COALESCE(SUM(leaving) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS n
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, d, n,
+             CASE WHEN d >= n THEN NULL
+                  ELSE ROUND(LN(1.0 - CAST(d AS DOUBLE) / n), 8) END AS lt,
+             CASE WHEN d >= n THEN 1 ELSE 0 END AS dead
+      FROM risk
+    )
+    SELECT t AS lifetime_days,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CASE WHEN SUM(dead) OVER w > 0 THEN 0.0
+                ELSE ROUND(EXP(SUM(lt) OVER w), 6) END AS survival
+    FROM terms
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY t
+    """,
+    doc="Kaplan-Meier survival curve of user lifetimes (first to last "
+    "event day; users still active in the final two corpus days are "
+    "right-censored): risk sets from one bounded per-lifetime "
+    "aggregate, the survival product as exp of a running sum of "
+    "round-8 log terms.  Every window here runs over the "
+    "|distinct lifetimes| table — bounded by the corpus time span in "
+    "days, not by its row count.",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.max("ts"))),
+            F.to_date(F.date_trunc("day", F.min("ts"))),
+        ).alias("t"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("__last"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("__end")
+    )
+    u = u.crossJoin(F.broadcast(bounds)).select(
+        "t",
+        F.when(
+            F.col("__last") >= F.date_sub(F.col("__end"), 1), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("churned"),
+    )
+    per_t = u.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    total = per_t.agg(F.sum("leaving").alias("__total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n",
+            F.col("__total")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+    )
+    terms = risk.select(
+        "t",
+        "d",
+        "n",
+        F.when(
+            F.col("d") >= F.col("n"), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n")), 8
+            )
+        )
+        .alias("lt"),
+        (F.col("d") >= F.col("n")).cast("int").alias("dead"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").alias("lifetime_days"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.when(F.sum("dead").over(w_cum) > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lt").over(w_cum)), 6))
+        .alias("survival"),
+    ).orderBy("t")

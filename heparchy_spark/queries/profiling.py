@@ -634,3 +634,60 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_band,
+             COUNT(*) AS class_size,
+             CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS l_diversity
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           class_size, l_diversity,
+           class_size < 10 AS k_violation
+    FROM classes
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+    doc="k-anonymity / l-diversity audit over the quasi-identifier "
+    "tuple (nation, market segment, balance band): equivalence-class "
+    "sizes, the l-diversity of a synthetic sensitive attribute "
+    "(custkey mod 7 stands in for one), and the k<10 violation flag "
+    "releases must suppress or generalize.  One combinable aggregate; "
+    "the class table is bounded by the quasi-identifier domain, not "
+    "the row count — the release-gate governance query at any scale.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    bal_band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        cust.groupBy(
+            "c_nationkey", "c_mktsegment", bal_band.alias("bal_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col("c_custkey") % 7)
+            .cast("long")
+            .alias("l_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") < 10).alias("k_violation"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )

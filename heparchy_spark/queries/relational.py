@@ -1781,3 +1781,51 @@ def agg_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates",
         )
     )
+
+
+@register(
+    "agg_incremental_merge",
+    """
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,10)))
+                      AS DOUBLE), 2) AS total_value
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="Incremental materialized-aggregate maintenance: the daily order "
+    "rollup is maintained as BASE partial aggregates (3/4 of the "
+    "stream) merged with a late-arriving DELTA batch (orderkey % 4 — "
+    "every day straddles both sides), combining counts by addition and "
+    "decimal-grid sums by re-accumulation, never rescanning base "
+    "facts.  The oracle recomputes the rollup from scratch, so parity "
+    "PROVES merge == recompute — the algebraic property that makes "
+    "partial aggregation, AQE re-use, and incremental view maintenance "
+    "sound.  On-grid partials re-enter decimal exactly, so the merged "
+    "double is bit-identical to the full-scan aggregate.",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import DEC, dsum
+
+    orders = load(spark, sf_dir, "orders")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.round(F.col("o_totalprice"), 2), 2).alias("total_value"),
+        )
+
+    base = daily(orders.where(F.col("o_orderkey") % 4 != 0))
+    delta = daily(orders.where(F.col("o_orderkey") % 4 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(
+                F.sum(F.col("total_value").cast(DEC)).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("day")
+    )

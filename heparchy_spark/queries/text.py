@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -677,9 +679,7 @@ _BM25_QUERIES = [
 ]
 
 
-@register(
-    "text_bm25_topk",
-    f"""
+_BM25_TOPK_SQL = f"""
     WITH q(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in [(0, "spark"), (0, "join"), (1, "window"), (1, "sort"), (2, "hash"), (2, "merge")])}),
     toks AS (
       SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
@@ -726,7 +726,12 @@ _BM25_QUERIES = [
     )
     SELECT query_id, doc_id, ROUND(score, 6) AS score, rk
     FROM ranked WHERE rk <= 10
-    """,
+"""
+
+
+@register(
+    "text_bm25_topk",
+    _BM25_TOPK_SQL,
     doc="BM25 top-10 retrieval for 3 fixed term queries (Lucene idf "
     "variant, k1=1.2 b=0.75): the broadcast query-term table filters the "
     "token stream BEFORE its only shuffle, document length is a per-row "
@@ -1053,3 +1058,95 @@ def text_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return compression_signals(docs, "text", "doc_id")
+
+
+def _ndcg_weights() -> tuple[list[tuple[int, float]], list[tuple[int, float]]]:
+    """Round-8 DCG position weights 1/log2(rk+1) and their exact prefix
+    sums (IDCG for n leading relevant docs) — computed ONCE in Python
+    and embedded as identical literals in both engines, so no runtime
+    log2 enters the hash."""
+    from decimal import Decimal
+
+    wt = [(rk, round(1.0 / math.log2(rk + 1), 8)) for rk in range(1, 11)]
+    acc = Decimal(0)
+    cum = [(0, 0.0)]
+    for rk, w in wt:
+        acc += Decimal(repr(w))
+        cum.append((rk, float(acc)))
+    return wt, cum
+
+
+def _ndcg_sql() -> str:
+    from heparchy_spark.queries.numeric import sql_dsum
+
+    wt, cum = _ndcg_weights()
+    wt_vals = ", ".join(f"({rk}, {w!r})" for rk, w in wt)
+    cum_vals = ", ".join(f"({n}, {c!r})" for n, c in cum)
+    return f"""
+    WITH topk AS ({_BM25_TOPK_SQL}),
+    wt(rk, w) AS (VALUES {wt_vals}),
+    cumwt(npos, idcg) AS (VALUES {cum_vals}),
+    rel AS (
+      SELECT t.query_id, t.rk,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             {sql_dsum('ROUND(rel * w, 8)', 8)} AS dcg
+      FROM rel JOIN wt ON wt.rk = rel.rk
+      GROUP BY query_id
+    )
+    SELECT query_id, n_rel, ROUND(dcg, 6) AS dcg,
+           ROUND(dcg / NULLIF(idcg, 0.0), 6) AS ndcg
+    FROM per_q JOIN cumwt ON cumwt.npos = per_q.n_rel
+    ORDER BY query_id
+    """
+
+
+@register(
+    "retrieval_ndcg_eval",
+    _ndcg_sql(),
+    doc="NDCG@10 of the BM25 rankings against a binary relevance label "
+    "(doc lang == 'en'): DCG from a 10-row literal position-weight "
+    "table (1/log2(rk+1) precomputed to the round-8 grid — no runtime "
+    "log enters the hash), IDCG from the matching literal prefix sums, "
+    "decimal-exact summation.  The retrieval-quality eval companion to "
+    "quality_logreg_auc/calibration — everything after the ranking is "
+    "bounded (3 queries x 10 positions).",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import bm25_topk
+    from heparchy_spark.queries.numeric import dsum
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    topk = bm25_topk(docs, "text", "doc_id", queries, k1=1.2, b=0.75, k=10)
+    wt, cum = _ndcg_weights()
+    wt_df = spark.createDataFrame(wt, "rk int, w double")
+    cum_df = spark.createDataFrame(cum, "npos long, idcg double")
+    rel = topk.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("rel")),
+        "doc_id",
+    )
+    per_q = (
+        rel.join(F.broadcast(wt_df), "rk")
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            dsum(F.round(F.col("rel") * F.col("w"), 8), 8).alias("dcg"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(cum_df), per_q["n_rel"] == cum_df["npos"])
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(F.col("dcg"), 6).alias("dcg"),
+            F.round(
+                F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -215,6 +215,8 @@ def test_corpus_wide_no_scale_killers(spark):
         "drift_value_psi",
         "drift_term_logodds",
         "quality_calibration_curve",
+        "retrieval_ndcg_eval",
+        "events_kaplan_meier",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
