@@ -146,6 +146,7 @@ HEADLINE = [
     "agg_incremental_merge",
     "events_kaplan_meier",
     "privacy_k_anonymity",
+    "events_anomaly_markov_nll",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -291,3 +291,71 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum("lt").over(w_cum)), 6))
         .alias("survival"),
     ).orderBy("t")
+
+
+@register(
+    "events_anomaly_markov_nll",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    big AS (SELECT user_id, src, dst FROM seq WHERE dst IS NOT NULL),
+    c AS (SELECT src, dst, COUNT(*) AS n FROM big GROUP BY 1, 2),
+    tot AS (SELECT src, SUM(n) AS t FROM c GROUP BY src),
+    p AS (
+      SELECT c.src, c.dst,
+             ROUND(CAST(c.n AS DOUBLE) / t, 9) AS prob
+      FROM c JOIN tot USING (src)
+    )
+    SELECT b.user_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(
+             ROUND(CAST(SUM(CAST(ROUND(-LN(p.prob), 8) AS DECIMAL(38,10)))
+                        AS DOUBLE), 8) / COUNT(*), 6) AS avg_nll
+    FROM big b JOIN p ON b.src = p.src AND b.dst = p.dst
+    GROUP BY b.user_id
+    ORDER BY b.user_id
+    """,
+    doc="Sequence-anomaly score per user: average negative log-likelihood "
+    "of the user's event bigrams under the corpus-wide Markov "
+    "transition model (events_markov_transitions composed back onto "
+    "the bigram stream).  The |types|^2 probability matrix broadcasts; "
+    "scoring is one window pass + one combinable decimal aggregate — "
+    "users whose behavior the model finds surprising surface with the "
+    "highest avg_nll.  Same ln/round-8 determinism contract as the "
+    "bigram-LM NLL in queries/text.py.",
+)
+def events_anomaly_markov_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = big.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = c.groupBy("src").agg(F.sum("n").alias("__t"))
+    p = c.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.round(F.col("n").cast("double") / F.col("__t"), 9).alias("prob"),
+    )
+    return (
+        big.join(F.broadcast(p), ["src", "dst"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                dsum(F.round(-F.log(F.col("prob")), 8), 8)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy("user_id")
+    )
