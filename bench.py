@@ -147,6 +147,8 @@ HEADLINE = [
     "events_kaplan_meier",
     "privacy_k_anonymity",
     "events_anomaly_markov_nll",
+    "events_ab_cuped",
+    "rank_shrunk_return_rates",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

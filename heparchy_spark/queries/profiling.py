@@ -691,3 +691,252 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     )
+
+
+@register(
+    "events_ab_cuped",
+    f"""
+    WITH b AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ),
+    u AS (
+      SELECT user_id, {_AB_ARM_SQL} AS arm,
+             ROUND(CAST(SUM(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                       THEN CAST(ROUND(value, 2) AS DECIMAL(38,10))
+                       ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE), 2) AS x,
+             ROUND(CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                       THEN CAST(ROUND(value, 2) AS DECIMAL(38,10))
+                       ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE), 2) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE), 2) AS sx,
+             ROUND(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE), 2) AS sy,
+             ROUND(CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,10)))
+                        AS DOUBLE), 4) AS sxx,
+             ROUND(CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,10)))
+                        AS DOUBLE), 4) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx,
+             ROUND((sxy - sx * sy / n)
+                   / NULLIF(sxx - sx * sx / n, 0.0), 8) AS theta
+      FROM g
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(ROUND(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE), 2)
+                 / COUNT(*), 6) AS mean_y,
+           ROUND(ROUND(CAST(SUM(CAST(ROUND(y - theta * (x - sx / n), 6)
+                                     AS DECIMAL(38,10))) AS DOUBLE), 6)
+                 / COUNT(*), 6) AS mean_y_cuped
+    FROM u, th
+    GROUP BY arm, theta, sx, n
+    ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B readout (Deng et al. 2013): each "
+    "user's pre-period spend (before the stream's time midpoint) is "
+    "the covariate; theta = cov(X,Y)/var(X) from one decimal-exact "
+    "moments aggregate; the adjusted per-arm metric is "
+    "mean(Y - theta (X - mean X)).  Two combinable aggregates over the "
+    "per-user frame plus a broadcast scalar — experimentation-platform "
+    "math at event-log scale, bit-identical across engines.",
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import DEC, dsum
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            (
+                F.unix_micros(F.min("ts").cast("timestamp"))
+                + F.unix_micros(F.max("ts").cast("timestamp"))
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.col("user_id").cast("string"), F.lit("ab")), 256
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    zero = F.lit(0).cast(DEC)
+    rv = F.round(F.col("value"), 2).cast(DEC)
+    is_pre = (
+        F.unix_micros(F.col("ts").cast("timestamp")) < F.col("__mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(is_pre, rv).otherwise(zero)).cast("double"), 2
+            ).alias("x"),
+            F.round(
+                F.sum(F.when(~is_pre, rv).otherwise(zero)).cast("double"), 2
+            ).alias("y"),
+        )
+        .withColumn("arm", arm)
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x"), 2).alias("sx"),
+        dsum(F.col("y"), 2).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 4), 4).alias("sxx"),
+        dsum(F.round(F.col("x") * F.col("y"), 4), 4).alias("sxy"),
+    )
+    th = g.select(
+        "n",
+        "sx",
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.nullif(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            ),
+            8,
+        ).alias("theta"),
+    )
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(dsum(F.col("y"), 2) / F.count(F.lit(1)), 6).alias(
+                "mean_y"
+            ),
+            F.round(
+                dsum(
+                    F.round(
+                        F.col("y")
+                        - F.col("theta")
+                        * (F.col("x") - F.col("sx") / F.col("n")),
+                        6,
+                    ),
+                    6,
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_y_cuped"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "rank_shrunk_return_rates",
+    """
+    WITH p AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (SELECT l_partkey, n, k,
+                 ROUND(CAST(k AS DOUBLE) / n, 8) AS rate FROM p),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+             ROUND(ROUND(CAST(SUM(CAST(rate AS DECIMAL(38,10))) AS DOUBLE), 8)
+                   / COUNT(*), 8) AS mu,
+             ROUND(ROUND(CAST(SUM(CAST(ROUND(rate * rate, 8)
+                                       AS DECIMAL(38,10))) AS DOUBLE), 8)
+                   / COUNT(*), 8) AS m2
+      FROM r
+    ),
+    prior AS (
+      SELECT ROUND(mu * s, 8) AS alpha, ROUND((1.0 - mu) * s, 8) AS beta
+      FROM (
+        SELECT mu,
+               ROUND(mu * (1.0 - mu)
+                     / NULLIF(ROUND(m2 - mu * mu, 8), 0.0) - 1.0, 8) AS s
+        FROM m
+      )
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_lines, k AS n_returns,
+           ROUND(rate, 6) AS raw_rate,
+           ROUND((alpha + k) / (alpha + beta + n), 6) AS shrunk_rate
+    FROM r, prior
+    ORDER BY ROUND((alpha + k) / (alpha + beta + n), 6) DESC, l_partkey
+    LIMIT 20
+    """,
+    doc="Empirical-Bayes ranking of per-part return rates: a "
+    "Beta(alpha, beta) prior moment-matched from the corpus-wide rate "
+    "mean/variance (one decimal-exact aggregate) shrinks each part's "
+    "raw k/n toward the global mean in proportion to its evidence — "
+    "the standard fix for small-n rate rankings (a 2/2 part no longer "
+    "outranks a 30/40 one).  Top-20 by shrunk rate; everything after "
+    "the per-part aggregate is scalar algebra on broadcast constants.",
+)
+def rank_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    r = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_returnflag") == "R").cast("long")
+            ).alias("k"),
+        )
+        .select(
+            "l_partkey",
+            "n",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("n"), 8).alias("rate"),
+        )
+    )
+    m = r.agg(
+        F.round(dsum(F.col("rate"), 8) / F.count(F.lit(1)), 8).alias("mu"),
+        F.round(
+            dsum(F.round(F.col("rate") * F.col("rate"), 8), 8)
+            / F.count(F.lit(1)),
+            8,
+        ).alias("m2"),
+    )
+    s = F.round(
+        F.col("mu")
+        * (F.lit(1.0) - F.col("mu"))
+        / F.nullif(
+            F.round(F.col("m2") - F.col("mu") * F.col("mu"), 8), F.lit(0.0)
+        )
+        - F.lit(1.0),
+        8,
+    )
+    prior = m.select(
+        F.round(F.col("mu") * s, 8).alias("alpha"),
+        F.round((F.lit(1.0) - F.col("mu")) * s, 8).alias("beta"),
+    )
+    shrunk = F.round(
+        (F.col("alpha") + F.col("k"))
+        / (F.col("alpha") + F.col("beta") + F.col("n")),
+        6,
+    )
+    return (
+        r.crossJoin(F.broadcast(prior))
+        .select(
+            "l_partkey",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("k").cast("long").alias("n_returns"),
+            F.round(F.col("rate"), 6).alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), "l_partkey")
+        .limit(20)
+    )

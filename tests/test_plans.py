@@ -217,6 +217,8 @@ def test_corpus_wide_no_scale_killers(spark):
         "quality_calibration_curve",
         "retrieval_ndcg_eval",
         "events_kaplan_meier",
+        "events_ab_cuped",
+        "rank_shrunk_return_rates",
         "profile_key_skew",
         "q11_important_parts",
         "q22_global_sales_opportunity",
