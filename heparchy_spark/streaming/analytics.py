@@ -434,3 +434,82 @@ def windowed_token_counts(
     ).select(
         F.col("__w.start").alias("window_start"), "token", "n"
     )
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    edges: list[float],
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time histogram of ``value_col`` over FIXED bin
+    ``edges`` (len(edges)+1 bins, literal thresholds baked into the
+    plan): (window_start, bin, n) — the stateful half of a streaming
+    drift monitor.  One streaming aggregation keyed by (window, bin);
+    state is |windows| x |bins|, never row-scaled.
+
+    The drift verdict itself (``psi_from_histogram``) is STATELESS
+    per-window algebra, so it runs downstream of the sink (or on the
+    batch twin) rather than as a second stateful operator — Structured
+    Streaming's single-stateful-aggregation restriction is a plan
+    constraint, not a loss of semantics.
+    """
+    v = F.col(value_col)
+    bin_expr = F.lit(len(edges))
+    for i, e in enumerate(reversed(edges)):
+        bin_expr = F.when(
+            v < F.lit(float(e)), F.lit(len(edges) - 1 - i)
+        ).otherwise(bin_expr)
+    return (
+        _maybe_watermark(events, ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            bin_expr.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bin", "n")
+    )
+
+
+def psi_from_histogram(
+    hist: DataFrame,
+    reference: DataFrame,
+    n_bins: int,
+) -> DataFrame:
+    """(window_start, psi): Population Stability Index of each window's
+    histogram against a broadcast ``reference`` (bin, ref_share) table,
+    Laplace-smoothed.  Pure per-window algebra over the bounded
+    histogram frame — run it on the streaming sink's output or on the
+    batch twin identically."""
+    # fresh attribute ids on the rollup side: a sink-view self-join with
+    # identical exprIds is otherwise ambiguous
+    tot = (
+        hist.select(F.col("window_start").alias("__ws"), "n")
+        .groupBy("__ws")
+        .agg(F.sum("n").alias("__t"))
+    )
+    p = (
+        hist.join(tot, hist["window_start"] == tot["__ws"])
+        .drop("__ws")
+        .join(F.broadcast(reference), "bin", "right_outer")
+        .select(
+            "window_start",
+            "bin",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
+                / (F.col("__t") + F.lit(float(n_bins)))
+            ).alias("__p"),
+            F.col("ref_share").alias("__q"),
+        )
+        .where(F.col("window_start").isNotNull())
+    )
+    term = (F.col("__p") - F.col("__q")) * (
+        F.round(F.log("__p"), 8) - F.round(F.log("__q"), 8)
+    )
+    return (
+        p.groupBy("window_start")
+        .agg(F.round(F.sum(F.round(term, 8)), 6).alias("psi"))
+        .orderBy("window_start")
+    )

@@ -752,3 +752,41 @@ def test_txn_pipeline_near_dup_batch_gate(spark, tmp_path):
     q.awaitTermination(120)
     landed = {r.doc_id for r in table.read().select("doc_id").collect()}
     assert landed == {1, 3}, landed  # near-dup 2 gated, fresh 3 landed
+
+
+def test_windowed_histogram_psi_matches_batch(spark, landing):
+    from heparchy_spark.streaming.analytics import (
+        psi_from_histogram,
+        windowed_value_histogram,
+    )
+
+    edges = [20.0, 40.0, 60.0, 80.0]
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(
+        windowed_value_histogram(stream, edges), "t_hist", "complete"
+    )
+    got_hist = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in spark.sql("select * from t_hist").collect()
+    }
+    batch_hist = windowed_value_histogram(load(spark, SF_DIR, "events"), edges)
+    want_hist = {
+        (r["window_start"], r["bin"]): r["n"] for r in batch_hist.collect()
+    }
+    assert got_hist == want_hist and got_hist
+
+    # drift verdict: identical stateless PSI pass over sink vs batch twin
+    ref = spark.createDataFrame(
+        [(b, 1.0 / (len(edges) + 1)) for b in range(len(edges) + 1)],
+        "bin int, ref_share double",
+    )
+    sink = spark.sql("select * from t_hist")
+    got_psi = {
+        r["window_start"]: r["psi"]
+        for r in psi_from_histogram(sink, ref, len(edges) + 1).collect()
+    }
+    want_psi = {
+        r["window_start"]: r["psi"]
+        for r in psi_from_histogram(batch_hist, ref, len(edges) + 1).collect()
+    }
+    assert got_psi == want_psi and all(p >= 0 for p in got_psi.values())
