@@ -149,6 +149,7 @@ HEADLINE = [
     "events_anomaly_markov_nll",
     "events_ab_cuped",
     "rank_shrunk_return_rates",
+    "audit_data_quality",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -940,3 +940,127 @@ def rank_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shrunk_rate"), "l_partkey")
         .limit(20)
     )
+
+
+@register(
+    "audit_data_quality",
+    """
+    SELECT 'customer_orphan_nationkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST((SELECT COUNT(*) FROM events WHERE user_id IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_orderkey',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'part_duplicate_partkey',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT p_partkey FROM part
+                   GROUP BY p_partkey HAVING COUNT(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier_orphan_nationkey',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="dbt-style data-quality audit in one pass: referential "
+    "integrity (orphan foreign keys via anti-joins — dimension sides "
+    "broadcast), primary-key uniqueness (group-having), null and "
+    "domain conformance — one (check_name, n_violations) row per "
+    "contract.  Each arm is an independent count so the fact tables "
+    "are scanned once per check with full pushdown; the whole audit "
+    "is the release gate a warehouse load runs before publishing.",
+)
+def audit_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+
+    def count1(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        count1(
+            "customer_orphan_nationkey",
+            cust.join(
+                F.broadcast(nation),
+                cust["c_nationkey"] == nation["n_nationkey"],
+                "anti",
+            ),
+        ),
+        count1("events_null_user", ev.where(F.col("user_id").isNull())),
+        count1(
+            "lineitem_nonpositive_quantity",
+            li.where(F.col("l_quantity") <= 0),
+        ),
+        count1(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"], "anti"
+            ),
+        ),
+        count1(
+            "orders_duplicate_orderkey",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1),
+        ),
+        count1(
+            "orders_orphan_custkey",
+            orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "anti"
+            ),
+        ),
+        count1(
+            "part_duplicate_partkey",
+            part.groupBy("p_partkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1),
+        ),
+        count1(
+            "supplier_orphan_nationkey",
+            supp.join(
+                F.broadcast(nation),
+                supp["s_nationkey"] == nation["n_nationkey"],
+                "anti",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
