@@ -150,6 +150,7 @@ HEADLINE = [
     "events_ab_cuped",
     "rank_shrunk_return_rates",
     "audit_data_quality",
+    "physics_softdrop_jets",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "antikt_cluster",
+    "softdrop_cluster",
+    "softdrop_jets",
     "synth_particles",
     "antikt_jets",
     "genkt_jets",
@@ -323,4 +325,184 @@ def antikt_jets(
     inclusive jet algorithm."""
     return genkt_jets(
         events, event_col, particles_per_event, R=R, ptmin=ptmin, p=-1.0
+    )
+
+
+def softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0):
+    """Cambridge/Aachen clustering with merge-TREE recording, then
+    soft-drop grooming (Larkoski, Marzani, Soyez, Thaler 2014,
+    arXiv:1402.2657; beta=0 is the modified MassDrop tagger) of every
+    jet above ``ptmin``.
+
+    Walk: from the jet root, split the last C/A merge into its two
+    subjets; if ``min(pt1,pt2)/(pt1+pt2) < zcut * (dR12/R)^beta`` the
+    softer branch is dropped (the split was soft wide-angle radiation)
+    and the walk recurses into the harder one; the first split passing
+    the condition defines the groomed jet, its ``z_g`` and ``r_g``.
+    Jets groomed all the way to a single constituent report z_g=r_g=0.
+
+    Returns [(pt_raw, pt_groomed, m_groomed, z_g, r_g, n_con_groomed)]
+    sorted by raw pt descending.  The naive full-matrix C/A loop is
+    elementwise identical to the fixture mirror in
+    tools/build_expected.py (_jets_softdrop), so the trajectory —
+    including every grooming decision — replays bit-exact.
+    """
+    px, py, pz, e = (np.array(a, dtype="float64") for a in (px, py, pz, e))
+    n0 = len(px)
+    nodes: list[tuple] = [
+        (float(px[i]), float(py[i]), float(pz[i]), float(e[i]), -1, -1, 1)
+        for i in range(n0)
+    ]
+    nid = list(range(n0))
+    nc = np.ones(n0, dtype="int64")
+    jets = []
+    while len(px):
+        pt2 = px * px + py * py
+        inv = np.ones_like(pt2)  # C/A: pure angular ordering
+        y = 0.5 * np.log((e + pz) / (e - pz))
+        phi = np.arctan2(py, px)
+        n = len(px)
+        best_ij = None
+        if n > 1:
+            dy = y[:, None] - y[None, :]
+            dphi = np.abs(phi[:, None] - phi[None, :])
+            dphi = np.where(dphi > np.pi, 2.0 * np.pi - dphi, dphi)
+            dr2 = dy * dy + dphi * dphi
+            dij = np.minimum(inv[:, None], inv[None, :]) * dr2 / (R * R)
+            iu = np.triu_indices(n, k=1)
+            flat = dij[iu]
+            k = int(np.argmin(flat))
+            kb = int(np.argmin(inv))
+            if not inv[kb] <= flat[k]:
+                best_ij = (int(iu[0][k]), int(iu[1][k]))
+        if best_ij is None:
+            b = int(np.argmin(inv)) if n > 1 else 0
+            jpt = float(np.sqrt(pt2[b]))
+            if jpt >= ptmin:
+                jets.append((jpt, nid[b]))
+            keep = np.arange(n) != b
+        else:
+            i, j = best_ij
+            px[i] += px[j]
+            py[i] += py[j]
+            pz[i] += pz[j]
+            e[i] += e[j]
+            nc[i] += nc[j]
+            nodes.append(
+                (
+                    float(px[i]),
+                    float(py[i]),
+                    float(pz[i]),
+                    float(e[i]),
+                    nid[i],
+                    nid[j],
+                    int(nc[i]),
+                )
+            )
+            nid[i] = len(nodes) - 1
+            keep = np.arange(n) != j
+        px, py, pz, e, nc = px[keep], py[keep], pz[keep], e[keep], nc[keep]
+        nid = [v for v, kp in zip(nid, keep) if kp]
+    jets.sort(key=lambda t: -t[0])
+    out = []
+    for jpt, root in jets:
+        node = root
+        zg = 0.0
+        rg = 0.0
+        while True:
+            _, _, _, _, lf, rt, _ = nodes[node]
+            if lf < 0:
+                zg = 0.0
+                rg = 0.0
+                break
+            lpx, lpy, lpz, le = nodes[lf][:4]
+            rpx, rpy, rpz, re_ = nodes[rt][:4]
+            ptl = float(np.sqrt(lpx * lpx + lpy * lpy))
+            ptr = float(np.sqrt(rpx * rpx + rpy * rpy))
+            yl = float(0.5 * np.log((le + lpz) / (le - lpz)))
+            yr = float(0.5 * np.log((re_ + rpz) / (re_ - rpz)))
+            phl = float(np.arctan2(lpy, lpx))
+            phr = float(np.arctan2(rpy, rpx))
+            dph = abs(phl - phr)
+            if dph > float(np.pi):
+                dph = 2.0 * float(np.pi) - dph
+            dyy = yl - yr
+            rg_c = float(np.sqrt(dyy * dyy + dph * dph))
+            z = min(ptl, ptr) / (ptl + ptr)
+            if z >= zcut * (rg_c / R) ** beta:
+                zg = z
+                rg = rg_c
+                break
+            node = lf if ptl >= ptr else rt
+        gpx, gpy, gpz, ge, _, _, gnc = nodes[node]
+        gpt = float(np.sqrt(gpx * gpx + gpy * gpy))
+        gm2 = ge * ge - gpx * gpx - gpy * gpy - gpz * gpz
+        gm = float(np.sqrt(max(gm2, 0.0)))
+        out.append((jpt, gpt, gm, zg, rg, gnc))
+    return out
+
+
+def softdrop_jets(
+    events: DataFrame,
+    event_col: str = "event_id",
+    particles_per_event: int = 200,
+    R: float = 0.8,
+    zcut: float = 0.1,
+    beta: float = 0.0,
+    ptmin: float = 30.0,
+) -> DataFrame:
+    """Soft-drop-groomed fat jets over hash-synthesized collision events
+    — same applyInPandas fan-out as :func:`genkt_jets`; per-event
+    sequential kernel, events embarrassingly parallel."""
+    src = events.select(
+        (F.col(event_col) / F.lit(particles_per_event))
+        .cast("long")
+        .alias("jev"),
+        *[
+            F.xxhash64(F.col(event_col), F.lit(j)).alias(f"h{j}")
+            for j in (1, 2, 3)
+        ],
+    )
+
+    def groom(pdf: pd.DataFrame) -> pd.DataFrame:
+        px, py, pz, e = synth_particles(
+            pdf["h1"].to_numpy().astype("uint64"),
+            pdf["h2"].to_numpy().astype("uint64"),
+            pdf["h3"].to_numpy().astype("uint64"),
+        )
+        rows = softdrop_cluster(
+            px, py, pz, e, R=R, zcut=zcut, beta=beta, ptmin=ptmin
+        )
+        jev = int(pdf["jev"].iloc[0])
+        return pd.DataFrame(
+            [
+                (jev, r + 1, jpt, gpt, gm, zg, rg, ncg)
+                for r, (jpt, gpt, gm, zg, rg, ncg) in enumerate(rows)
+            ],
+            columns=[
+                "jet_event",
+                "jet_rank",
+                "pt_raw",
+                "pt_groomed",
+                "m_groomed",
+                "z_g",
+                "r_g",
+                "n_con_groomed",
+            ],
+        )
+
+    out = src.groupBy("jev").applyInPandas(
+        groom,
+        "jet_event long, jet_rank int, pt_raw double, pt_groomed double, "
+        "m_groomed double, z_g double, r_g double, n_con_groomed long",
+    )
+    return out.select(
+        "jet_event",
+        "jet_rank",
+        F.round("pt_raw", 6).alias("pt_raw"),
+        F.round("pt_groomed", 6).alias("pt_groomed"),
+        F.round("m_groomed", 6).alias("m_groomed"),
+        F.round("z_g", 6).alias("z_g"),
+        F.round("r_g", 6).alias("r_g"),
+        "n_con_groomed",
     )

@@ -356,3 +356,22 @@ def physics_dijet_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("y1") - F.col("y2")), 6).alias("delta_y"),
         F.round(F.col("pt2") / F.col("pt1"), 6).alias("pt_ratio"),
     )
+
+
+@register(
+    "physics_softdrop_jets",
+    expected_fixture_sql("physics_softdrop_jets"),
+    doc="Soft-drop-groomed fat jets (Larkoski et al. 2014, zcut=0.1 "
+    "beta=0 — the mMDT point; R=0.8, pt >= 30): Cambridge/Aachen "
+    "clustering with the merge TREE recorded, then the grooming walk "
+    "that strips soft wide-angle branches until a split passes "
+    "z >= zcut (dR/R)^beta, reporting groomed pt/mass and the z_g/r_g "
+    "substructure observables.  Same per-event applyInPandas fan-out "
+    "as physics_antikt_jets; the plain-NumPy mirror replays every "
+    "merge AND every grooming decision bit-exact.",
+)
+def physics_softdrop_jets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.jets import softdrop_jets
+
+    ev = load(spark, sf_dir, "events")
+    return softdrop_jets(ev, "event_id", particles_per_event=200)

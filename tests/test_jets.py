@@ -249,3 +249,50 @@ def test_dijet_mass_matches_direct_four_vector_sum(spark):
         assert 0.0 < out[ev]["pt_ratio"] <= 1.0
         checked += 1
     assert checked >= 5
+
+
+def test_softdrop_grooming_invariants(rng):
+    from heparchy_spark.operators.jets import softdrop_cluster, synth_particles
+
+    hs = [rng.integers(0, 2**63, 400).astype("uint64") for _ in range(3)]
+    px, py, pz, e = synth_particles(*hs)
+    rows = softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0)
+    assert rows
+    last_pt = float("inf")
+    for jpt, gpt, gm, zg, rg, ncg in rows:
+        assert jpt <= last_pt  # raw-pt ordered
+        last_pt = jpt
+        assert 0.0 < gpt <= jpt + 1e-9  # grooming only removes momentum
+        assert ncg >= 1 and gm >= 0.0
+        if zg == 0.0:
+            assert rg == 0.0 and ncg == 1  # groomed to a single prong
+        else:
+            assert 0.1 <= zg <= 0.5 and 0.0 < rg  # passed the mMDT cut
+            assert rg <= 2 * 0.8 + 1e-9
+
+
+def test_softdrop_keeps_hard_two_prong():
+    import numpy as np
+
+    from heparchy_spark.operators.jets import softdrop_cluster
+
+    # two hard prongs dR=0.4 apart + a soft wide-angle particle that C/A
+    # merges LAST (largest angle) and soft drop must strip first
+    def p4(pt, y, phi):
+        px, py = pt * np.cos(phi), pt * np.sin(phi)
+        pz = pt * np.sinh(y)
+        return px, py, pz, np.sqrt(px * px + py * py + pz * pz)
+
+    hard1 = p4(100.0, 0.0, 0.0)
+    hard2 = p4(80.0, 0.0, 0.4)
+    # wider than the prong separation from BOTH prongs (0.9 and 0.5 vs
+    # 0.4), so C/A merges the prongs first and the soft one last
+    soft = p4(1.0, 0.0, 0.9)
+    px, py, pz, e = (np.array(v) for v in zip(hard1, hard2, soft))
+    rows = softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0)
+    assert len(rows) == 1
+    jpt, gpt, gm, zg, rg, ncg = rows[0]
+    assert ncg == 2  # the soft particle was dropped, both prongs kept
+    assert abs(zg - 80.0 / 180.0) < 1e-6  # z_g = softer/(sum)
+    assert abs(rg - 0.4) < 1e-6
+    assert gpt < jpt  # lost the soft particle's pt

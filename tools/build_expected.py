@@ -620,6 +620,9 @@ def main() -> None:
     # physics_antikt_jets: anti-kT merge-trajectory mirror
     write_jets_fixture(sf_dir, write)
 
+    # physics_softdrop_jets: C/A tree + soft-drop grooming mirror
+    write_softdrop_fixture(sf_dir, write)
+
     # dedup_cdc_shared_chunks: content-defined chunking shared spans
     cdc_rows = cdc_shared_chunks(docs)
     write(
@@ -1269,6 +1272,141 @@ def _jets_cluster(px, py, pz, e, R=0.4, ptmin=5.0, p=-1.0):
         px, py, pz, e, nc = px[keep], py[keep], pz[keep], e[keep], nc[keep]
     jets.sort(key=lambda t: -t[1])
     return jets
+
+
+def _jets_softdrop(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0):
+    """Mirror of operators/jets.py softdrop_cluster — identical
+    expressions, identical trajectory (C/A tree + grooming walk)."""
+    px, py, pz, e = (np.array(a, dtype="float64") for a in (px, py, pz, e))
+    n0 = len(px)
+    nodes = [
+        (float(px[i]), float(py[i]), float(pz[i]), float(e[i]), -1, -1, 1)
+        for i in range(n0)
+    ]
+    nid = list(range(n0))
+    nc = np.ones(n0, dtype="int64")
+    jets = []
+    while len(px):
+        pt2 = px * px + py * py
+        inv = np.ones_like(pt2)
+        y = 0.5 * np.log((e + pz) / (e - pz))
+        phi = np.arctan2(py, px)
+        n = len(px)
+        best_ij = None
+        if n > 1:
+            dy = y[:, None] - y[None, :]
+            dphi = np.abs(phi[:, None] - phi[None, :])
+            dphi = np.where(dphi > np.pi, 2.0 * np.pi - dphi, dphi)
+            dr2 = dy * dy + dphi * dphi
+            dij = np.minimum(inv[:, None], inv[None, :]) * dr2 / (R * R)
+            iu = np.triu_indices(n, k=1)
+            flat = dij[iu]
+            k = int(np.argmin(flat))
+            kb = int(np.argmin(inv))
+            if not inv[kb] <= flat[k]:
+                best_ij = (int(iu[0][k]), int(iu[1][k]))
+        if best_ij is None:
+            b = int(np.argmin(inv)) if n > 1 else 0
+            jpt = float(np.sqrt(pt2[b]))
+            if jpt >= ptmin:
+                jets.append((jpt, nid[b]))
+            keep = np.arange(n) != b
+        else:
+            i, j = best_ij
+            px[i] += px[j]; py[i] += py[j]; pz[i] += pz[j]; e[i] += e[j]
+            nc[i] += nc[j]
+            nodes.append(
+                (float(px[i]), float(py[i]), float(pz[i]), float(e[i]),
+                 nid[i], nid[j], int(nc[i]))
+            )
+            nid[i] = len(nodes) - 1
+            keep = np.arange(n) != j
+        px, py, pz, e, nc = px[keep], py[keep], pz[keep], e[keep], nc[keep]
+        nid = [v for v, kp in zip(nid, keep) if kp]
+    jets.sort(key=lambda t: -t[0])
+    out = []
+    for jpt, root in jets:
+        node = root
+        zg = 0.0
+        rg = 0.0
+        while True:
+            _, _, _, _, lf, rt, _ = nodes[node]
+            if lf < 0:
+                zg = 0.0; rg = 0.0
+                break
+            lpx, lpy, lpz, le = nodes[lf][:4]
+            rpx, rpy, rpz, re_ = nodes[rt][:4]
+            ptl = float(np.sqrt(lpx * lpx + lpy * lpy))
+            ptr = float(np.sqrt(rpx * rpx + rpy * rpy))
+            yl = float(0.5 * np.log((le + lpz) / (le - lpz)))
+            yr = float(0.5 * np.log((re_ + rpz) / (re_ - rpz)))
+            phl = float(np.arctan2(lpy, lpx))
+            phr = float(np.arctan2(rpy, rpx))
+            dph = abs(phl - phr)
+            if dph > float(np.pi):
+                dph = 2.0 * float(np.pi) - dph
+            dyy = yl - yr
+            rg_c = float(np.sqrt(dyy * dyy + dph * dph))
+            z = min(ptl, ptr) / (ptl + ptr)
+            if z >= zcut * (rg_c / R) ** beta:
+                zg = z; rg = rg_c
+                break
+            node = lf if ptl >= ptr else rt
+        gpx, gpy, gpz, ge, _, _, gnc = nodes[node]
+        gpt = float(np.sqrt(gpx * gpx + gpy * gpy))
+        gm2 = ge * ge - gpx * gpx - gpy * gpy - gpz * gpz
+        gm = float(np.sqrt(max(gm2, 0.0)))
+        out.append((jpt, gpt, gm, zg, rg, gnc))
+    return out
+
+
+def write_softdrop_fixture(sf_dir: str, write) -> None:
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ids = sorted(ev["event_id"].to_pylist())
+    by_event: dict[int, list[int]] = {}
+    for eid in ids:
+        by_event.setdefault(eid // 200, []).append(eid)
+    rows = []
+    for jev in sorted(by_event):
+        eids = by_event[jev]
+        hs = [
+            np.array(
+                [xxhash64(eid, ("int", j)) & ((1 << 64) - 1) for eid in eids],
+                dtype="uint64",
+            )
+            for j in (1, 2, 3)
+        ]
+        px, py, pz, e = _jets_synth(*hs)
+        for r, (jpt, gpt, gm, zg, rg, ncg) in enumerate(
+            _jets_softdrop(px, py, pz, e)
+        ):
+            rows.append(
+                (
+                    jev,
+                    r + 1,
+                    spark_round(jpt, 6),
+                    spark_round(gpt, 6),
+                    spark_round(gm, 6),
+                    spark_round(zg, 6),
+                    spark_round(rg, 6),
+                    ncg,
+                )
+            )
+    write(
+        "physics_softdrop_jets",
+        pa.table(
+            {
+                "jet_event": pa.array([r[0] for r in rows], pa.int64()),
+                "jet_rank": pa.array([r[1] for r in rows], pa.int32()),
+                "pt_raw": pa.array([r[2] for r in rows], pa.float64()),
+                "pt_groomed": pa.array([r[3] for r in rows], pa.float64()),
+                "m_groomed": pa.array([r[4] for r in rows], pa.float64()),
+                "z_g": pa.array([r[5] for r in rows], pa.float64()),
+                "r_g": pa.array([r[6] for r in rows], pa.float64()),
+                "n_con_groomed": pa.array([r[7] for r in rows], pa.int64()),
+            }
+        ),
+    )
 
 
 def write_jets_fixture(sf_dir: str, write) -> None:
