@@ -19,7 +19,12 @@ Modules:
 - ``sketch``     — Count-Min, HyperLogLog ledgers and set algebra
 - ``graph``      — PageRank, connected components, triangles, k-core
 - ``clustering`` — full-corpus distributed Lloyd k-means
-- ``jets``       — anti-kT sequential-recombination jet finding
+- ``jets``       — anti-kT/C-A jet finding + soft-drop grooming
+- ``hierarchy``  — event-generation DAG reachability (decay masks)
+- ``sweep``      — distributed prefix sum (parallel scan)
+- ``skyline``    — 2D Pareto frontier via distributed prefix max
+- ``density``    — grid-partitioned DBSCAN building blocks
+- ``drift``      — KS / PSI / log-odds distribution drift
 - ``upsert``     — lakehouse MERGE, SCD2 history, incremental SCD2
 - ``funnel``     — multi-stage conversion funnels (strict / time-bounded)
 - ``fuzzy``      — blocked edit-distance record linkage
@@ -32,15 +37,20 @@ from heparchy_spark.operators import (  # noqa: F401
     clustering,
     dataset,
     dedup,
+    density,
+    drift,
     funnel,
     fuzzy,
     graph,
+    hierarchy,
     jets,
     layout,
     multimodal,
     psl,
     similarity,
     sketch,
+    skyline,
+    sweep,
     text,
     timeseries,
     topk,
@@ -55,15 +65,20 @@ __all__ = [
     "clustering",
     "dataset",
     "dedup",
+    "density",
+    "drift",
     "funnel",
     "fuzzy",
     "graph",
+    "hierarchy",
     "jets",
     "layout",
     "multimodal",
     "psl",
     "similarity",
     "sketch",
+    "skyline",
+    "sweep",
     "text",
     "timeseries",
     "topk",
