@@ -60,9 +60,12 @@ def pagerank(
     references, which the loop does each round — at most two snapshots
     are strongly referenced at any time.
     """
+    # Materialize the edge list once: each per-round eager checkpoint
+    # below runs as its own job, and without this the at-rest source
+    # scan re-runs inside every one of them.
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -76,7 +79,13 @@ def pagerank(
         return nodes.select(
             "node", F.lit(0.0).alias("rank")
         )
-    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # Out-degrees are loop-invariant; materialize once instead of
+    # re-aggregating inside every per-round checkpoint job.
+    deg = (
+        e.groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
     base = (SCALE * (100 - damping_pct)) // 100 // n  # teleport ticks
     ranks = nodes.select(
         "node", F.lit(SCALE // n).cast("long").alias("__r")
@@ -359,9 +368,11 @@ def hits(
     ``pagerank``.  Overflow bound: max fan-in * 2*SCALE < 2^63 -> fan-in
     < ~4.6e6; beyond that drop SCALE a decade.
     """
+    # Materialize the edge list once: the 2*iters eager checkpoint jobs
+    # below would each re-run the at-rest source scan without this.
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -377,11 +388,14 @@ def hits(
     h = nodes.select("node", F.lit(SCALE).cast("long").alias("__h"))
     a = nodes.select("node", F.lit(0).cast("long").alias("__a"))
     for _ in range(iters):
+        # Checkpoint the raw sums: they feed BOTH the broadcast quotient
+        # and the normalization join — one shuffle instead of two.
         araw = (
             e.join(h, e["__src"] == h["node"])
             .groupBy("__dst")
             .agg(F.sum("__h").alias("__s"))
             .select(F.col("__dst").alias("node"), "__s")
+            .localCheckpoint(eager=True)
         )
         aq = araw.agg(
             F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
@@ -400,6 +414,7 @@ def hits(
             .groupBy("__src")
             .agg(F.sum("__a").alias("__s"))
             .select(F.col("__src").alias("node"), "__s")
+            .localCheckpoint(eager=True)
         )
         hq = hraw.agg(
             F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
