@@ -40,17 +40,34 @@ def prefix_sum(
     val_cols: list[str],
     n_buckets: int = 64,
     suffix: str = "_cum",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``<val>_cum`` running-total columns over ``order_col`` order.
 
     ``order_col`` must be numeric with UNIQUE values (aggregate
     duplicate keys first — the running total at a key is otherwise
     ill-defined).  Inclusive semantics: the row's own value is counted.
+
+    With ``partition_cols`` the scan runs independently per group — the
+    grouped form of the same two-level decomposition: per-group value
+    bounds (one combinable aggregate, broadcast back on the group key),
+    in-bucket windows partitioned by (group, bucket), and a per-group
+    offset window over ``n_buckets`` rows.  No step is serial in more
+    than ``n_buckets`` rows per group, so a skewed group costs its
+    share of bucket windows, never a single-task global sort.
     """
     o = F.col(order_col)
+    parts = list(partition_cols or [])
 
-    bounds = df.agg(F.min(o).alias("__lo"), F.max(o).alias("__hi"))
-    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+    if parts:
+        bounds = df.groupBy(*parts).agg(
+            F.min(o).alias("__lo"), F.max(o).alias("__hi")
+        )
+        pre = df.join(F.broadcast(bounds), parts)
+    else:
+        bounds = df.agg(F.min(o).alias("__lo"), F.max(o).alias("__hi"))
+        pre = df.crossJoin(F.broadcast(bounds))
+    bucketed = pre.withColumn(
         "__b",
         F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
             F.least(
@@ -64,24 +81,30 @@ def prefix_sum(
     )
 
     w_in = (
-        Window.partitionBy("__b")
+        Window.partitionBy(*parts, "__b")
         .orderBy(o)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for v in val_cols:
         bucketed = bucketed.withColumn(f"__in_{v}", F.sum(v).over(w_in))
 
-    # tiny table: one row per bucket; the only serial window in the plan
-    btot = bucketed.groupBy("__b").agg(
+    # tiny table: one row per (group, bucket); the only serial window in
+    # the plan, bounded by n_buckets rows per group
+    btot = bucketed.groupBy(*parts, "__b").agg(
         *[F.sum(v).alias(f"__t_{v}") for v in val_cols]
     )
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_b = (
+        (Window.partitionBy(*parts) if parts else Window.partitionBy())
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     boff = btot.select(
+        *parts,
         "__b",
         *[F.sum(f"__t_{v}").over(w_b).alias(f"__off_{v}") for v in val_cols],
     )
 
-    out = bucketed.join(F.broadcast(boff), "__b")
+    out = bucketed.join(F.broadcast(boff), [*parts, "__b"])
     for v in val_cols:
         out = out.withColumn(
             v + suffix,

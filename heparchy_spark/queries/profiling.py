@@ -1064,3 +1064,89 @@ def audit_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@register(
+    "profile_gini_order_value",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sv
+      FROM orders
+    ),
+    r AS (
+      SELECT priority, sv,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY sv) AS i
+      FROM s
+    ),
+    a AS (
+      SELECT priority,
+             SUM(CAST(i AS DECIMAL(38,0)) * sv) AS s_rank,
+             SUM(CAST(sv AS DECIMAL(38,0))) AS t,
+             COUNT(*) AS n
+      FROM r GROUP BY priority
+    )
+    SELECT priority,
+           ROUND(CAST(2 * s_rank - (n + 1) * t AS DOUBLE)
+                 / CAST(n * t AS DOUBLE), 9) AS gini,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(t AS DOUBLE) / 100.0, 2) AS total_value
+    FROM a ORDER BY priority
+    """,
+    doc="Per-priority Gini coefficient of order-value concentration "
+    "(2*sum(rank*x)/(n*sum(x)) - (n+1)/n on cents-scaled values): the "
+    "inequality readout a corpus-curation or revenue-concentration "
+    "monitor tracks.  The textbook form needs a GLOBAL rank (oracle: "
+    "ROW_NUMBER over a per-group sort — one task per group at scale); "
+    "the Spark side instead folds duplicate values first and derives "
+    "each value's rank-sum from the GROUPED two-level prefix scan "
+    "(operators/sweep.py prefix_sum with partition_cols): equal values "
+    "contribute c*N_before + c(c+1)/2 regardless of their internal "
+    "order, so the decomposition is exact.  All rank algebra "
+    "accumulates in decimal(38,0) — exact integers on both engines — "
+    "with ONE final cast to double; no step is serial in more than "
+    "n_buckets rows per group.",
+)
+def profile_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sweep import prefix_sum
+
+    dec = "decimal(38,0)"
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("sv"),
+    )
+    g = o.groupBy("priority", "sv").agg(F.count(F.lit(1)).alias("c"))
+    cum = prefix_sum(g, "sv", ["c"], partition_cols=["priority"])
+    # rank-sum of a c-sized run of equal values starting after nb rows:
+    # c*nb + c(c+1)/2 (independent of intra-run order, so the grouped
+    # decomposition matches the oracle's ROW_NUMBER exactly)
+    contrib = cum.select(
+        "priority",
+        "sv",
+        "c",
+        (F.col("c_cum") - F.col("c")).alias("nb"),
+    )
+    a = contrib.groupBy("priority").agg(
+        F.sum(
+            F.col("sv").cast(dec)
+            * (
+                F.col("c").cast(dec) * F.col("nb")
+                + F.expr("(c * (c + 1)) div 2")
+            )
+        ).alias("s_rank"),
+        F.sum(F.col("sv").cast(dec) * F.col("c")).alias("t"),
+        F.sum("c").alias("n"),
+    )
+    return a.select(
+        "priority",
+        F.round(
+            (
+                F.lit(2).cast(dec) * F.col("s_rank")
+                - (F.col("n") + 1).cast(dec) * F.col("t")
+            ).cast("double")
+            / (F.col("n").cast(dec) * F.col("t")).cast("double"),
+            9,
+        ).alias("gini"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("t").cast("double") / 100.0, 2).alias("total_value"),
+    ).orderBy("priority")
