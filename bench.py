@@ -151,6 +151,7 @@ HEADLINE = [
     "rank_shrunk_return_rates",
     "audit_data_quality",
     "physics_softdrop_jets",
+    "profile_gini_order_value",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the
