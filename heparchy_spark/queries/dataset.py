@@ -766,3 +766,128 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dataset_target_encoding_loo",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT source, SUM(y) AS sy, COUNT(*) AS n FROM d GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.y AS INT) AS y,
+           CASE WHEN g.n > 1 THEN
+             ROUND(CAST(g.sy - d.y AS DOUBLE) / (g.n - 1), 9)
+           END AS target_enc
+    FROM d JOIN g USING (source)
+    ORDER BY d.doc_id
+    """,
+    doc="Leave-one-out target encoding of the document source category "
+    "against the is-English label: each row's encoding is the mean "
+    "label of the OTHER rows in its category ((sum_y - y_i)/(n - 1)), "
+    "the leakage-safe form of mean-target encoding (plain per-category "
+    "means leak each row's own label into its feature).  One combinable "
+    "per-category aggregate broadcast back onto the corpus — category "
+    "cardinality bounds the broadcast, corpus size never does; "
+    "singleton categories encode NULL rather than a self-leak.",
+)
+def dataset_target_encoding_loo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = d.groupBy("source").agg(
+        F.sum("y").alias("__sy"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        d.join(F.broadcast(g), "source")
+        .select(
+            "doc_id",
+            "source",
+            "y",
+            F.when(
+                F.col("__n") > 1,
+                F.round(
+                    (F.col("__sy") - F.col("y")).cast("double")
+                    / (F.col("__n") - 1),
+                    9,
+                ),
+            ).alias("target_enc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_woe_iv",
+    """
+    WITH d AS (
+      SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    tot AS (
+      SELECT SUM(y) AS pt, COUNT(*) - SUM(y) AS nt FROM d
+    ),
+    g AS (
+      SELECT source, SUM(y) AS p, COUNT(*) - SUM(y) AS n
+      FROM d GROUP BY source
+    ),
+    w AS (
+      SELECT source, p, n,
+             ROUND(ln(((p + 0.5) / pt) / ((n + 0.5) / nt)), 9) AS woe,
+             (p + 0.5) / pt - (n + 0.5) / nt AS ds
+      FROM g, tot
+    )
+    SELECT source, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           woe, ROUND(ds * woe, 9) AS iv_term
+    FROM w ORDER BY source
+    """,
+    doc="Weight-of-evidence encoding and per-category information-value "
+    "terms for source vs the is-English label (the credit-scoring / "
+    "feature-screening standard): woe = ln(smoothed positive share / "
+    "smoothed negative share), iv_term = (share delta) * woe, Haldane "
+    "+0.5 smoothing so empty cells stay finite.  Two combinable count "
+    "aggregates (per-category and global) joined broadcast-side; the "
+    "woe is ROUNDED to the 1e-9 grid before entering the iv product so "
+    "both engines multiply identical doubles.",
+)
+def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    tot = d.agg(
+        F.sum("y").alias("__pt"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("__nt"),
+    )
+    g = d.groupBy("source").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    woe = F.round(
+        F.log(
+            ((F.col("n_pos") + 0.5) / F.col("__pt"))
+            / ((F.col("n_neg") + 0.5) / F.col("__nt"))
+        ),
+        9,
+    )
+    ds = (F.col("n_pos") + 0.5) / F.col("__pt") - (
+        F.col("n_neg") + 0.5
+    ) / F.col("__nt")
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            woe.alias("woe"),
+            F.round(ds * woe, 9).alias("iv_term"),
+        )
+        .orderBy("source")
+    )

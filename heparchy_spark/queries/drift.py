@@ -185,3 +185,89 @@ def drift_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=25,
         min_count=20,
     )
+
+
+@register(
+    "drift_chi2_lang_source",
+    """
+    WITH d AS (
+      SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    obs AS (SELECT source, y, COUNT(*) AS o FROM d GROUP BY source, y),
+    rt AS (SELECT source, COUNT(*) AS r FROM d GROUP BY source),
+    ct AS (SELECT y, COUNT(*) AS c FROM d GROUP BY y),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    grid AS (
+      SELECT rt.source, ct.y, rt.r, ct.c, n.n,
+             COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN obs ON obs.source = rt.source AND obs.y = ct.y
+    ),
+    terms AS (
+      SELECT ROUND(
+               (o - CAST(r AS DOUBLE) * c / n)
+               * (o - CAST(r AS DOUBLE) * c / n)
+               / (CAST(r AS DOUBLE) * c / n), 9) AS t,
+             n
+      FROM grid
+    )
+    SELECT ROUND(CAST(SUM(CAST(t AS DECIMAL(38,10))) AS DOUBLE), 9)
+             AS chi2,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n_docs
+    FROM terms
+    """,
+    doc="Pearson chi-squared independence test of document source vs "
+    "the is-English label: the full contingency grid is the CROSS "
+    "PRODUCT of the two marginal tables (both bounded by category "
+    "cardinality, never corpus size) left-joined to observed counts so "
+    "zero cells still contribute their expected mass.  Expected counts "
+    "come from exact integer marginals; per-cell terms snap to the "
+    "1e-9 grid and accumulate in decimal so the statistic is "
+    "order-independent across engines and partitionings.",
+)
+def drift_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    obs = d.groupBy("source", "y").agg(F.count(F.lit(1)).alias("o"))
+    rt = d.groupBy("source").agg(F.count(F.lit(1)).alias("r"))
+    ct = d.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["source", "y"], "left")
+        .select(
+            "source",
+            "y",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    t = F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 9)
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("__nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("__nc")))
+        .select(
+            ((F.col("__nr") - 1) * (F.col("__nc") - 1))
+            .cast("long")
+            .alias("dof")
+        )
+    )
+    return (
+        grid.select(t.alias("__t"), "n")
+        .agg(
+            F.round(dsum("__t", 9), 9).alias("chi2"),
+            F.max("n").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("chi2", "dof", "n_docs")
+    )

@@ -359,3 +359,74 @@ def events_anomaly_markov_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_sequence_support",
+    """
+    WITH span AS (
+      SELECT user_id, event_type,
+             MIN(CAST(ts AS TIMESTAMP)) AS mn,
+             MAX(CAST(ts AS TIMESTAMP)) AS mx
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    pairs AS (
+      SELECT a.event_type AS first_type, b.event_type AS then_type,
+             COUNT(*) AS n_users
+      FROM span a JOIN span b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.mn < b.mx
+      GROUP BY 1, 2
+    )
+    SELECT first_type, then_type, CAST(n_users AS BIGINT) AS n_users,
+           ROUND(CAST(n_users AS DOUBLE) / nu, 9) AS support
+    FROM pairs CROSS JOIN tot
+    ORDER BY first_type, then_type
+    """,
+    doc="Sequential-pattern support (PrefixSpan length-2 patterns, "
+    "gap-tolerant): for every ordered type pair (a, b), the share of "
+    "users with SOME a-event strictly before SOME b-event — exists "
+    "a < b iff min_ts(a) < max_ts(b), so the corpus-scale scan "
+    "collapses to one per-(user, type) min/max aggregate and a "
+    "user-keyed self-join bounded by |types|^2 rows per user.  The "
+    "non-adjacent semantics distinguish it from events_top_trigrams "
+    "(consecutive n-grams) and events_funnel_conversion (one fixed "
+    "stage chain).",
+)
+def events_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("__nu"))
+    a = span.select(
+        "user_id", F.col("event_type").alias("first_type"),
+        F.col("mn").alias("__amn"),
+    )
+    b = span.select(
+        "user_id", F.col("event_type").alias("then_type"),
+        F.col("mx").alias("__bmx"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where(
+            (F.col("first_type") != F.col("then_type"))
+            & (F.col("__amn") < F.col("__bmx"))
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "first_type",
+            "then_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("n_users").cast("double") / F.col("__nu"), 9
+            ).alias("support"),
+        )
+        .orderBy("first_type", "then_type")
+    )
