@@ -271,3 +271,191 @@ def drift_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("chi2", "dof", "n_docs")
     )
+
+
+@register(
+    "drift_anova_value_by_type",
+    """
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,10)))
+                        AS DOUBLE), 6) AS s,
+             ROUND(CAST(SUM(CAST(ROUND(value * value, 6)
+                                 AS DECIMAL(38,10))) AS DOUBLE), 6) AS q
+      FROM events GROUP BY event_type
+    ),
+    terms AS (
+      SELECT n, s, q,
+             ROUND(s * s / n, 9) AS s2n,
+             ROUND(q - s * s / n, 9) AS ssw_g
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             COUNT(*) AS k,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(38,10))) AS DOUBLE), 6)
+               AS st,
+             ROUND(CAST(SUM(CAST(s2n AS DECIMAL(38,10))) AS DOUBLE), 9)
+               AS sum_s2n,
+             ROUND(CAST(SUM(CAST(ssw_g AS DECIMAL(38,10))) AS DOUBLE), 9)
+               AS ssw
+      FROM terms
+    )
+    SELECT ROUND((sum_s2n - st * st / nn) / (k - 1)
+                 / (ssw / (nn - k)), 9) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nn - k AS BIGINT) AS df_within,
+           nn AS n_events
+    FROM agg
+    """,
+    doc="One-way ANOVA F statistic of events.value across event types: "
+    "between-group vs within-group variance from per-group (n, sum, "
+    "sum-of-squares) — ONE combinable scan, never a second centered "
+    "pass.  Addends snap to the round-6 grid and accumulate in decimal "
+    "(the profile_group_trend moment convention); the k group-level "
+    "terms round to 1e-9 and decimal-sum again so the statistic is "
+    "order-independent across engines and partitionings at any group "
+    "count.",
+)
+def drift_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.round(F.col("value"), 6), 6).alias("s"),
+        dsum(F.round(F.col("value") * F.col("value"), 6), 6).alias("q"),
+    )
+    terms = g.select(
+        "n",
+        "s",
+        "q",
+        F.round(F.col("s") * F.col("s") / F.col("n"), 9).alias("s2n"),
+        F.round(
+            F.col("q") - F.col("s") * F.col("s") / F.col("n"), 9
+        ).alias("ssw_g"),
+    )
+    agg = terms.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        dsum("s", 6).alias("st"),
+        dsum("s2n", 9).alias("sum_s2n"),
+        dsum("ssw_g", 9).alias("ssw"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("sum_s2n") - F.col("st") * F.col("st") / F.col("nn"))
+            / (F.col("k") - 1)
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            9,
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
+        F.col("nn").alias("n_events"),
+    )
+
+
+@register(
+    "drift_mannwhitney_value",
+    """
+    WITH d AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS sv
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+      SELECT sv, SUM(a) AS ca, COUNT(*) AS c FROM d GROUP BY sv
+    ),
+    p AS (
+      SELECT *, SUM(c) OVER (ORDER BY sv) - c AS nb FROM g
+    ),
+    s AS (
+      SELECT SUM(CAST(ca AS DECIMAL(38,1))
+                 * (CAST(nb AS DECIMAL(38,1))
+                    + CAST(c + 1 AS DECIMAL(38,1)) / 2)) AS ra,
+             SUM(ca) AS na,
+             SUM(c) - SUM(ca) AS nb2,
+             SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS ties
+      FROM p
+    )
+    SELECT ROUND(CAST(ra - CAST(na AS DECIMAL(38,1)) * (na + 1) / 2
+                      AS DOUBLE), 1) AS u_stat,
+           ROUND((CAST(ra - CAST(na AS DECIMAL(38,1)) * (na + 1) / 2
+                       AS DOUBLE)
+                  - CAST(na AS DOUBLE) * nb2 / 2)
+                 / sqrt(CAST(na AS DOUBLE) * nb2 / 12.0
+                        * ((na + nb2 + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((na + nb2) * (na + nb2 - 1.0)))), 6)
+             AS z_score,
+           CAST(na AS BIGINT) AS n_a, CAST(nb2 AS BIGINT) AS n_b
+    FROM s
+    """,
+    doc="Tie-corrected Mann-Whitney U comparing purchase vs click "
+    "values: fold duplicate values first, then each c-sized tie run "
+    "starting after nb rows contributes ca * (nb + (c+1)/2) to the "
+    "rank-sum (average-rank convention) — every term is a multiple of "
+    "0.5, held exactly in DECIMAL(38,1) on both engines.  The oracle "
+    "ranks with the textbook global SUM() OVER; the Spark side runs "
+    "the distributed two-level prefix scan (operators/sweep.py), the "
+    "same decomposition profile_gini_order_value uses, so the "
+    "nonparametric test needs no single-task sort.  The normal "
+    "approximation applies the standard tie correction "
+    "sum(t^3 - t) from exact integer tie counts.",
+)
+def drift_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sweep import prefix_sum
+
+    d1 = "decimal(38,1)"
+    ev = load(spark, sf_dir, "events")
+    d = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        (F.col("event_type") == "purchase").cast("int").alias("a"),
+        F.round(F.col("value") * 1000000.0).cast("long").alias("sv"),
+    )
+    g = d.groupBy("sv").agg(
+        F.sum("a").alias("ca"), F.count(F.lit(1)).alias("c")
+    )
+    p = prefix_sum(g, "sv", ["c"])
+    s = p.select(
+        "ca",
+        "c",
+        (F.col("c_cum") - F.col("c")).alias("nb"),
+    ).agg(
+        F.sum(
+            F.col("ca").cast(d1)
+            * (
+                F.col("nb").cast(d1)
+                + (F.col("c") + 1).cast(d1) / 2
+            )
+        ).alias("ra"),
+        F.sum("ca").alias("na"),
+        (F.sum("c") - F.sum("ca")).alias("nb2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("ties"),
+    )
+    u = (
+        F.col("ra") - F.col("na").cast(d1) * (F.col("na") + 1) / 2
+    ).cast("double")
+    return s.select(
+        F.round(u, 1).alias("u_stat"),
+        F.round(
+            (u - F.col("na").cast("double") * F.col("nb2") / 2)
+            / F.sqrt(
+                F.col("na").cast("double") * F.col("nb2") / 12.0
+                * (
+                    (F.col("na") + F.col("nb2") + 1)
+                    - F.col("ties").cast("double")
+                    / (
+                        (F.col("na") + F.col("nb2"))
+                        * (F.col("na") + F.col("nb2") - 1.0)
+                    )
+                )
+            ),
+            6,
+        ).alias("z_score"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb2").cast("long").alias("n_b"),
+    )
