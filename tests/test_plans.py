@@ -223,6 +223,10 @@ def test_corpus_wide_no_scale_killers(spark):
         "q11_important_parts",
         "q22_global_sales_opportunity",
         "dataset_mix_sources",
+        "quality_woe_iv",
+        "drift_chi2_lang_source",
+        "drift_mannwhitney_value",
+        "events_sequence_support",
     }
     offenders = []
     for name, fn in spark_queries().items():
