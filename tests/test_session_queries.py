@@ -88,3 +88,150 @@ def test_ab_ztest_counts_consistent(spark):
     assert abs(r.rate_a - round(r.conv_a / r.n_a, 6)) < 1e-9
     if r.z_score is not None:
         assert (r.rate_a >= r.rate_b) == (r.z_score >= 0)
+
+
+def test_gini_matches_bruteforce(spark):
+    import duckdb
+
+    from heparchy_spark.queries import spark_queries
+
+    got = {
+        r.priority: r
+        for r in spark_queries()["profile_gini_order_value"](
+            spark, SF
+        ).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_orderpriority, o_totalprice FROM "
+        f"read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    by_p: dict[str, list[int]] = {}
+    for p, v in rows:
+        by_p.setdefault(p, []).append(int(round(v * 100)))
+    assert set(by_p) == set(got)
+    for p, xs in by_p.items():
+        xs.sort()
+        n = len(xs)
+        s_rank = sum((i + 1) * x for i, x in enumerate(xs))
+        t = sum(xs)
+        gini = (2 * s_rank - (n + 1) * t) / (n * t)
+        assert abs(got[p].gini - gini) < 1e-8
+        assert got[p].n_orders == n
+
+
+def test_mannwhitney_matches_bruteforce(spark):
+    import duckdb
+
+    from heparchy_spark.queries import spark_queries
+
+    r = spark_queries()["drift_mannwhitney_value"](spark, SF).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, value FROM "
+        f"read_parquet('{SF}/events.parquet') "
+        "WHERE event_type IN ('purchase', 'click')"
+    ).fetchall()
+    con.close()
+    vals = [(int(round(v * 1000000)), t == "purchase") for t, v in rows]
+    vals.sort()
+    # average ranks with ties, brute force
+    ra = 0.0
+    i = 0
+    ties = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        c = j - i
+        avg = i + (c + 1) / 2  # ranks i+1 .. i+c
+        ra += avg * sum(1 for k in range(i, j) if vals[k][1])
+        ties += c * c * c - c
+        i = j
+    na = sum(1 for _, a in vals if a)
+    nb = len(vals) - na
+    u = ra - na * (na + 1) / 2
+    var = na * nb / 12.0 * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1.0)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.u_stat - u) < 1e-6
+    assert abs(r.z_score - z) < 1e-5
+
+
+def test_target_encoding_loo_no_self_leak(spark):
+    from heparchy_spark.queries import spark_queries
+
+    rows = spark_queries()["dataset_target_encoding_loo"](spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        sy = sum(r.y for r in rs)
+        n = len(rs)
+        for r in rs:
+            if n == 1:
+                assert r.target_enc is None
+            else:
+                assert abs(r.target_enc - (sy - r.y) / (n - 1)) < 1e-8
+
+
+def test_chi2_matches_bruteforce(spark):
+    import duckdb
+
+    from heparchy_spark.queries import spark_queries
+
+    r = spark_queries()["drift_chi2_lang_source"](spark, SF).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT source, lang = 'en' FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    n = len(rows)
+    srcs = sorted({s for s, _ in rows})
+    chi2 = 0.0
+    for s in srcs:
+        for y in (True, False):
+            o = sum(1 for a, b in rows if a == s and b == y)
+            rt = sum(1 for a, _ in rows if a == s)
+            ct = sum(1 for _, b in rows if b == y)
+            e = rt * ct / n
+            chi2 += round((o - e) ** 2 / e, 9)
+    assert r.n_docs == n
+    assert r.dof == (len(srcs) - 1) * 1
+    assert abs(r.chi2 - chi2) < 1e-6
+
+
+def test_sequence_support_matches_bruteforce(spark):
+    import duckdb
+
+    from heparchy_spark.queries import spark_queries
+
+    rows = spark_queries()["events_sequence_support"](spark, SF).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        "SELECT user_id, event_type, ts FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    spans: dict[tuple, list] = {}
+    users = set()
+    for u, t, ts in ev:
+        users.add(u)
+        k = (u, t)
+        if k not in spans:
+            spans[k] = [ts, ts]
+        else:
+            spans[k][0] = min(spans[k][0], ts)
+            spans[k][1] = max(spans[k][1], ts)
+    expect: dict[tuple, int] = {}
+    for (u, a), (amn, _) in spans.items():
+        for (u2, b), (_, bmx) in spans.items():
+            if u2 == u and a != b and amn < bmx:
+                expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {(r.first_type, r.then_type): r for r in rows}
+    assert set(got) == set(expect)
+    for k, n in expect.items():
+        assert got[k].n_users == n
+        assert abs(got[k].support - n / len(users)) < 1e-8
