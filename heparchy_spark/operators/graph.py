@@ -400,6 +400,9 @@ def hits(
         aq = araw.agg(
             F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
         )
+        # Lazy checkpoint: the normalized scores materialize INSIDE the
+        # next half-round's eager raw-sum job (one job instead of two
+        # per half-round); lineage still truncates at first compute.
         a = (
             nodes.join(araw, "node", "left")
             .join(F.broadcast(aq))
@@ -407,7 +410,7 @@ def hits(
                 "node",
                 F.expr("coalesce(__s, 0L) div __q").alias("__a"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hraw = (
             e.join(a, e["__dst"] == a["node"])
@@ -426,7 +429,7 @@ def hits(
                 "node",
                 F.expr("coalesce(__s, 0L) div __q").alias("__h"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     out = (
         nodes.join(h, "node")
