@@ -80,3 +80,46 @@ def test_interval_concurrency_never_single_partition_window(spark):
             continue
     sums = [ln for ln in plan.splitlines() if "Window " in ln]
     assert any("__b" in ln for ln in sums)
+
+
+def test_grouped_prefix_sum_matches_serial(spark, rng):
+    # several groups with different sizes, ranges, and duplicate-free keys
+    rows = []
+    for gi, size in enumerate([1, 3, 40, 200]):
+        keys = (rng.permutation(size * 3)[:size] + gi * 10000).tolist()
+        vals = rng.integers(-5, 10, size).tolist()
+        rows += [(f"g{gi}", int(k), int(v)) for k, v in zip(keys, vals)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {
+        (r.g, r.o): r.v_cum
+        for r in prefix_sum(
+            df, "o", ["v"], n_buckets=7, partition_cols=["g"]
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    by_g: dict[str, list] = {}
+    for g, k, v in rows:
+        by_g.setdefault(g, []).append((k, v))
+    for g, kv in by_g.items():
+        acc = 0
+        for k, v in sorted(kv):
+            acc += v
+            assert got[(g, k)] == acc
+
+
+def test_grouped_prefix_sum_groups_are_independent(spark):
+    # same key values in two groups must not bleed into each other
+    rows = [("a", 1, 10), ("a", 2, 100), ("b", 1, 7), ("b", 2, 70)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    out = {
+        (r.g, r.o): r.v_cum
+        for r in prefix_sum(
+            df, "o", ["v"], partition_cols=["g"]
+        ).collect()
+    }
+    assert out == {
+        ("a", 1): 10,
+        ("a", 2): 110,
+        ("b", 1): 7,
+        ("b", 2): 77,
+    }
