@@ -136,3 +136,66 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def item_cf_topk(
+    baskets: DataFrame, k: int = 5, min_support: int = 2
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: for every item, the
+    top-``k`` co-purchased items by cosine similarity over binary basket
+    incidence (``n_ij / sqrt(n_i * n_j)`` — the classic Amazon-style
+    item-to-item CF score).  Returns ``(item, neighbor, pair_support,
+    cosine_sim, cf_rank)``.
+
+    Pair supports come from the bounded equi-join pass
+    (:func:`copurchase_pairs`); per-item supports join on the item key
+    (catalog-bounded, AQE broadcasts when small).  The ranking window
+    partitions by item — per-item candidate lists are bounded by the
+    pair-support filter, never corpus-sized.  The cosine is ONE IEEE
+    division of exact integers (< 2**53) rounded to 9, and the window
+    orders by the ROUNDED score with the neighbor id as tiebreak, so
+    ranks are engine-independent.
+    """
+    from pyspark.sql import Window
+
+    pairs = copurchase_pairs(baskets, min_support=min_support)
+    directed = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_support",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "pair_support",
+        )
+    )
+    supp = baskets.groupBy("item").agg(F.count("*").alias("__s"))
+    scored = (
+        directed.join(supp, "item")
+        .join(
+            supp.select(
+                F.col("item").alias("neighbor"),
+                F.col("__s").alias("__sn"),
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "pair_support",
+            F.round(
+                F.col("pair_support")
+                / F.sqrt((F.col("__s") * F.col("__sn")).cast("double")),
+                9,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("cf_rank", F.row_number().over(w))
+        .where(F.col("cf_rank") <= k)
+        .select("item", "neighbor", "pair_support", "cosine_sim", "cf_rank")
+    )

@@ -102,3 +102,48 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey", max_basket_items=_MAX_BASKET
     )
     return association_rules(b, min_pair_support=_MIN_SUPPORT)
+
+
+@register(
+    "basket_item_cf_topk",
+    f"""
+    WITH {_BASKETS_CTE},
+    directed AS (
+      SELECT item_a AS item, item_b AS neighbor, pair_support FROM pairs
+      UNION ALL
+      SELECT item_b AS item, item_a AS neighbor, pair_support FROM pairs
+    ),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY item),
+    scored AS (
+      SELECT d.item, d.neighbor, d.pair_support,
+             ROUND(CAST(d.pair_support AS DOUBLE)
+                   / sqrt(CAST(si.s * sn.s AS DOUBLE)), 9) AS cosine_sim
+      FROM directed d
+      JOIN supp si ON si.item = d.item
+      JOIN supp sn ON sn.item = d.neighbor
+    )
+    SELECT item, neighbor, pair_support, cosine_sim,
+           CAST(cf_rank AS INT) AS cf_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY item ORDER BY cosine_sim DESC, neighbor ASC
+             ) AS cf_rank
+      FROM scored
+    ) r WHERE cf_rank <= 5
+    """,
+    doc="Item-to-item collaborative filtering (Linden et al. 2003): "
+    "top-5 co-purchase neighbors per part by binary-incidence cosine "
+    "n_ij/sqrt(n_i*n_j) (operators/basket.py item_cf_topk).  Pair "
+    "supports from the bounded equi-join pass; the ranking window "
+    "partitions by item over support-filtered candidate lists; the "
+    "window orders by the ROUND-9 score with the neighbor id as "
+    "tiebreak so ranks are engine-independent.",
+)
+def basket_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.basket import item_cf_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    b = basket_items(
+        li, "l_orderkey", "l_partkey", max_basket_items=_MAX_BASKET
+    )
+    return item_cf_topk(b, k=5, min_support=_MIN_SUPPORT)
