@@ -328,24 +328,14 @@ def antikt_jets(
     )
 
 
-def softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0):
-    """Cambridge/Aachen clustering with merge-TREE recording, then
-    soft-drop grooming (Larkoski, Marzani, Soyez, Thaler 2014,
-    arXiv:1402.2657; beta=0 is the modified MassDrop tagger) of every
-    jet above ``ptmin``.
-
-    Walk: from the jet root, split the last C/A merge into its two
-    subjets; if ``min(pt1,pt2)/(pt1+pt2) < zcut * (dR12/R)^beta`` the
-    softer branch is dropped (the split was soft wide-angle radiation)
-    and the walk recurses into the harder one; the first split passing
-    the condition defines the groomed jet, its ``z_g`` and ``r_g``.
-    Jets groomed all the way to a single constituent report z_g=r_g=0.
-
-    Returns [(pt_raw, pt_groomed, m_groomed, z_g, r_g, n_con_groomed)]
-    sorted by raw pt descending.  The naive full-matrix C/A loop is
-    elementwise identical to the fixture mirror in
-    tools/build_expected.py (_jets_softdrop), so the trajectory —
-    including every grooming decision — replays bit-exact.
+def softdrop_cluster_naive(
+    px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0
+):
+    """Full-matrix-rebuild reference for :func:`softdrop_cluster` — the
+    naive C/A loop elementwise identical to the fixture mirror in
+    tools/build_expected.py (_jets_softdrop).  Kept as the equality
+    baseline (``test_softdrop_incremental_equals_naive``); the
+    production path is the O(n^2) incremental kernel below.
     """
     px, py, pz, e = (np.array(a, dtype="float64") for a in (px, py, pz, e))
     n0 = len(px)
@@ -404,6 +394,12 @@ def softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0):
         px, py, pz, e, nc = px[keep], py[keep], pz[keep], e[keep], nc[keep]
         nid = [v for v, kp in zip(nid, keep) if kp]
     jets.sort(key=lambda t: -t[0])
+    return _groom_jets(nodes, jets, R, zcut, beta)
+
+
+def _groom_jets(nodes, jets, R, zcut, beta):
+    """Soft-drop walk shared by the naive and incremental tree builders:
+    identical doubles either way, since it only reads recorded nodes."""
     out = []
     for jpt, root in jets:
         node = root
@@ -440,6 +436,127 @@ def softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0):
         gm = float(np.sqrt(max(gm2, 0.0)))
         out.append((jpt, gpt, gm, zg, rg, gnc))
     return out
+
+
+def softdrop_cluster(px, py, pz, e, R=0.8, zcut=0.1, beta=0.0, ptmin=30.0):
+    """Cambridge/Aachen clustering with merge-TREE recording, then
+    soft-drop grooming (Larkoski, Marzani, Soyez, Thaler 2014,
+    arXiv:1402.2657; beta=0 is the modified MassDrop tagger) of every
+    jet above ``ptmin``.
+
+    Walk: from the jet root, split the last C/A merge into its two
+    subjets; if ``min(pt1,pt2)/(pt1+pt2) < zcut * (dR12/R)^beta`` the
+    softer branch is dropped (the split was soft wide-angle radiation)
+    and the walk recurses into the harder one; the first split passing
+    the condition defines the groomed jet, its ``z_g`` and ``r_g``.
+    Jets groomed all the way to a single constituent report z_g=r_g=0.
+
+    Returns [(pt_raw, pt_groomed, m_groomed, z_g, r_g, n_con_groomed)]
+    sorted by raw pt descending.
+
+    Incremental kernel, same contract as :func:`antikt_cluster`: only
+    the merged pseudojet's distance row/column recomputes after a merge
+    (O(n^2) per event vs the naive O(n^3) rebuild), every distance is
+    the SAME elementwise expression the naive form evaluates, and the
+    masked row-major argmin visits survivors in the naive compacted
+    triu order — so the merge TREE, the grooming walk, and the
+    committed fixture are bit-identical to
+    :func:`softdrop_cluster_naive`
+    (``test_softdrop_incremental_equals_naive``).
+    """
+    px = np.asarray(px, dtype="float64").copy()
+    py = np.asarray(py, dtype="float64").copy()
+    pz = np.asarray(pz, dtype="float64").copy()
+    e = np.asarray(e, dtype="float64").copy()
+    n0 = len(px)
+    if n0 == 0:
+        return []
+    nodes: list[tuple] = [
+        (float(px[i]), float(py[i]), float(pz[i]), float(e[i]), -1, -1, 1)
+        for i in range(n0)
+    ]
+    nid = list(range(n0))
+    nc = np.ones(n0, dtype="int64")
+    alive = np.ones(n0, dtype=bool)
+    pt2 = px * px + py * py
+    inv = np.ones_like(pt2)  # C/A: pure angular ordering
+    y = 0.5 * np.log((e + pz) / (e - pz))
+    phi = np.arctan2(py, px)
+    R2 = R * R
+    INF = np.inf
+
+    dy = y[:, None] - y[None, :]
+    dphi = np.abs(phi[:, None] - phi[None, :])
+    dphi = np.where(dphi > np.pi, 2.0 * np.pi - dphi, dphi)
+    dr2 = dy * dy + dphi * dphi
+    D = np.minimum(inv[:, None], inv[None, :]) * dr2 / R2
+    D[np.tril_indices(n0, k=0)] = INF
+
+    inv_m = inv.copy()
+    jets = []
+
+    def _update_row(i: int) -> None:
+        others = np.where(alive)[0]
+        others = others[others != i]
+        if not len(others):
+            return
+        dy_r = y[i] - y[others]
+        dphi_r = np.abs(phi[i] - phi[others])
+        dphi_r = np.where(dphi_r > np.pi, 2.0 * np.pi - dphi_r, dphi_r)
+        dr2_r = dy_r * dy_r + dphi_r * dphi_r
+        d_r = np.minimum(inv[i], inv[others]) * dr2_r / R2
+        lo = others < i
+        D[others[lo], i] = d_r[lo]
+        D[i, others[~lo]] = d_r[~lo]
+
+    remaining = n0
+    while remaining:
+        kb = int(np.argmin(inv_m))
+        if remaining == 1:
+            pair = None
+        else:
+            k = int(np.argmin(D))
+            i, j = divmod(k, n0)
+            pair = None if inv_m[kb] <= D[i, j] else (i, j)
+        if pair is None:
+            b = kb
+            jpt = float(np.sqrt(pt2[b]))
+            if jpt >= ptmin:
+                jets.append((jpt, nid[b]))
+            alive[b] = False
+            inv_m[b] = INF
+            D[b, :] = INF
+            D[:, b] = INF
+        else:
+            i, j = pair
+            px[i] += px[j]
+            py[i] += py[j]
+            pz[i] += pz[j]
+            e[i] += e[j]
+            nc[i] += nc[j]
+            nodes.append(
+                (
+                    float(px[i]),
+                    float(py[i]),
+                    float(pz[i]),
+                    float(e[i]),
+                    nid[i],
+                    nid[j],
+                    int(nc[i]),
+                )
+            )
+            nid[i] = len(nodes) - 1
+            pt2[i] = px[i] * px[i] + py[i] * py[i]
+            y[i] = 0.5 * np.log((e[i] + pz[i]) / (e[i] - pz[i]))
+            phi[i] = float(np.arctan2(py[i], px[i]))
+            alive[j] = False
+            inv_m[j] = INF
+            D[j, :] = INF
+            D[:, j] = INF
+            _update_row(i)
+        remaining -= 1
+    jets.sort(key=lambda t: -t[0])
+    return _groom_jets(nodes, jets, R, zcut, beta)
 
 
 def softdrop_jets(

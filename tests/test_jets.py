@@ -296,3 +296,26 @@ def test_softdrop_keeps_hard_two_prong():
     assert abs(zg - 80.0 / 180.0) < 1e-6  # z_g = softer/(sum)
     assert abs(rg - 0.4) < 1e-6
     assert gpt < jpt  # lost the soft particle's pt
+
+
+def test_softdrop_incremental_equals_naive():
+    """The incremental tree-recording C/A kernel must replay the naive
+    full-rebuild softdrop trajectory bit-exactly — same merges, same
+    tree, same grooming decisions, same doubles — on random events,
+    including ptmin=0 and single-particle events."""
+    from heparchy_spark.operators.jets import (
+        softdrop_cluster,
+        softdrop_cluster_naive,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(6):
+        n = rng.randint(1, 120)
+        px = rng.standard_normal(n) * 10
+        py = rng.standard_normal(n) * 10
+        pz = rng.standard_normal(n) * 20
+        e = np.sqrt(px**2 + py**2 + pz**2) * (1.0 + rng.rand(n) * 0.1)
+        for ptmin in (0.0, 30.0):
+            fast = softdrop_cluster(px, py, pz, e, ptmin=ptmin)
+            slow = softdrop_cluster_naive(px, py, pz, e, ptmin=ptmin)
+            assert fast == slow, f"trial {trial} ptmin={ptmin}: diverged"
