@@ -152,6 +152,13 @@ HEADLINE = [
     "audit_data_quality",
     "physics_softdrop_jets",
     "profile_gini_order_value",
+    "drift_mannwhitney_value",
+    "drift_anova_value_by_type",
+    "drift_chi2_lang_source",
+    "dataset_target_encoding_loo",
+    "quality_woe_iv",
+    "events_sequence_support",
+    "basket_item_cf_topk",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the
