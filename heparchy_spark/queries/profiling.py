@@ -1150,3 +1150,73 @@ def profile_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         F.round(F.col("t").cast("double") / 100.0, 2).alias("total_value"),
     ).orderBy("priority")
+
+
+@register(
+    "profile_mutual_information",
+    """
+    WITH d AS (
+      SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    obs AS (SELECT source, y, COUNT(*) AS o FROM d GROUP BY source, y),
+    rt AS (SELECT source, COUNT(*) AS r FROM d GROUP BY source),
+    ct AS (SELECT y, COUNT(*) AS c FROM d GROUP BY y),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    terms AS (
+      SELECT ROUND(
+               (CAST(o AS DOUBLE) / n)
+               * ROUND(LN(CAST(o AS DOUBLE) * n
+                          / (CAST(r AS DOUBLE) * c)), 9), 9) AS t,
+             n
+      FROM obs JOIN rt USING (source) JOIN ct USING (y) CROSS JOIN n
+    )
+    SELECT ROUND(CAST(SUM(CAST(t AS DECIMAL(38,10))) AS DOUBLE), 9)
+             AS mutual_information,
+           CAST(MAX(n) AS BIGINT) AS n_docs
+    FROM terms
+    """,
+    doc="Mutual information I(source; is-English) in nats — the "
+    "feature-selection companion to drift_chi2_lang_source, from the "
+    "same bounded contingency aggregates: sum over OBSERVED cells of "
+    "(o/n) * ln(o*n / (r*c)) (empty cells contribute exactly 0 and are "
+    "never materialized).  The log argument is a ratio of exact "
+    "integers (< 2**53, so the doubles are exact on both engines); the "
+    "ln snaps to the 1e-9 grid before the probability product, and "
+    "round-9 terms accumulate in decimal — order-independent across "
+    "engines and partitionings.",
+)
+def profile_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.queries.numeric import dsum
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    obs = d.groupBy("source", "y").agg(F.count(F.lit(1)).alias("o"))
+    rt = d.groupBy("source").agg(F.count(F.lit(1)).alias("r"))
+    ct = d.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    t = F.round(
+        (F.col("o").cast("double") / F.col("n"))
+        * F.round(
+            F.log(
+                F.col("o").cast("double")
+                * F.col("n")
+                / (F.col("r").cast("double") * F.col("c"))
+            ),
+            9,
+        ),
+        9,
+    )
+    return (
+        obs.join(rt, "source")
+        .join(F.broadcast(ct), "y")
+        .crossJoin(F.broadcast(n))
+        .select(t.alias("__t"), "n")
+        .agg(
+            F.round(dsum("__t", 9), 9).alias("mutual_information"),
+            F.max("n").cast("long").alias("n_docs"),
+        )
+    )
