@@ -447,3 +447,38 @@ def hits(
     )
     out.count()
     return out
+
+
+def sssp(edges: DataFrame, sources: DataFrame, iters: int = 4) -> DataFrame:
+    """Multi-source weighted shortest paths by min-plus (Bellman-Ford)
+    relaxation: ``edges`` carries (src, dst, w) with LONG weights,
+    ``sources`` a single-column (node) seed set; returns (node, dist)
+    for every node reachable within ``iters`` relaxations (others are
+    absent, like :func:`bfs_hops`).
+
+    Integer min-plus is exact and associative, so the distance table is
+    a pure function of (edges, sources, iters) — relaxation scheduling
+    cannot change it, and a SQL oracle replays the rounds as unrolled
+    CTEs.  Scale shape per round: ONE equi-join frontier-relaxation
+    (all current distances against the edge list on the source key) and
+    one combinable min-aggregate; the edge list materializes once, and
+    per-round lazy checkpoints truncate lineage at first compute (the
+    HITS pattern).  For diameter-bounded graphs ``iters`` caps both
+    work and result staleness the way any Pregel SSSP round limit does.
+    """
+    e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    dist = sources.select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        relax = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -538,3 +538,100 @@ def graph_hits_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") + _OFFSET).alias("dst"),
     )
     return hits(edges, "src", "dst", iters=_HITS_ITERS)
+
+
+_SSSP_SQL = """WITH supply AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT pk AS src, sk + 1000000 AS dst, w FROM supply
+      UNION ALL
+      SELECT sk + 1000000 AS src, pk AS dst, w FROM supply
+    ),
+    d0 AS (
+      SELECT s_suppkey + 1000000 AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey <= 5
+    ),
+    d1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d0.dist + e.w AS dist
+        FROM d0 JOIN e ON e.src = d0.node
+      ) u GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d1.dist + e.w AS dist
+        FROM d1 JOIN e ON e.src = d1.node
+      ) u GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d2.dist + e.w AS dist
+        FROM d2 JOIN e ON e.src = d2.node
+      ) u GROUP BY node
+    ),
+    d4 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL
+        SELECT e.dst AS node, d3.dist + e.w AS dist
+        FROM d3 JOIN e ON e.src = d3.node
+      ) u GROUP BY node
+    )
+    SELECT node, CAST(dist AS BIGINT) AS dist_cents,
+           ROUND(CAST(dist AS DOUBLE) / 100, 2) AS min_cost
+    FROM d4"""
+
+
+@register(
+    "graph_sssp_supply_cost",
+    _SSSP_SQL,
+    doc="Weighted shortest supply-chain cost from the low-id supplier "
+    "seed set over the bipartite part<->supplier graph (edge weight = "
+    "cents of the cheapest observed lineitem price for that pair), "
+    "4 min-plus Bellman-Ford relaxations (operators/graph.py sssp): "
+    "per round ONE edge equi-join + one combinable min-aggregate, "
+    "edge list materialized once, lazy per-round checkpoints — the "
+    "Pregel SSSP shape.  Integer min-plus is exact, so the oracle "
+    "replays the rounds as unrolled CTEs.",
+)
+def graph_sssp_supply_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import sssp
+
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.round(F.min("l_extendedprice") * 100)
+        .cast("long")
+        .alias("w")
+    )
+    edges = supply.select(
+        F.col("pk").alias("src"),
+        (F.col("sk") + _OFFSET).alias("dst"),
+        "w",
+    ).unionAll(
+        supply.select(
+            (F.col("sk") + _OFFSET).alias("src"),
+            F.col("pk").alias("dst"),
+            "w",
+        )
+    )
+    sup = load(spark, sf_dir, "supplier")
+    sources = sup.where(F.col("s_suppkey") <= 5).select(
+        (F.col("s_suppkey") + _OFFSET).alias("node")
+    )
+    out = sssp(edges, sources, iters=4)
+    return out.select(
+        "node",
+        F.col("dist").alias("dist_cents"),
+        F.round(F.col("dist").cast("double") / 100, 2).alias("min_cost"),
+    )
