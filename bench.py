@@ -159,6 +159,8 @@ HEADLINE = [
     "quality_woe_iv",
     "events_sequence_support",
     "basket_item_cf_topk",
+    "profile_mutual_information",
+    "graph_sssp_supply_cost",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

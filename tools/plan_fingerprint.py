@@ -49,7 +49,7 @@ MARKERS = {
 # CacheManager already holds when the query is built, so an operator-count
 # fingerprint is not a pure function of the code.  The corpus-wide
 # scale-killer guard (tests/test_plans.py) still covers them.
-RUNTIME_MATERIALIZED = {"graph_hits_supply"}
+RUNTIME_MATERIALIZED = {"graph_hits_supply", "graph_sssp_supply_cost"}
 
 
 def fingerprint(df) -> dict[str, int]:
