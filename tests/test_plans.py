@@ -227,6 +227,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "drift_chi2_lang_source",
         "drift_mannwhitney_value",
         "events_sequence_support",
+        "profile_mutual_information",
     }
     offenders = []
     for name, fn in spark_queries().items():
