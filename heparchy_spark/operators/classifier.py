@@ -117,54 +117,101 @@ def logreg_train(
     ``labels`` carries (doc_id, y) with y in {0, 1}.  ``lr_pct`` is an
     integer percentage so the step scale is exactly representable.
 
-    Scale shape per iteration: one per-doc aggregate (the dot products),
-    one doc-keyed join attaching residuals to the feature rows, one
-    per-bucket aggregate (<= n_buckets + 1 groups, map-side combinable),
-    and a bounded (n_buckets + 1)-row collect carrying the weights to
-    the next broadcast — the same bounded-driver-state pattern as
-    ``bpe_train``'s argmax and ``pq_train``'s codebooks.  All rounding
-    happens engine-side; the driver only ferries exact doubles.
+    Scale shape: ONE doc-keyed shuffle total (compacting the labeled
+    features to per-doc sorted arrays, cached); each iteration is then a
+    pure per-row map (dot product / sigmoid / residual from broadcast
+    weight literals) feeding one per-bucket aggregate (<= n_buckets + 1
+    groups, map-side combinable) and a bounded (n_buckets + 1)-row
+    collect carrying the weights to the next step — the same
+    bounded-driver-state pattern as ``bpe_train``'s argmax and
+    ``pq_train``'s codebooks.  All rounding happens engine-side; the
+    driver only ferries exact doubles.
     """
+    from heparchy_spark.queries.numeric import dsum
+
     spark = feats.sparkSession
     n = labels.count()
     lr = lr_pct / 100.0
-    weights = [0.0] * (n_buckets + 1)
-    for _ in range(iters):
-        w_df = spark.createDataFrame(
-            [(b, w) for b, w in enumerate(weights)], "bucket long, w double"
-        )
-        z = _z_scores(feats, w_df)
-        resid = z.join(labels, "doc_id").select(
-            "doc_id",
-            (
-                F.col("y").cast("double")
-                - F.round(
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 8
-                )
-            ).alias("r"),
-        )
-        from heparchy_spark.queries.numeric import dsum
-
-        grad = (
-            feats.join(resid, "doc_id")
-            .groupBy("bucket")
-            .agg(dsum(F.round(F.col("r") * F.col("x"), 8), 8).alias("g"))
-        )
-        updated = (
-            w_df.join(grad, "bucket", "left")
-            .select(
-                "bucket",
-                F.round(
-                    F.col("w")
-                    + F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)) / n,
-                    8,
-                ).alias("w"),
+    # Compact the labeled training table ONCE: per-doc sorted (bucket, x)
+    # arrays with the label on the same row.  Every iteration then reads
+    # this cached frame with a pure per-row map (z, sigmoid, residual all
+    # from the broadcast weight literals) — no doc-keyed shuffle or join
+    # per step; the only reduction left is the <= n_buckets+1-group
+    # gradient aggregate, so an iteration is ONE action over ONE small
+    # shuffle.  (The previous form re-shuffled the feature rows by doc_id
+    # three times per iteration: groupBy for z, the label join, and the
+    # residual join — measured 2.4 s/step at sf0.1 vs ~0.2 s for this.)
+    compact = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bucket", "x"))).alias(
+                "fx"
             )
-            .collect()
         )
+        .join(labels, "doc_id")
+        .select("fx", F.col("y").cast("double").alias("y"))
+        .persist()
+    )
+    try:
         weights = [0.0] * (n_buckets + 1)
-        for row in updated:
-            weights[row["bucket"]] = row["w"]
+        for _ in range(iters):
+            # z via a sequential in-array fold: the addends round(x*w, 8)
+            # sit exactly on the 1e-8 grid with |partial sum| << 2^53/1e8,
+            # so every double add is EXACT and the fold equals the decimal
+            # dsum of _z_scores bit-for-bit (order-independent because
+            # exact) — the oracle's unrolled dsum CTEs replay unchanged.
+            w_arr = F.array(*[F.lit(w) for w in weights])
+            z = F.aggregate(
+                F.col("fx"),
+                F.lit(0.0),
+                lambda acc, f: acc
+                + F.round(
+                    f["x"]
+                    * F.element_at(w_arr, f["bucket"].cast("int") + 1),
+                    8,
+                ),
+            )
+            r = F.col("y") - F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 8))), 8
+            )
+            # r is hoisted into its own projection: inlined beside the
+            # generator it would re-evaluate the whole z fold once per
+            # EXPLODED row (~|fx| times per doc) instead of once per doc
+            # — measured 2.6x slower.
+            grad = (
+                compact.select(r.alias("r"), "fx")
+                .select("r", F.explode("fx").alias("f"))
+                .groupBy(F.col("f.bucket").alias("bucket"))
+                .agg(
+                    dsum(
+                        F.round(F.col("r") * F.col("f.x"), 8), 8
+                    ).alias("g")
+                )
+            )
+            # Weight update stays ENGINE-side (Spark rounds half-away-from
+            # -zero via the shortest-repr BigDecimal; Python's round does
+            # not): a 65-row broadcast join riding the same single action.
+            w_df = spark.createDataFrame(
+                [(b, w) for b, w in enumerate(weights)],
+                "bucket long, w double",
+            )
+            updated = (
+                w_df.join(grad, "bucket", "left")
+                .select(
+                    "bucket",
+                    F.round(
+                        F.col("w")
+                        + F.lit(lr) * F.coalesce(F.col("g"), F.lit(0.0)) / n,
+                        8,
+                    ).alias("w"),
+                )
+                .collect()
+            )
+            weights = [0.0] * (n_buckets + 1)
+            for row in updated:
+                weights[row["bucket"]] = row["w"]
+    finally:
+        compact.unpersist()
     return weights
 
 
