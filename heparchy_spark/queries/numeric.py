@@ -57,3 +57,74 @@ def sql_davg(expr: str) -> str:
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
         f" / COUNT({expr}), {AVG_GRID})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact scaled-LONG sums — the fast path beside dsum's decimal accumulation
+# ---------------------------------------------------------------------------
+#
+# Decimal(38,10) aggregation is exact but walks Spark's BigDecimal-backed
+# buffer (~12x slower than a long sum, measured on a 600k-row 13-agg scan).
+# When the addends snap to a fixed 10^-scale grid, summing the SCALED
+# INTEGERS is just as exact and stays inside whole-stage codegen.  A single
+# long sum overflows silently once |sum of a| >= 2^63, so the addend is
+# split at 2^31 (two's-complement identity a = (a >> 31)*2^31 + (a & mask),
+# valid for negative a too) and the two per-partition-combinable long sums
+# are recombined in decimal on the FINAL aggregate row only.
+#
+# Exactness envelope: per group, n * 2^31 < 2^63 (the lo-sum bound) and
+# n * max|a >> 31| < 2^63 — i.e. n < 4.3e9 rows per group with addends up
+# to |a| ~ 2^62.  Beyond that envelope (e.g. a 100 TB global sum), use
+# dsum / a deeper split; the two forms produce the SAME exact integer, so
+# swapping them never changes a value hash.
+#
+# DuckDB mirror: SUM(BIGINT) accumulates in HUGEINT (exact, no split
+# needed) — ``sql_xsum`` is just CAST(SUM(a) AS DOUBLE)/10^scale.  Both
+# engines convert the identical exact integer to double (IEEE nearest) and
+# divide by the same power of ten (one correctly-rounded op), so the
+# moment doubles are bit-identical.
+
+_SPLIT_POW = 31
+_SPLIT = 1 << _SPLIT_POW
+_SPLIT_MASK = _SPLIT - 1
+
+
+def scaled_long(expr: Column | str, scale: int) -> Column:
+    """Snap a double expression to the 10^-scale grid as a LONG, via
+    ``floor(v * 10^scale + 0.5)`` — the half-toward-+inf tie rule.
+
+    floor, not ``round``: Spark's round on doubles allocates a BigDecimal
+    per value (measured ~3.5x slower on a 12-snap scan), while floor is
+    one Math.floor.  Both engines evaluate the IDENTICAL double ops
+    (multiply, add, floor), so the snapped integers agree bit-for-bit by
+    construction — no shortest-repr-vs-binary rounding analysis needed.
+    """
+    return F.floor(
+        _col(expr) * F.lit(float(10**scale)) + F.lit(0.5)
+    ).cast("long")
+
+
+def sql_scaled_long(expr: str, scale: int) -> str:
+    return (
+        f"CAST(FLOOR(({expr}) * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+    )
+
+
+def xsum(scaled: Column, scale: int) -> Column:
+    """Exact order-independent sum of ``scaled_long`` addends, as the
+    double of (exact integer sum) / 10^scale.  See the envelope note
+    above; outside it use :func:`dsum`."""
+    hi = F.sum(F.shiftright(scaled, _SPLIT_POW))
+    lo = F.sum(scaled.bitwiseAND(F.lit(_SPLIT_MASK)))
+    tot = (
+        hi.cast("decimal(38,0)") * F.lit(_SPLIT).cast("decimal(38,0)")
+        + lo.cast("decimal(38,0)")
+    )
+    return tot.cast("double") / F.lit(float(10**scale))
+
+
+def sql_xsum(scaled_expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`xsum`: HUGEINT accumulation needs no split."""
+    return (
+        f"(CAST(SUM({scaled_expr}) AS DOUBLE) / {float(10 ** scale)!r})"
+    )

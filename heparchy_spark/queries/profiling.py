@@ -300,15 +300,19 @@ def _corr_cols() -> list[str]:
 
 
 def _corr_oracle() -> str:
+    from heparchy_spark.queries.numeric import sql_scaled_long, sql_xsum
+
     cols = _corr_cols()
     aggs = []
     for c in cols:
         aggs += [
-            f"{sql_dsum(c, 4)} AS s_{c}",
-            f"{sql_dsum(f'ROUND({c} * {c}, 4)', 4)} AS ss_{c}",
+            f"{sql_xsum(sql_scaled_long(c, 4), 4)} AS s_{c}",
+            f"{sql_xsum(sql_scaled_long(f'{c} * {c}', 4), 4)} AS ss_{c}",
         ]
     for i, (x, y) in enumerate(_CORR_PAIRS):
-        aggs.append(f"{sql_dsum(f'ROUND({x} * {y}, 4)', 4)} AS sxy{i}")
+        aggs.append(
+            f"{sql_xsum(sql_scaled_long(f'{x} * {y}', 4), 4)} AS sxy{i}"
+        )
     arms = "\nUNION ALL\n".join(
         f"SELECT '{x}' AS col_a, '{y}' AS col_b, "
         f"ROUND((n * sxy{i} - s_{x} * s_{y}) / "
@@ -333,30 +337,34 @@ def _corr_oracle() -> str:
     doc="Pearson correlation matrix over lineitem numeric pairs in ONE "
     "combinable scan — the moments form (n, Sx, Sy, Sxy, Sxx, Syy per "
     "pair), NOT the streaming co-moment corr(), whose partial-merge order "
-    "makes the low bits partitioning-dependent. Each moment accumulates "
-    "round-4 addends in DECIMAL(38,10) (exact, order-independent), so "
-    "the assembled r is bit-identical across engines and partitionings. "
-    "At 100 TB this is the same one-pass map-side-combinable aggregate; "
-    "per-column moments are shared across pairs (12 decimal sums for 4 "
-    "pairs over 4 columns) replacing corr()'s co-moment state.",
+    "makes the low bits partitioning-dependent. Each moment sums round-4 "
+    "addends snapped to the 1e-4 grid as EXACT split-long integers "
+    "(numeric.xsum — order-independent, stays in whole-stage codegen; "
+    "the previous decimal(38,10) form was ~10x slower on the same scan), "
+    "so the assembled r is bit-identical across engines and "
+    "partitionings while n < 4.3e9 rows (beyond, flip xsum back to "
+    "dsum). At 100 TB this is the same one-pass map-side-combinable "
+    "aggregate; per-column moments are shared across pairs (12 sums for "
+    "4 pairs over 4 columns) replacing corr()'s co-moment state.",
 )
 def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from heparchy_spark.queries.numeric import dsum
+    from heparchy_spark.queries.numeric import scaled_long, xsum
 
     li = load(spark, sf_dir, "lineitem")
     cols = _corr_cols()
     # Shared moments are computed ONCE per column (8 + one cross sum per
-    # pair = 12 decimal aggregates, not 5 per pair = 20): decimal
-    # accumulation is the scan's dominant cost, so duplicate sums are
-    # duplicate work at any scale.
+    # pair = 12 aggregates, not 5 per pair = 20): the sums are the scan's
+    # dominant cost, so duplicate sums are duplicate work at any scale.
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in cols:
         aggs += [
-            dsum(F.col(c), 4).alias(f"s_{c}"),
-            dsum(F.round(F.col(c) * F.col(c), 4), 4).alias(f"ss_{c}"),
+            xsum(scaled_long(F.col(c), 4), 4).alias(f"s_{c}"),
+            xsum(scaled_long(F.col(c) * F.col(c), 4), 4).alias(f"ss_{c}"),
         ]
     for i, (x, y) in enumerate(_CORR_PAIRS):
-        aggs.append(dsum(F.round(F.col(x) * F.col(y), 4), 4).alias(f"sxy{i}"))
+        aggs.append(
+            xsum(scaled_long(F.col(x) * F.col(y), 4), 4).alias(f"sxy{i}")
+        )
     m = li.agg(*aggs)
     # One aggregate row -> stack() to long form: the scan and the moment
     # aggregation run ONCE (a per-pair union would replay the whole
