@@ -128,3 +128,17 @@ def sql_xsum(scaled_expr: str, scale: int) -> str:
     return (
         f"(CAST(SUM({scaled_expr}) AS DOUBLE) / {float(10 ** scale)!r})"
     )
+
+
+def xavg(scaled: Column, scale: int) -> Column:
+    """Exact-sum average on the xsum fast path: identical to davg when
+    the addends sit on the 10^-scale grid (same exact rational, same
+    nearest-double, same round-6)."""
+    return F.round(xsum(scaled, scale) / F.count(scaled), AVG_GRID)
+
+
+def sql_xavg(scaled_expr: str, scale: int) -> str:
+    return (
+        f"ROUND({sql_xsum(scaled_expr, scale)}"
+        f" / COUNT({scaled_expr}), {AVG_GRID})"
+    )
