@@ -87,15 +87,17 @@ def kmeans_fit_assign(
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
-    comp = base.select(
-        "__id", F.posexplode("__vec").alias("__dim", "__x")
-    ).select("__id", "__dim", F.col("__x").cast("double").alias("__x"))
 
     for _ in range(iters):
         assigned = base.withColumn("__c", _assign_udf(cents)(F.col("__vec")))
         # One combinable agg: k*dim decimal sums + per-cluster counts.
+        # The components explode off the ASSIGNED row itself (the vector
+        # is right there) — no id-keyed shuffle join per round.
         sums = (
-            comp.join(assigned.select("__id", "__c"), "__id")
+            assigned.select(
+                "__c", F.posexplode("__vec").alias("__dim", "__x")
+            )
+            .select("__c", "__dim", F.col("__x").cast("double").alias("__x"))
             .groupBy("__c", "__dim")
             .agg(
                 F.sum(
