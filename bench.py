@@ -161,6 +161,7 @@ HEADLINE = [
     "basket_item_cf_topk",
     "profile_mutual_information",
     "graph_sssp_supply_cost",
+    "text_textrank_keywords",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

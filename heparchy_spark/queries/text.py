@@ -1150,3 +1150,130 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_textrank_keywords — corpus keywords by PageRank on word adjacency
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_ITERS = 6
+_TEXTRANK_D_PCT = 85
+_TEXTRANK_MIN_LEN = 4
+_TEXTRANK_TOP = 25
+
+
+def _textrank_sql() -> str:
+    from heparchy_spark.operators.graph import SCALE
+
+    d = _TEXTRANK_D_PCT
+    ctes = [
+        _TOK_CTE,
+        f"""__cand AS (
+          SELECT doc_id, __pos, __tok FROM __tokf
+          WHERE length(__tok) >= {_TEXTRANK_MIN_LEN}
+            AND __tok NOT IN ({_stopword_in_list()})
+        )""",
+        """__adj AS (
+          SELECT __tok AS a,
+                 lead(__tok) OVER (PARTITION BY doc_id ORDER BY __pos) AS b
+          FROM __cand
+        )""",
+        """edges AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM __adj
+          WHERE b IS NOT NULL AND a <> b
+          UNION
+          SELECT b AS src, a AS dst FROM __adj
+          WHERE b IS NOT NULL AND a <> b
+        )""",
+        """nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        )""",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""bb AS (
+          SELECT n, {SCALE} // n AS r0,
+                 ({SCALE} * {100 - d}) // 100 // n AS base
+          FROM nn
+        )""",
+        "pr0 AS (SELECT node, r0 AS r FROM nodes CROSS JOIN bb)",
+    ]
+    for i in range(1, _TEXTRANK_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+          SELECT nodes.node,
+                 bb.base + ({d} * COALESCE(c.s, 0)) // 100 AS r
+          FROM nodes CROSS JOIN bb
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // dg.deg) AS s
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = nodes.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node AS keyword, CAST(r AS DOUBLE) / {float(SCALE)} AS score
+    FROM pr{_TEXTRANK_ITERS}
+    ORDER BY r DESC, node
+    LIMIT {_TEXTRANK_TOP}
+    """
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    _textrank_sql(),
+    doc="TextRank (Mihalcea & Tarau 2004) corpus keywords: PageRank over "
+    "the undirected word-adjacency graph of stopword-filtered tokens "
+    "(length >= 4, window 2), top-25 by score. The graph build is one "
+    "token scan + a per-doc lead() window + a distinct edge shuffle; "
+    "ranking reuses the fixed-point int64 pagerank operator, so the "
+    "whole trajectory is engine-exact and the oracle replays it as "
+    "unrolled CTEs (the graph_pagerank pattern). At 100 TB the edge "
+    "set is bounded by vocabulary-pair adjacency, not corpus size — "
+    "the distinct() collapses duplicates map-side.",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.dedup import normalize_text
+    from heparchy_spark.operators.graph import pagerank
+    from heparchy_spark.operators.text import _STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    stop = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    cand = toks.where(
+        (F.length("__tok") >= _TEXTRANK_MIN_LEN)
+        & ~F.col("__tok").isin(stop)
+    )
+    w = Window.partitionBy("doc_id").orderBy("__pos")
+    adj = cand.select(
+        F.col("__tok").alias("a"), F.lead("__tok").over(w).alias("b")
+    ).where(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    edges = (
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(
+        edges,
+        "src",
+        "dst",
+        damping_pct=_TEXTRANK_D_PCT,
+        iters=_TEXTRANK_ITERS,
+    )
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(_TEXTRANK_TOP)
+        .select(
+            F.col("node").alias("keyword"), F.col("rank").alias("score")
+        )
+    )

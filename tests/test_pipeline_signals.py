@@ -703,3 +703,43 @@ def test_hits_ranks_shared_authority_highest(spark):
     # integer-quotient norm bounds the top scores in [1, 2)
     assert 1.0 <= out[10]["authority_score"] < 2.0
     assert 1.0 <= out[3]["hub_score"] < 2.0
+
+
+def test_textrank_hub_word_outranks_periphery(spark):
+    """A word adjacent to many distinct words collects rank from all of
+    them; stopwords and short tokens never enter the graph."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries.text import text_textrank_keywords
+
+    # 'network' co-occurs with four distinct words; each of those only
+    # with 'network'.  'the'/'and' (stopwords) and 'ML' (short) must not
+    # appear even though they are frequent.
+    docs = spark.createDataFrame(
+        [
+            (1, "the network analysis and the network design"),
+            (2, "ML network graphs and the network theory"),
+            (3, "the quiet harbor"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = text_textrank_keywords(spark, d).collect()
+    kws = [r["keyword"] for r in out]
+    scores = {r["keyword"]: r["score"] for r in out}
+    assert kws[0] == "network"
+    for banned in ("the", "and", "ml"):
+        assert banned not in kws
+    # every neighbor word appears, each below the hub
+    for w in ("analysis", "design", "graphs", "theory"):
+        assert w in kws
+        assert scores[w] < scores["network"]
+    # scores are positive and the list is rank-sorted
+    assert all(s > 0 for s in scores.values())
+    assert [r["score"] for r in out] == sorted(
+        (r["score"] for r in out), reverse=True
+    )

@@ -49,7 +49,11 @@ MARKERS = {
 # CacheManager already holds when the query is built, so an operator-count
 # fingerprint is not a pure function of the code.  The corpus-wide
 # scale-killer guard (tests/test_plans.py) still covers them.
-RUNTIME_MATERIALIZED = {"graph_hits_supply", "graph_sssp_supply_cost"}
+RUNTIME_MATERIALIZED = {
+    "graph_hits_supply",
+    "graph_sssp_supply_cost",
+    "text_textrank_keywords",  # pagerank materializes internally
+}
 
 
 def fingerprint(df) -> dict[str, int]:
