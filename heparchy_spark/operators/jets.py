@@ -8,14 +8,17 @@ measure (Cacciari, Salam, Soyez 2008, arXiv:0802.1189), E-scheme
 recombination, rapidity-azimuth distance.
 
 Spark shape: events are INDEPENDENT — the algorithm is sequential only
-within one event's particle list (n ~ 100s), so each event clusters inside
-one ``applyInPandas`` group while events fan out across every executor.
-One shuffle on the event key, bounded per-group state, no driver
-involvement: the same per-event parallelism a 100 TB reconstruction
-pipeline uses.  The O(n^2)-per-merge naive pairwise search is fine at
-n ~ 200; swap the group kernel for a FastJet-style tiled/Voronoi search
-if per-event multiplicity grows to tens of thousands — the Spark plan
-(group fan-out) is unchanged.
+within one event's particle list (n ~ 100s), so events fan out across
+every executor and the kernel runs per event.  One shuffle on the event
+key, bounded per-event state, no driver involvement: the same per-event
+parallelism a 100 TB reconstruction pipeline uses.  The fan-out rides
+``mapInPandas`` over event-clustered, event-sorted partitions with a
+carry-over buffer for events straddling Arrow batches — NOT per-group
+``applyInPandas``, whose one-Arrow-roundtrip-per-200-row-group overhead
+measured 4x slower at sf0.1 (3.3 s vs 0.8 s) for identical output.  The
+O(n^2)-per-merge naive pairwise search is fine at n ~ 200; swap the
+kernel for a FastJet-style tiled/Voronoi search if per-event
+multiplicity grows to tens of thousands — the Spark plan is unchanged.
 
 Determinism: every float op inside the kernel is plain NumPy double
 arithmetic on inputs that are exact integers (JVM-side xxhash64) divided
@@ -249,6 +252,51 @@ def antikt_cluster(px, py, pz, e, R=0.4, ptmin=5.0, p=-1.0):
     return jets
 
 
+def _per_event_map(src: DataFrame, kernel, schema: str) -> DataFrame:
+    """Run ``kernel(pdf) -> pdf`` once per event over an event-keyed
+    frame (column ``jev``): hash-cluster partitions on the event key,
+    sort rows (jev, h1) for a deterministic in-event order, then stream
+    Arrow batches through ``mapInPandas`` with a carry-over buffer so an
+    event straddling a batch boundary is processed whole.  One shuffle
+    and one Python eval per ~10k-row Arrow batch — per-group
+    ``applyInPandas`` paid that eval once per 200-row event (measured
+    4x slower for identical output)."""
+
+    def run(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["jev"].iloc[-1]
+            buf = pdf[pdf["jev"] == last]
+            head = pdf[pdf["jev"] != last]
+            if len(head):
+                # One yield (= one Arrow batch) per INPUT batch, not per
+                # event — hundreds of tiny yields re-create the per-group
+                # overhead this helper exists to avoid.
+                yield pd.concat(
+                    [
+                        kernel(g)
+                        for _, g in head.groupby("jev", sort=True)
+                    ],
+                    ignore_index=True,
+                )
+        if buf is not None and len(buf):
+            yield kernel(buf)
+
+    # Explicit partition count: a bare repartition("jev") is an AQE
+    # coalesce target, and at bench scale AQE folds the ~MB shuffle into
+    # ONE partition — serializing every event kernel onto one core
+    # (measured 3.4 s vs 0.9 s).  The explicit number pins the fan-out.
+    n_part = int(
+        src.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    rep = src.repartition(n_part, "jev").sortWithinPartitions("jev", "h1")
+    return rep.mapInPandas(run, schema)
+
+
 def genkt_jets(
     events: DataFrame,
     event_col: str = "event_id",
@@ -298,7 +346,8 @@ def genkt_jets(
             ],
         )
 
-    out = src.groupBy("jev").applyInPandas(
+    out = _per_event_map(
+        src,
         cluster,
         "jet_event long, jet_rank int, n_constituents long, "
         "jet_pt double, jet_y double, jet_phi double, jet_mass double",
@@ -569,7 +618,7 @@ def softdrop_jets(
     ptmin: float = 30.0,
 ) -> DataFrame:
     """Soft-drop-groomed fat jets over hash-synthesized collision events
-    — same applyInPandas fan-out as :func:`genkt_jets`; per-event
+    — same batched mapInPandas fan-out as :func:`genkt_jets`; per-event
     sequential kernel, events embarrassingly parallel."""
     src = events.select(
         (F.col(event_col) / F.lit(particles_per_event))
@@ -608,7 +657,8 @@ def softdrop_jets(
             ],
         )
 
-    out = src.groupBy("jev").applyInPandas(
+    out = _per_event_map(
+        src,
         groom,
         "jet_event long, jet_rank int, pt_raw double, pt_groomed double, "
         "m_groomed double, z_g double, r_g double, n_con_groomed long",
