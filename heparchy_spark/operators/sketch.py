@@ -34,6 +34,7 @@ __all__ = [
     "hll_estimate_df",
     "kmv_sketch",
     "kmv_estimate",
+    "kmv_jaccard",
 ]
 
 
@@ -296,4 +297,56 @@ def kmv_estimate(sketch: DataFrame, k: int, group_cols: ty.Sequence[str]) -> Dat
             ),
             4,
         ).alias("kmv_est"),
+    )
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """Theta-sketch-style set resemblance from two KMV sketches
+    (Dasgupta et al. 2016 / the Broder bottom-k estimator): take the
+    k smallest hashes of the UNION of kept hashes; the fraction of
+    those union-minima present in BOTH input sketches estimates
+    Jaccard(A, B), and (k'-1)/u_k' estimates |A u B| — so the
+    intersection size falls out as J * |A u B| without ever touching
+    the raw sets again.
+
+    When the union sketch holds fewer than k hashes the two sets were
+    captured WHOLE, and every output (jaccard, union, intersection) is
+    exact rather than an estimate.
+
+    Output (one row): (n_union_kept, n_both, jaccard_est, union_est,
+    intersection_est).  Deterministic: bottom-k of a fixed hash,
+    exact-integer memberships, one rounded division — the oracle
+    replays it verbatim.  The union ranking is a single-partition
+    window over <= 2k rows (bounded by construction, never data-sized).
+    """
+    a = sketch_a.select("kmv_h").withColumn("__a", F.lit(1))
+    b = sketch_b.select("kmv_h").withColumn("__b", F.lit(1))
+    u = a.join(b, "kmv_h", "full").select(
+        "kmv_h",
+        F.coalesce("__a", F.lit(0)).alias("__a"),
+        F.coalesce("__b", F.lit(0)).alias("__b"),
+    )
+    w = Window.orderBy("kmv_h")
+    kept = u.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n_both"),
+        F.max("kmv_h").alias("max_h"),
+    )
+    full = F.col("n_union_kept") >= F.lit(k)
+    u_k = F.col("max_h").cast("double") / F.lit(float(1 << 60))
+    jac = F.col("n_both").cast("double") / F.col("n_union_kept")
+    union_est = F.when(
+        full, F.lit(float(k - 1)) / u_k
+    ).otherwise(F.col("n_union_kept").cast("double"))
+    return agg.select(
+        "n_union_kept",
+        "n_both",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"),
     )

@@ -357,3 +357,107 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "exact_distinct", "kmv_est"
     )
+
+
+@register(
+    "sketch_kmv_jaccard_days",
+    """
+    WITH hashed AS (
+      -- filter via a projected alias: DuckDB 1.0 returns zero rows for
+      -- IN-lists applied directly to CAST(TIMESTAMP_NS AS DATE)
+      SELECT * FROM (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               CAST(CONCAT('0x', substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS kmv_h
+        FROM events
+      ) WHERE day IN (DATE '2024-01-01', DATE '2024-01-02')
+    ),
+    ska AS (
+      SELECT kmv_h FROM (
+        SELECT kmv_h, ROW_NUMBER() OVER (ORDER BY kmv_h) AS r
+        FROM (SELECT DISTINCT kmv_h FROM hashed WHERE day = DATE '2024-01-01')
+      ) WHERE r <= 64
+    ),
+    skb AS (
+      SELECT kmv_h FROM (
+        SELECT kmv_h, ROW_NUMBER() OVER (ORDER BY kmv_h) AS r
+        FROM (SELECT DISTINCT kmv_h FROM hashed WHERE day = DATE '2024-01-02')
+      ) WHERE r <= 64
+    ),
+    un AS (
+      SELECT kmv_h,
+             CASE WHEN kmv_h IN (SELECT kmv_h FROM ska) THEN 1 ELSE 0 END AS a,
+             CASE WHEN kmv_h IN (SELECT kmv_h FROM skb) THEN 1 ELSE 0 END AS b
+      FROM (SELECT kmv_h FROM ska UNION SELECT kmv_h FROM skb)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT kmv_h, a, b, ROW_NUMBER() OVER (ORDER BY kmv_h) AS r FROM un
+      ) WHERE r <= 64
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+             CAST(SUM(a * b) AS BIGINT) AS n_both,
+             MAX(kmv_h) AS max_h
+      FROM kept
+    ),
+    ex AS (
+      SELECT ROUND(
+        CAST((SELECT COUNT(*) FROM (
+           SELECT DISTINCT user_id FROM hashed WHERE day = DATE '2024-01-01'
+           INTERSECT
+           SELECT DISTINCT user_id FROM hashed WHERE day = DATE '2024-01-02'
+        )) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM (
+           SELECT DISTINCT user_id FROM hashed
+        )) AS DOUBLE), 6) AS exact_jaccard
+    )
+    SELECT n_union_kept, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / n_union_kept, 6) AS jaccard_est,
+           ROUND(CASE WHEN n_union_kept >= 64
+                 THEN 63.0 / (CAST(max_h AS DOUBLE) / 1152921504606846976.0)
+                 ELSE CAST(n_union_kept AS DOUBLE) END, 4) AS union_est,
+           ROUND(CAST(n_both AS DOUBLE) / n_union_kept *
+                 CASE WHEN n_union_kept >= 64
+                 THEN 63.0 / (CAST(max_h AS DOUBLE) / 1152921504606846976.0)
+                 ELSE CAST(n_union_kept AS DOUBLE) END, 4)
+             AS intersection_est,
+           exact_jaccard
+    FROM st, ex
+    """,
+    doc="KMV set-resemblance composition (Broder bottom-k / Theta "
+    "sketch): Jaccard, union size, and intersection size of two days' "
+    "user sets estimated ENTIRELY from the two bottom-64 sketches — "
+    "the k smallest hashes of the sketch union, the fraction present "
+    "in both, and (k-1)/u_k — beside the exact Jaccard. Mergeable "
+    "sketch state means cross-day/corpus resemblance at 100 TB reads "
+    "only sketch rows (<= 2k per comparison), never the raw sets; the "
+    "union ranking is a single-partition window over <= 128 rows, "
+    "bounded by construction.",
+)
+def sketch_kmv_jaccard_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    d1, d2 = "2024-01-01", "2024-01-02"
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    evf = ev.where(F.col("day").isin(d1, d2)).persist()
+    ska = kmv_sketch(evf.where(F.col("day") == d1), F.col("user_id"), k=64)
+    skb = kmv_sketch(evf.where(F.col("day") == d2), F.col("user_id"), k=64)
+    est = kmv_jaccard(ska, skb, k=64)
+    inter = (
+        evf.where(F.col("day") == d1)
+        .select("user_id")
+        .distinct()
+        .intersect(evf.where(F.col("day") == d2).select("user_id").distinct())
+        .count()
+    )
+    union = evf.select("user_id").distinct().count()
+    exact = F.round(F.lit(float(inter)) / F.lit(float(union)), 6)
+    return est.select(
+        "n_union_kept",
+        "n_both",
+        "jaccard_est",
+        "union_est",
+        "intersection_est",
+        exact.alias("exact_jaccard"),
+    )

@@ -312,3 +312,44 @@ def test_benford_digit_extraction_and_shares(spark):
         ).collect()
     ]
     assert digs == [9, 1, 5, 1]
+
+
+def test_kmv_jaccard_exact_when_under_k(spark):
+    """Union sketch under k keeps both sets whole: every output exact."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "k long")
+    ska = kmv_sketch(a, F.col("k"), k=64)
+    skb = kmv_sketch(b, F.col("k"), k=64)
+    row = kmv_jaccard(ska, skb, k=64).collect()[0]
+    assert row["n_union_kept"] == 15
+    assert row["n_both"] == 5
+    assert row["jaccard_est"] == round(5 / 15, 6)
+    assert row["union_est"] == 15.0
+    assert row["intersection_est"] == 5.0
+
+
+def test_kmv_jaccard_estimates_within_error_band(spark):
+    """Bottom-64 resemblance on 2000-element sets with true J = 1/3
+    lands within the ~1/sqrt(k) band, and union_est tracks |A u B|."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    # |A| = |B| = 2000, overlap 1000 -> |A u B| = 3000, J = 1/3
+    a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "k long")
+    ska = kmv_sketch(a, F.col("k"), k=64)
+    skb = kmv_sketch(b, F.col("k"), k=64)
+    row = kmv_jaccard(ska, skb, k=64).collect()[0]
+    assert row["n_union_kept"] == 64
+    true_j = 1.0 / 3.0
+    band = 2.5 / (64**0.5)  # ~2.5 sigma of the k-sample binomial
+    assert abs(row["jaccard_est"] - true_j) <= band
+    assert abs(row["union_est"] - 3000) / 3000 < 0.5
+    assert row["intersection_est"] == round(
+        row["jaccard_est"] * row["union_est"], 4
+    )
