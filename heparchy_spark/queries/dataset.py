@@ -891,3 +891,103 @@ def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_curriculum_shards — quality-ordered training shards, no global sort
+# ---------------------------------------------------------------------------
+
+_CURR_SHARD = 100
+
+
+def _curriculum_sql() -> str:
+    from heparchy_spark.queries.text import _TOKCOUNT_SQL
+
+    safe_n = "(CASE WHEN __n > 0 THEN __n ELSE 1.0 END)"
+    quality = (
+        "(CASE WHEN __n >= 50 AND __n <= 100000 THEN 0.4 ELSE 0.0 END) "
+        f"+ least((__alpha / {safe_n}) / 0.7, 1.0) * 0.3 "
+        "+ (CASE WHEN __ntok > 0 AND (__n / __ntok) >= 3.0 "
+        "AND (__n / __ntok) <= 12.0 THEN 0.3 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             ROUND({quality}, 6) AS q,
+             CAST(CONCAT('0x',
+                  substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS __n,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) AS __alpha,
+               CAST({_TOKCOUNT_SQL} AS DOUBLE) AS __ntok
+        FROM documents
+      )
+    )
+    SELECT doc_id, q AS quality,
+           CAST(ROW_NUMBER() OVER (ORDER BY q DESC, h, doc_id)
+                AS BIGINT) AS curriculum_rank,
+           (ROW_NUMBER() OVER (ORDER BY q DESC, h, doc_id) - 1)
+             // {_CURR_SHARD} AS shard_id
+    FROM base
+    """
+
+
+@register(
+    "dataset_curriculum_shards",
+    _curriculum_sql(),
+    doc="Curriculum shard assignment: the corpus globally ordered by "
+    "quality (descending, hash tie-break) and cut into fixed-size "
+    "shards — easy-first ordered training data.  The global rank is "
+    "NOT a single-partition ROW_NUMBER window: tied-quality rows fold "
+    "to one count row, the distributed two-level prefix scan "
+    "(operators/sweep.py prefix_sum) turns the folded counts into "
+    "per-quality start ranks, and rows rank within their (small) "
+    "quality group only — the Gini/MWU rank-algebra shape, proven "
+    "equal to the oracle's serial ROW_NUMBER.  At 100 TB the only "
+    "serial state is n_buckets offset rows; a degenerate "
+    "constant-quality corpus re-buckets the in-group window on a hash "
+    "prefix the same way.",
+)
+def dataset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.sweep import prefix_sum
+    from heparchy_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("q"),
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h"),
+    )
+    folded = scored.groupBy("q").agg(F.count(F.lit(1)).alias("cnt"))
+    # descending curriculum ==> ascending scan over -q
+    starts = prefix_sum(
+        folded.withColumn("negq", -F.col("q")), "negq", ["cnt"]
+    ).select("q", (F.col("cnt_cum") - F.col("cnt")).alias("start"))
+    w = Window.partitionBy("q").orderBy("__h", "doc_id")
+    ranked = (
+        scored.join(F.broadcast(starts), "q")
+        .withColumn("__rin", F.row_number().over(w))
+        .withColumn(
+            "curriculum_rank",
+            (F.col("start") + F.col("__rin")).cast("long"),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("q").alias("quality"),
+        "curriculum_rank",
+        F.expr(f"(curriculum_rank - 1) div {_CURR_SHARD}").alias(
+            "shard_id"
+        ),
+    )

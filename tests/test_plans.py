@@ -211,6 +211,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "basket_association_rules",
         "skyline_cheap_big_parts",
         "events_peak_concurrent_users",
+        "dataset_curriculum_shards",  # prefix_sum global-bounds broadcast
         "drift_value_ks",
         "drift_value_psi",
         "drift_term_logodds",
