@@ -727,3 +727,122 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "size_a", "size_b",
         "containment_a", "containment_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fs_linkage_scores — Fellegi-Sunter probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+# Assumed per-field match probabilities (the m-vector).  Classic practice
+# when no labeled pairs exist for EM: fix m near 1 and let the DATA-driven
+# u-probabilities (chance agreement between two random records, computed
+# exactly as sum(n_v^2)/N^2) carry the field-informativeness signal.
+_FS_M = {"name2": 90, "brand": 95, "ptype": 90, "size": 85}  # percent
+_FS_TOP = 50
+
+
+def _fs_sql() -> str:
+    fields = list(_FS_M)
+    u_cols = ",\n             ".join(
+        f"""(SELECT CAST(SUM(c * c) AS DOUBLE) FROM (
+               SELECT COUNT(*) AS c FROM recs GROUP BY {f}))
+             / (CAST((SELECT COUNT(*) FROM recs) AS DOUBLE)
+                * (SELECT COUNT(*) FROM recs)) AS u_{f}"""
+        for f in fields
+    )
+    terms = " + ".join(
+        f"(CASE WHEN a.{f} = b.{f} THEN ln({_FS_M[f] / 100.0!r} / u_{f}) "
+        f"ELSE ln({1 - _FS_M[f] / 100.0!r} / (1.0 - u_{f})) END)"
+        for f in fields
+    )
+    agrees = ",\n           ".join(
+        f"CAST(CASE WHEN a.{f} = b.{f} THEN 1 ELSE 0 END AS INTEGER)"
+        f" AS agree_{f}"
+        for f in fields
+    )
+    return f"""
+    WITH recs AS (
+      SELECT p_partkey AS pk, split_part(p_name, ' ', 1) AS blk,
+             split_part(p_name, ' ', 2) AS name2,
+             p_brand AS brand, p_type AS ptype, p_size AS size
+      FROM part
+    ),
+    uprob AS (
+      SELECT {u_cols}
+    )
+    SELECT a.pk AS p1, b.pk AS p2,
+           {agrees},
+           ROUND({terms}, 6) AS fs_weight
+    FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk
+    CROSS JOIN uprob
+    ORDER BY fs_weight DESC, p1, p2
+    LIMIT {_FS_TOP}
+    """
+
+
+@register(
+    "dedup_fs_linkage_scores",
+    _fs_sql(),
+    doc="Fellegi-Sunter (1969) probabilistic record linkage over parts: "
+    "candidate pairs from first-name-token blocking score "
+    "sum_f ln(m_f/u_f) on field agreement and ln((1-m_f)/(1-u_f)) on "
+    "disagreement, with u_f (chance agreement) computed EXACTLY from "
+    "the data as sum(n_v^2)/N^2 and m_f fixed literals (no labeled "
+    "pairs for EM; the data-driven u carries field informativeness — "
+    "a rare brand match outweighs a common size match).  Top-50 pairs "
+    "by weight.  Scale shape: one tiny u-aggregate broadcast, a "
+    "blocked equi-join (never all pairs; sub-block a skewed key on a "
+    "hash prefix), TakeOrdered top-k.",
+)
+def dedup_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    recs = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.split("p_name", " ")[0].alias("blk"),
+        F.split("p_name", " ")[1].alias("name2"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("size"),
+    )
+    n = recs.count()
+    fields = list(_FS_M)
+    u_row = None
+    for f in fields:
+        uf = (
+            recs.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                (
+                    F.sum(F.col("c") * F.col("c")).cast("double")
+                    / F.lit(float(n))
+                    / F.lit(n)
+                ).alias(f"u_{f}")
+            )
+        )
+        u_row = uf if u_row is None else u_row.join(F.broadcast(uf))
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).join(F.broadcast(u_row))
+    terms = None
+    agrees = []
+    for f in fields:
+        m = _FS_M[f] / 100.0
+        agree = F.col(f"a.{f}") == F.col(f"b.{f}")
+        t = F.when(agree, F.log(F.lit(m) / F.col(f"u_{f}"))).otherwise(
+            F.log(F.lit(1 - m) / (F.lit(1.0) - F.col(f"u_{f}")))
+        )
+        terms = t if terms is None else terms + t
+        agrees.append(agree.cast("int").alias(f"agree_{f}"))
+    return (
+        pairs.select(
+            F.col("a.pk").alias("p1"),
+            F.col("b.pk").alias("p2"),
+            *agrees,
+            F.round(terms, 6).alias("fs_weight"),
+        )
+        .orderBy(F.col("fs_weight").desc(), "p1", "p2")
+        .limit(_FS_TOP)
+    )

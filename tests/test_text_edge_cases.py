@@ -551,3 +551,64 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert pair["jaccard"] < 0.2  # symmetric score misses it
     # sizes identify which side is the excerpt
     assert min(pair["size_a"], pair["size_b"]) == len(short.split()) - 2
+
+
+def test_fs_linkage_rare_field_agreement_outweighs_common(spark):
+    """Fellegi-Sunter weights are data-driven through u: agreeing on a
+    field whose values are nearly unique (low chance agreement) must add
+    more weight than agreeing on a near-constant field."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries.dedup import (
+        _FS_M,
+        dedup_fs_linkage_scores,
+    )
+
+    # 8 parts, one block ('alpha ...'): brand nearly unique (8 values),
+    # size constant (u = 1 -> disagree impossible, agree weight ~ ln(m)).
+    rows = [
+        (i, f"alpha n{i % 2}", f"B{i}" if i < 7 else "B0", "T0", 5)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, "
+        "p_type string, p_size int"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/part.parquet")
+        out = dedup_fs_linkage_scores(spark, d).collect()
+    assert out, "blocked pairs expected"
+    by_pair = {(r["p1"], r["p2"]): r for r in out}
+    # pair (0, 7) agrees on brand B0 (rare), name2 (n0/alpha n1? 0:n0,
+    # 7:n1 -> disagree), type, size; pair (0, 2) agrees on name2, type,
+    # size but NOT brand.
+    r07 = by_pair[(0, 7)]
+    r02 = by_pair[(0, 2)]
+    assert r07["agree_brand"] == 1 and r02["agree_brand"] == 0
+    assert r07["fs_weight"] > r02["fs_weight"]
+    # hand-check one u and one term: u_size = 1.0 (constant field), so
+    # the size-agreement term is exactly ln(m_size).
+    m_size = _FS_M["size"] / 100.0
+    # recompute r02's weight from first principles
+    n = 8.0
+    import collections
+
+    def u(vals):
+        c = collections.Counter(vals)
+        return sum(v * v for v in c.values()) / (n * n)
+
+    u_name2 = u([f"n{i % 2}" for i in range(8)])
+    u_brand = u([f"B{i}" if i < 7 else "B0" for i in range(8)])
+    u_type, u_sz = 1.0, 1.0
+    m = {k: v / 100.0 for k, v in _FS_M.items()}
+    expect = (
+        math.log(m["name2"] / u_name2)       # 0 and 2 share n0
+        + math.log((1 - m["brand"]) / (1 - u_brand))
+        + math.log(m["ptype"] / u_type)
+        + math.log(m["size"] / u_sz)
+    )
+    assert abs(r02["fs_weight"] - round(expect, 6)) < 1e-9
