@@ -635,3 +635,99 @@ def graph_sssp_supply_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("dist_cents"),
         F.round(F.col("dist").cast("double") / 100, 2).alias("min_cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_ppr_supply_seeded — personalized PageRank from a supplier seed set
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 6
+_PPR_TOP = 20
+
+
+def _ppr_sql() -> str:
+    d = _D_PCT
+    ctes = [
+        "supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        f"""edges AS MATERIALIZED (
+          SELECT l_partkey AS src, l_suppkey + {_OFFSET} AS dst FROM supply
+          UNION ALL
+          SELECT l_suppkey + {_OFFSET} AS src, l_partkey AS dst FROM supply
+        )""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""seeds AS (
+          SELECT s_suppkey + {_OFFSET} AS node FROM supplier
+          WHERE s_suppkey <= 5
+        )""",
+        "ks AS (SELECT COUNT(*) AS k FROM seeds)",
+        f"""sb AS (
+          SELECT node,
+                 ({SCALE} * {100 - _D_PCT}) // 100 // k AS base
+          FROM seeds CROSS JOIN ks
+        )""",
+        f"pr0 AS (SELECT node, {SCALE} // k AS r FROM seeds CROSS JOIN ks)",
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+          SELECT COALESCE(c.node, sb.node) AS node,
+                 COALESCE(sb.base, 0) + ({d} * COALESCE(c.s, 0)) // 100 AS r
+          FROM (
+            SELECT e.dst AS node, SUM(p.r // dg.deg) AS s
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+          ) c FULL JOIN sb ON sb.node = c.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node, CAST(r AS DOUBLE) / {float(SCALE)} AS rank_score
+    FROM pr{_PPR_ITERS}
+    ORDER BY r DESC, node
+    LIMIT {_PPR_TOP}
+    """
+    )
+
+
+@register(
+    "graph_ppr_supply_seeded",
+    _ppr_sql(),
+    doc="Personalized PageRank (d=0.85, 6 fixed int64 rounds) seeded at "
+    "suppliers 1-5 over the bipartite part-supplier graph: proximity "
+    "ranking to the seed set, top-20. Teleport mass lands only on the "
+    "seeds, so the rank table stays SPARSE — per-round state is the "
+    "reached set, not |V| (operators/graph.py personalized_pagerank); "
+    "the oracle replays the trajectory as unrolled CTEs with a "
+    "full-outer seed-base join per round. Seed keys are low-id "
+    "(scale-stable at every sf).",
+)
+def graph_ppr_supply_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import personalized_pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = supply.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + _OFFSET).alias("dst"),
+    )
+    bwd = supply.select(
+        (F.col("l_suppkey") + _OFFSET).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    seeds = sup.where(F.col("s_suppkey") <= 5).select(
+        (F.col("s_suppkey") + _OFFSET).alias("node")
+    )
+    pr = personalized_pagerank(
+        fwd.unionByName(bwd),
+        seeds,
+        damping_pct=_D_PCT,
+        iters=_PPR_ITERS,
+    )
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(_PPR_TOP)
+        .select("node", F.col("rank").alias("rank_score"))
+    )

@@ -743,3 +743,19 @@ def test_textrank_hub_word_outranks_periphery(spark):
     assert [r["score"] for r in out] == sorted(
         (r["score"] for r in out), reverse=True
     )
+
+
+def test_personalized_pagerank_proximity_and_sparsity(spark):
+    """Rank decays with distance from the seed; unreachable nodes are
+    ABSENT (sparse state), and teleport mass lands only on seeds."""
+    from heparchy_spark.operators.graph import personalized_pagerank
+
+    # chain 1 -> 2 -> 3, disconnected 9 <-> 10; seed = {1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10), (10, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, seeds, iters=6).collect()}
+    assert set(out) == {1, 2, 3}, "island 9/10 must stay absent"
+    assert out[1] > out[2] > out[3] > 0

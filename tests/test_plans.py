@@ -212,6 +212,7 @@ def test_corpus_wide_no_scale_killers(spark):
         "skyline_cheap_big_parts",
         "events_peak_concurrent_users",
         "dataset_curriculum_shards",  # prefix_sum global-bounds broadcast
+        "dedup_fs_linkage_scores",  # u-probability scalar broadcast
         "drift_value_ks",
         "drift_value_psi",
         "drift_term_logodds",
