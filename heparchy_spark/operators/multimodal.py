@@ -512,3 +512,266 @@ def payload_embedding(
             yield pd.DataFrame({id_col: ids, "embedding": vecs})
 
     return df.select(id_col, payload_col).mapInPandas(embed, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL image resize (full stdlib PNG codec) + audio resample
+# ---------------------------------------------------------------------------
+
+
+def _png_decode_pixels(payload: bytes):
+    """Full PNG pixel decode for 8-bit gray/RGB/RGBA images: walks the
+    chunk stream, zlib-inflates the IDAT stream, and undoes all five
+    standard scanline filters (None/Sub/Up/Average/Paeth).  Pure stdlib
+    + NumPy.  Returns (width, height, channels, uint8[h, w, c]) or None
+    when the payload is not a pixel-bearing PNG (header-only
+    containers, other formats, unsupported bit depths).
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    w = h = ch = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, bd, ct = struct.unpack_from(">IIBB", data, 0)
+            if bd != 8:
+                return None
+            ch = {0: 1, 2: 3, 6: 4}.get(ct)
+            if ch is None:
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or ch is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for r in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif f == 2:  # Up (uint8 addition wraps mod 256 by definition)
+            cur = cur + prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pr) & 0xFF
+        else:
+            return None
+        out[r] = cur
+        prev = cur
+    return int(w), int(h), int(ch), out.reshape(h, w, ch)
+
+
+def _png_encode(arr: "np.ndarray") -> bytes:
+    """Encode uint8[h, w, c] (c in {1, 3, 4}) as a REAL PNG: filter-0
+    scanlines, one zlib-6 IDAT, correct CRC32 on every chunk — any
+    standards-compliant decoder (including :func:`_png_decode_pixels`)
+    reads it back exactly."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    ct = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("out_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image resize: decode PNG pixels (full codec above),
+    nearest-neighbor downsample by an integer ``factor`` (every
+    factor-th row/column — deterministic, no interpolation arithmetic
+    to disagree about), re-encode as a real PNG.  One row out per row
+    in; non-pixel payloads (header-only containers, other formats)
+    yield NULL outputs rather than a fake.  Arrow-batched mapInPandas —
+    the standard multimodal preprocessing shape: payloads never leave
+    the executor, the driver sees only the frame."""
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                dec = _png_decode_pixels(buf)
+                if dec is None:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": None,
+                            "height": None,
+                            "out_width": None,
+                            "out_height": None,
+                            "out_payload": None,
+                        }
+                    )
+                    continue
+                w, h, ch, arr = dec
+                sub = np.ascontiguousarray(arr[::factor, ::factor, :])
+                oh, ow = sub.shape[0], sub.shape[1]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "out_payload": _png_encode(sub),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("new_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("new_frames", T.IntegerType(), True),
+        T.StructField("mean_amplitude", T.DoubleType(), True),
+        T.StructField("out_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio resample by frame decimation: parse the WAV (stdlib
+    ``wave``), keep every ``factor``-th PCM frame across all channels,
+    re-encode a real WAV at rate/factor, and report the decimated
+    signal's true mean |amplitude|.  Decimation (not windowed sinc) is
+    the deterministic choice — no filter kernel arithmetic to diverge —
+    and the honest label for a corpus-scale loudness/feature pass.
+    Non-WAV payloads yield NULL outputs."""
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                null_row = {
+                    "media_id": mid,
+                    "sample_rate": None,
+                    "new_rate": None,
+                    "n_frames": None,
+                    "new_frames": None,
+                    "mean_amplitude": None,
+                    "out_payload": None,
+                }
+                try:
+                    with wave.open(io.BytesIO(buf)) as wv:
+                        ch = wv.getnchannels()
+                        sr = wv.getframerate()
+                        nf = wv.getnframes()
+                        sw = wv.getsampwidth()
+                        data = wv.readframes(nf)
+                except Exception:
+                    rows.append(null_row)
+                    continue
+                if sw != 2:
+                    rows.append(null_row)
+                    continue
+                fs = ch * 2
+                nf = min(nf, len(data) // fs)
+                frames = np.frombuffer(
+                    data[: nf * fs], dtype="<i2"
+                ).reshape(nf, ch)
+                sub = frames[::factor]
+                amp = (
+                    float(np.abs(sub.astype("float64")).mean() / 32768.0)
+                    if sub.size
+                    else 0.0
+                )
+                out = io.BytesIO()
+                with wave.open(out, "wb") as wo:
+                    wo.setnchannels(ch)
+                    wo.setsampwidth(2)
+                    wo.setframerate(max(sr // factor, 1))
+                    wo.writeframes(sub.tobytes())
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": sr,
+                        "new_rate": max(sr // factor, 1),
+                        "n_frames": nf,
+                        "new_frames": int(sub.shape[0]),
+                        "mean_amplitude": amp,
+                        "out_payload": out.getvalue(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=RESAMPLED_SCHEMA
+    )

@@ -231,3 +231,35 @@ def multimodal_payload_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "media_id", F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias("embedding_sum")
     )
+
+
+@register(
+    "multimodal_resample_audio",
+    expected_fixture_sql("multimodal_resample_audio"),
+    doc="REAL audio resample (operators/multimodal.resample_audio): the "
+    "WAV payloads' PCM16 frames decimate 2:1 inside an Arrow-batched "
+    "mapInPandas — stdlib wave parse, every-2nd-frame keep across "
+    "channels, re-encode at half rate, true mean |amplitude| of the "
+    "kept signal. The oracle fixture mirrors the decimation from the "
+    "generator parameters alone (tools/build_expected.py "
+    "expected_resample — no parser in the oracle path). The sibling "
+    "resize_images operator is the image twin: a full stdlib PNG codec "
+    "(all five scanline filters) + nearest-neighbor downsample + real "
+    "re-encode, pytest-verified on pixel-bearing PNGs (the corpus' "
+    "header-only PNG payloads carry no pixels to resize, so it has no "
+    "corpus row — see tests/test_multimodal.py).",
+)
+def multimodal_resample_audio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.multimodal import resample_audio
+
+    media = _media_df(spark, sf_dir).where(F.col("kind") == "audio")
+    return resample_audio(media, factor=2).select(
+        "media_id",
+        "sample_rate",
+        "new_rate",
+        "n_frames",
+        "new_frames",
+        "mean_amplitude",
+    )

@@ -186,3 +186,142 @@ def test_corpus_payloads_never_reach_fake_decoder(spark):
         r["media_id"] for r in rows if _try_real_decode(bytes(r["payload"])) is None
     ]
     assert unparsed == []
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec + resize + audio resample
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Independent PNG encoder applying a GIVEN filter type per scanline
+    (plain-Python reference implementing the spec forward direction) —
+    exercises the operator's de-filter paths 0-4."""
+    import struct
+
+    h, w, ch = arr.shape
+    ct = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for r in range(h):
+        f = filters[r % len(filters)]
+        raw.append(f)
+        prev = flat[r - 1] if r else np.zeros(stride, dtype=int)
+        for i in range(stride):
+            x = flat[r][i]
+            a = flat[r][i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                enc = x
+            elif f == 1:
+                enc = x - a
+            elif f == 2:
+                enc = x - b
+            elif f == 3:
+                enc = x - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = x - pr
+            raw.append(enc & 0xFF)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_decodes_all_five_filters():
+    from heparchy_spark.operators.multimodal import _png_decode_pixels
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    payload = _png_with_filters(arr, [0, 1, 2, 3, 4])
+    w, h, ch, got = _png_decode_pixels(payload)
+    assert (w, h, ch) == (9, 10, 3)
+    assert np.array_equal(got, arr)
+
+
+def test_png_encode_decode_roundtrip_gray_rgb_rgba():
+    from heparchy_spark.operators.multimodal import (
+        _png_decode_pixels,
+        _png_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 3, 4):
+        arr = rng.randint(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        w, h, c, got = _png_decode_pixels(_png_encode(arr))
+        assert (w, h, c) == (5, 7, ch)
+        assert np.array_equal(got, arr)
+
+
+def test_resize_images_nearest_neighbor_and_null_for_headers(spark):
+    from heparchy_spark.operators.multimodal import (
+        _png_decode_pixels,
+        _png_encode,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    header_only = bytes.fromhex("89504E470D0A1A0A")  # no IHDR/IDAT
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_encode(arr))), (2, bytearray(header_only))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, factor=2).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"]) == (6, 8)
+    assert (r1["out_width"], r1["out_height"]) == (3, 4)
+    _, _, _, got = _png_decode_pixels(bytes(r1["out_payload"]))
+    assert np.array_equal(got, arr[::2, ::2, :])
+    assert out[2]["out_payload"] is None and out[2]["width"] is None
+
+
+def test_resample_audio_decimates_and_reencodes(spark):
+    import io
+    import struct
+    import wave
+
+    from heparchy_spark.operators.multimodal import resample_audio
+
+    # 2-channel PCM16, 6 frames of known samples
+    frames = np.array(
+        [[100, -100], [200, -200], [300, -300],
+         [400, -400], [500, -500], [600, -600]],
+        dtype="<i2",
+    )
+    body = frames.tobytes()
+    wavb = (
+        b"RIFF" + struct.pack("<I", len(body) + 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 16000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(wavb))], "media_id long, payload binary"
+    )
+    row = resample_audio(df, factor=2).collect()[0]
+    assert row["sample_rate"] == 16000 and row["new_rate"] == 8000
+    assert row["n_frames"] == 6 and row["new_frames"] == 3
+    kept = frames[::2].astype("float64")
+    assert row["mean_amplitude"] == float(np.abs(kept).mean() / 32768.0)
+    with wave.open(io.BytesIO(bytes(row["out_payload"]))) as wv:
+        assert wv.getframerate() == 8000
+        assert wv.getnframes() == 3
+        got = np.frombuffer(wv.readframes(3), dtype="<i2").reshape(3, 2)
+    assert np.array_equal(got, frames[::2])

@@ -280,6 +280,32 @@ def expected_decode(doc_id: int, text: str | None) -> dict:
     }
 
 
+def expected_resample(doc_id: int, text: str | None):
+    """Mirror of operators/multimodal.resample_audio (factor 2) on the
+    generator's WAV params: PCM16 frames = the text bytes, decimated
+    [::2]; identical NumPy reduction for the amplitude."""
+    body = (text or "").encode("utf-8")
+    channels = 1 + doc_id % 2
+    rate = [8000, 16000, 44100][doc_id % 3]
+    fs = channels * 2
+    nf = len(body) // fs
+    frames = np.frombuffer(body[: nf * fs], dtype="<i2").reshape(nf, channels)
+    sub = frames[::2]
+    amp = (
+        float(np.abs(sub.astype("float64")).mean() / 32768.0)
+        if sub.size
+        else 0.0
+    )
+    return (
+        doc_id,
+        rate,
+        max(rate // 2, 1),
+        nf,
+        int(sub.shape[0]),
+        amp,
+    )
+
+
 def frame_rows(
     media_id: int, buf: bytes, every_n: int = 8
 ) -> list[tuple[int, int, int]]:
@@ -670,6 +696,22 @@ def main() -> None:
                 "media_id": pa.array([r[0] for r in frames], pa.int64()),
                 "frame_idx": pa.array([r[1] for r in frames], pa.int32()),
                 "frame_bytes": pa.array([r[2] for r in frames], pa.int64()),
+            }
+        ),
+    )
+
+    # multimodal_resample_audio: WAV frame decimation from generator params
+    res = [expected_resample(d, t) for d, t in docs if d % 4 == 2]
+    write(
+        "multimodal_resample_audio",
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in res], pa.int64()),
+                "sample_rate": pa.array([r[1] for r in res], pa.int32()),
+                "new_rate": pa.array([r[2] for r in res], pa.int32()),
+                "n_frames": pa.array([r[3] for r in res], pa.int32()),
+                "new_frames": pa.array([r[4] for r in res], pa.int32()),
+                "mean_amplitude": pa.array([r[5] for r in res], pa.float64()),
             }
         ),
     )
