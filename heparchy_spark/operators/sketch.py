@@ -35,6 +35,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_estimate",
     "kmv_jaccard",
+    "count_min_join_size",
 ]
 
 
@@ -85,6 +86,35 @@ def count_min_build(
         ex.select("__rc.row_idx", "__rc.col_idx", "__w")
         .groupBy("row_idx", "col_idx")
         .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def count_min_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int
+) -> DataFrame:
+    """Join-size (inner-product) estimate from two Count-Min sketches
+    built with the SAME (depth, width, hash): ``min over rows of
+    sum_col cntA * cntB`` (Cormode & Muthukrishnan 2005) — the sketch
+    algebra a query planner uses to size ``A JOIN B ON key`` without
+    touching either table: the dot products read <= depth * width
+    counter rows, period.  One-sided error: every row's dot product
+    >= the true join size; collisions only ever ADD mass, so the min
+    over rows is still an upper bound in expectation with error
+    ~ ||a||_1 ||b||_1 / width.
+
+    Exact-integer arithmetic end to end — the oracle replays it
+    verbatim."""
+    prods = (
+        sketch_a.alias("a")
+        .join(sketch_b.alias("b"), ["row_idx", "col_idx"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    spine = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row_idx")
+    )
+    return spine.join(prods, "row_idx", "left").agg(
+        F.min(F.coalesce(F.col("dot"), F.lit(0))).alias("cm_join_size")
     )
 
 

@@ -461,3 +461,103 @@ def sketch_kmv_jaccard_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intersection_est",
         exact.alias("exact_jaccard"),
     )
+
+
+_JS_W = 1 << 13
+_JS_D = 3
+
+
+def _js_pos_sql(h: str, i: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr({h}, {1 + 15 * i}, 15)) AS BIGINT)"
+        f" % {_JS_W}"
+    )
+
+
+@register(
+    "sketch_cm_join_size_views_purchases",
+    f"""
+    WITH va AS (
+      SELECT user_id, sha256(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    pb AS (
+      SELECT user_id, sha256(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ska AS (
+      SELECT row_idx, col_idx, COUNT(*) AS cnt FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_idx, {_js_pos_sql('h', i)} AS col_idx FROM va"
+            for i in range(_JS_D))}
+      ) GROUP BY 1, 2
+    ),
+    skb AS (
+      SELECT row_idx, col_idx, COUNT(*) AS cnt FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_idx, {_js_pos_sql('h', i)} AS col_idx FROM pb"
+            for i in range(_JS_D))}
+      ) GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT ska.row_idx, SUM(ska.cnt * skb.cnt) AS dot
+      FROM ska JOIN skb
+        ON ska.row_idx = skb.row_idx AND ska.col_idx = skb.col_idx
+      GROUP BY ska.row_idx
+    ),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(v.c * p.c), 0) AS BIGINT)
+               AS exact_join_size
+      FROM (SELECT user_id, COUNT(*) AS c FROM va GROUP BY 1) v
+      JOIN (SELECT user_id, COUNT(*) AS c FROM pb GROUP BY 1) p
+        ON v.user_id = p.user_id
+    )
+    SELECT CAST(MIN(dot) AS BIGINT) AS cm_join_size, exact_join_size
+    FROM dots CROSS JOIN ex
+    GROUP BY exact_join_size
+    """,
+    doc="Join-size estimation from sketches alone (Cormode & "
+    "Muthukrishnan 2005): |views JOIN purchases ON user_id| estimated "
+    "as the min-over-rows inner product of two 3 x 8192 Count-Min "
+    "sketches — the cardinality a planner needs to size a join, read "
+    "from <= d*w counter rows instead of either table. Exact join "
+    "size (sum over users of views*purchases) sits beside it for the "
+    "one-sided error contract (est >= exact). Deterministic sha-slice "
+    "positions; the oracle rebuilds both sketches in portable SQL.",
+)
+def sketch_cm_join_size_views_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.sketch import (
+        cm_positions,
+        count_min_build,
+        count_min_join_size,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    va = ev.where(F.col("event_type") == "view")
+    pb = ev.where(F.col("event_type") == "purchase")
+    ska = count_min_build(
+        va, cm_positions(F.col("user_id"), _JS_W, _JS_D)
+    )
+    skb = count_min_build(
+        pb, cm_positions(F.col("user_id"), _JS_W, _JS_D)
+    )
+    est = count_min_join_size(ska, skb, _JS_D)
+    exact = (
+        va.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            pb.groupBy("user_id").agg(F.count(F.lit(1)).alias("c2")),
+            "user_id",
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.join(F.broadcast(exact)).select(
+        F.col("cm_join_size").cast("long").alias("cm_join_size"),
+        "exact_join_size",
+    )

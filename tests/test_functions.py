@@ -353,3 +353,30 @@ def test_kmv_jaccard_estimates_within_error_band(spark):
     assert row["intersection_est"] == round(
         row["jaccard_est"] * row["union_est"], 4
     )
+
+
+def test_cm_join_size_upper_bound_and_exact_when_sparse(spark):
+    """Sketch inner product >= true join size always; equal when the
+    key space is far below the width (no colliding mass on the min
+    row)."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import (
+        cm_positions,
+        count_min_build,
+        count_min_join_size,
+    )
+
+    # A: key k appears k times (k=1..5); B: each key once
+    a = spark.createDataFrame(
+        [(k,) for k in range(1, 6) for _ in range(k)], "k long"
+    )
+    b = spark.createDataFrame([(k,) for k in range(1, 6)], "k long")
+    truth = sum(range(1, 6))  # sum over keys of cntA*1
+    for width in (4, 1 << 12):  # tiny width forces collisions
+        ska = count_min_build(a, cm_positions(F.col("k"), width, 3))
+        skb = count_min_build(b, cm_positions(F.col("k"), width, 3))
+        est = count_min_join_size(ska, skb, 3).collect()[0]["cm_join_size"]
+        assert est >= truth
+        if width == 1 << 12:
+            assert est == truth
