@@ -991,3 +991,121 @@ def dataset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_pr_curve — precision/recall at decile thresholds of the heuristic
+# ---------------------------------------------------------------------------
+
+_PR_QUALITY_SQL = (
+    "(CASE WHEN __n >= 50 AND __n <= 100000 THEN 0.4 ELSE 0.0 END)"
+    " + least((__alpha / (CASE WHEN __n > 0 THEN __n ELSE 1.0 END))"
+    " / 0.7, 1.0) * 0.3"
+    " + (CASE WHEN __ntok > 0 AND (__n / __ntok) >= 3.0"
+    " AND (__n / __ntok) <= 12.0 THEN 0.3 ELSE 0.0 END)"
+)
+
+
+def _pr_curve_sql() -> str:
+    from heparchy_spark.queries.text import _TOKCOUNT_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT ROUND({_PR_QUALITY_SQL}, 6) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT lang,
+               CAST(length(text) AS DOUBLE) AS __n,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) AS __alpha,
+               CAST({_TOKCOUNT_SQL} AS DOUBLE) AS __ntok
+        FROM documents
+      )
+    ),
+    bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+    binned AS (
+      SELECT CASE WHEN hi = lo THEN 0
+             ELSE LEAST(9, CAST(FLOOR((s - lo) / ((hi - lo) / 10))
+                                AS INTEGER)) END AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS npos
+      FROM scored CROSS JOIN bounds GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(npos) AS BIGINT) AS total_pos FROM binned),
+    cum AS (
+      SELECT bin,
+             CAST(SUM(n) OVER (ORDER BY bin DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ge,
+             CAST(SUM(npos) OVER (ORDER BY bin DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+      FROM binned
+    )
+    SELECT bin, n_ge, tp,
+           ROUND(CAST(tp AS DOUBLE) / n_ge, 6) AS precision_at,
+           ROUND(CAST(tp AS DOUBLE) / total_pos, 6) AS recall_at
+    FROM cum CROSS JOIN tot
+    """
+
+
+@register(
+    "quality_pr_curve",
+    _pr_curve_sql(),
+    doc="Precision-recall curve of the heuristic quality score against "
+    "the is-English label at 10 range-relative thresholds "
+    "(keep-everything-scoring->=-bin semantics): exact integer "
+    "cumulative counts over the bounded bin histogram, one rounded "
+    "division per point. The eval companion to quality_logreg_auc "
+    "without retraining anything — one scan, a scalar bounds "
+    "broadcast, and a 10-row window.",
+)
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score("text"), 6).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = (
+        scored.join(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(9),
+                    F.floor(
+                        (F.col("s") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(10))
+                    ).cast("int"),
+                )
+            )
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("npos"),
+        )
+    )
+    tot = binned.agg(F.sum("npos").cast("long").alias("total_pos"))
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("n_ge"),
+        F.sum("npos").over(w).cast("long").alias("tp"),
+    )
+    return cum.join(F.broadcast(tot)).select(
+        "bin",
+        "n_ge",
+        "tp",
+        F.round(F.col("tp").cast("double") / F.col("n_ge"), 6).alias(
+            "precision_at"
+        ),
+        F.round(
+            F.col("tp").cast("double") / F.col("total_pos"), 6
+        ).alias("recall_at"),
+    )

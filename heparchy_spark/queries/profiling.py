@@ -1228,3 +1228,79 @@ def profile_mutual_information(
             F.max("n").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# audit_disparate_impact — selection-rate fairness audit of the quality gate
+# ---------------------------------------------------------------------------
+
+_DI_KEEP_SQL = (
+    "(n_chars >= 100"
+    " AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    "       >= 0.6 * length(text)"
+    " AND (CASE WHEN length(trim(text)) = 0 THEN 0"
+    "       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    "       BETWEEN 20 AND 100000)"
+)
+
+
+@register(
+    "audit_disparate_impact",
+    f"""
+    WITH rates AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN {_DI_KEEP_SQL} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+      FROM documents GROUP BY lang
+    ),
+    mx AS (
+      SELECT MAX(CAST(n_kept AS DOUBLE) / n_docs) AS max_rate FROM rates
+    )
+    SELECT lang, n_docs, n_kept,
+           ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS sel_rate,
+           ROUND((CAST(n_kept AS DOUBLE) / n_docs) / max_rate, 6)
+             AS impact_ratio,
+           (CAST(n_kept AS DOUBLE) / n_docs) / max_rate < 0.8
+             AS below_four_fifths
+    FROM rates CROSS JOIN mx
+    """,
+    doc="Disparate-impact audit of the C4-style quality gate "
+    "(text_quality_filter's exact predicate): per-language selection "
+    "rates, each group's ratio to the most-selected group, and the "
+    "EEOC four-fifths-rule flag — the governance readout a corpus "
+    "release runs before shipping a filter that might silently "
+    "de-select a language.  One combinable scan + a scalar max "
+    "broadcast; exact integer counts, one rounded division per group.",
+)
+def audit_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast(
+        "double"
+    )
+    ntok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    keep = (
+        (F.col("n_chars") >= 100)
+        & (alpha >= 0.6 * F.length("text"))
+        & ntok.between(20, 100000)
+    )
+    rates = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+    )
+    rate = F.col("n_kept").cast("double") / F.col("n_docs")
+    mx = rates.agg(
+        F.max(F.col("n_kept").cast("double") / F.col("n_docs")).alias(
+            "max_rate"
+        )
+    )
+    return rates.join(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        F.round(rate, 6).alias("sel_rate"),
+        F.round(rate / F.col("max_rate"), 6).alias("impact_ratio"),
+        (rate / F.col("max_rate") < 0.8).alias("below_four_fifths"),
+    )

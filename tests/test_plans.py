@@ -213,6 +213,9 @@ def test_corpus_wide_no_scale_killers(spark):
         "events_peak_concurrent_users",
         "dataset_curriculum_shards",  # prefix_sum global-bounds broadcast
         "dedup_fs_linkage_scores",  # u-probability scalar broadcast
+        "sketch_cm_join_size_views_purchases",  # exact-size scalar broadcast
+        "audit_disparate_impact",  # max-rate scalar broadcast
+        "quality_pr_curve",  # bounds + total-pos scalar broadcasts
         "drift_value_ks",
         "drift_value_psi",
         "drift_term_logodds",
