@@ -141,6 +141,13 @@ def logreg_train(
     # shuffle.  (The previous form re-shuffled the feature rows by doc_id
     # three times per iteration: groupBy for z, the label join, and the
     # residual join — measured 2.4 s/step at sf0.1 vs ~0.2 s for this.)
+    # Size the training frame's partitioning to the LABELED SAMPLE, not
+    # the session default: the per-step gradient scan over a few
+    # thousand cached rows otherwise pays 32 tasks of scheduling per
+    # action (measured ~1.7x the whole training loop at sf0.1).  The
+    # coalesce keeps one task per ~10k docs, which still fans a 1e8-row
+    # labeled set across the cluster.
+    parts = max(1, min(200, (n + 9999) // 10000))
     compact = (
         feats.groupBy("doc_id")
         .agg(
@@ -150,6 +157,7 @@ def logreg_train(
         )
         .join(labels, "doc_id")
         .select("fx", F.col("y").cast("double").alias("y"))
+        .coalesce(parts)
         .persist()
     )
     try:
