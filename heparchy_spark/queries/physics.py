@@ -375,3 +375,110 @@ def physics_softdrop_jets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return softdrop_jets(ev, "event_id", particles_per_event=200)
+
+
+# ---------------------------------------------------------------------------
+# physics_event_ht_met — per-event HT / missing-ET observables
+# ---------------------------------------------------------------------------
+
+
+def _ht_met_sql() -> str:
+    from heparchy_spark.queries.numeric import sql_scaled_long, sql_xsum
+
+    u = lambda j: (  # noqa: E731
+        f"CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR) || 'p{j}'),"
+        f" 1, 12)) AS BIGINT) / 281474976710656.0"
+    )
+    return f"""
+    WITH p AS (
+      SELECT event_id // 200 AS jev,
+             20.0 * ({u(1)} - 0.5) AS px,
+             20.0 * ({u(2)} - 0.5) AS py
+      FROM events
+    ),
+    t AS (
+      SELECT jev, COUNT(*) AS n_particles,
+             {sql_xsum(sql_scaled_long('sqrt(px*px + py*py)', 8), 8)} AS ht,
+             {sql_xsum(sql_scaled_long('px', 8), 8)} AS spx,
+             {sql_xsum(sql_scaled_long('py', 8), 8)} AS spy,
+             MAX({sql_scaled_long('sqrt(px*px + py*py)', 8)}) AS lead_s
+      FROM p GROUP BY jev
+    )
+    SELECT jev AS jet_event, n_particles,
+           ROUND(ht, 4) AS ht,
+           ROUND(sqrt(spx * spx + spy * spy), 6) AS met,
+           ROUND(atan2(spy, spx), 6) AS met_phi,
+           ROUND((CAST(lead_s AS DOUBLE) / 100000000.0) / ht, 6)
+             AS lead_pt_frac
+    FROM t
+    """
+
+
+@register(
+    "physics_event_ht_met",
+    _ht_met_sql(),
+    doc="Per-event scalar-sum pt (HT), missing transverse momentum "
+    "(magnitude + azimuth of -sum p_T, reported as the recoil vector "
+    "sum), and the leading particle's HT fraction — the trigger-level "
+    "observables computed BEFORE any clustering.  Same engine-portable "
+    "sha256-prefix momenta as physics_event_shapes; the three sums ride "
+    "the exact split-long path (numeric.xsum, grid 1e-8) so every "
+    "aggregate is an exact integer and atan2/sqrt 1-ulp engine drift is "
+    "absorbed by the round-6 grid.  ONE combinable aggregation per "
+    "event — the 100 TB shape is identical.",
+)
+def physics_event_ht_met(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries.numeric import scaled_long, xsum
+    from heparchy_spark.queries.tables import load
+
+    ev = load(spark, sf_dir, "events")
+
+    def u(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(f"p{j}")
+                        ),
+                        256,
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(281474976710656.0)
+        )
+    px = F.lit(20.0) * (u(1) - F.lit(0.5))
+    py = F.lit(20.0) * (u(2) - F.lit(0.5))
+    pt = F.sqrt(px * px + py * py)
+    p = ev.select(
+        F.expr("event_id div 200").alias("jev"),
+        px.alias("px"),
+        py.alias("py"),
+        pt.alias("pt"),
+    )
+    t = p.groupBy("jev").agg(
+        F.count(F.lit(1)).alias("n_particles"),
+        xsum(scaled_long(F.col("pt"), 8), 8).alias("ht"),
+        xsum(scaled_long(F.col("px"), 8), 8).alias("spx"),
+        xsum(scaled_long(F.col("py"), 8), 8).alias("spy"),
+        F.max(scaled_long(F.col("pt"), 8)).alias("lead_s"),
+    )
+    return t.select(
+        F.col("jev").alias("jet_event"),
+        "n_particles",
+        F.round(F.col("ht"), 4).alias("ht"),
+        F.round(
+            F.sqrt(F.col("spx") * F.col("spx") + F.col("spy") * F.col("spy")),
+            6,
+        ).alias("met"),
+        F.round(F.atan2(F.col("spy"), F.col("spx")), 6).alias("met_phi"),
+        F.round(
+            (F.col("lead_s").cast("double") / F.lit(1e8)) / F.col("ht"), 6
+        ).alias("lead_pt_frac"),
+    )
