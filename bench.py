@@ -162,6 +162,15 @@ HEADLINE = [
     "profile_mutual_information",
     "graph_sssp_supply_cost",
     "text_textrank_keywords",
+    "sketch_kmv_jaccard_days",
+    "dataset_curriculum_shards",
+    "dedup_fs_linkage_scores",
+    "graph_ppr_supply_seeded",
+    "sketch_cm_join_size_views_purchases",
+    "multimodal_resample_audio",
+    "audit_disparate_impact",
+    "quality_pr_curve",
+    "physics_event_ht_met",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

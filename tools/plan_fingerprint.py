@@ -53,6 +53,7 @@ RUNTIME_MATERIALIZED = {
     "graph_hits_supply",
     "graph_sssp_supply_cost",
     "text_textrank_keywords",  # pagerank materializes internally
+    "graph_ppr_supply_seeded",  # personalized_pagerank materializes
 }
 
 
