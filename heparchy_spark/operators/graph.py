@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "pagerank",
     "personalized_pagerank",
+    "boruvka_forest",
     "triangle_counts",
     "kcore",
     "label_propagation",
@@ -362,6 +363,81 @@ def personalized_pagerank(
     ).persist()
     out.count()
     return out
+
+
+def boruvka_forest(
+    edges: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Boruvka minimum-spanning-forest rounds over an undirected weighted
+    edge list (``src < dst``, LONG weights): each round, every component
+    adds its minimum outgoing edge under the TOTAL order (w, src, dst),
+    then components merge.  The total-order tie-break makes simultaneous
+    picks cycle-free and the whole forest a pure function of the edge
+    set, so a SQL oracle replays the rounds verbatim (components via the
+    recursive-CTE min-label closure).
+
+    Fixed ``rounds`` caps work the way the corpus' BFS/SSSP round limits
+    do — components at least halve per round, so r rounds span any
+    component of <= 2^r nodes; the function stops early (value-identical)
+    once no cross-component edge remains.
+
+    Output: (src, dst, w, round_added).  Scale shape per round: one
+    label join + one <=2x-edges union + one per-component min aggregate
+    (map-side combinable struct min); component labels come from the
+    existing min-label ``connected_components`` fixpoint over the
+    forest-so-far (uniform shuffles, checkpointed rounds).
+    """
+    from heparchy_spark.operators.dedup import connected_components
+
+    e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    for r in range(1, rounds + 1):
+        if forest is None:
+            labels = nodes.select(
+                "node", F.col("node").alias("component")
+            )
+        else:
+            labels = connected_components(
+                forest, "src", "dst", nodes, "node"
+            )
+        lu = labels.select(
+            F.col("node").alias("src"), F.col("component").alias("lu")
+        )
+        lv = labels.select(
+            F.col("node").alias("dst"), F.col("component").alias("lv")
+        )
+        cand = (
+            e.join(lu, "src")
+            .join(lv, "dst")
+            .where(F.col("lu") != F.col("lv"))
+        )
+        both = cand.select(
+            F.col("lu").alias("comp"), "w", "src", "dst"
+        ).union(cand.select(F.col("lv").alias("comp"), "w", "src", "dst"))
+        picks = (
+            both.groupBy("comp")
+            .agg(F.min(F.struct("w", "src", "dst")).alias("m"))
+            .select("m.src", "m.dst", "m.w")
+            .distinct()
+            .withColumn("round_added", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        n_new = picks.count()
+        forest = (
+            picks
+            if forest is None
+            else forest.unionByName(picks).localCheckpoint(eager=True)
+        )
+        if n_new == 0:
+            break
+    return forest
 
 
 def bfs_hops(

@@ -737,7 +737,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # when no labeled pairs exist for EM: fix m near 1 and let the DATA-driven
 # u-probabilities (chance agreement between two random records, computed
 # exactly as sum(n_v^2)/N^2) carry the field-informativeness signal.
-_FS_M = {"name2": 90, "brand": 95, "ptype": 90, "size": 85}  # percent
+_FS_M = {"name2": 90, "brand": 95, "ptype": 90}  # percent
 _FS_TOP = 50
 
 
@@ -762,9 +762,11 @@ def _fs_sql() -> str:
     )
     return f"""
     WITH recs AS (
-      SELECT p_partkey AS pk, split_part(p_name, ' ', 1) AS blk,
+      SELECT p_partkey AS pk,
+             split_part(p_name, ' ', 1) || '/' || CAST(p_size AS VARCHAR)
+               AS blk,
              split_part(p_name, ' ', 2) AS name2,
-             p_brand AS brand, p_type AS ptype, p_size AS size
+             p_brand AS brand, p_type AS ptype
       FROM part
     ),
     uprob AS (
@@ -789,20 +791,28 @@ def _fs_sql() -> str:
     "disagreement, with u_f (chance agreement) computed EXACTLY from "
     "the data as sum(n_v^2)/N^2 and m_f fixed literals (no labeled "
     "pairs for EM; the data-driven u carries field informativeness — "
-    "a rare brand match outweighs a common size match).  Top-50 pairs "
-    "by weight.  Scale shape: one tiny u-aggregate broadcast, a "
-    "blocked equi-join (never all pairs; sub-block a skewed key on a "
-    "hash prefix), TakeOrdered top-k.",
+    "a rare brand match outweighs a common type match).  Top-50 pairs "
+    "by weight.  Blocking key = (first name token, size): the corpus' "
+    "8-value first token alone leaves 2.5k-row blocks (25M candidate "
+    "pairs at sf0.1, measured 22s) — the composite key keeps blocks "
+    "~50 rows and candidates ~500k; the blocked field drops out of "
+    "the scored vector (within-block agreement is constant 1).  Scale "
+    "shape: one tiny u-aggregate broadcast, a blocked equi-join "
+    "(never all pairs; sub-block a skewed key on a hash prefix), "
+    "TakeOrdered top-k.",
 )
 def dedup_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     recs = part.select(
         F.col("p_partkey").alias("pk"),
-        F.split("p_name", " ")[0].alias("blk"),
+        F.concat(
+            F.split("p_name", " ")[0],
+            F.lit("/"),
+            F.col("p_size").cast("string"),
+        ).alias("blk"),
         F.split("p_name", " ")[1].alias("name2"),
         F.col("p_brand").alias("brand"),
         F.col("p_type").alias("ptype"),
-        F.col("p_size").alias("size"),
     )
     n = recs.count()
     fields = list(_FS_M)

@@ -731,3 +731,117 @@ def graph_ppr_supply_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PPR_TOP)
         .select("node", F.col("rank").alias("rank_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_boruvka_forest — MST rounds over the weighted co-supply graph
+# ---------------------------------------------------------------------------
+
+_MST_ROUNDS = 3
+
+
+def _boruvka_sql() -> str:
+    parts = [
+        """supply AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS mn
+      FROM lineitem WHERE l_quantity >= 49 GROUP BY 1, 2
+    )""",
+        """e AS (
+      SELECT a.sk AS src, b.sk AS dst, MIN(a.mn + b.mn) AS w
+      FROM supply a JOIN supply b
+        ON a.pk = b.pk AND a.sk < b.sk
+      GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """lab1 AS (SELECT node, node AS c FROM nodes)""",
+    ]
+    for r in range(1, _MST_ROUNDS + 1):
+        parts.append(f"""cand{r} AS (
+      SELECT lu.c AS cu, lv.c AS cv, e.src, e.dst, e.w
+      FROM e
+      JOIN lab{r} lu ON lu.node = e.src
+      JOIN lab{r} lv ON lv.node = e.dst
+      WHERE lu.c <> lv.c
+    )""")
+        parts.append(f"""p{r} AS (
+      SELECT DISTINCT src, dst, w FROM (
+        SELECT comp, src, dst, w,
+               ROW_NUMBER() OVER (
+                 PARTITION BY comp ORDER BY w, src, dst) AS rk
+        FROM (
+          SELECT cu AS comp, src, dst, w FROM cand{r}
+          UNION ALL
+          SELECT cv AS comp, src, dst, w FROM cand{r}
+        )
+      ) WHERE rk = 1
+    )""")
+        parts.append(
+            f"f{r} AS ("
+            + (
+                f"SELECT src, dst, w, {r} AS round_added FROM p{r}"
+                if r == 1
+                else f"SELECT * FROM f{r - 1} UNION ALL "
+                f"SELECT src, dst, w, {r} AS round_added FROM p{r}"
+            )
+            + ")"
+        )
+        if r < _MST_ROUNDS:
+            parts.append(f"""sym{r} AS (
+      SELECT src AS a, dst AS b FROM f{r}
+      UNION ALL SELECT dst, src FROM f{r}
+    )""")
+            parts.append(f"""reach{r}(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, x.lab FROM reach{r} x JOIN sym{r} s ON s.a = x.node
+    )""")
+            parts.append(
+                f"lab{r + 1} AS (SELECT node, MIN(lab) AS c"
+                f" FROM reach{r} GROUP BY node)"
+            )
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT src, dst, w, round_added FROM f{_MST_ROUNDS}"
+    )
+
+
+@register(
+    "graph_boruvka_forest",
+    _boruvka_sql(),
+    doc="Boruvka minimum-spanning-forest rounds (3, fixed) over the "
+    "high-quantity co-supply graph, edge weight = cheapest combined "
+    "min-price of a shared part (long cents, the SSSP convention). "
+    "Every component adds its (w, src, dst)-minimum outgoing edge per "
+    "round — the total order makes simultaneous picks cycle-free and "
+    "the forest a pure function of the edges, so the oracle unrolls "
+    "the rounds with recursive-CTE min-label components in between "
+    "(operators/graph.py boruvka_forest). Scale shape per round: one "
+    "label join + one per-component combinable struct-min; never an "
+    "all-pairs step.",
+)
+def graph_boruvka_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.graph import boruvka_forest
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.round(F.min("l_extendedprice") * 100)
+        .cast("long")
+        .alias("mn")
+    )
+    a, b = supply.alias("a"), supply.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(
+            F.col("a.sk").alias("src"), F.col("b.sk").alias("dst")
+        )
+        .agg(F.min(F.col("a.mn") + F.col("b.mn")).alias("w"))
+    )
+    return boruvka_forest(e, rounds=_MST_ROUNDS)

@@ -566,8 +566,8 @@ def test_fs_linkage_rare_field_agreement_outweighs_common(spark):
         dedup_fs_linkage_scores,
     )
 
-    # 8 parts, one block ('alpha ...'): brand nearly unique (8 values),
-    # size constant (u = 1 -> disagree impossible, agree weight ~ ln(m)).
+    # 8 parts, one block ('alpha'/size 5): brand nearly unique
+    # (8 values), type constant (u = 1 -> agree weight exactly ln(m)).
     rows = [
         (i, f"alpha n{i % 2}", f"B{i}" if i < 7 else "B0", "T0", 5)
         for i in range(8)
@@ -590,10 +590,8 @@ def test_fs_linkage_rare_field_agreement_outweighs_common(spark):
     r02 = by_pair[(0, 2)]
     assert r07["agree_brand"] == 1 and r02["agree_brand"] == 0
     assert r07["fs_weight"] > r02["fs_weight"]
-    # hand-check one u and one term: u_size = 1.0 (constant field), so
-    # the size-agreement term is exactly ln(m_size).
-    m_size = _FS_M["size"] / 100.0
-    # recompute r02's weight from first principles
+    # recompute r02's weight from first principles (u_type = 1.0 for the
+    # constant field, so its agreement term is exactly ln(m_type))
     n = 8.0
     import collections
 
@@ -603,12 +601,11 @@ def test_fs_linkage_rare_field_agreement_outweighs_common(spark):
 
     u_name2 = u([f"n{i % 2}" for i in range(8)])
     u_brand = u([f"B{i}" if i < 7 else "B0" for i in range(8)])
-    u_type, u_sz = 1.0, 1.0
+    u_type = 1.0
     m = {k: v / 100.0 for k, v in _FS_M.items()}
     expect = (
         math.log(m["name2"] / u_name2)       # 0 and 2 share n0
         + math.log((1 - m["brand"]) / (1 - u_brand))
         + math.log(m["ptype"] / u_type)
-        + math.log(m["size"] / u_sz)
     )
     assert abs(r02["fs_weight"] - round(expect, 6)) < 1e-9
