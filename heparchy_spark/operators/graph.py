@@ -15,8 +15,12 @@ magnitude below PageRank's own convergence tolerance.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from heparchy_spark.plans.barrier import checkpoint_stats_barrier
 
 __all__ = [
     "pagerank",
@@ -374,22 +378,33 @@ def boruvka_forest(
     adds its minimum outgoing edge under the TOTAL order (w, src, dst),
     then components merge.  The total-order tie-break makes simultaneous
     picks cycle-free and the whole forest a pure function of the edge
-    set, so a SQL oracle replays the rounds verbatim (components via the
-    recursive-CTE min-label closure).
+    set, so a SQL oracle replays the rounds verbatim.
 
     Fixed ``rounds`` caps work the way the corpus' BFS/SSSP round limits
     do — components at least halve per round, so r rounds span any
     component of <= 2^r nodes; the function stops early (value-identical)
     once no cross-component edge remains.
 
-    Output: (src, dst, w, round_added).  Scale shape per round: one
-    label join + one <=2x-edges union + one per-component min aggregate
-    (map-side combinable struct min); component labels come from the
-    existing min-label ``connected_components`` fixpoint over the
-    forest-so-far (uniform shuffles, checkpointed rounds).
-    """
-    from heparchy_spark.operators.dedup import connected_components
+    Labels are merged INCREMENTALLY from the picked edges — never by
+    re-running a connected-components fixpoint over the whole forest.
+    Per round, each component's pick induces a FUNCTIONAL graph on
+    component ids (one out-edge per component: its pick's partner).
+    Under the (w, src, dst) total order every directed pick cycle has
+    length exactly 2 (a longer cycle c1->c2->..->ck->c1 would need
+    strictly decreasing pick edges all the way around), so each merge
+    group is a tree hanging off one 2-cycle.  Pointer DOUBLING
+    (p <- p∘p, ceil(log2(C)) steps on the C-row component table) walks
+    every component onto its group's 2-cycle, and min(cycle pair) is the
+    group's canonical label.  The output (src, dst, w, round_added)
+    depends only on the PARTITION the labels induce — true components
+    either way — so the rewrite is value-identical to the old
+    fixpoint-per-round form (pytest asserts the hash).
 
+    Scale shape per round: one label join + one <=2x-edges union + one
+    per-component min aggregate (map-side combinable struct min), then
+    log2(C) tiny self-joins on the component table (C at least halves
+    per round).  No step touches more than the edge list once.
+    """
     e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -397,16 +412,10 @@ def boruvka_forest(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_nodes = nodes.count()
+    labels = nodes.select("node", F.col("node").alias("component"))
     forest = None
     for r in range(1, rounds + 1):
-        if forest is None:
-            labels = nodes.select(
-                "node", F.col("node").alias("component")
-            )
-        else:
-            labels = connected_components(
-                forest, "src", "dst", nodes, "node"
-            )
         lu = labels.select(
             F.col("node").alias("src"), F.col("component").alias("lu")
         )
@@ -419,24 +428,79 @@ def boruvka_forest(
             .where(F.col("lu") != F.col("lv"))
         )
         both = cand.select(
-            F.col("lu").alias("comp"), "w", "src", "dst"
-        ).union(cand.select(F.col("lv").alias("comp"), "w", "src", "dst"))
-        picks = (
-            both.groupBy("comp")
-            .agg(F.min(F.struct("w", "src", "dst")).alias("m"))
-            .select("m.src", "m.dst", "m.w")
+            F.col("lu").alias("comp"),
+            F.col("lv").alias("other"),
+            "w",
+            "src",
+            "dst",
+        ).union(
+            cand.select(
+                F.col("lv").alias("comp"),
+                F.col("lu").alias("other"),
+                "w",
+                "src",
+                "dst",
+            )
+        )
+        # Each comp's unique (w, src, dst)-min candidate; `other` rides
+        # along (the edge key is already unique) as the merge partner.
+        pick_full = checkpoint_stats_barrier(
+            both.groupBy("comp").agg(
+                F.min(F.struct("w", "src", "dst", "other")).alias("m")
+            )
+        )
+        picks = checkpoint_stats_barrier(
+            pick_full.select("m.src", "m.dst", "m.w")
             .distinct()
             .withColumn("round_added", F.lit(r))
-            .localCheckpoint(eager=True)
         )
         n_new = picks.count()
-        forest = (
-            picks
-            if forest is None
-            else forest.unionByName(picks).localCheckpoint(eager=True)
-        )
+        # picks frames are already checkpointed, so the union lineage
+        # stays shallow without re-materializing the forest per round.
+        forest = picks if forest is None else forest.unionByName(picks)
         if n_new == 0:
             break
+        if r == rounds:
+            break
+        # Incremental merge: pointer-double the component-level pick
+        # pointers, then canonicalize to min of the terminal 2-cycle.
+        # Merge-tree depth is bounded by the component count at round
+        # start, which at least halves per round.
+        doubling_steps = max(
+            1, math.ceil(math.log2(max(2, n_nodes >> (r - 1))))
+        )
+        ptr0 = (
+            labels.select(F.col("component").alias("c"))
+            .distinct()
+            .join(
+                pick_full.select(
+                    F.col("comp").alias("c"), F.col("m.other").alias("p")
+                ),
+                "c",
+                "left",
+            )
+            .select("c", F.coalesce("p", "c").alias("p"))
+            .localCheckpoint(eager=False)
+        )
+        ptr0 = checkpoint_stats_barrier(ptr0, eager=False)
+        ptr = ptr0
+        for _ in range(doubling_steps):
+            nxt = ptr.alias("a").join(
+                ptr.alias("b"), F.col("a.p") == F.col("b.c")
+            ).select(F.col("a.c").alias("c"), F.col("b.p").alias("p"))
+            ptr = checkpoint_stats_barrier(nxt, eager=False)
+        canon = (
+            ptr.alias("a")
+            .join(ptr0.alias("b"), F.col("a.p") == F.col("b.c"))
+            .select(
+                F.col("a.c").alias("c"),
+                F.least(F.col("a.p"), F.col("b.p")).alias("root"),
+            )
+        )
+        labels = checkpoint_stats_barrier(
+            labels.join(canon, labels["component"] == canon["c"])
+            .select("node", F.col("root").alias("component"))
+        )
     return forest
 
 

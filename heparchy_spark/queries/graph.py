@@ -740,6 +740,17 @@ def graph_ppr_supply_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MST_ROUNDS = 3
 
 
+# Pointer-doubling depth for the oracle's label merge: each doubling
+# step squares the walk length, so K steps cover merge trees of depth
+# 2^K.  Tree depth is bounded by the component count (<= supplier
+# count: 1000 at sf0.1, 10000 at sf1), so K=14 covers every sweep
+# scale with margin; each step is one self-join on a <=|suppliers|-row
+# CTE, so over-unrolling is nearly free (vs the old recursive-CTE
+# transitive closure that materialized O(n^2) (node, label) pairs and
+# took >550 s alone at sf0.01).
+_MST_PTR_STEPS = 14
+
+
 def _boruvka_sql() -> str:
     parts = [
         """supply AS (
@@ -747,7 +758,7 @@ def _boruvka_sql() -> str:
              CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT) AS mn
       FROM lineitem WHERE l_quantity >= 49 GROUP BY 1, 2
     )""",
-        """e AS (
+        """e AS MATERIALIZED (
       SELECT a.sk AS src, b.sk AS dst, MIN(a.mn + b.mn) AS w
       FROM supply a JOIN supply b
         ON a.pk = b.pk AND a.sk < b.sk
@@ -764,18 +775,22 @@ def _boruvka_sql() -> str:
       JOIN lab{r} lv ON lv.node = e.dst
       WHERE lu.c <> lv.c
     )""")
-        parts.append(f"""p{r} AS (
-      SELECT DISTINCT src, dst, w FROM (
-        SELECT comp, src, dst, w,
-               ROW_NUMBER() OVER (
-                 PARTITION BY comp ORDER BY w, src, dst) AS rk
-        FROM (
-          SELECT cu AS comp, src, dst, w FROM cand{r}
-          UNION ALL
-          SELECT cv AS comp, src, dst, w FROM cand{r}
-        )
-      ) WHERE rk = 1
+        # Each component's unique (w, src, dst)-min candidate, with the
+        # partner component riding along (rk = 1 row per comp).
+        parts.append(f"""pk{r} AS MATERIALIZED (
+      SELECT comp, other, src, dst, w,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp ORDER BY w, src, dst) AS rk
+      FROM (
+        SELECT cu AS comp, cv AS other, src, dst, w FROM cand{r}
+        UNION ALL
+        SELECT cv AS comp, cu AS other, src, dst, w FROM cand{r}
+      )
     )""")
+        parts.append(
+            f"p{r} AS (SELECT DISTINCT src, dst, w FROM pk{r}"
+            " WHERE rk = 1)"
+        )
         parts.append(
             f"f{r} AS ("
             + (
@@ -787,21 +802,35 @@ def _boruvka_sql() -> str:
             + ")"
         )
         if r < _MST_ROUNDS:
-            parts.append(f"""sym{r} AS (
-      SELECT src AS a, dst AS b FROM f{r}
-      UNION ALL SELECT dst, src FROM f{r}
+            # Incremental label merge via pointer doubling over the
+            # component-level functional pick graph (one out-pointer per
+            # component; every directed pick cycle has length exactly 2
+            # under the (w, src, dst) total order — see
+            # operators/graph.py boruvka_forest).  pt{r}_K walks every
+            # component onto its group's 2-cycle; min(cycle pair) is the
+            # group's canonical label.
+            parts.append(f"""pt{r}_0 AS MATERIALIZED (
+      SELECT base.c AS c, COALESCE(pk.other, base.c) AS p
+      FROM (SELECT DISTINCT c FROM lab{r}) base
+      LEFT JOIN (SELECT comp, other FROM pk{r} WHERE rk = 1) pk
+        ON pk.comp = base.c
     )""")
-            parts.append(f"""reach{r}(node, lab) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT s.b, x.lab FROM reach{r} x JOIN sym{r} s ON s.a = x.node
-    )""")
+            for k in range(_MST_PTR_STEPS):
+                parts.append(
+                    f"pt{r}_{k + 1} AS MATERIALIZED (SELECT a.c, b.p"
+                    f" FROM pt{r}_{k} a JOIN pt{r}_{k} b ON b.c = a.p)"
+                )
             parts.append(
-                f"lab{r + 1} AS (SELECT node, MIN(lab) AS c"
-                f" FROM reach{r} GROUP BY node)"
+                f"rt{r} AS (SELECT a.c, LEAST(a.p, b.p) AS root"
+                f" FROM pt{r}_{_MST_PTR_STEPS} a"
+                f" JOIN pt{r}_0 b ON b.c = a.p)"
+            )
+            parts.append(
+                f"lab{r + 1} AS MATERIALIZED (SELECT l.node, rt.root AS c"
+                f" FROM lab{r} l JOIN rt{r} rt ON rt.c = l.c)"
             )
     return (
-        "WITH RECURSIVE\n    "
+        "WITH\n    "
         + ",\n    ".join(parts)
         + f"\n    SELECT src, dst, w, round_added FROM f{_MST_ROUNDS}"
     )
@@ -816,10 +845,10 @@ def _boruvka_sql() -> str:
     "Every component adds its (w, src, dst)-minimum outgoing edge per "
     "round — the total order makes simultaneous picks cycle-free and "
     "the forest a pure function of the edges, so the oracle unrolls "
-    "the rounds with recursive-CTE min-label components in between "
+    "the rounds with pointer-doubled pick-graph labels in between "
     "(operators/graph.py boruvka_forest). Scale shape per round: one "
-    "label join + one per-component combinable struct-min; never an "
-    "all-pairs step.",
+    "label join + one per-component combinable struct-min + log2(C) "
+    "component-table self-joins; never an all-pairs step.",
 )
 def graph_boruvka_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.graph import boruvka_forest
