@@ -83,7 +83,11 @@ def psi_fixed_bins(
 ) -> DataFrame:
     """(bin, n_first, n_second, psi_term) over fixed-width bins of the
     GLOBAL value range; ``sum(psi_term)`` is the PSI.  Laplace (+1)
-    smoothing keeps empty bins finite."""
+    smoothing keeps empty bins finite — and every one of the ``n_bins``
+    bins emits a row (counts joined onto a 0..n_bins-1 spine), because
+    a bin empty in BOTH halves still carries a nonzero smoothed term
+    whenever the two halves' totals differ; dropping it would bias the
+    statistic low."""
     v = F.col(value_col)
     bounds = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     ia = F.col(is_first_col).cast("long")
@@ -106,6 +110,14 @@ def psi_fixed_bins(
             F.sum(ia).alias("n_first"),
             F.sum(F.lit(1) - ia).alias("n_second"),
         )
+    )
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    binned = spine.join(binned, "bin", "left").select(
+        "bin",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("n_second", F.lit(0)).alias("n_second"),
     )
     tot = binned.agg(
         F.sum("n_first").alias("__ta"), F.sum("n_second").alias("__tb")

@@ -543,8 +543,16 @@ def _png_decode_pixels(payload: bytes):
         if ctype == b"IHDR":
             if ln != 13:
                 return None
-            w, h, bd, ct = struct.unpack_from(">IIBB", data, 0)
+            w, h, bd, ct, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", data, 0
+            )
             if bd != 8:
+                return None
+            # Adam7-interlaced streams carry MORE filter bytes than the
+            # sequential layout, so they'd pass the length guard below
+            # and decode to garbled pixels — reject them (and any
+            # nonstandard compression/filter method) up front.
+            if comp != 0 or filt != 0 or interlace != 0:
                 return None
             ch = {0: 1, 2: 3, 6: 4}.get(ct)
             if ch is None:

@@ -1021,11 +1021,21 @@ def broadcast_decontaminate(
         F.col(id_col).alias("__eid"),
         F.col(vec_col).cast("array<double>").alias("__ev"),
     ).collect()
-    out_schema = "eval_id long, train_id long, cosine_sim double"
+    # id columns keep their INPUT types (string doc ids are as common as
+    # longs) — same derivation as mmr_rerank, not a hardcoded long.
+    e_type = {f.name: f.dataType.simpleString() for f in eval_df.schema}[
+        id_col
+    ]
+    t_type = {f.name: f.dataType.simpleString() for f in train.schema}[
+        id_col
+    ]
+    out_schema = (
+        f"eval_id {e_type}, train_id {t_type}, cosine_sim double"
+    )
     spark = train.sparkSession
     if not ev:
         return spark.createDataFrame([], out_schema)
-    eids = np.array([r["__eid"] for r in ev], dtype="int64")
+    eids = [r["__eid"] for r in ev]
     em = np.stack([np.asarray(r["__ev"], dtype="float64") for r in ev])
     em_n = em / np.linalg.norm(em, axis=1, keepdims=True)
     evl = [list(map(float, v)) for v in em]
@@ -1056,7 +1066,7 @@ def broadcast_decontaminate(
                 cs = d / (nt**0.5 * nq**0.5)
                 if cs >= threshold:
                     rows.append(
-                        (int(eids[e]), int(pdf["__tid"].iloc[t]), cs)
+                        (eids[e], pdf["__tid"].iloc[t], cs)
                     )
             yield pd.DataFrame(
                 rows, columns=["eval_id", "train_id", "cosine_sim"]

@@ -105,7 +105,14 @@ def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(1 - ia) AS n_second
       FROM lab GROUP BY 1
     ),
-    tot AS (SELECT SUM(n_first) AS ta, SUM(n_second) AS tb FROM binned)
+    spine AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bin),
+    full_bins AS (
+      SELECT spine.bin,
+             COALESCE(binned.n_first, 0) AS n_first,
+             COALESCE(binned.n_second, 0) AS n_second
+      FROM spine LEFT JOIN binned ON binned.bin = spine.bin
+    ),
+    tot AS (SELECT SUM(n_first) AS ta, SUM(n_second) AS tb FROM full_bins)
     SELECT bin,
            CAST(n_first AS BIGINT) AS n_first,
            CAST(n_second AS BIGINT) AS n_second,
@@ -117,7 +124,7 @@ def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - ROUND(LN((CAST(n_second AS DOUBLE) + 1.0)
                            / (CAST(tb AS DOUBLE) + 10.0)), 8)),
              8) AS psi_term
-    FROM binned, tot
+    FROM full_bins, tot
     ORDER BY bin
     """,
     doc="Population Stability Index contingency over 10 fixed-width "

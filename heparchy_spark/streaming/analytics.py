@@ -482,7 +482,15 @@ def psi_from_histogram(
     histogram against a broadcast ``reference`` (bin, ref_share) table,
     Laplace-smoothed.  Pure per-window algebra over the bounded
     histogram frame — run it on the streaming sink's output or on the
-    batch twin identically."""
+    batch twin identically.
+
+    Every (window, bin) pair contributes a term, including bins with
+    ZERO rows in that window: the per-window spine is the windows seen
+    in ``hist`` cross-joined with the broadcast reference, and counts
+    left-join onto it.  A bin whose population collapsed to zero is the
+    strongest drift signal — joining only on bins present in ``hist``
+    would silently drop exactly those terms (and the smoothed per-window
+    p would no longer sum to 1 under the t+n_bins denominator)."""
     # fresh attribute ids on the rollup side: a sink-view self-join with
     # identical exprIds is otherwise ambiguous
     tot = (
@@ -490,20 +498,24 @@ def psi_from_histogram(
         .groupBy("__ws")
         .agg(F.sum("n").alias("__t"))
     )
-    p = (
-        hist.join(tot, hist["window_start"] == tot["__ws"])
-        .drop("__ws")
-        .join(F.broadcast(reference), "bin", "right_outer")
-        .select(
-            "window_start",
-            "bin",
-            (
-                (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
-                / (F.col("__t") + F.lit(float(n_bins)))
-            ).alias("__p"),
-            F.col("ref_share").alias("__q"),
-        )
-        .where(F.col("window_start").isNotNull())
+    spine = tot.crossJoin(F.broadcast(reference))
+    counts = hist.select(
+        F.col("window_start").alias("__cw"),
+        F.col("bin").alias("__cb"),
+        "n",
+    )
+    p = spine.join(
+        counts,
+        (spine["__ws"] == counts["__cw"]) & (spine["bin"] == counts["__cb"]),
+        "left",
+    ).select(
+        F.col("__ws").alias("window_start"),
+        "bin",
+        (
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("__t") + F.lit(float(n_bins)))
+        ).alias("__p"),
+        F.col("ref_share").alias("__q"),
     )
     term = (F.col("__p") - F.col("__q")) * (
         F.round(F.log("__p"), 8) - F.round(F.log("__q"), 8)

@@ -688,3 +688,19 @@ def test_histogram_auc_equals_pair_counting_property(spark):
         assert abs(spark_auc(rows) - pair_auc(rows)) < 1e-12
 
     check()
+
+
+def test_logreg_score_rejects_bucket_weight_mismatch(spark):
+    """A feature bucket beyond the weight vector means the model was
+    trained with a different n_buckets — the score pass must fail loudly
+    (the join would otherwise silently DROP those feature rows and emit
+    plausible-looking scores)."""
+    import pytest as _pytest
+
+    from heparchy_spark.operators.classifier import logreg_score
+
+    feats = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 7, 2.0)], "doc_id long, bucket long, x double"
+    )
+    with _pytest.raises(Exception, match="out of range"):
+        logreg_score(feats, [0.1] * 4).collect()

@@ -71,3 +71,32 @@ def test_log_odds_direction(spark):
     assert out["alpha"] > 0  # over-represented in the first group
     assert out["gamma"] < 0
     assert abs(out["beta"]) < abs(out["alpha"])
+
+
+def test_psi_emits_all_bins_including_empty(spark):
+    """Every fixed-width bin emits a row — a bin empty in BOTH halves
+    still carries the nonzero smoothed term whenever the halves' totals
+    differ (dropping it biases PSI low).  Mirrored in plain Python."""
+    import math
+
+    rows = (
+        [(0.0, True)] * 30
+        + [(10.0, True)] * 5
+        + [(0.0, False)] * 10
+        + [(10.0, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "value double, f boolean")
+    out = psi_fixed_bins(df, "value", "f").collect()
+    assert [r.bin for r in out] == list(range(10))
+    empty = [r for r in out if r.n_first == 0 and r.n_second == 0]
+    assert len(empty) == 8 and all(r.psi_term != 0.0 for r in empty)
+    counts = {0: (30, 10), 9: (5, 5)}
+    for r in out:
+        na, nb = counts.get(r.bin, (0, 0))
+        p = (na + 1.0) / (35 + 10.0)
+        q = (nb + 1.0) / (15 + 10.0)
+        want = round(
+            (p - q) * (round(math.log(p), 8) - round(math.log(q), 8)), 8
+        )
+        assert (r.n_first, r.n_second) == (na, nb)
+        assert abs(r.psi_term - want) < 1e-12

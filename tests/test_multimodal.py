@@ -325,3 +325,23 @@ def test_resample_audio_decimates_and_reencodes(spark):
         assert wv.getnframes() == 3
         got = np.frombuffer(wv.readframes(3), dtype="<i2").reshape(3, 2)
     assert np.array_equal(got, frames[::2])
+
+
+def test_png_decode_rejects_interlaced():
+    """Adam7 streams carry MORE filter bytes than sequential layout, so
+    they'd pass the length guard and decode garbled — the IHDR
+    interlace byte must short-circuit to None (the decoder never checks
+    chunk CRCs, so flipping the byte on a valid PNG is a faithful
+    stand-in for a real interlaced file)."""
+    from heparchy_spark.operators.multimodal import (
+        _png_decode_pixels,
+        _png_encode,
+    )
+
+    arr = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    payload = bytearray(_png_encode(arr))
+    assert _png_decode_pixels(bytes(payload)) is not None
+    # IHDR data starts at offset 16; interlace is its 13th byte
+    assert payload[12:16] == b"IHDR"
+    payload[16 + 12] = 1
+    assert _png_decode_pixels(bytes(payload)) is None

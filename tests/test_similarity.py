@@ -434,3 +434,23 @@ def test_broadcast_decontaminate_finds_planted_only(spark):
     )
     assert empty.columns == ["eval_id", "train_id", "cosine_sim"]
     assert empty.count() == 0
+
+
+def test_broadcast_decontaminate_string_ids(spark):
+    """Id columns keep their input types — string doc ids must flow
+    through (the schema is derived from the inputs, not hardcoded
+    long), same contract as mmr_rerank."""
+    from heparchy_spark.operators.similarity import broadcast_decontaminate
+
+    train = spark.createDataFrame(
+        [("tr-1", [1.0, 0.0]), ("tr-2", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [("ev-a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    out = broadcast_decontaminate(train, ev, "embedding", "vec_id", 0.99)
+    assert dict(out.dtypes)["eval_id"] == "string"
+    assert dict(out.dtypes)["train_id"] == "string"
+    rows = out.collect()
+    assert [(r.eval_id, r.train_id) for r in rows] == [("ev-a", "tr-1")]

@@ -603,3 +603,22 @@ def test_snapshot_schema_diff(spark, tmp_path):
     assert t.schema_diff(v3, v3) == {
         "added": {}, "removed": {}, "retyped": {},
     }
+
+
+def test_merge_rejects_extra_update_columns(spark, tmp_path):
+    """Updates carrying columns the table lacks are a caller bug (e.g. a
+    typo meant to hit a real column) — silently select()-ing them away
+    would mask it, so merge refuses."""
+    import pytest as _pytest
+
+    from heparchy_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, name string"))
+    with _pytest.raises(ValueError, match="carry columns not in the table"):
+        t.merge(
+            spark.createDataFrame(
+                [(1, "b", 9.0)], "k long, name string, typo double"
+            ),
+            keys=["k"],
+        )

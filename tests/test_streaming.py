@@ -790,3 +790,47 @@ def test_windowed_histogram_psi_matches_batch(spark, landing):
         for r in psi_from_histogram(batch_hist, ref, len(edges) + 1).collect()
     }
     assert got_psi == want_psi and all(p >= 0 for p in got_psi.values())
+
+
+def test_psi_from_histogram_counts_collapsed_bins(spark):
+    """A bin that collapses to zero in one window — the strongest drift
+    signal — must still contribute its smoothed term.  Independent
+    plain-Python mirror (the stream-vs-batch twin test can't catch this:
+    both sides share the helper)."""
+    import datetime
+    import math
+
+    from heparchy_spark.streaming.analytics import psi_from_histogram
+
+    w1 = datetime.datetime(2024, 1, 1, 0)
+    w2 = datetime.datetime(2024, 1, 1, 1)
+    # window 1: uniform across 4 bins; window 2: bin 3 collapsed to 0
+    hist_rows = [(w1, b, 25) for b in range(4)] + [
+        (w2, 0, 40), (w2, 1, 40), (w2, 2, 20)
+    ]
+    hist = spark.createDataFrame(
+        hist_rows, "window_start timestamp, bin int, n long"
+    )
+    ref = spark.createDataFrame(
+        [(b, 0.25) for b in range(4)], "bin int, ref_share double"
+    )
+    got = {
+        r["window_start"]: r["psi"]
+        for r in psi_from_histogram(hist, ref, 4).collect()
+    }
+
+    def mirror(counts):
+        t = sum(counts)
+        s = 0.0
+        for n, q in zip(counts, [0.25] * 4):
+            p = (n + 1.0) / (t + 4.0)
+            s += round(
+                (p - q) * (round(math.log(p), 8) - round(math.log(q), 8)),
+                8,
+            )
+        return round(s, 6)
+
+    assert got[w1] == mirror([25, 25, 25, 25])
+    assert got[w2] == mirror([40, 40, 20, 0])
+    # the collapsed bin's term dominates; without it PSI is badly low
+    assert got[w2] > 0.2
