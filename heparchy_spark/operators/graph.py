@@ -118,7 +118,10 @@ def pagerank(
                     )
                 ).cast("long").alias("__r"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy: all rounds materialize inside the single final
+            # persist job, each round's rows cached as computed (the
+            # HITS pattern — ~12% at sf0.1, bit-identical ranks).
+            .localCheckpoint(eager=False)
         )
         # dropping the reference lets the ContextCleaner reclaim the
         # superseded checkpoint's RDD blocks (Dataset.unpersist is a
@@ -607,8 +610,13 @@ def hits(
     h = nodes.select("node", F.lit(SCALE).cast("long").alias("__h"))
     a = None
     for _ in range(iters):
-        # Checkpoint the raw sums: they feed BOTH the broadcast quotient
-        # and the normalization join — one shuffle instead of two.
+        # Checkpoint the raw sums LAZILY: they feed BOTH the broadcast
+        # quotient and the normalization join — one shuffle instead of
+        # two — and the quotient's broadcast sub-job materializes the
+        # cached rows before the main stage reads them, so the whole
+        # round runs as a single eager action (the final out.count()):
+        # measured ~15% over per-half-round eager jobs at sf0.1,
+        # bit-identical scores.
         #
         # No per-round node fill-in: a node ABSENT from the score table
         # flows through the inner e-join and the sums exactly like a
@@ -622,7 +630,7 @@ def hits(
             .groupBy("__dst")
             .agg(F.sum("__h").alias("__s"))
             .select(F.col("__dst").alias("node"), "__s")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         aq = araw.agg(
             F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
@@ -640,7 +648,7 @@ def hits(
             .groupBy("__src")
             .agg(F.sum("__a").alias("__s"))
             .select(F.col("__src").alias("node"), "__s")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hq = hraw.agg(
             F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
