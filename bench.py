@@ -171,6 +171,15 @@ HEADLINE = [
     "audit_disparate_impact",
     "quality_pr_curve",
     "physics_event_ht_met",
+    # round-5 additions: the previously-untimed heavy tail (the Boruvka
+    # lesson — cost regressions in untimed queries are invisible)
+    "graph_boruvka_forest",
+    "graph_pagerank_supply_network",
+    "graph_kcore_supply",
+    "graph_bfs_hops",
+    "dedup_entity_resolution",
+    "text_bm25_chunk_retrieval",
+    "dedup_duplicated_spans",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

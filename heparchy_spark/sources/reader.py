@@ -382,13 +382,37 @@ class HepProcessReader:
         self._evt._bind(evt_num)
         return self._evt
 
-    def event_ids(self) -> list[int]:
+    # 1e7 longs ~ 80 MB driver-side — generous for the facade's
+    # interactive use, loud long before a corpus-scale collect.
+    _EVENT_IDS_CAP = 10_000_000
+
+    def event_ids(self, max_ids: int | None = None) -> list[int]:
         """Numeric event-id order — the sanctioned explicit-order path
-        (``read/hdf.py:426-428``)."""
+        (``read/hdf.py:426-428``).
+
+        BOUNDED: refuses to collect more than ``max_ids`` (default
+        ``_EVENT_IDS_CAP``) ids — ``len(self)`` is metadata-only, so the
+        guard costs nothing, and a silent driver-side collect of a
+        corpus-scale store is exactly the 100 TB failure mode.  For the
+        unbounded path use :meth:`event_ids_df` and keep the ids
+        distributed."""
+        cap = self._EVENT_IDS_CAP if max_ids is None else max_ids
+        n = len(self)
+        if n > cap:
+            raise ValueError(
+                f"event_ids(): {n} events exceeds the driver-side cap of"
+                f" {cap}; use event_ids_df() for the distributed form, or"
+                " pass an explicit max_ids if you really mean to collect"
+            )
         return [
             r["event_id"]
             for r in self.events.select("event_id").sort("event_id").collect()
         ]
+
+    def event_ids_df(self) -> DataFrame:
+        """Distributed (event_id)-ordered frame — the scale path behind
+        :meth:`event_ids`; no driver materialization."""
+        return self.events.select("event_id").sort("event_id")
 
     def __iter__(self) -> ty.Iterator[HepEventReader]:
         """Sequential scan; order unspecified (``read/hdf.py:419-428,447-452``).

@@ -122,6 +122,22 @@ def test_event_ids_numeric_order(spark, store):
         assert r["higgs"].event_ids() == list(range(10))
 
 
+def test_event_ids_collect_is_bounded(spark, store):
+    """The list form refuses a driver-side collect past the cap (the
+    check rides the metadata-only len, no scan); the DataFrame form is
+    the sanctioned unbounded path."""
+    import pytest
+
+    root, _ = store
+    with HepReader(spark, root) as r:
+        proc = r["higgs"]
+        with pytest.raises(ValueError, match="use event_ids_df"):
+            proc.event_ids(max_ids=5)
+        df = proc.event_ids_df()
+        assert df.columns == ["event_id"]
+        assert [x["event_id"] for x in df.collect()] == list(range(10))
+
+
 def test_process_metadata(spark, store):
     root, _ = store
     with HepReader(spark, root) as r:
