@@ -28,6 +28,8 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "int8_quantize_stats",
+    "binary_quantize",
+    "hamming_topk",
     "label_centroids",
     "pq_train",
     "pq_encode",
@@ -436,6 +438,71 @@ def int8_quantize_stats(
         F.round("vmax", 9).alias("vmax"),
         F.round("scale", 9).alias("scale"),
         F.round("mse", 9).alias("mse"),
+    )
+
+
+def binary_quantize(
+    df: DataFrame, vec_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """1-bit (sign) quantization: each vector becomes ``ceil(dim/64)``
+    packed int64 code words — the 32x storage shrink behind
+    binary-quantized vector search (Hamming distance then approximates
+    angular distance).  Output: (id, code) for dim <= 64, the common
+    serving layout (one long per vector).
+
+    Scale shape: a pure per-row fold (zip_with + aggregate) — map-side
+    only, stays in the scan projection, zero shuffles at any corpus
+    size.  Sign extraction is a float COMPARISON (x >= 0), not
+    arithmetic, so codes are bit-identical on every engine — a SQL
+    oracle packs the same bits via an exploded SUM of shifted ones.
+    """
+    if dim > 64:
+        raise ValueError(
+            f"binary_quantize packs into one int64 word; dim={dim} > 64"
+            " needs the multi-word layout"
+        )
+    code = F.expr(
+        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
+        " (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i)"
+        " ELSE 0L END), 0L, (acc, v) -> acc + v)"
+    )
+    return df.select(F.col(id_col), code.alias("code"))
+
+
+def hamming_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact Hamming top-``k`` over packed binary codes: for every row
+    of ``queries`` (query_id, qcode), the ``k`` nearest ``codes``
+    (id, code) rows by ``bit_count(code XOR qcode)``, self-pairs
+    excluded, ties broken by id — a total order, so the result is a
+    pure function of the inputs.
+
+    Scale shape: the query side is bounded by nature (a serving batch),
+    so it BROADCASTS and the scan side computes popcount distances
+    map-side; only the per-query top-k ranking shuffles, on the query
+    key — |Q| * k rows of final state.  This is the rerank-candidate
+    generator for binary-quantized ANN; feed the survivors to an exact
+    cosine pass for the two-stage pipeline.
+    """
+    id_col = codes.columns[0]
+    pairs = codes.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    d = pairs.select(
+        "query_id",
+        F.col(id_col),
+        F.bit_count(F.col("code").bitwiseXOR(F.col("qcode"))).alias(
+            "hamming"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", id_col)
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "hamming", "rank")
     )
 
 

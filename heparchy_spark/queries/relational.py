@@ -44,10 +44,10 @@ from heparchy_spark.queries.tables import load
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND({sql_xsum(sql_scaled_long('l_quantity', 2), 2)}, 2) AS sum_qty,
-           ROUND({sql_xsum(sql_scaled_long('l_extendedprice', 2), 2)}, 2) AS sum_base_price,
-           ROUND({sql_xsum(sql_scaled_long('l_extendedprice * (1 - l_discount)', 4), 4)}, 4) AS sum_disc_price,
-           ROUND({sql_xsum(sql_scaled_long('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6), 6)}, 6) AS sum_charge,
+           {sql_xsum(sql_scaled_long('l_quantity', 2), 2)} AS sum_qty,
+           {sql_xsum(sql_scaled_long('l_extendedprice', 2), 2)} AS sum_base_price,
+           {sql_xsum(sql_scaled_long('l_extendedprice * (1 - l_discount)', 4), 4)} AS sum_disc_price,
+           {sql_xsum(sql_scaled_long('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6), 6)} AS sum_charge,
            {sql_xavg(sql_scaled_long('l_quantity', 2), 2)} AS avg_qty,
            {sql_xavg(sql_scaled_long('l_extendedprice', 2), 2)} AS avg_price,
            {sql_xavg(sql_scaled_long('l_discount', 2), 2)} AS avg_disc,
@@ -72,14 +72,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(xsum(scaled_long("l_quantity", 2), 2), 2).alias("sum_qty"),
-            F.round(
-                xsum(scaled_long("l_extendedprice", 2), 2), 2
-            ).alias("sum_base_price"),
-            F.round(
-                xsum(scaled_long(disc_price, 4), 4), 4
-            ).alias("sum_disc_price"),
-            F.round(xsum(scaled_long(charge, 6), 6), 6).alias("sum_charge"),
+            # No outer round: xsum output IS on the 10^-scale grid, and
+            # a same-scale ROUND is where the engines can disagree by 1
+            # ulp (DuckDB rounds via v*10^s — representation error can
+            # cross the .5 boundary on 16-digit values; caught by the
+            # r5 cross-scale sweep on sum_charge at sf0.1).
+            xsum(scaled_long("l_quantity", 2), 2).alias("sum_qty"),
+            xsum(scaled_long("l_extendedprice", 2), 2).alias(
+                "sum_base_price"
+            ),
+            xsum(scaled_long(disc_price, 4), 4).alias("sum_disc_price"),
+            xsum(scaled_long(charge, 6), 6).alias("sum_charge"),
             xavg(scaled_long("l_quantity", 2), 2).alias("avg_qty"),
             xavg(scaled_long("l_extendedprice", 2), 2).alias("avg_price"),
             xavg(scaled_long("l_discount", 2), 2).alias("avg_disc"),

@@ -1013,3 +1013,70 @@ def similarity_whiten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_idx",
         F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
     )
+
+
+@register(
+    "similarity_binary_hamming_topk",
+    f"""
+    WITH codes AS (
+      -- bit 63 is the sign bit: Spark's shiftleft(1L, 63) wraps to
+      -- Long.MIN_VALUE, so the oracle adds that literal instead of a
+      -- left shift DuckDB would reject; the BIGINT cast collapses the
+      -- HUGEINT accumulator back to the engine-shared int64.
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN embedding[i] < 0 THEN CAST(0 AS BIGINT)
+                      WHEN i = 64
+                      THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+                      ELSE (CAST(1 AS BIGINT) << (i - 1))
+                      END) AS BIGINT) AS code
+      FROM embeddings, generate_series(1, {DIM}) AS t(i)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, code AS qcode
+          FROM codes WHERE vec_id < 5),
+    d AS (
+      SELECT q.query_id, c.vec_id,
+             bit_count(xor(c.code, q.qcode)) AS hamming
+      FROM codes c, q
+      WHERE c.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+    doc="Binary-quantized ANN: sign-bit codes packed into one int64 "
+    "(32x storage shrink), then exact Hamming top-10 per query "
+    "(vec_id<5) via popcount(XOR) — the candidate generator of a "
+    "two-stage binary-rerank pipeline.  Packing is a map-side zip_with/"
+    "aggregate fold in the scan projection (zero shuffles at any "
+    "corpus size); the bounded query side broadcasts and only the "
+    "|Q|*k ranking state shuffles.  Sign extraction is a comparison, "
+    "not arithmetic, so codes are bit-identical cross-engine "
+    "(operators/similarity.py binary_quantize/hamming_topk).",
+)
+def similarity_binary_hamming_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = binary_quantize(emb, "embedding", "vec_id", dim=DIM)
+    q = codes.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    out = hamming_topk(codes, q, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.col("rank").cast("long").alias("rank"),
+    )

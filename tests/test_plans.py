@@ -233,6 +233,9 @@ def test_corpus_wide_no_scale_killers(spark):
         "drift_mannwhitney_value",
         "events_sequence_support",
         "profile_mutual_information",
+        # bounded serving-batch query side (vec_id<5) vs all codes: the
+        # all-pairs scan IS the operator; query side broadcasts
+        "similarity_binary_hamming_topk",
     }
     offenders = []
     for name, fn in spark_queries().items():

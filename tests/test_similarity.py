@@ -454,3 +454,50 @@ def test_broadcast_decontaminate_string_ids(spark):
     assert dict(out.dtypes)["train_id"] == "string"
     rows = out.collect()
     assert [(r.eval_id, r.train_id) for r in rows] == [("ev-a", "tr-1")]
+
+
+def test_binary_hamming_topk_matches_numpy_mirror(spark):
+    """Packed sign codes and Hamming top-k vs a NumPy popcount mirror,
+    plus the planted-near-dup sanity: a sign-identical copy ranks first
+    at distance 0."""
+    from heparchy_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((60, 64))
+    vecs[50] = vecs[0] * 0.5 + 1e-9  # sign-identical to row 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = binary_quantize(df, "embedding", "vec_id", dim=64)
+    got_codes = {r.vec_id: r.code for r in codes.collect()}
+
+    def pack(v):
+        c = 0
+        for i, x in enumerate(v):
+            if x >= 0:
+                c |= 1 << i
+        return c - (1 << 64) if c >= (1 << 63) else c  # signed int64
+
+    assert got_codes == {i: pack(vecs[i]) for i in range(60)}
+
+    q = codes.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    out = hamming_topk(codes, q, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.hamming))
+    for qid, rows in by_q.items():
+        rows.sort()
+        mask = (1 << 64) - 1
+        want = sorted(
+            (bin((got_codes[i] ^ got_codes[qid]) & mask).count("1"), i)
+            for i in range(60)
+            if i != qid
+        )[:5]
+        assert [(h, i) for _, i, h in rows] == want
+    assert by_q[0][0] == (1, 50, 0)  # planted copy: rank 1, distance 0

@@ -54,6 +54,11 @@ RUNTIME_MATERIALIZED = {
     "graph_sssp_supply_cost",
     "text_textrank_keywords",  # pagerank materializes internally
     "graph_ppr_supply_seeded",  # personalized_pagerank materializes
+    "graph_pagerank_supply_network",  # persist + count at build
+    "graph_boruvka_forest",  # per-round pick counts
+    "graph_kcore_supply",  # peel-fixpoint change counts
+    "graph_bfs_hops",  # per-level frontier emptiness probes
+    "dedup_entity_resolution",  # connected-components fixpoint counts
 }
 
 
