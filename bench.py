@@ -180,6 +180,9 @@ HEADLINE = [
     "dedup_entity_resolution",
     "text_bm25_chunk_retrieval",
     "dedup_duplicated_spans",
+    "similarity_binary_hamming_topk",
+    "dedup_fs_em_params",
+    "agg_moments_skew_kurtosis",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

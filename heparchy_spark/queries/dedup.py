@@ -856,3 +856,151 @@ def dedup_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fs_weight").desc(), "p1", "p2")
         .limit(_FS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fs_em_params — EM-estimated Fellegi-Sunter parameters (Splink-style)
+# ---------------------------------------------------------------------------
+
+_EM_ITERS = 10
+_EM_G = "1000000000.0"
+
+
+def _fs_em_sql() -> str:
+    fields = list(_FS_M)  # name2, brand, ptype — same blocked pairs as FS
+    nf = len(fields)
+    agrees = ", ".join(
+        f"CAST(CASE WHEN a.{f} = b.{f} THEN 1 ELSE 0 END AS INTEGER)"
+        f" AS g{i + 1}"
+        for i, f in enumerate(fields)
+    )
+    gcols = ", ".join(f"g{i + 1}" for i in range(nf))
+    parts = [
+        """recs AS MATERIALIZED (
+      SELECT p_partkey AS pk,
+             split_part(p_name, ' ', 1) || '/' || CAST(p_size AS VARCHAR)
+               AS blk,
+             split_part(p_name, ' ', 2) AS name2,
+             p_brand AS brand, p_type AS ptype
+      FROM part
+    )""",
+        f"""pc AS MATERIALIZED (
+      SELECT {gcols}, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT {agrees}
+        FROM recs a JOIN recs b ON a.blk = b.blk AND a.pk < b.pk
+      ) GROUP BY {gcols}
+    )""",
+        "np AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS np FROM pc)",
+        "p0 AS MATERIALIZED (SELECT 0.1 AS lam, "
+        + ", ".join(f"0.9 AS m{i + 1}" for i in range(nf))
+        + ", "
+        + ", ".join(f"0.1 AS u{i + 1}" for i in range(nf))
+        + ")",
+    ]
+    for k in range(_EM_ITERS):
+        wm = " * ".join(
+            f"(CASE WHEN g{i + 1} = 1 THEN p.m{i + 1}"
+            f" ELSE 1.0 - p.m{i + 1} END)"
+            for i in range(nf)
+        )
+        wu = " * ".join(
+            f"(CASE WHEN g{i + 1} = 1 THEN p.u{i + 1}"
+            f" ELSE 1.0 - p.u{i + 1} END)"
+            for i in range(nf)
+        )
+        parts.append(f"""e{k} AS MATERIALIZED (
+      SELECT {gcols}, n,
+             CAST(FLOOR((w / (w + v)) * {_EM_G} + 0.5) AS BIGINT) AS ps
+      FROM (
+        SELECT pc.*, p.lam * {wm} AS w, (1.0 - p.lam) * {wu} AS v
+        FROM pc, p{k} p
+      )
+    )""")
+        s_cols = ["CAST(SUM(ps * n) AS BIGINT) AS sp"]
+        for i in range(nf):
+            s_cols.append(
+                f"CAST(SUM(CASE WHEN g{i + 1} = 1 THEN ps * n"
+                f" ELSE 0 END) AS BIGINT) AS sp{i + 1}"
+            )
+            s_cols.append(
+                f"CAST(SUM(CASE WHEN g{i + 1} = 1 THEN"
+                f" (1000000000 - ps) * n ELSE 0 END) AS BIGINT)"
+                f" AS su{i + 1}"
+            )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT " + ", ".join(s_cols)
+            + f" FROM e{k})"
+        )
+        mu_cols = [
+            f"FLOOR((CAST(sp AS DOUBLE) / {_EM_G}"
+            f" / CAST(np.np AS DOUBLE)) * {_EM_G} + 0.5) / {_EM_G} AS lam"
+        ]
+        for i in range(nf):
+            mu_cols.append(
+                f"LEAST(GREATEST(FLOOR((CAST(sp{i + 1} AS DOUBLE)"
+                f" / CAST(sp AS DOUBLE)) * {_EM_G} + 0.5) / {_EM_G},"
+                f" 1e-09), 1.0 - 1e-09) AS m{i + 1}"
+            )
+            mu_cols.append(
+                f"LEAST(GREATEST(FLOOR((CAST(su{i + 1} AS DOUBLE)"
+                f" / CAST({_EM_G[:-2]} * np.np - sp AS DOUBLE))"
+                f" * {_EM_G} + 0.5) / {_EM_G},"
+                f" 1e-09), 1.0 - 1e-09) AS u{i + 1}"
+            )
+        parts.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT " + ", ".join(mu_cols)
+            + f" FROM s{k}, np)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, m{i + 1} AS m_prob, u{i + 1} AS u_prob,"
+        f" lam AS match_share,"
+        f" ROUND(LN(m{i + 1} / u{i + 1}), 6) AS match_weight,"
+        f" ROUND(LN((1.0 - m{i + 1}) / (1.0 - u{i + 1})), 6)"
+        f" AS nonmatch_weight FROM p{_EM_ITERS}"
+        for i, f in enumerate(fields)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@register(
+    "dedup_fs_em_params",
+    _fs_em_sql(),
+    doc="Unsupervised Fellegi-Sunter parameter estimation by EM "
+    "(Winkler 1988 — the Splink architecture) over the same blocked "
+    "part comparison vectors as dedup_fs_linkage_scores: per field, "
+    "m = P(agree|match), u = P(agree|non-match), the overall match "
+    "share, and the resulting ln-odds weights, learned with no labels. "
+    "The only pair-scaled pass is the agreement-PATTERN rollup "
+    "(<= 2^F rows); EM iterates on that bounded table with 1e-9-grid "
+    "responsibilities entering the M-step as exact scaled-integer "
+    "sums, so the oracle replays all 10 rounds as unrolled CTEs "
+    "bit-for-bit (operators/fuzzy.py fs_em_params).",
+)
+def dedup_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.fuzzy import fs_em_params
+
+    part = load(spark, sf_dir, "part")
+    recs = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.concat(
+            F.split("p_name", " ")[0],
+            F.lit("/"),
+            F.col("p_size").cast("string"),
+        ).alias("blk"),
+        F.split("p_name", " ")[1].alias("name2"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    fields = list(_FS_M)
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).select(
+        *[
+            (F.col(f"a.{f}") == F.col(f"b.{f}")).cast("int").alias(f)
+            for f in fields
+        ]
+    )
+    return fs_em_params(pairs, fields, iters=_EM_ITERS)

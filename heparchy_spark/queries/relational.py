@@ -1852,3 +1852,115 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "agg_moments_skew_kurtosis",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS s1, SUM(v * v) AS s2,
+             SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+      FROM s GROUP BY l_returnflag
+    ),
+    a AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS a1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS a2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS a3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) / 100000000.0 AS a4
+      FROM sums
+    ),
+    m AS (
+      SELECT l_returnflag, n, a1,
+             a2 - a1 * a1 AS m2,
+             a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1 AS m3,
+             a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2
+                - 3.0 * a1 * a1 * a1 * a1 AS m4
+      FROM a
+    )
+    SELECT l_returnflag, n,
+           ROUND(a1, 6) AS mean_qty,
+           ROUND(m2, 6) AS var_qty,
+           ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="Moments sketch (Gan et al., VLDB 2018 shape): per-group "
+    "MERGEABLE state is just (n, S1..S4) — exact power sums of the "
+    "1e-2-grid scaled-long quantity, map-side combinable and "
+    "re-mergeable across shards/windows with plain addition — from "
+    "which mean/variance/skewness/excess-kurtosis derive in closed "
+    "form.  Powers of the scaled long stay within int64 per row "
+    "(|v| <= 5000 here -> v^4 <= 6.25e14) and the sums accumulate in "
+    "decimal(38,0)/HUGEINT, so both engines hold the identical exact "
+    "integers and every derived double is the same literal expression "
+    "sequence — no float-order dependence anywhere.",
+)
+def agg_moments_skew_kurtosis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    v = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    dec = "decimal(38,0)"
+    sums = (
+        li.select("l_returnflag", v.alias("v"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast(dec)).alias("s1"),
+            F.sum((F.col("v") * F.col("v")).cast(dec)).alias("s2"),
+            F.sum(
+                (F.col("v") * F.col("v") * F.col("v")).cast(dec)
+            ).alias("s3"),
+            F.sum(
+                (F.col("v") * F.col("v") * F.col("v") * F.col("v")).cast(
+                    dec
+                )
+            ).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    a = sums.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1").cast("double") / nd / F.lit(100.0)).alias("a1"),
+        (F.col("s2").cast("double") / nd / F.lit(10000.0)).alias("a2"),
+        (F.col("s3").cast("double") / nd / F.lit(1000000.0)).alias("a3"),
+        (F.col("s4").cast("double") / nd / F.lit(100000000.0)).alias(
+            "a4"
+        ),
+    )
+    a1, a2, a3, a4 = (F.col(c) for c in ("a1", "a2", "a3", "a4"))
+    m = a.select(
+        "l_returnflag",
+        "n",
+        a1,
+        (a2 - a1 * a1).alias("m2"),
+        (a3 - F.lit(3.0) * a1 * a2 + F.lit(2.0) * a1 * a1 * a1).alias(
+            "m3"
+        ),
+        (
+            a4
+            - F.lit(4.0) * a1 * a3
+            + F.lit(6.0) * a1 * a1 * a2
+            - F.lit(3.0) * a1 * a1 * a1 * a1
+        ).alias("m4"),
+    )
+    m2, m3, m4 = (F.col(c) for c in ("m2", "m3", "m4"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(a1, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

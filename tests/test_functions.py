@@ -380,3 +380,46 @@ def test_cm_join_size_upper_bound_and_exact_when_sparse(spark):
         assert est >= truth
         if width == 1 << 12:
             assert est == truth
+
+
+def test_moments_sketch_matches_numpy_and_merges(spark):
+    """Skew/kurtosis from exact power sums vs NumPy population moments;
+    and the sketch MERGES: power sums of two halves add to the whole
+    (the mergeable-state property the 100 TB shape relies on)."""
+    import numpy as np
+
+    from heparchy_spark.queries.relational import agg_moments_skew_kurtosis
+
+    # numeric check against numpy on the real table
+    out = {
+        r.l_returnflag: r
+        for r in agg_moments_skew_kurtosis(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    q = duckdb.sql(
+        "SELECT l_returnflag, l_quantity FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    by_flag = {}
+    for flag, qty in q:
+        by_flag.setdefault(flag, []).append(round(qty * 100) / 100)
+    for flag, vals in by_flag.items():
+        x = np.asarray(vals)
+        m = x.mean()
+        c = x - m
+        m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+        r = out[flag]
+        assert r.n == len(vals)
+        assert abs(r.mean_qty - m) < 1e-5
+        assert abs(r.var_qty - m2) < 1e-4
+        assert abs(r.skewness - m3 / m2**1.5) < 1e-5
+        assert abs(r.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-5
+    # mergeability: sums over disjoint halves add to the global sums
+    vals = np.arange(1, 101, dtype=np.int64)
+    s_all = [int((vals**p).sum()) for p in (1, 2, 3, 4)]
+    s_lo = [int((vals[:50] ** p).sum()) for p in (1, 2, 3, 4)]
+    s_hi = [int((vals[50:] ** p).sum()) for p in (1, 2, 3, 4)]
+    assert [a + b for a, b in zip(s_lo, s_hi)] == s_all

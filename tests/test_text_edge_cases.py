@@ -609,3 +609,27 @@ def test_fs_linkage_rare_field_agreement_outweighs_common(spark):
         + math.log(m["ptype"] / u_type)
     )
     assert abs(r02["fs_weight"] - round(expect, 6)) < 1e-9
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    """EM on a synthetic two-population comparison-vector mixture: 200
+    'match' pairs agree on each field w.p. ~0.9, 1800 'non-match'
+    pairs w.p. ~0.1.  The estimates must separate (m >> u per field)
+    and the match share must land near the true 10%."""
+    import numpy as np
+
+    from heparchy_spark.operators.fuzzy import fs_em_params
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for _ in range(200):  # matches
+        rows.append(tuple(int(rng.rand() < 0.9) for _ in range(3)))
+    for _ in range(1800):  # non-matches
+        rows.append(tuple(int(rng.rand() < 0.1) for _ in range(3)))
+    df = spark.createDataFrame(rows, "f1 int, f2 int, f3 int")
+    out = {r.field: r for r in fs_em_params(df, ["f1", "f2", "f3"]).collect()}
+    assert set(out) == {"f1", "f2", "f3"}
+    for r in out.values():
+        assert r.m_prob > 0.6 and r.u_prob < 0.25
+        assert r.match_weight > 0 > r.nonmatch_weight
+        assert abs(r.match_share - 0.1) < 0.06

@@ -59,6 +59,7 @@ RUNTIME_MATERIALIZED = {
     "graph_kcore_supply",  # peel-fixpoint change counts
     "graph_bfs_hops",  # per-level frontier emptiness probes
     "dedup_entity_resolution",  # connected-components fixpoint counts
+    "dedup_fs_em_params",  # pattern-rollup collect feeds driver-side EM
 }
 
 
