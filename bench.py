@@ -183,6 +183,7 @@ HEADLINE = [
     "similarity_binary_hamming_topk",
     "dedup_fs_em_params",
     "agg_moments_skew_kurtosis",
+    "sketch_sample_quantiles_value",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

