@@ -184,6 +184,7 @@ HEADLINE = [
     "dedup_fs_em_params",
     "agg_moments_skew_kurtosis",
     "sketch_sample_quantiles_value",
+    "multimodal_keyframe_select",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -263,3 +263,25 @@ def multimodal_resample_audio(
         "new_frames",
         "mean_amplitude",
     )
+
+
+@register(
+    "multimodal_keyframe_select",
+    expected_fixture_sql("multimodal_keyframe_select"),
+    doc="Keyframe selection per video: 16-bin byte histograms on the "
+    "sampled frame payloads, L1 change vs the predecessor frame, "
+    "top-3 largest changes per media under a (change desc, frame_idx) "
+    "total order — the shot-boundary heuristic of a video curation "
+    "pipeline.  Frame fan-out + histograms are Arrow-batched "
+    "mapInPandas; the change score is a JVM lag-window + zip_with "
+    "fold; only the |media| x 3 ranking state shuffles.  Oracle = "
+    "plain-Python mirror of slicing/histogram/ranking, precomputed "
+    "(operators/multimodal.py keyframe_select).",
+)
+def multimodal_keyframe_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.multimodal import keyframe_select
+
+    media = _media_df(spark, sf_dir).where(F.col("kind") == "video")
+    return keyframe_select(media, every_n=4, top_k=3)

@@ -345,3 +345,43 @@ def test_png_decode_rejects_interlaced():
     assert payload[12:16] == b"IHDR"
     payload[16 + 12] = 1
     assert _png_decode_pixels(bytes(payload)) is None
+
+
+def test_keyframe_select_finds_planted_shot_boundary(spark):
+    """A 6-frame payload whose bytes switch distribution at frame 3
+    must rank frame 3 first, with the mirror-exact L1 score."""
+    from heparchy_spark.operators.multimodal import keyframe_select
+
+    # _minimal_avi(6) gives a REAL container with n_frames=6; append a
+    # payload body whose slices flip from 0x00-bytes to 0xFF-bytes so
+    # the sample_frames slicing (step = len//6) crosses the boundary
+    # inside one frame step.
+    avi = _minimal_avi(6)
+    body = bytes(avi)
+    # pad so len(buf)//6 slices land on a clean half/half split
+    pad = (b"\x00" * 600) + (b"\xff" * 600)
+    buf = body + pad
+    df = spark.createDataFrame(
+        [(1, bytearray(buf))], "media_id long, payload binary"
+    )
+    out = keyframe_select(df, every_n=1, top_k=6).orderBy("kf_rank").collect()
+    assert [r.kf_rank for r in out] == list(range(1, 6))  # frames 1..5
+    # mirror: replicate slicing + histograms in plain Python
+    import numpy as np
+
+    step = max(len(buf) // 6, 1)
+    hists = []
+    for fi in range(6):
+        off = (fi * step) % len(buf)
+        arr = np.frombuffer(buf[off : off + step], dtype=np.uint8)
+        hists.append(np.bincount(arr >> 4, minlength=16).astype("int64"))
+    want = sorted(
+        (
+            (int(np.abs(hists[fi] - hists[fi - 1]).sum()), fi)
+            for fi in range(1, 6)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = [(r.l1_change, r.frame_idx) for r in out]
+    assert got == want
+    assert got[0][0] > 0  # the boundary frame carries a real change

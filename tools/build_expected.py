@@ -321,6 +321,35 @@ def frame_rows(
     return out
 
 
+def keyframe_rows(
+    media_id: int, buf: bytes, every_n: int = 4, top_k: int = 3
+) -> list[tuple[int, int, int, int]]:
+    """Mirror of operators/multimodal.keyframe_select: frame slices via
+    the sample_frames rule, 16-bin byte histograms, L1 change vs the
+    predecessor, top-k under (change desc, frame_idx)."""
+    n_frames = 1 + media_id % 97
+    step = max(len(buf) // max(n_frames, 1), 1)
+    hists = []
+    for fi in range(0, n_frames, every_n):
+        off = (fi * step) % max(len(buf), 1)
+        arr = np.frombuffer(buf[off : off + step], dtype=np.uint8)
+        h = (
+            np.bincount(arr >> 4, minlength=16).astype("int64")
+            if arr.size
+            else np.zeros(16, dtype="int64")
+        )
+        hists.append((fi, h))
+    scored = [
+        (int(np.abs(h - ph).sum()), fi)
+        for (fi, h), (_, ph) in zip(hists[1:], hists[:-1])
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [
+        (media_id, fi, l1, rank + 1)
+        for rank, (l1, fi) in enumerate(scored[:top_k])
+    ]
+
+
 def byte_stats(buf: bytes) -> tuple[int, float, int]:
     arr = np.frombuffer(buf, dtype=np.uint8)
     counts = np.bincount(arr, minlength=256) if arr.size else np.zeros(1)
@@ -689,6 +718,24 @@ def main() -> None:
         if d % 4 == 3
         for row in frame_rows(d, p)
     ]
+    kf = [
+        row
+        for d, p in payloads
+        if d % 4 == 3
+        for row in keyframe_rows(d, p)
+    ]
+    write(
+        "multimodal_keyframe_select",
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in kf], pa.int64()),
+                "frame_idx": pa.array([r[1] for r in kf], pa.int32()),
+                "l1_change": pa.array([r[2] for r in kf], pa.int64()),
+                "kf_rank": pa.array([r[3] for r in kf], pa.int32()),
+            }
+        ),
+    )
+
     write(
         "multimodal_frame_sample",
         pa.table(
