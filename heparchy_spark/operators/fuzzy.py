@@ -153,8 +153,14 @@ def fs_em_params(
                 if g:
                     spf[f] += ps * n
                     suf[f] += (G - ps) * n
+        # Clamp the scaled responsibility mass away from the saturation
+        # points: if every pattern responsibility snapped to 0 (or 1)
+        # on the 1e-9 grid, sp would hit 0 (or G*n_pairs) and the m/u
+        # updates below would divide by zero.  Mirrored exactly in the
+        # unrolled-CTE oracle (queries/dedup.py _fs_em_sql).
+        sp = min(max(sp, 1), G * n_pairs - 1)
         su = G * n_pairs - sp
-        lam = snap(float(sp) / 1000000000.0 / float(n_pairs))
+        lam = clamp(snap(float(sp) / 1000000000.0 / float(n_pairs)))
         m = {
             f: clamp(snap(float(spf[f]) / float(sp))) for f in agree_cols
         }

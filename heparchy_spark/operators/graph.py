@@ -483,7 +483,6 @@ def boruvka_forest(
                 "left",
             )
             .select("c", F.coalesce("p", "c").alias("p"))
-            .localCheckpoint(eager=False)
         )
         ptr0 = checkpoint_stats_barrier(ptr0, eager=False)
         ptr = ptr0

@@ -455,18 +455,32 @@ def binary_quantize(
     size.  Sign extraction is a float COMPARISON (x >= 0), not
     arithmetic, so codes are bit-identical on every engine — a SQL
     oracle packs the same bits via an exploded SUM of shifted ones.
+
+    For ``dim > 64`` — production embedding sizes (384-4096) — the
+    output column is ``codes: array<long>`` with ``ceil(dim/64)``
+    words, element ``i`` landing in word ``i div 64`` at bit
+    ``i mod 64``; for ``dim <= 64`` it stays the single-long ``code``
+    serving layout.  Each word is its own slice+fold, so the multi-word
+    path is still a pure scan projection.
     """
-    if dim > 64:
-        raise ValueError(
-            f"binary_quantize packs into one int64 word; dim={dim} > 64"
-            " needs the multi-word layout"
+    if dim <= 64:
+        code = F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
+            " (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i)"
+            " ELSE 0L END), 0L, (acc, v) -> acc + v)"
         )
-    code = F.expr(
-        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
-        " (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i)"
-        " ELSE 0L END), 0L, (acc, v) -> acc + v)"
-    )
-    return df.select(F.col(id_col), code.alias("code"))
+        return df.select(F.col(id_col), code.alias("code"))
+    words = []
+    for w in range((dim + 63) // 64):
+        width = min(64, dim - w * 64)
+        words.append(
+            f"aggregate(zip_with(slice({vec_col}, {w * 64 + 1}, {width}),"
+            f" sequence(0, {width - 1}),"
+            " (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i)"
+            " ELSE 0L END), 0L, (acc, v) -> acc + v)"
+        )
+    codes = F.expr("array(" + ", ".join(words) + ")")
+    return df.select(F.col(id_col), codes.alias("codes"))
 
 
 def hamming_topk(
@@ -491,12 +505,20 @@ def hamming_topk(
     pairs = codes.crossJoin(F.broadcast(queries)).where(
         F.col(id_col) != F.col("query_id")
     )
+    if "codes" in codes.columns:
+        # multi-word layout (dim > 64): sum of per-word popcounts —
+        # still a per-row fold, still map-side
+        dist = F.expr(
+            "aggregate(zip_with(codes, qcodes,"
+            " (a, b) -> cast(bit_count(a ^ b) as long)),"
+            " 0L, (acc, v) -> acc + v)"
+        )
+    else:
+        dist = F.bit_count(F.col("code").bitwiseXOR(F.col("qcode")))
     d = pairs.select(
         "query_id",
         F.col(id_col),
-        F.bit_count(F.col("code").bitwiseXOR(F.col("qcode"))).alias(
-            "hamming"
-        ),
+        dist.alias("hamming"),
     )
     w = Window.partitionBy("query_id").orderBy("hamming", id_col)
     return (

@@ -21,7 +21,11 @@ estimate can never compound.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+_warned_connect = False
 
 
 def checkpoint_stats_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -30,8 +34,29 @@ def checkpoint_stats_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     The rebuild goes through ``SparkSession.internalCreateDataFrame`` on
     the already-checkpointed RDD — pure JVM-side plumbing, no Python
     round-trip, no extra job beyond the checkpoint itself.
+
+    Under Spark Connect the private JVM handles (``_jdf`` /
+    ``_jsparkSession``) do not exist; there the function degrades to a
+    plain ``localCheckpoint`` (lineage still truncated) and warns once
+    that origin statistics are retained — long self-join chains may
+    then re-trigger the stats-squaring slowdown this barrier exists to
+    prevent.
     """
     ck = df.localCheckpoint(eager=eager)
+    if not hasattr(ck, "_jdf"):  # Spark Connect — no JVM handles
+        global _warned_connect
+        if not _warned_connect:
+            _warned_connect = True
+            warnings.warn(
+                "checkpoint_stats_barrier: running under Spark Connect;"
+                " falling back to plain localCheckpoint, which KEEPS"
+                " origin statistics — chained self-joins may hit the"
+                " stats-squaring planner slowdown (see"
+                " heparchy_spark/plans/barrier.py module doc).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return ck
     spark = ck.sparkSession
     jdf = ck._jdf  # noqa: SLF001 — JVM handle, classic (non-Connect) mode
     jspark = spark._jsparkSession  # noqa: SLF001

@@ -65,18 +65,46 @@ class QuerySpec:
     spark: SparkBuilder
     oracle: str | None  # None -> driver records rows-only check
     doc: str = ""
+    # Plan-shape declarations read by tests/test_plans.py's corpus-wide
+    # scale-killer gate.  A query whose physical plan legitimately
+    # contains a BroadcastNestedLoopJoin (the scalar-subquery /
+    # bounded-broadcast pattern) or a row-at-a-time Python UDF (the one
+    # UDTF slow-path demo) must SAY so at registration time — the gate
+    # reads these flags from the registry, so there is no hand list to
+    # go stale when a new query lands (three rounds shipped that miss).
+    expects_bnlj: bool = False
+    expects_row_udf: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: register a Spark query builder with its oracle SQL."""
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    *,
+    expects_bnlj: bool = False,
+    expects_row_udf: bool = False,
+):
+    """Decorator: register a Spark query builder with its oracle SQL.
+
+    ``expects_bnlj`` / ``expects_row_udf`` declare intentional
+    plan shapes (bounded broadcast nested-loop join; row-at-a-time
+    Python UDF) that the corpus-wide plan gate would otherwise flag.
+    """
 
     def deco(fn: SparkBuilder) -> SparkBuilder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            spark=fn,
+            oracle=oracle,
+            doc=doc,
+            expects_bnlj=expects_bnlj,
+            expects_row_udf=expects_row_udf,
+        )
         return fn
 
     return deco

@@ -95,6 +95,7 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast dim, basket total as a broadcast single-row aggregate. "
     "Confidence and lift are each ONE IEEE division of exact integers "
     "(< 2**53), rounded to 6 — engine-independent.",
+    expects_bnlj=True,
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

@@ -118,6 +118,7 @@ def dataset_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mix — the largest corpus reaching that mix with no upsampling "
     "(N* = min_s floor(1000*n_s/w_s)), rows picked by content-hash order. "
     "Integer per-mille weights keep quotas engine-portable.",
+    expects_bnlj=True,
 )
 def dataset_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import mix_sources
@@ -343,6 +344,7 @@ def _dsir_sql() -> str:
     "same combinable aggregate as a conditional sum), a vocabulary-"
     "sized broadcast log-ratio table, one per-doc aggregate; round-8 "
     "ratios accumulate in exact decimal so the sum is order-independent.",
+    expects_bnlj=True,
 )
 def dataset_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import dsir_logweights
@@ -495,6 +497,7 @@ def _temperature_sql(total: int, alpha_pct: int) -> str:
     "(operators/dataset.py temperature_sample). Quota math rides "
     "round-8 powers + decimal normalizer; the only full shuffle is the "
     "per-source ranking window.",
+    expects_bnlj=True,
 )
 def dataset_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import temperature_sample
@@ -527,6 +530,7 @@ def dataset_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "target distribution. Composes dsir_logweights with the A-ES "
     "weighted sampler (content-hash uniforms, TakeOrdered plan); the "
     "oracle nests the full DSIR chain as a CTE.",
+    expects_bnlj=True,
 )
 def dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import (
@@ -717,6 +721,7 @@ def _calibration_sql() -> str:
     "score, and empirical positive rate — the calibration companion "
     "to quality_logreg_auc (same bounded-histogram shape: the grouped "
     "frame never exceeds 10 rows regardless of corpus size).",
+    expects_bnlj=True,
 )
 def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.classifier import (
@@ -857,6 +862,7 @@ def dataset_target_encoding_loo(
     "aggregates (per-category and global) joined broadcast-side; the "
     "woe is ROUNDED to the 1e-9 grid before entering the iv product so "
     "both engines multiply identical doubles.",
+    expects_bnlj=True,
 )
 def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
@@ -950,6 +956,7 @@ def _curriculum_sql() -> str:
     "serial state is n_buckets offset rows; a degenerate "
     "constant-quality corpus re-buckets the in-group window on a hash "
     "prefix the same way.",
+    expects_bnlj=True,
 )
 def dataset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1057,6 +1064,7 @@ def _pr_curve_sql() -> str:
     "division per point. The eval companion to quality_logreg_auc "
     "without retraining anything — one scan, a scalar bounds "
     "broadcast, and a 10-row window.",
+    expects_bnlj=True,
 )
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

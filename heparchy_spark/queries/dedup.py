@@ -800,6 +800,7 @@ def _fs_sql() -> str:
     "shape: one tiny u-aggregate broadcast, a blocked equi-join "
     "(never all pairs; sub-block a skewed key on a hash prefix), "
     "TakeOrdered top-k.",
+    expects_bnlj=True,
 )
 def dedup_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
@@ -931,9 +932,23 @@ def _fs_em_sql() -> str:
             f"s{k} AS MATERIALIZED (SELECT " + ", ".join(s_cols)
             + f" FROM e{k})"
         )
+        # sp clamped into [1, G*np - 1] and lam into [1e-9, 1 - 1e-9],
+        # exactly as operators/fuzzy.py fs_em_params does — otherwise a
+        # fully-saturated E-step (all responsibilities snapping to the
+        # same grid end) would divide by zero in both engines.
+        parts.append(
+            f"sc{k} AS MATERIALIZED (SELECT"
+            f" LEAST(GREATEST(sp, 1),"
+            f" CAST({_EM_G[:-2]} AS BIGINT) * np.np - 1) AS sp, "
+            + ", ".join(
+                f"sp{i + 1}, su{i + 1}" for i in range(nf)
+            )
+            + f" FROM s{k}, np)"
+        )
         mu_cols = [
-            f"FLOOR((CAST(sp AS DOUBLE) / {_EM_G}"
-            f" / CAST(np.np AS DOUBLE)) * {_EM_G} + 0.5) / {_EM_G} AS lam"
+            f"LEAST(GREATEST(FLOOR((CAST(sp AS DOUBLE) / {_EM_G}"
+            f" / CAST(np.np AS DOUBLE)) * {_EM_G} + 0.5) / {_EM_G},"
+            f" 1e-09), 1.0 - 1e-09) AS lam"
         ]
         for i in range(nf):
             mu_cols.append(
@@ -949,7 +964,7 @@ def _fs_em_sql() -> str:
             )
         parts.append(
             f"p{k + 1} AS MATERIALIZED (SELECT " + ", ".join(mu_cols)
-            + f" FROM s{k}, np)"
+            + f" FROM sc{k}, np)"
         )
     finals = " UNION ALL ".join(
         f"SELECT '{f}' AS field, m{i + 1} AS m_prob, u{i + 1} AS u_prob,"

@@ -75,6 +75,7 @@ def _halved_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evaluates the ECDF difference with the distributed prefix sum "
     "(integer cross-multiples, supremum exact); the oracle uses the "
     "serial global window the operator replaces.",
+    expects_bnlj=True,
 )
 def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(
@@ -131,6 +132,7 @@ def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bins of the global value range, events before vs after the time "
     "midpoint, Laplace-smoothed; sum(psi_term) IS the PSI.  One "
     "map-side-combinable scan to a 10-row table.",
+    expects_bnlj=True,
 )
 def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_fixed_bins(
@@ -181,6 +183,7 @@ def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate to a sublinear vocab table, then TakeOrdered top-k; "
     "ln() values snap to the 1e-8 grid so both engines rank "
     "identically.",
+    expects_bnlj=True,
 )
 def drift_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -234,6 +237,7 @@ def drift_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "come from exact integer marginals; per-cell terms snap to the "
     "1e-9 grid and accumulate in decimal so the statistic is "
     "order-independent across engines and partitionings.",
+    expects_bnlj=True,
 )
 def drift_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
@@ -410,6 +414,7 @@ def drift_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nonparametric test needs no single-task sort.  The normal "
     "approximation applies the standard tie correction "
     "sum(t^3 - t) from exact integer tie counts.",
+    expects_bnlj=True,
 )
 def drift_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sweep import prefix_sum

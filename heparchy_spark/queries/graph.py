@@ -527,6 +527,7 @@ def _hits_sql(iters: int) -> str:
     "round engine-exact, so the oracle replays all 6 iterations as "
     "unrolled SQL CTEs (operators/graph.py hits — the pagerank "
     "technique extended to a two-phase iteration).",
+    expects_bnlj=True,
 )
 def graph_hits_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.graph import hits
@@ -829,10 +830,24 @@ def _boruvka_sql() -> str:
                 f"lab{r + 1} AS MATERIALIZED (SELECT l.node, rt.root AS c"
                 f" FROM lab{r} l JOIN rt{r} rt ON rt.c = l.c)"
             )
+    # Loud bound check: the unrolled pointer-doubling walk covers merge
+    # trees of depth <= 2^_MST_PTR_STEPS.  The Spark side derives its
+    # doubling depth from the live node count, so at a sweep scale with
+    # more active components than the oracle's fixed unroll this would
+    # otherwise under-double and fail parity as a confusing hash
+    # mismatch — fail with an explicit error instead.
+    parts.append(
+        "guard AS (SELECT CASE WHEN"
+        f" (SELECT COUNT(*) FROM nodes) > {1 << _MST_PTR_STEPS}"
+        " THEN error('boruvka oracle: node count exceeds the"
+        f" 2^{_MST_PTR_STEPS} pointer-doubling unroll —"
+        " raise _MST_PTR_STEPS') ELSE 0 END AS ok)"
+    )
     return (
         "WITH\n    "
         + ",\n    ".join(parts)
         + f"\n    SELECT src, dst, w, round_added FROM f{_MST_ROUNDS}"
+        + "\n    WHERE (SELECT ok FROM guard) = 0"
     )
 
 

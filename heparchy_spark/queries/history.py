@@ -233,6 +233,7 @@ def events_last_touch_attribution(
     "round-8 log terms.  Every window here runs over the "
     "|distinct lifetimes| table — bounded by the corpus time span in "
     "days, not by its row count.",
+    expects_bnlj=True,
 )
 def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -394,6 +395,7 @@ def events_anomaly_markov_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "non-adjacent semantics distinguish it from events_top_trigrams "
     "(consecutive n-grams) and events_funnel_conversion (one fixed "
     "stage chain).",
+    expects_bnlj=True,
 )
 def events_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

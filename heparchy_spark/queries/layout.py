@@ -62,6 +62,7 @@ _ORACLE = f"""
     "behind multi-column data skipping (operators/layout.py "
     "cluster_by_zorder). Stats pass + pure shift/mask algebra; the "
     "oracle recomputes the whole construction in portable SQL.",
+    expects_bnlj=True,
 )
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")

@@ -221,6 +221,7 @@ def join_salted_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulated) — the 'do I need salting or AQE skew-join here?' "
     "number. One combinable count aggregate; everything after runs on "
     "the |keys|-sized frame.",
+    expects_bnlj=True,
 )
 def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -751,6 +752,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean(Y - theta (X - mean X)).  Two combinable aggregates over the "
     "per-user frame plus a broadcast scalar — experimentation-platform "
     "math at event-log scale, bit-identical across engines.",
+    expects_bnlj=True,
 )
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import DEC, dsum
@@ -890,6 +892,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the standard fix for small-n rate rankings (a 2/2 part no longer "
     "outranks a 30/40 one).  Top-20 by shrunk rate; everything after "
     "the per-part aggregate is scalar algebra on broadcast constants.",
+    expects_bnlj=True,
 )
 def rank_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
@@ -1193,6 +1196,7 @@ def profile_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln snaps to the 1e-9 grid before the probability product, and "
     "round-9 terms accumulate in decimal — order-independent across "
     "engines and partitionings.",
+    expects_bnlj=True,
 )
 def profile_mutual_information(
     spark: SparkSession, sf_dir: str
@@ -1272,6 +1276,7 @@ _DI_KEEP_SQL = (
     "release runs before shipping a filter that might silently "
     "de-select a language.  One combinable scan + a scalar max "
     "broadcast; exact integer counts, one rounded division per group.",
+    expects_bnlj=True,
 )
 def audit_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

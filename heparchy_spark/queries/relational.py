@@ -1324,6 +1324,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate. The single-row average broadcasts (cross join) under the "
     "filter — two passes over orders, no shuffle of the filtered stream; "
     "the decimal-accumulated average makes the threshold engine-identical.",
+    expects_bnlj=True,
 )
 def orders_above_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1536,6 +1537,7 @@ def agg_robust_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single row), bucket = count of boundaries <= value, then one "
     "combinable aggregate. The scale path swaps approx_percentile "
     "boundaries in (mergeable sketch, no full sort) — same plan shape.",
+    expects_bnlj=True,
 )
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1710,6 +1712,7 @@ def _bootstrap_sql() -> str:
     "so replicates are deterministic and the oracle replays them "
     "exactly; the CI is the 2.5/97.5 interpolated percentile of the 32 "
     "replicate means (Spark percentile == DuckDB quantile_cont).",
+    expects_bnlj=True,
 )
 def agg_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

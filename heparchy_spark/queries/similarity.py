@@ -349,6 +349,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is one fused projection), majority label with deterministic "
     "tie-break, compared to the true label. The evaluation harness shape "
     "for embedding-quality checks over a labeled corpus.",
+    expects_bnlj=True,
 )
 def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -570,6 +571,7 @@ def _rrf_hybrid_sql() -> str:
     "aggregate + a bounded window, the corpus is never rescanned. "
     "Composes operators/text.py bm25_topk + operators/similarity.py "
     "rrf_fuse across the documents AND embeddings tables.",
+    expects_bnlj=True,
 )
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -626,6 +628,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the corpus is never touched by the greedy loop "
     "(operators/similarity.py mmr_rerank). Oracle = plain-Python mirror "
     "with the _seq_dot fold convention, precomputed.",
+    expects_bnlj=True,
 )
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1024,10 +1027,14 @@ def similarity_whiten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- left shift DuckDB would reject; the BIGINT cast collapses the
       -- HUGEINT accumulator back to the engine-shared int64.
       SELECT vec_id,
-             CAST(SUM(CASE WHEN embedding[i] < 0 THEN CAST(0 AS BIGINT)
-                      WHEN i = 64
-                      THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
-                      ELSE (CAST(1 AS BIGINT) << (i - 1))
+             -- same polarity as Spark's binary_quantize (set the bit
+             -- when x >= 0, else clear) so a NULL element leaves the
+             -- bit CLEAR in both engines
+             CAST(SUM(CASE WHEN embedding[i] >= 0 THEN
+                        CASE WHEN i = 64
+                        THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+                        ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+                      ELSE CAST(0 AS BIGINT)
                       END) AS BIGINT) AS code
       FROM embeddings, generate_series(1, {DIM}) AS t(i)
       GROUP BY vec_id
@@ -1059,6 +1066,7 @@ def similarity_whiten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|Q|*k ranking state shuffles.  Sign extraction is a comparison, "
     "not arithmetic, so codes are bit-identical cross-engine "
     "(operators/similarity.py binary_quantize/hamming_topk).",
+    expects_bnlj=True,
 )
 def similarity_binary_hamming_topk(
     spark: SparkSession, sf_dir: str
@@ -1087,10 +1095,14 @@ def similarity_binary_hamming_topk(
     f"""
     WITH codes AS (
       SELECT vec_id,
-             CAST(SUM(CASE WHEN embedding[i] < 0 THEN CAST(0 AS BIGINT)
-                      WHEN i = 64
-                      THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
-                      ELSE (CAST(1 AS BIGINT) << (i - 1))
+             -- same polarity as Spark's binary_quantize (set the bit
+             -- when x >= 0, else clear) so a NULL element leaves the
+             -- bit CLEAR in both engines
+             CAST(SUM(CASE WHEN embedding[i] >= 0 THEN
+                        CASE WHEN i = 64
+                        THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+                        ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+                      ELSE CAST(0 AS BIGINT)
                       END) AS BIGINT) AS code
       FROM embeddings, generate_series(1, {DIM}) AS t(i)
       GROUP BY vec_id
@@ -1141,6 +1153,7 @@ def similarity_binary_hamming_topk(
     "pipeline where the full-precision vectors are touched for 50 "
     "rows per query instead of the whole corpus.  Sequential-fold "
     "dots on the round-9 grid keep the rerank engine-exact.",
+    expects_bnlj=True,
 )
 def similarity_binary_rerank_topk(
     spark: SparkSession, sf_dir: str
@@ -1185,4 +1198,107 @@ def similarity_binary_rerank_topk(
             "cosine_sim",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_binary_multiword_topk — multi-word (dim > 64) binary ANN
+# ---------------------------------------------------------------------------
+
+_MW_DIM = 160  # 64 + 64 + 32 -> exercises 3 code words incl. a partial one
+
+
+def _mw_word_sql(off: int, width: int) -> str:
+    """One packed int64 word of the widened vector ``w`` — the
+    shifted-ones sum over elements ``off+1 .. off+width`` (1-based),
+    bit 63 via the MIN_VALUE literal DuckDB accepts where a left shift
+    of 1 would overflow.  Same >=0 polarity as binary_quantize, so a
+    NULL element leaves the bit clear in both engines."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {width}),"
+        f" i -> CASE WHEN w[i + {off}] >= 0 THEN"
+        " CASE WHEN i = 64 THEN (CAST(-9223372036854775807 AS BIGINT) - 1)"
+        " ELSE (CAST(1 AS BIGINT) << (i - 1)) END"
+        " ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+def _mw_sql() -> str:
+    n_words = (_MW_DIM + 63) // 64
+    words = ", ".join(
+        _mw_word_sql(w * 64, min(64, _MW_DIM - w * 64))
+        for w in range(n_words)
+    )
+    return f"""
+    WITH wide AS (
+      SELECT vec_id,
+             embedding || list_transform(embedding, x -> -x)
+                       || embedding[1:32] AS w
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, [{words}] AS codes FROM wide
+    ),
+    q AS (SELECT vec_id AS query_id, codes AS qcodes
+          FROM codes WHERE vec_id < 5),
+    d AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, {n_words}),
+               j -> bit_count(xor(c.codes[j], q.qcodes[j]))))
+               AS BIGINT) AS hamming
+      FROM codes c, q
+      WHERE c.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """
+
+
+@register(
+    "similarity_binary_multiword_topk",
+    _mw_sql(),
+    doc="Binary-quantized ANN at production embedding widths: the "
+    "corpus 64-dim vectors are widened to 160 dims (v || -v || v[:32] "
+    "— deterministic, sign-bearing) so the packing genuinely crosses "
+    "word boundaries, then sign-bit-packed into ceil(160/64)=3 int64 "
+    "words and searched by exact Hamming top-10 per query (vec_id<5), "
+    "distance = sum of per-word popcount(XOR).  Packing and distance "
+    "are per-row zip_with/aggregate folds in the scan projection — "
+    "zero shuffles at any corpus size or dim; the bounded query side "
+    "broadcasts and only |Q|*k ranking state shuffles "
+    "(operators/similarity.py binary_quantize multi-word layout).",
+    expects_bnlj=True,
+)
+def similarity_binary_multiword_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    wide = emb.select(
+        "vec_id",
+        F.expr(
+            "concat(embedding, transform(embedding, x -> -x),"
+            " slice(embedding, 1, 32))"
+        ).alias("wemb"),
+    )
+    codes = binary_quantize(wide, "wemb", "vec_id", dim=_MW_DIM)
+    q = codes.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    out = hamming_topk(codes, q, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.col("rank").cast("long").alias("rank"),
     )

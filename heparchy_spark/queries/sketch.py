@@ -263,6 +263,7 @@ _HLL_EST_SQL = """
     "accumulates as an exact int64, so both engines produce "
     "bit-identical doubles — order-free where naive double summation "
     "is partition-order-dependent.",
+    expects_bnlj=True,
 )
 def sketch_hll_intersection_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sketch import hll_estimate_df, hll_registers
@@ -524,6 +525,7 @@ def _js_pos_sql(h: str, i: int) -> str:
     "size (sum over users of views*purchases) sits beside it for the "
     "one-sided error contract (est >= exact). Deterministic sha-slice "
     "positions; the oracle rebuilds both sketches in portable SQL.",
+    expects_bnlj=True,
 )
 def sketch_cm_join_size_views_purchases(
     spark: SparkSession, sf_dir: str

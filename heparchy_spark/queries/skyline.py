@@ -34,6 +34,7 @@ from heparchy_spark.queries.tables import load
     "on one node), broadcast frontier semi-join back. The oracle is the "
     "independent quadratic NOT-EXISTS dominance definition, so parity "
     "compares two different algorithms for the same frontier.",
+    expects_bnlj=True,
 )
 def skyline_cheap_big_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")

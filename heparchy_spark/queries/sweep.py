@@ -50,6 +50,7 @@ from heparchy_spark.queries.tables import load
     "uses the global serial SUM() OVER (ORDER BY t) the operator "
     "replaces, so parity compares the scalable plan against the "
     "textbook sweep line.",
+    expects_bnlj=True,
 )
 def events_peak_concurrent_users(
     spark: SparkSession, sf_dir: str

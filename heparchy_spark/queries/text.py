@@ -469,6 +469,7 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sentence fan-out via a Python UDTF (one doc row -> N sentence "
     "rows with per-sentence token counts); ASCII whitespace classes keep "
     "Python-regex and RE2 split semantics identical.",
+    expects_row_udf=True,
 )
 def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import split_sentences
@@ -566,6 +567,7 @@ def text_top_bigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles are the two token aggregations, both map-side combinable. "
     "ln() on a double ratio is IEEE-identical across engines; round(6) "
     "guards the last ulp.",
+    expects_bnlj=True,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -738,6 +740,7 @@ _BM25_TOPK_SQL = f"""
     "scalar (no second stream pass), corpus constants ride a broadcast "
     "single-row join, and ranking windows over candidate docs only. "
     "Same ln/round(6) determinism contract as text_tfidf_top_terms.",
+    expects_bnlj=True,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import bm25_topk
@@ -846,6 +849,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wordcount; the regression runs on 100 rows with the corpus' "
     "determinism discipline (round-8 inputs, decimal accumulation, "
     "round-6 outputs) so both engines produce identical doubles.",
+    expects_bnlj=True,
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1005,6 +1009,7 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline serves. Pure composition of chunk_documents and "
     "bm25_topk; chunk dl differs from doc dl, so scores legitimately "
     "differ from document-level BM25.",
+    expects_bnlj=True,
 )
 def text_bm25_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import bm25_topk, chunk_documents
@@ -1115,6 +1120,7 @@ def _ndcg_sql() -> str:
     "decimal-exact summation.  The retrieval-quality eval companion to "
     "quality_logreg_auc/calibration — everything after the ranking is "
     "bounded (3 queries x 10 positions).",
+    expects_bnlj=True,
 )
 def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import bm25_topk

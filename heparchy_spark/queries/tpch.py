@@ -258,6 +258,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "significant share of one nation's shipped value. The scalar "
     "subquery is a single-row broadcast-joined aggregate, the cross-"
     "join-with-one-row pattern.",
+    expects_bnlj=True,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -687,6 +688,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "countries gone dormant. Scalar-subquery average broadcasts; the NOT "
     "EXISTS is a left-anti join against the filtered orders key "
     "projection.",
+    expects_bnlj=True,
 )
 def q22_global_sales_opportunity(
     spark: SparkSession, sf_dir: str

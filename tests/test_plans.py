@@ -182,61 +182,18 @@ def test_zorder_layout_range_partitions_no_global_sort(spark):
 
 def test_corpus_wide_no_scale_killers(spark):
     """Every registered corpus query must plan free of scale-killers:
-    no cartesian products anywhere; no row-at-a-time Python UDFs except
-    the one labeled UDTF slow-path demo (text_sentence_split); any
-    BroadcastNestedLoopJoin must come from the scalar-subquery pattern
-    (a broadcast side of at most a few rows), which the known-list below
-    pins so new queries can't silently add one."""
-    from heparchy_spark.queries import spark_queries
+    no cartesian products anywhere; no row-at-a-time Python UDFs and no
+    BroadcastNestedLoopJoin unless the query DECLARED the shape at
+    registration time (``@register(..., expects_bnlj=True)`` for the
+    scalar-subquery / bounded-broadcast pattern,
+    ``expects_row_udf=True`` for the one UDTF slow-path demo).  The
+    gate reads the declarations from the registry itself — there is no
+    hand-maintained allowlist to go stale when a new query lands."""
+    from heparchy_spark.queries import REGISTRY, _load_all, spark_queries
 
-    ROW_UDF_OK = {"text_sentence_split"}
-    BNLJ_OK = {
-        # single-row (or <=20-row) broadcast aggregate joins by design
-        "text_tfidf_top_terms",
-        "text_bm25_topk",
-        "text_bm25_chunk_retrieval",
-        "sketch_hll_intersection_days",
-        "agg_equidepth_histogram",
-        "text_zipf_fit",
-        "layout_zorder_key",
-        "orders_above_avg_value",
-        "similarity_knn_label_vote",
-        "retrieval_rrf_hybrid",
-        "dataset_dsir_logweights",
-        "dataset_dsir_resample",
-        "similarity_mmr_rerank",
-        "dataset_temperature_sample",
-        "agg_bootstrap_ci_value",
-        "graph_hits_supply",
-        "basket_association_rules",
-        "skyline_cheap_big_parts",
-        "events_peak_concurrent_users",
-        "dataset_curriculum_shards",  # prefix_sum global-bounds broadcast
-        "dedup_fs_linkage_scores",  # u-probability scalar broadcast
-        "sketch_cm_join_size_views_purchases",  # exact-size scalar broadcast
-        "audit_disparate_impact",  # max-rate scalar broadcast
-        "quality_pr_curve",  # bounds + total-pos scalar broadcasts
-        "drift_value_ks",
-        "drift_value_psi",
-        "drift_term_logodds",
-        "quality_calibration_curve",
-        "retrieval_ndcg_eval",
-        "events_kaplan_meier",
-        "events_ab_cuped",
-        "rank_shrunk_return_rates",
-        "profile_key_skew",
-        "q11_important_parts",
-        "q22_global_sales_opportunity",
-        "dataset_mix_sources",
-        "quality_woe_iv",
-        "drift_chi2_lang_source",
-        "drift_mannwhitney_value",
-        "events_sequence_support",
-        "profile_mutual_information",
-        # bounded serving-batch query side (vec_id<5) vs all codes: the
-        # all-pairs scan IS the operator; query side broadcasts
-        "similarity_binary_hamming_topk",
-    }
+    _load_all()
+    ROW_UDF_OK = {n for n, s in REGISTRY.items() if s.expects_row_udf}
+    BNLJ_OK = {n for n, s in REGISTRY.items() if s.expects_bnlj}
     offenders = []
     for name, fn in spark_queries().items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()

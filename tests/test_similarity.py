@@ -501,3 +501,62 @@ def test_binary_hamming_topk_matches_numpy_mirror(spark):
         )[:5]
         assert [(h, i) for _, i, h in rows] == want
     assert by_q[0][0] == (1, 50, 0)  # planted copy: rank 1, distance 0
+
+
+def test_binary_multiword_matches_numpy_mirror(spark):
+    """dim > 64 layout: ceil(dim/64) packed words, element i in word
+    i//64 at bit i%64; Hamming = sum of per-word popcounts.  Mirrored
+    against a NumPy packer at dim=70 (a partial second word)."""
+    from heparchy_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    dim = 70
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, dim))
+    vecs[30] = np.where(vecs[1] >= 0, 1.0, -1.0)  # sign-copy of row 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = binary_quantize(df, "embedding", "vec_id", dim=dim)
+    assert "codes" in codes.columns
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+
+    def pack(v):
+        out = []
+        for w in range((dim + 63) // 64):
+            c = 0
+            for i, x in enumerate(v[w * 64 : w * 64 + 64]):
+                if x >= 0:
+                    c |= 1 << i
+            out.append(c - (1 << 64) if c >= (1 << 63) else c)
+        return out
+
+    assert got == {i: pack(vecs[i]) for i in range(40)}
+    assert all(len(c) == 2 for c in got.values())
+
+    q = codes.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    out = hamming_topk(codes, q, k=4).collect()
+    mask = (1 << 64) - 1
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.hamming))
+    for qid, rows in by_q.items():
+        rows.sort()
+        want = sorted(
+            (
+                sum(
+                    bin((got[i][w] ^ got[qid][w]) & mask).count("1")
+                    for w in range(2)
+                ),
+                i,
+            )
+            for i in range(40)
+            if i != qid
+        )[:4]
+        assert [(h, i) for _, i, h in rows] == want
+    assert by_q[1][0] == (1, 30, 0)  # planted sign-copy: rank 1, dist 0
