@@ -390,6 +390,7 @@ def bottomk_sample_quantiles(
     quantiles: ty.Sequence[int],
     s: int = 256,
     group_cols: ty.Sequence[str] = (),
+    batch_prune: bool = False,
 ) -> DataFrame:
     """Mergeable quantile sketch from a bottom-``s`` HASH sample: keep
     the rows whose portable 60-bit hash of ``key`` ranks among the
@@ -409,10 +410,23 @@ def bottomk_sample_quantiles(
     under the (value, hash) total order — an actual data value, no
     interpolation, hence engine-exact.
 
-    Scale shape: one per-group window over the hashed rows to keep the
-    bottom-s (at corpus scale, pre-prune per Arrow batch like
-    ``topk_per_group`` — the sketch algebra is unchanged), then all
-    quantiles read from the s-row-per-group state.
+    Scale shape: the ``row_number() <= s`` filter compiles to Spark's
+    two-phase ``WindowGroupLimit`` — a PARTIAL map-side bottom-s prune
+    per scan partition (each bounded by ``maxPartitionBytes``) before
+    the exchange, then the final per-group limit after it — so a giant
+    group never full-sorts and at most ``s x map_partitions`` rows per
+    group ever shuffle.  ``tests/test_plans.py`` pins that plan shape.
+
+    ``batch_prune=True`` additionally pre-prunes every Arrow batch to
+    its local bottom-s per group in a ``mapInPandas`` stage (the
+    ``topk_per_group`` shape; a row in the group's global bottom-s is
+    in the bottom-s of every subset containing it, and rows tied on
+    the whole (hash, value) sort key are interchangeable, so the prune
+    is lossless).  Measured at sf0.1 this is ~3x SLOWER than the pure
+    JVM plan — the Arrow transfer of every row through the Python
+    worker costs more than the bounded map-side sort it saves — so it
+    is OFF by default and exists for engines/configs where
+    ``WindowGroupLimit`` is unavailable.
     """
     gcols = list(group_cols)
     h = F.sha2(key.cast("string"), 256)
@@ -420,6 +434,29 @@ def bottomk_sample_quantiles(
     hashed = df.select(
         *gcols, F.col(value_col).alias("__v"), v60.alias("__h")
     )
+
+    if batch_prune:
+        prune_schema = hashed.schema
+
+        def _prune(batches: ty.Iterator) -> ty.Iterator:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if gcols:
+                    yield (
+                        pdf.sort_values(["__h", "__v"], kind="mergesort")
+                        .groupby(gcols, group_keys=False, sort=False)[
+                            list(pdf.columns)
+                        ]
+                        .head(s)
+                    )
+                else:
+                    yield pdf.sort_values(
+                        ["__h", "__v"], kind="mergesort"
+                    ).head(s)
+
+        hashed = hashed.mapInPandas(_prune, schema=prune_schema)
+
     wk = Window.partitionBy(*gcols).orderBy("__h", "__v")
     sample = (
         hashed.withColumn("__hr", F.row_number().over(wk))

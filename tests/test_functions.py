@@ -479,3 +479,70 @@ def test_bottomk_sample_quantiles_merge_and_error(spark):
     kb = sorted(r.h for r in kept(b).collect())
     kall = sorted(r.h for r in kept(df).collect())
     assert sorted(ka + kb)[:256] == kall
+
+
+def test_bottomk_sample_quantiles_batch_prune_equality(spark):
+    """The per-Arrow-batch bottom-s pre-prune is a lossless superset
+    filter: forcing tiny batches (many prune invocations per group)
+    must leave every quantile estimate identical to a single-batch
+    run."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import bottomk_sample_quantiles
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i), float(round(v, 3)), "g%d" % (i % 3))
+        for i, v in enumerate(rng.lognormal(0, 1, 3000))
+    ]
+    df = spark.createDataFrame(rows, "rid long, value double, g string")
+
+    def run():
+        return sorted(
+            (r.g, r.q_pct, r.q_value, r.sample_n)
+            for r in bottomk_sample_quantiles(
+                df.repartition(8),
+                "value",
+                F.col("rid"),
+                [10, 50, 90, 99],
+                s=64,
+                group_cols=["g"],
+                batch_prune=True,
+            ).collect()
+        )
+
+    big = run()
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        small = run()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert big == small
+    assert len(big) == 12  # 3 groups x 4 quantiles
+
+
+def test_bottomk_sample_quantiles_ungrouped_prune(spark):
+    """group_cols=() takes the whole-batch prune path and still matches
+    the exact bottom-s sample."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.sketch import bottomk_sample_quantiles
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (int(i), float(round(v, 3)))
+        for i, v in enumerate(rng.standard_normal(500))
+    ]
+    df = spark.createDataFrame(rows, "rid long, value double")
+    out = {
+        r.q_pct: r.q_value
+        for r in bottomk_sample_quantiles(
+            df.repartition(4), "value", F.col("rid"), [50], s=500,
+            batch_prune=True,
+        ).collect()
+    }
+    # s >= n: the "sample" is the full data -> exact median rank value
+    vals = sorted(v for _, v in rows)
+    assert out[50] == vals[int(np.ceil(0.5 * len(vals))) - 1]

@@ -260,3 +260,18 @@ def test_merge_bounded_shuffles(spark):
     _load_all()
     df = REGISTRY["merge_upsert_orders"].spark(spark, SF_DIR)
     assert shuffle_count(df) <= 3
+
+
+def test_sample_quantiles_windowgrouplimit_partial(spark):
+    """bottomk_sample_quantiles' row_number() <= s filter must compile
+    to the two-phase WindowGroupLimit: a PARTIAL map-side bottom-s
+    prune BEFORE the per-group exchange — the property that keeps a
+    giant group from ever full-sorting (see operators/sketch.py)."""
+    from heparchy_spark.plans.inspect import physical_plan
+    from heparchy_spark.queries import spark_queries
+
+    df = spark_queries()["sketch_sample_quantiles_value"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    pre_exchange = plan.split("Exchange hashpartitioning", 1)[-1]
+    assert "WindowGroupLimit" in pre_exchange  # the map-side (partial) one
