@@ -606,57 +606,65 @@ def hits(
             F.lit(0.0).alias("hub_score"),
             F.lit(0.0).alias("authority_score"),
         )
-    h = nodes.select("node", F.lit(SCALE).cast("long").alias("__h"))
-    a = None
+    # The per-round state is carried as (raw integer sums, scalar
+    # quotient) and the normalization division is FOLDED into the next
+    # half-round's contribution expression (per-row ``__s div __q``
+    # BEFORE the sum — integer division does not distribute over
+    # addition, so the fold point matters for bit-exactness).  The old
+    # form materialized a separate normalized frame per half-round;
+    # folding removes that map stage + cache write while every score in
+    # the trajectory stays identical (the power-iteration rewrite's
+    # pattern, operators/similarity.py).
+    #
+    # No per-round node fill-in: a node ABSENT from the score table
+    # flows through the inner e-join and the sums exactly like a
+    # zero-score row (contributes nothing; all-absent groups vanish
+    # instead of summing to 0, which normalizes to the same 0), so
+    # the trajectory is unchanged while 2*iters node-keyed shuffle
+    # joins disappear — zeros are restored ONCE on the final output
+    # (values asserted identical; ~20% wall-clock at sf0.1).
+    qexpr = F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
+    hraw = nodes.select(
+        "node", F.lit(SCALE).cast("long").alias("__s")
+    )
+    hq = None  # first-round hub scores are exact: no quotient to apply
+    araw = aq = None
     for _ in range(iters):
-        # Checkpoint the raw sums LAZILY: they feed BOTH the broadcast
-        # quotient and the normalization join — one shuffle instead of
-        # two — and the quotient's broadcast sub-job materializes the
-        # cached rows before the main stage reads them, so the whole
-        # round runs as a single eager action (the final out.count()):
-        # measured ~15% over per-half-round eager jobs at sf0.1,
-        # bit-identical scores.
-        #
-        # No per-round node fill-in: a node ABSENT from the score table
-        # flows through the inner e-join and the sums exactly like a
-        # zero-score row (contributes nothing; all-absent groups vanish
-        # instead of summing to 0, which normalizes to the same 0), so
-        # the trajectory is unchanged while 2*iters node-keyed shuffle
-        # joins disappear — zeros are restored ONCE on the final output
-        # (values asserted identical; ~20% wall-clock at sf0.1).
+        # authority half: sum normalized hub scores over in-edges; the
+        # hub normalization rides the contribution expression.  Lazy
+        # checkpoint: the quotient's broadcast sub-job materializes the
+        # raw sums before the next main stage reads them.
+        contrib_h = (
+            F.expr("__s div __q") if hq is not None else F.col("__s")
+        )
+        pairs_h = e.join(hraw, e["__src"] == hraw["node"])
+        if hq is not None:
+            pairs_h = pairs_h.join(F.broadcast(hq))
         araw = (
-            e.join(h, e["__src"] == h["node"])
+            pairs_h.select(F.col("__dst"), contrib_h.alias("__c"))
             .groupBy("__dst")
-            .agg(F.sum("__h").alias("__s"))
+            .agg(F.sum("__c").alias("__s"))
             .select(F.col("__dst").alias("node"), "__s")
             .localCheckpoint(eager=False)
         )
-        aq = araw.agg(
-            F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
-        )
-        # Lazy checkpoint: the normalized scores materialize INSIDE the
-        # next half-round's eager raw-sum job (one job instead of two
-        # per half-round); lineage still truncates at first compute.
-        a = (
-            araw.join(F.broadcast(aq))
-            .select("node", F.expr("__s div __q").alias("__a"))
-            .localCheckpoint(eager=False)
-        )
+        aq = araw.agg(qexpr)
+        # hub half: same fold with the fresh authority quotient
         hraw = (
-            e.join(a, e["__dst"] == a["node"])
+            e.join(araw, e["__dst"] == araw["node"])
+            .join(F.broadcast(aq))
+            .select(F.col("__src"), F.expr("__s div __q").alias("__c"))
             .groupBy("__src")
-            .agg(F.sum("__a").alias("__s"))
+            .agg(F.sum("__c").alias("__s"))
             .select(F.col("__src").alias("node"), "__s")
             .localCheckpoint(eager=False)
         )
-        hq = hraw.agg(
-            F.expr(f"greatest(max(__s) div {SCALE}, 1L)").alias("__q")
-        )
-        h = (
-            hraw.join(F.broadcast(hq))
-            .select("node", F.expr("__s div __q").alias("__h"))
-            .localCheckpoint(eager=False)
-        )
+        hq = hraw.agg(qexpr)
+    h = hraw.join(F.broadcast(hq)).select(
+        "node", F.expr("__s div __q").alias("__h")
+    )
+    a = araw.join(F.broadcast(aq)).select(
+        "node", F.expr("__s div __q").alias("__a")
+    )
     out = (
         nodes.join(h, "node", "left")
         .join(a, "node", "left")
