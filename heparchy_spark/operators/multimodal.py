@@ -358,6 +358,43 @@ def _parse_avi(payload: bytes) -> dict | None:
     }
 
 
+def _avi_frame_chunks(payload: bytes) -> list[bytes] | None:
+    """Extract the video-stream chunk bodies ('##db'/'##dc') from an
+    AVI's 'movi' LIST, in stream order — for an uncompressed ('db')
+    stream each body IS the decoded frame bitmap.  Returns None unless
+    the payload is a RIFF/AVI with at least one such chunk, so callers
+    can fall back to the labeled stub path for other containers."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int, in_movi: bool) -> None:
+        i = start
+        while i + 8 <= end:
+            fourcc = payload[i : i + 4]
+            (size,) = struct.unpack_from("<I", payload, i + 4)
+            body = i + 8
+            if fourcc == b"LIST" and body + 4 <= end:
+                ltype = payload[body : body + 4]
+                walk(
+                    body + 4,
+                    min(body + size, end),
+                    in_movi or ltype == b"movi",
+                )
+            elif (
+                in_movi
+                and fourcc[2:4] in (b"db", b"dc")
+                and fourcc[:2].isdigit()
+            ):
+                frames.append(payload[body : min(body + size, end)])
+            i = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0]), False)
+    return frames or None
+
+
 def _try_real_decode(payload: bytes) -> dict | None:
     """Dispatch on magic bytes to a REAL decoder; None -> caller falls back
     to the labeled fake."""
@@ -462,17 +499,29 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled frame.
     The frame COUNT comes from the real container parse (GIF image
-    descriptors / AVI movi chunks — ``_try_real_decode``); only payloads
-    in no parseable container fall back to the labeled fake count.  Frame
-    *extraction* is stubbed (slices of the raw payload stand in for
-    decoded frames); the fan-out shape — one input row → many output rows
-    through mapInPandas — is the real thing."""
+    descriptors / AVI movi chunks — ``_try_real_decode``).  For AVI
+    payloads with a 'movi' LIST, the sampled frame payloads are the
+    REAL video-stream chunk bodies (``_avi_frame_chunks`` — the decoded
+    bitmap for an uncompressed stream), so downstream histograms/
+    keyframe scores see actual frame content.  Other containers keep
+    the labeled stub path (slices of the raw payload stand in for
+    decoded frames — the GIF/codec decoders aren't in this
+    environment); payloads in no parseable container fall back to the
+    fake count.  The fan-out shape — one input row → many output rows
+    through mapInPandas — is the real thing in every path."""
 
     def frames(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 buf = bytes(payload or b"")
+                chunks = _avi_frame_chunks(buf)
+                if chunks is not None:
+                    for fi in range(0, len(chunks), every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        payloads.append(chunks[fi])
+                    continue
                 real = _try_real_decode(buf)
                 n_frames = (real or _fake_decode(buf, "video"))["n_frames"]
                 step = max(len(buf) // max(n_frames, 1), 1)

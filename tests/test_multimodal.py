@@ -349,15 +349,19 @@ def test_png_decode_rejects_interlaced():
 
 def test_keyframe_select_finds_planted_shot_boundary(spark):
     """A 6-frame payload whose bytes switch distribution at frame 3
-    must rank frame 3 first, with the mirror-exact L1 score."""
+    must rank frame 3 first, with the mirror-exact L1 score.
+
+    Uses a GIF container: GIF frames stay on the labeled stub-slice
+    path (no LZW decoder in this environment), which is exactly what
+    this test pins.  AVI payloads now take the real movi-chunk frame
+    path — covered by test_keyframe_select_real_avi_planted_boundary."""
     from heparchy_spark.operators.multimodal import keyframe_select
 
-    # _minimal_avi(6) gives a REAL container with n_frames=6; append a
+    # _minimal_gif(6) gives a REAL container with n_frames=6; append a
     # payload body whose slices flip from 0x00-bytes to 0xFF-bytes so
     # the sample_frames slicing (step = len//6) crosses the boundary
     # inside one frame step.
-    avi = _minimal_avi(6)
-    body = bytes(avi)
+    body = bytes(_minimal_gif(6))
     # pad so len(buf)//6 slices land on a clean half/half split
     pad = (b"\x00" * 600) + (b"\xff" * 600)
     buf = body + pad
@@ -385,3 +389,57 @@ def test_keyframe_select_finds_planted_shot_boundary(spark):
     got = [(r.l1_change, r.frame_idx) for r in out]
     assert got == want
     assert got[0][0] > 0  # the boundary frame carries a real change
+
+
+def _avi_with_frames(frames: list) -> bytes:
+    """Real minimal AVI whose movi chunks carry the given frame byte
+    payloads (word-aligned per the RIFF spec)."""
+    import struct
+
+    n = len(frames)
+    avih = struct.pack("<10I", 33333, 0, 0, 0, n, 0, 1, 0, 16, 16) + b"\x00" * 16
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    )
+    movi_items = b"".join(
+        b"00db" + struct.pack("<I", len(fb)) + fb + (b"\x00" * (len(fb) & 1))
+        for fb in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_frame_chunks_extracts_bodies():
+    from heparchy_spark.operators.multimodal import _avi_frame_chunks
+
+    frames = [b"\x11" * 9, b"\x22" * 4, b"\x33" * 7]  # odd sizes -> padding
+    got = _avi_frame_chunks(_avi_with_frames(frames))
+    assert got == frames
+    # non-AVI and movi-less AVI payloads decline (stub path stays)
+    assert _avi_frame_chunks(b"GIF89a whatever") is None
+    assert _avi_frame_chunks(_minimal_gif(3)) is None
+
+
+def test_keyframe_select_real_avi_planted_boundary(spark):
+    """keyframe_select over a REAL AVI: the histograms see the decoded
+    movi frame bodies, so a planted shot boundary (uniform 0x11 frames
+    then uniform 0xFF frames) must rank first with the full-mass L1."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.multimodal import keyframe_select
+
+    frame_len = 64
+    frames = [b"\x11" * frame_len] * 6 + [b"\xff" * frame_len] * 6
+    avi = _avi_with_frames(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, payload binary"
+    )
+    out = keyframe_select(df, every_n=1, top_k=2).collect()
+    by_rank = {r.kf_rank: r for r in out}
+    # boundary at frame 6: whole histogram mass moves bucket 1 -> 15
+    assert by_rank[1].frame_idx == 6
+    assert by_rank[1].l1_change == 2 * frame_len
+    # every other transition is identical-frame -> zero change
+    assert by_rank[2].l1_change == 0
