@@ -136,22 +136,29 @@ def _load_all() -> None:
     )
 
 
-def _driver_evidence() -> tuple[frozenset[str], tuple[str, ...]]:
+def _driver_evidence() -> tuple[dict[str, int], tuple[str, ...], tuple[str, ...]]:
     """Derive the driver-evidence tiers from the committed
     ``CORRECTNESS_r*.json`` files themselves — no hand-maintained name
     lists to go stale between rounds (the round-2 verdict's task 3,
     made permanent).
 
-    * checked  = every query ANY driver round has recorded a row for;
+    * checked  = per query, the LATEST round number a driver row exists
+      for;
     * retry    = the LATEST round's red rows (an error, or any of the
       rows/schema/hash comparisons false) — these were presumably just
-      fixed and must re-verify before anything else in the window.
+      fixed and must re-verify before anything else in the window;
+    * reverify = names listed in ``REVERIFY.json`` (written by
+      ``tools/mark_reverify.py`` from the round's git diff) whose last
+      driver check PRECEDES that file's round — queries edited since
+      their last green check.  Once a driver round >= the listed round
+      has checked a name, the entry expires on its own.
     """
     root = Path(__file__).resolve().parents[2]
     files = sorted(root.glob("CORRECTNESS_r*.json"))
-    checked: set[str] = set()
+    checked: dict[str, int] = {}
     retry: tuple[str, ...] = ()
     import json as _json
+    import re as _re
 
     for p in files:
         try:
@@ -160,7 +167,11 @@ def _driver_evidence() -> tuple[frozenset[str], tuple[str, ...]]:
             continue
         if not isinstance(data, dict):
             continue
-        checked.update(k for k in data if isinstance(k, str))
+        m = _re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        for k in data:
+            if isinstance(k, str):
+                checked[k] = max(checked.get(k, 0), rnd)
         red = tuple(
             name
             for name, row in data.items()
@@ -174,22 +185,46 @@ def _driver_evidence() -> tuple[frozenset[str], tuple[str, ...]]:
             )
         )
         retry = red  # the latest file's reds win (files are sorted)
-    return frozenset(checked), retry
+
+    reverify: tuple[str, ...] = ()
+    try:
+        rv = _json.loads((root / "REVERIFY.json").read_text())
+        rv_round = int(rv.get("round", 0))
+        reverify = tuple(
+            n
+            for n in rv.get("names", ())
+            if isinstance(n, str) and checked.get(n, 0) < rv_round
+        )
+    except (OSError, ValueError):  # no file yet / corrupt -> no fronting
+        pass
+    return checked, retry, reverify
 
 
-_DRIVER_CHECKED, _RETRY_FIRST = _driver_evidence()
+_DRIVER_CHECKED, _RETRY_FIRST, _REVERIFY = _driver_evidence()
 
 
 def _ordered_names() -> list[str]:
     """Registry names tiered by driver evidence: (0) fixed driver-red
     retries, (1) queries NO driver round has ever checked — derived from
-    the registry itself, so new queries land here automatically — and
-    (2) driver-green queries. Stable registration order within each tier."""
+    the registry itself, so new queries land here automatically — plus
+    queries EDITED since their last driver check (REVERIFY.json, kept in
+    that file's priority order: semantic edits before decorator-only
+    registration edits), and (2) driver-green queries whose code is
+    unchanged since their check.  Stable registration order otherwise."""
     names = list(REGISTRY)
-    tier = lambda n: (  # noqa: E731
-        0 if n in _RETRY_FIRST else 1 if n not in _DRIVER_CHECKED else 2
-    )
-    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+    rv_pos = {n: i for i, n in enumerate(_REVERIFY)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n in _RETRY_FIRST:
+            return (0, 0, names.index(n))
+        if n not in _DRIVER_CHECKED:
+            # brand-new queries front the edited tier
+            return (1, -1, names.index(n))
+        if n in rv_pos:
+            return (1, 0, rv_pos[n])
+        return (2, 0, names.index(n))
+
+    return sorted(names, key=key)
 
 
 def spark_queries() -> dict[str, SparkBuilder]:

@@ -235,3 +235,40 @@ def test_sequence_support_matches_bruteforce(spark):
     for k, n in expect.items():
         assert got[k].n_users == n
         assert abs(got[k].support - n / len(users)) < 1e-8
+
+
+def test_reverify_names_front_checked_tier():
+    """REVERIFY.json names (queries edited since their last driver
+    check) must precede unlisted driver-checked queries in
+    spark_queries() order, in the file's own priority order; driver-red
+    retries still come first."""
+    import json
+    from pathlib import Path
+
+    from heparchy_spark.queries import (
+        _DRIVER_CHECKED,
+        _RETRY_FIRST,
+        _REVERIFY,
+        spark_queries,
+    )
+
+    root = Path(__file__).resolve().parents[1]
+    rv = json.loads((root / "REVERIFY.json").read_text())
+    names = list(spark_queries())
+    listed = [n for n in rv["names"] if n in _REVERIFY]
+    if not listed:  # every listed name already re-checked — nothing to pin
+        return
+    last_listed = max(names.index(n) for n in listed)
+    plain_checked = [
+        n
+        for n in names
+        if n in _DRIVER_CHECKED
+        and n not in _REVERIFY
+        and n not in _RETRY_FIRST
+    ]
+    assert plain_checked, "corpus should have stable checked queries"
+    assert names.index(plain_checked[0]) > last_listed
+    # the file's priority order is preserved among listed names that
+    # have prior driver evidence (brand-new queries jump the queue)
+    idx = [names.index(n) for n in listed if n in _DRIVER_CHECKED]
+    assert idx == sorted(idx)

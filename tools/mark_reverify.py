@@ -1,0 +1,268 @@
+"""Regenerate REVERIFY.json — the list of corpus queries whose
+implementation changed since a given commit and should therefore be
+re-fronted in the driver's 50-query correctness window.
+
+The driver re-checks queries front-to-back of ``spark_queries()`` order;
+``queries/__init__._driver_evidence`` tiers that order from the committed
+``CORRECTNESS_r*.json`` evidence.  "Never checked" queries front
+automatically, but a query EDITED after its last green check would
+otherwise sit in the checked tier indefinitely.  This tool closes that
+gap mechanically, at FUNCTION granularity:
+
+* changed new-file lines come from ``git diff -U0 <since>`` (committed
+  plus working-tree edits; default ``<since>`` = the latest end-of-round
+  snapshot commit);
+* per changed module, the changed TOP-LEVEL definitions are the AST
+  spans (decorators included — an oracle edit is a reason to re-check)
+  hit by those lines; lines outside every span mark the whole module
+  (module-level helpers feed arbitrary registrations);
+* a query is affected when its registering function changed, its
+  registering module changed at module level, or its builder's source
+  references a changed definition of another ``heparchy_spark`` module —
+  including one transitive module hop (an operator module whose own
+  source imports a changed module re-exposes ALL its names, coarsely);
+* the output ``REVERIFY.json`` records the current round number (latest
+  CORRECTNESS round + 1) and the affected names.  ``_driver_evidence``
+  fronts a listed name until a driver round >= that number has checked
+  it, so the file self-expires without edits.
+
+Run at any point in a round (idempotent); commit the file with the
+round's changes::
+
+    python tools/mark_reverify.py                  # since last snapshot
+    python tools/mark_reverify.py --since <commit>
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import inspect
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=ROOT, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _latest_snapshot_commit() -> str:
+    out = _git("log", "--grep=end-of-round snapshot", "-1", "--format=%H").strip()
+    if not out:  # first round: diff against the root commit
+        out = _git("rev-list", "--max-parents=0", "HEAD").strip()
+    return out
+
+
+def _changed_lines_by_file(since: str) -> dict[str, dict[int, str | None]]:
+    """Changed NEW-file lines per heparchy_spark module file, committed
+    + working tree (``git diff <since>`` covers both).  Maps new-file
+    line number -> added line text (None for a pure-deletion boundary,
+    which has no new text)."""
+    diff = _git("diff", "-U0", since, "--", "heparchy_spark/")
+    out: dict[str, dict[int, str | None]] = {}
+    cur: dict[int, str | None] | None = None
+    nxt = 0
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            path = line[len("+++ b/") :]
+            cur = out.setdefault(path, {}) if path.endswith(".py") else None
+            nxt = 0
+        elif line.startswith("@@") and cur is not None:
+            m = re.search(r"\+(\d+)(?:,(\d+))?", line)
+            if m:
+                start = max(int(m.group(1)), 1)
+                count = int(m.group(2)) if m.group(2) is not None else 1
+                if count == 0:
+                    # pure deletion: mark the boundary line, no text
+                    cur.setdefault(start, None)
+                    nxt = 0
+                else:
+                    nxt = start  # the following '+' lines fill start..
+        elif cur is not None and nxt and line.startswith("+"):
+            cur[nxt] = line[1:]
+            nxt += 1
+    return out
+
+
+def _top_spans(path: Path) -> list[tuple[str, int, int]] | None:
+    """(name, first_line_incl_decorators, end_line) of every top-level
+    def/class; None when the file can't be parsed."""
+    try:
+        tree = ast.parse(path.read_text())
+    except (OSError, SyntaxError):
+        return None
+    spans = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            # body_start separates decorator edits (oracle/registration
+            # metadata) from body edits (the Spark implementation)
+            spans.append(
+                (node.name, start, node.end_lineno or node.lineno, node.lineno)
+            )
+    return spans
+
+
+# decorator lines that are pure plan-shape flag migrations — the one
+# registration edit that does NOT warrant a driver re-check
+_FLAG_ONLY = {"expects_bnlj=True,", "expects_row_udf=True,"}
+
+
+def _module_changes(since: str) -> dict[str, tuple[set[str], bool, set[str]]]:
+    """Per dotted module: (changed top-level names incl. decorator-only,
+    module_level_changed, names with a SUBSTANTIVE change — body lines,
+    or decorator lines beyond the pure expects_* flag migration; a
+    decorator carries the oracle SQL, so oracle edits land here).
+    The registry plumbing module (queries/__init__) is excluded: its
+    ordering/flag machinery does not alter query semantics, and every
+    registration references it."""
+    out: dict[str, tuple[set[str], bool, set[str]]] = {}
+    for relpath, lines in _changed_lines_by_file(since).items():
+        if not lines:
+            continue
+        mod = relpath[: -len(".py")].replace("/", ".")
+        if mod == "heparchy_spark.queries.__init__":
+            continue
+        spans = _top_spans(ROOT / relpath)
+        if spans is None:  # deleted/unparseable file: whole module changed
+            out[mod] = (set(), True, set())
+            continue
+        names = {
+            name
+            for name, a, b, _bs in spans
+            if any(a <= ln <= b for ln in lines)
+        }
+        substantive = {
+            name
+            for name, a, b, bs in spans
+            if any(bs <= ln <= b for ln in lines)
+            or any(
+                a <= ln < bs
+                and (txt is None or txt.strip() not in _FLAG_ONLY)
+                for ln, txt in lines.items()
+            )
+        }
+        covered = set()
+        for _, a, b, _bs in spans:
+            covered.update(range(a, b + 1))
+        module_level = bool(set(lines) - covered)
+        out[mod] = (names, module_level, substantive)
+    return out
+
+
+def _transitive_hop(
+    changes: dict[str, tuple[set[str], bool, set[str]]]
+) -> dict[str, tuple[set[str], bool, set[str]]]:
+    """One module hop: a heparchy_spark module whose own source imports
+    a changed module re-exposes ALL its top-level names (coarse — the
+    cost of over-fronting is one extra driver re-check)."""
+    changed_mods = set(changes)
+    full = dict(changes)
+    for path in (ROOT / "heparchy_spark").rglob("*.py"):
+        mod = str(path.relative_to(ROOT))[: -len(".py")].replace("/", ".")
+        # registration-layer modules are covered by the direct span
+        # analysis; re-exposing them here would flag every query they
+        # register on any upstream change
+        if mod in full or mod.startswith("heparchy_spark.queries"):
+            continue
+        try:
+            src = path.read_text()
+        except OSError:
+            continue
+        refs = set(re.findall(r"from\s+(heparchy_spark(?:\.\w+)+)\s+import", src))
+        refs |= set(re.findall(r"\b(heparchy_spark(?:\.\w+)+)", src))
+        if refs & changed_mods:
+            names = {name for name, _a, _b, _bs in (_top_spans(path) or [])}
+            full[mod] = (names, False, names)
+    return full
+
+
+def _current_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in ROOT.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.name))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def affected_queries(
+    changes: dict[str, tuple[set[str], bool, set[str]]]
+) -> list[str]:
+    """Affected query names in priority order — the driver samples the
+    FRONT of the window: (1) queries whose own builder body changed
+    (direct edits), (2) queries affected through a module-level change
+    or a changed cross-module dependency, (3) decorator-only
+    registration edits."""
+    sys.path.insert(0, str(ROOT))
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    direct, dependent, decorator_only = [], [], []
+    word = re.compile(r"\w+")
+    for qname, spec in REGISTRY.items():
+        reg_module = spec.spark.__module__
+        reg = changes.get(reg_module)
+        fname = spec.spark.__name__
+        if reg is not None and fname in reg[2]:
+            direct.append(qname)
+            continue
+        if reg is not None and reg[1]:
+            dependent.append(qname)
+            continue
+        try:
+            src = inspect.getsource(spec.spark)
+        except (OSError, TypeError):
+            dependent.append(qname)  # can't inspect -> be safe, re-front
+            continue
+        src_words = set(word.findall(src))
+        refs = set(
+            re.findall(r"from\s+(heparchy_spark(?:\.\w+)+)\s+import", src)
+        ) | set(re.findall(r"\b(heparchy_spark(?:\.\w+)+)", src))
+        hit = False
+        for mod in refs:
+            ch = changes.get(mod)
+            if ch is None or mod == reg_module:
+                continue
+            if ch[1] or (ch[0] & src_words):
+                hit = True
+                break
+        if hit:
+            dependent.append(qname)
+        elif reg is not None and fname in reg[0]:
+            decorator_only.append(qname)
+    return sorted(direct) + sorted(dependent) + sorted(decorator_only)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--since", default=None, help="commit to diff against")
+    args = ap.parse_args()
+    since = args.since or _latest_snapshot_commit()
+    changes = _transitive_hop(_module_changes(since))
+    names = affected_queries(changes)
+    out = {
+        "round": _current_round(),
+        "since": since,
+        "changed_modules": sorted(changes),
+        "names": names,
+    }
+    (ROOT / "REVERIFY.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(
+        f"REVERIFY.json: round {out['round']},"
+        f" {len(changes)} changed/affected modules"
+        f" -> {len(names)} queries fronted"
+    )
+
+
+if __name__ == "__main__":
+    main()
