@@ -430,16 +430,19 @@ def bm25_topk(
 
 
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
-# no lookaround, no backreferences, ASCII classes only.
+# no lookaround, no backreferences, ASCII classes only.  Dict order is
+# the REDACTION order (see pii_redact).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "phone": r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]?\d{0,4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
-    """Per-kind PII match counts (email / ipv4 / phone), JVM-side regex."""
+    """Per-kind PII match counts (email / ipv4 / phone / ssn-shaped),
+    JVM-side regex."""
     c = F.col(col) if isinstance(col, str) else col
     return {
         kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
@@ -451,11 +454,13 @@ def pii_redact(col: Column | str) -> Column:
     """Replace every PII match with a typed placeholder like ``[EMAIL]``.
 
     Order matters: emails first (an address would otherwise partially match
-    the phone pattern's digit runs), then ipv4, then phone.
+    the phone pattern's digit runs), then ipv4, then phone before ssn
+    (an international phone's digit runs never form the 3-2-4 ssn shape,
+    but redacting the longer phone match first keeps it that way).
     """
     c = F.col(col) if isinstance(col, str) else col
-    for kind in ("email", "ipv4", "phone"):
-        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
     return c
 
 

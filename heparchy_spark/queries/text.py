@@ -369,11 +369,8 @@ def _pii_scan_oracle() -> str:
         for kind, pat in PII_PATTERNS.items()
     )
     red = "text"
-    for kind in ("email", "ipv4", "phone"):
-        red = (
-            f"regexp_replace({red}, '{PII_PATTERNS[kind]}', "
-            f"'[{kind.upper()}]', 'g')"
-        )
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
     return f"""
     SELECT doc_id, {cnt},
            CAST(length({red}) AS BIGINT) AS n_chars_redacted
@@ -399,6 +396,84 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMAIL_RE = PII_PATTERNS["email"]
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub — the redaction TRANSFORM itself, hash-verified
+# ---------------------------------------------------------------------------
+
+
+def _pii_scrub_oracle() -> str:
+    red = "blob"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    n_red = " + ".join(
+        f"len(regexp_extract_all(blob, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    return f"""
+    WITH contact AS (
+      SELECT c_custkey AS cust_id,
+             'Reach ' || c_name
+               || ' (SSN ' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+               || '-' || CAST(c_custkey % 89 + 10 AS VARCHAR)
+               || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+               || ') at cust' || CAST(c_custkey AS VARCHAR)
+               || '@example.com or +' || CAST(c_nationkey + 10 AS VARCHAR)
+               || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+               || '-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)
+               || '-' || CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR)
+               || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+               || '.0.1' AS blob
+      FROM customer
+    )
+    SELECT cust_id, {red} AS clean_text,
+           CAST({n_red} AS BIGINT) AS n_redactions
+    FROM contact
+    """
+
+
+@register(
+    "text_pii_scrub",
+    _pii_scrub_oracle(),
+    doc="PII redaction transform, output-verified: contact blobs built "
+    "from customer rows (phone/email/ssn-shaped/ipv4 fields derived "
+    "deterministically from the customer and nation keys — the "
+    "synthetic corpus carries no natural PII, so the blobs plant "
+    "every detector class at every scale) are scrubbed with the "
+    "typed-placeholder regexp_replace chain and the CLEANED STRINGS "
+    "themselves hash-compare, not just lengths.  A pure per-row "
+    "projection over the scan — zero shuffles at any corpus size; "
+    "patterns live in the Java-regex/RE2 common subset "
+    "(operators/text.py PII_PATTERNS, pii_redact).",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    blob = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" (SSN "), (key % 900 + 100).cast("string"),
+        F.lit("-"), (key % 89 + 10).cast("string"),
+        F.lit("-"), (key % 9000 + 1000).cast("string"),
+        F.lit(") at cust"), key.cast("string"),
+        F.lit("@example.com or +"),
+        (F.col("c_nationkey") + 10).cast("string"),
+        F.lit("-"), (key % 900 + 100).cast("string"),
+        F.lit("-"), ((key * 7) % 900 + 100).cast("string"),
+        F.lit("-"), ((key * 13) % 9000 + 1000).cast("string"),
+        F.lit(" from 10."), (key % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    contact = cust.select(key.alias("cust_id"), blob.alias("blob"))
+    counts = pii_counts("blob")
+    n_red = None
+    for kind in PII_PATTERNS:
+        n_red = counts[kind] if n_red is None else n_red + counts[kind]
+    return contact.select(
+        "cust_id",
+        pii_redact("blob").alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
 
 
 @register(

@@ -759,3 +759,29 @@ def test_personalized_pagerank_proximity_and_sparsity(spark):
            personalized_pagerank(edges, seeds, iters=6).collect()}
     assert set(out) == {1, 2, 3}, "island 9/10 must stay absent"
     assert out[1] > out[2] > out[3] > 0
+
+
+def test_pii_ssn_detector_and_scrub(spark):
+    """ssn-shaped detector: 3-2-4 digit groups match and redact; phone
+    digit runs and loose digit strings do not false-positive; the scrub
+    chain removes every planted PII class from a mixed blob."""
+    rows = [
+        (0, "SSN 123-45-6789 on file"),
+        (1, "call +49-123-456-7890 maybe"),   # phone, NOT ssn-shaped
+        (2, "order 1234-56-789 ref"),          # 4-2-3: no match
+        (3, "a@b.co or 10.1.2.3 or +1-23-456-7890 and 987-65-4321"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            counts["ssn"].alias("ssn"),
+            pii_redact("text").alias("red"),
+        ).collect()
+    }
+    assert got[0].ssn == 1 and got[0].red == "SSN [SSN] on file"
+    assert got[1].ssn == 0 and got[1].red == "call [PHONE] maybe"
+    assert got[2].ssn == 0 and "[SSN]" not in got[2].red
+    assert got[3].red == "[EMAIL] or [IPV4] or [PHONE] and [SSN]"
