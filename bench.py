@@ -185,6 +185,11 @@ HEADLINE = [
     "agg_moments_skew_kurtosis",
     "sketch_sample_quantiles_value",
     "multimodal_keyframe_select",
+    # round-6 additions
+    "similarity_binary_multiword_topk",
+    "similarity_binary_rerank_topk",
+    "text_pii_scrub",
+    "text_pii_scan",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -141,6 +141,89 @@ def psi_fixed_bins(
     )
 
 
+
+def jsd_fixed_bins(
+    df: DataFrame,
+    value_col: str,
+    is_first_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n_first, n_second, jsd_term) over fixed-width bins of the
+    GLOBAL value range; ``sum(jsd_term)`` is the Jensen-Shannon
+    divergence (base e, in [0, ln 2]) between the first/second halves'
+    smoothed bin distributions — the bounded, symmetric complement to
+    PSI (which explodes on near-empty bins) and KS (rank-only).
+
+    Same determinism conventions as :func:`psi_fixed_bins`: Laplace
+    (+1) smoothing on a full bin spine, probabilities are single
+    double divisions of exact ints, every LN is rounded to 8 decimals
+    before combining (masks libm ulp differences across engines), and
+    the term itself rounds to 8 — a SQL oracle writing the same
+    expression tree reproduces it bit-for-bit.
+
+    Scale shape: one map-side-combinable scan to an ``n_bins``-row
+    table, two scalar broadcasts (range bounds, totals).
+    """
+    v = F.col(value_col)
+    bounds = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    ia = F.col(is_first_col).cast("long")
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (v - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / F.lit(n_bins))
+                    ).cast("int"),
+                )
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(ia).alias("n_first"),
+            F.sum(F.lit(1) - ia).alias("n_second"),
+        )
+    )
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    binned = spine.join(binned, "bin", "left").select(
+        "bin",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("n_second", F.lit(0)).alias("n_second"),
+    )
+    tot = binned.agg(
+        F.sum("n_first").alias("__ta"), F.sum("n_second").alias("__tb")
+    )
+    pa = (F.col("n_first").cast("double") + F.lit(1.0)) / (
+        F.col("__ta") + F.lit(float(n_bins))
+    )
+    pb = (F.col("n_second").cast("double") + F.lit(1.0)) / (
+        F.col("__tb") + F.lit(float(n_bins))
+    )
+    m = (pa + pb) / F.lit(2.0)
+    rln = lambda x: F.round(F.log(x), 8)  # noqa: E731
+    term = (
+        F.lit(0.5) * pa * (rln(pa) - rln(m))
+        + F.lit(0.5) * pb * (rln(pb) - rln(m))
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_first",
+            "n_second",
+            # + 0.0 normalizes IEEE -0.0 (a tiny negative term rounded
+            # away) to +0.0 so both engines hash identically
+            (F.round(term, 8) + F.lit(0.0)).alias("jsd_term"),
+        )
+        .orderBy("bin")
+    )
+
+
 def log_odds_terms(
     docs: DataFrame,
     text_col: str,

@@ -30,6 +30,7 @@ __all__ = [
     "kcore",
     "label_propagation",
     "bfs_hops",
+    "link_prediction_jaccard",
     "SCALE",
 ]
 
@@ -718,3 +719,70 @@ def sssp(edges: DataFrame, sources: DataFrame, iters: int = 4) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def link_prediction_jaccard(
+    bipartite: DataFrame,
+    item_col: str,
+    node_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction over a bipartite incidence
+    list (item, node): for every node pair sharing at least one item,
+    score = |items(a) n items(b)| / |items(a) u items(b)|, and keep the
+    global top-``k`` under the (score desc, src, dst) total order.
+    This is the classic common-neighbors predictor (Liben-Nowell &
+    Kleinberg 2003) — "suppliers likely to co-supply next".
+
+    Determinism: intersection and degree counts are exact integers and
+    the score is ONE double division of two exact ints — IEEE-identical
+    on every engine, so a SQL oracle reproduces the ranking bit-for-bit
+    with no rounding grid.
+
+    Scale shape: candidate pairs come from the item-keyed equi-join
+    (the LSH-bucket shape — pairs are generated per shared item, never
+    all-pairs), one combinable count per pair, degrees from one
+    map-side count, and the global top-k is a WindowGroupLimit-pruned
+    rank over |candidate-pairs| rows.  A hot item with d nodes fans out
+    d^2/2 pairs — cap or salt upstream if item degrees are skewed
+    (same contract as the dedup pair generators).
+    """
+    from pyspark.sql import Window
+
+    inc = bipartite.select(
+        F.col(item_col).alias("__it"), F.col(node_col).alias("__nd")
+    ).distinct()
+    deg = inc.groupBy("__nd").agg(F.count(F.lit(1)).alias("__deg"))
+    a, b = inc.alias("a"), inc.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__it") == F.col("b.__it"))
+            & (F.col("a.__nd") < F.col("b.__nd")),
+        )
+        .groupBy(
+            F.col("a.__nd").alias("src"), F.col("b.__nd").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    scored = (
+        common.join(deg.withColumnsRenamed({"__nd": "src", "__deg": "__da"}), "src")
+        .join(deg.withColumnsRenamed({"__nd": "dst", "__deg": "__db"}), "dst")
+        .select(
+            "src",
+            "dst",
+            F.col("__common").cast("long").alias("n_common"),
+            (
+                F.col("__common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("__common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("src"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "n_common", "jaccard", F.col("rank").cast("long").alias("rank"))
+    )

@@ -144,6 +144,72 @@ def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_value_jsd",
+    f"""
+    WITH b AS ({_MID_SQL}),
+    r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    lab AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                  THEN 1 ELSE 0 END AS ia
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN (SELECT hi FROM r) = (SELECT lo FROM r) THEN 0
+                  ELSE LEAST(9, CAST(FLOOR(
+                    (value - (SELECT lo FROM r))
+                    / (((SELECT hi FROM r) - (SELECT lo FROM r)) / 10)
+                  ) AS INT)) END AS bin,
+             SUM(ia) AS n_first,
+             SUM(1 - ia) AS n_second
+      FROM lab GROUP BY 1
+    ),
+    spine AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bin),
+    full_bins AS (
+      SELECT spine.bin,
+             COALESCE(binned.n_first, 0) AS n_first,
+             COALESCE(binned.n_second, 0) AS n_second
+      FROM spine LEFT JOIN binned ON binned.bin = spine.bin
+    ),
+    tot AS (SELECT SUM(n_first) AS ta, SUM(n_second) AS tb FROM full_bins),
+    probs AS (
+      SELECT bin, n_first, n_second,
+             (CAST(n_first AS DOUBLE) + 1.0)
+               / (CAST(ta AS DOUBLE) + 10.0) AS pa,
+             (CAST(n_second AS DOUBLE) + 1.0)
+               / (CAST(tb AS DOUBLE) + 10.0) AS pb
+      FROM full_bins, tot
+    )
+    SELECT bin,
+           CAST(n_first AS BIGINT) AS n_first,
+           CAST(n_second AS BIGINT) AS n_second,
+           ROUND(
+             0.5 * pa * (ROUND(LN(pa), 8) - ROUND(LN((pa + pb) / 2.0), 8))
+             + 0.5 * pb * (ROUND(LN(pb), 8) - ROUND(LN((pa + pb) / 2.0), 8)),
+             8) + 0.0 AS jsd_term
+    FROM probs
+    ORDER BY bin
+    """,
+    doc="Jensen-Shannon divergence contingency over 10 fixed-width "
+    "bins of the global value range, events before vs after the time "
+    "midpoint, Laplace-smoothed; sum(jsd_term) IS the JSD (base e, "
+    "bounded by ln 2) — the symmetric, always-finite drift score "
+    "beside PSI and KS.  One map-side-combinable scan to a 10-row "
+    "table (operators/drift.py jsd_fixed_bins).",
+    expects_bnlj=True,
+)
+def drift_value_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.drift import jsd_fixed_bins
+
+    return jsd_fixed_bins(
+        _halved_events(spark, sf_dir).select("value", "__first"),
+        "value",
+        "__first",
+        n_bins=10,
+    )
+
+
+@register(
     "drift_term_logodds",
     """
     WITH toks AS (

@@ -889,3 +889,55 @@ def graph_boruvka_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("a.mn") + F.col("b.mn")).alias("w"))
     )
     return boruvka_forest(e, rounds=_MST_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction_jaccard — common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    """
+    WITH inc AS (
+      SELECT DISTINCT l_partkey AS it, l_suppkey AS nd
+      FROM lineitem WHERE l_quantity >= 49
+    ),
+    deg AS (SELECT nd, COUNT(*) AS d FROM inc GROUP BY nd),
+    common AS (
+      SELECT a.nd AS src, b.nd AS dst, COUNT(*) AS c
+      FROM inc a JOIN inc b ON a.it = b.it AND a.nd < b.nd
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src, dst, CAST(c AS BIGINT) AS n_common,
+             CAST(c AS DOUBLE) / CAST(da.d + db.d - c AS DOUBLE) AS jaccard
+      FROM common
+      JOIN deg da ON da.nd = src
+      JOIN deg db ON db.nd = dst
+    )
+    SELECT src, dst, n_common, jaccard, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT src, dst, n_common, jaccard,
+             ROW_NUMBER() OVER (ORDER BY jaccard DESC, src, dst) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+    doc="Jaccard common-neighbor link prediction (Liben-Nowell & "
+    "Kleinberg 2003) over the high-quantity co-supply incidence: for "
+    "supplier pairs sharing a part, |shared parts| / |union of part "
+    "sets|, global top-20 under the (score desc, src, dst) total "
+    "order — 'which suppliers will co-supply next'.  Candidate pairs "
+    "come from the part-keyed equi-join (LSH-bucket shape, never "
+    "all-pairs); counts are exact ints and the score is one int/int "
+    "double division, IEEE-identical cross-engine, so the oracle "
+    "needs no rounding grid (operators/graph.py "
+    "link_prediction_jaccard).",
+)
+def graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.graph import link_prediction_jaccard
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return link_prediction_jaccard(li, "l_partkey", "l_suppkey", k=20)
