@@ -94,3 +94,90 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zorder_key([F.col("b0"), F.col("b1")], _BITS).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_hilbert_key — Hilbert-curve clustering key (better locality)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle(bits: int) -> str:
+    parts = [
+        """stats AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo0,
+             CAST(MAX(o_custkey) AS DOUBLE) AS hi0,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS lo1,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi1
+      FROM orders
+    )""",
+        f"""h0 AS MATERIALIZED (
+      SELECT o_orderkey,
+             {_sql_bucket('o_custkey', 'lo0', 'hi0', bits)} AS x,
+             {_sql_bucket('o_totalprice', 'lo1', 'hi1', bits)} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM orders CROSS JOIN stats
+    )""",
+    ]
+    # one MATERIALIZED CTE per level: each level reads its predecessor's
+    # (x, y, d) several times, and DuckDB's default CTE inlining would
+    # re-expand the whole chain exponentially
+    for k, level in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << level
+        parts.append(f"""h{k} AS MATERIALIZED (
+      SELECT o_orderkey,
+             CASE WHEN (y & {s}) > 0 THEN x
+                  WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END AS x,
+             CASE WHEN (y & {s}) > 0 THEN y
+                  WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END AS y,
+             d + {s * s} * (CASE
+                   WHEN (x & {s}) > 0 AND (y & {s}) > 0 THEN 2
+                   WHEN (x & {s}) > 0 THEN 3
+                   WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+      FROM h{k - 1}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM h{bits}"
+    )
+
+
+@register(
+    "layout_hilbert_key",
+    _hilbert_oracle(_BITS),
+    doc="Hilbert-curve clustering key over (o_custkey, o_totalprice) "
+    "equi-width bucket ids — the write-time layout key with strictly "
+    "better locality than Morton/Z-order (the curve never jumps, so "
+    "consecutive key ranges are tighter bounding boxes and box "
+    "predicates touch fewer files at the same file count).  The xy2d "
+    "walk unrolls to one branch-free integer projection per bit level "
+    "(named intermediate columns keep the plan linear); the oracle "
+    "replays the identical unroll as one CTE per level "
+    "(operators/layout.py with_hilbert_key).",
+    expects_bnlj=True,
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.layout import with_hilbert_key
+
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lo0"),
+        F.max(F.col("o_custkey").cast("double")).alias("hi0"),
+        F.min(F.col("o_totalprice").cast("double")).alias("lo1"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hi1"),
+    )
+    n = 1 << _BITS
+
+    def bucket(v: str, lo: str, hi: str):
+        raw = F.floor(
+            (F.col(v).cast("double") - F.col(lo))
+            / ((F.col(hi) - F.col(lo)) / F.lit(float(n)))
+        ).cast("long")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+
+    bucketed = o.join(F.broadcast(stats)).select(
+        "o_orderkey",
+        bucket("o_custkey", "lo0", "hi0").alias("b0"),
+        bucket("o_totalprice", "lo1", "hi1").alias("b1"),
+    )
+    return with_hilbert_key(bucketed, "b0", "b1", _BITS, out="hkey")

@@ -525,3 +525,57 @@ def psi_from_histogram(
         .agg(F.round(F.sum(F.round(term, 8)), 6).alias("psi"))
         .orderBy("window_start")
     )
+
+
+def jsd_from_histogram(
+    hist: DataFrame,
+    reference: DataFrame,
+    n_bins: int,
+) -> DataFrame:
+    """(window_start, jsd): Jensen-Shannon divergence of each window's
+    histogram against a broadcast ``reference`` (bin, ref_share) table,
+    Laplace-smoothed — the bounded (<= ln 2), symmetric companion to
+    :func:`psi_from_histogram`, preferable when near-empty bins make
+    PSI spike.  Same full-spine discipline (zero-count bins still
+    contribute) and the batch twin ``operators/drift.py
+    jsd_fixed_bins``'s expression conventions: single-division
+    probabilities, every LN rounded to 8 before combining.  Stateless
+    per-window algebra — run it on the streaming sink's output or on
+    the batch twin identically."""
+    tot = (
+        hist.select(F.col("window_start").alias("__ws"), "n")
+        .groupBy("__ws")
+        .agg(F.sum("n").alias("__t"))
+    )
+    spine = tot.crossJoin(F.broadcast(reference))
+    counts = hist.select(
+        F.col("window_start").alias("__cw"),
+        F.col("bin").alias("__cb"),
+        "n",
+    )
+    p = spine.join(
+        counts,
+        (spine["__ws"] == counts["__cw"]) & (spine["bin"] == counts["__cb"]),
+        "left",
+    ).select(
+        F.col("__ws").alias("window_start"),
+        "bin",
+        (
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("__t") + F.lit(float(n_bins)))
+        ).alias("__p"),
+        F.col("ref_share").alias("__q"),
+    )
+    m = (F.col("__p") + F.col("__q")) / F.lit(2.0)
+    rln = lambda x: F.round(F.log(x), 8)  # noqa: E731
+    term = (
+        F.lit(0.5) * F.col("__p") * (rln(F.col("__p")) - rln(m))
+        + F.lit(0.5) * F.col("__q") * (rln(F.col("__q")) - rln(m))
+    )
+    return (
+        p.groupBy("window_start")
+        .agg(
+            (F.round(F.sum(F.round(term, 8)), 6) + F.lit(0.0)).alias("jsd")
+        )
+        .orderBy("window_start")
+    )

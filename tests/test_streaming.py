@@ -834,3 +834,47 @@ def test_psi_from_histogram_counts_collapsed_bins(spark):
     assert got[w2] == mirror([40, 40, 20, 0])
     # the collapsed bin's term dominates; without it PSI is badly low
     assert got[w2] > 0.2
+
+
+def test_jsd_from_histogram_mirror_and_bounds(spark):
+    """The streaming JSD verdict matches an independent plain-Python
+    mirror (incl. a collapsed bin) and respects the ln 2 bound; an
+    on-reference window scores ~0."""
+    import datetime
+    import math
+
+    from heparchy_spark.streaming.analytics import jsd_from_histogram
+
+    w1 = datetime.datetime(2024, 1, 1, 0)
+    w2 = datetime.datetime(2024, 1, 1, 1)
+    hist_rows = [(w1, b, 25) for b in range(4)] + [
+        (w2, 0, 40), (w2, 1, 40), (w2, 2, 20)  # bin 3 collapsed
+    ]
+    hist = spark.createDataFrame(
+        hist_rows, "window_start timestamp, bin int, n long"
+    )
+    ref = spark.createDataFrame(
+        [(b, 0.25) for b in range(4)], "bin int, ref_share double"
+    )
+    got = {
+        r["window_start"]: r["jsd"]
+        for r in jsd_from_histogram(hist, ref, 4).collect()
+    }
+
+    def mirror(counts):
+        t = sum(counts)
+        s = 0.0
+        for n, q in zip(counts, [0.25] * 4):
+            p = (n + 1.0) / (t + 4.0)
+            m = (p + q) / 2.0
+            s += round(
+                0.5 * p * (round(math.log(p), 8) - round(math.log(m), 8))
+                + 0.5 * q * (round(math.log(q), 8) - round(math.log(m), 8)),
+                8,
+            )
+        return round(s, 6) + 0.0
+
+    assert got[w1] == mirror([25, 25, 25, 25])
+    assert got[w2] == mirror([40, 40, 20, 0])
+    assert 0.0 <= got[w1] < 1e-4          # on-reference window
+    assert 0.0 < got[w2] <= math.log(2.0)  # drifted, bounded

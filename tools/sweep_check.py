@@ -10,6 +10,9 @@ expected values are precomputed at sf0.01 by design (see
 
     python tools/sweep_check.py                      # sf0.001 + sf0.1
     python tools/sweep_check.py /root/testdata/sf0.001 /root/testdata/sf0.1
+    python tools/sweep_check.py --reverify           # only the round's
+                                 # edited queries (REVERIFY.json), the
+                                 # per-round log committed as SWEEP_r{N}.log
 
 Exit code 0 iff every (query, sf) cell passes.
 """
@@ -42,11 +45,24 @@ def sql_oracle_names() -> list[str]:
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or [
+    args = list(sys.argv[1:])
+    only_reverify = "--reverify" in args
+    if only_reverify:
+        args.remove("--reverify")
+    sf_dirs = args or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.1",
     ]
     names = sql_oracle_names()
+    if only_reverify:
+        import json
+
+        rv = json.loads(
+            (Path(__file__).resolve().parent.parent / "REVERIFY.json")
+            .read_text()
+        )
+        listed = set(rv.get("names", ()))
+        names = [n for n in names if n in listed]
     print(f"sweeping {len(names)} SQL-oracle queries over {sf_dirs}")
     rc = 0
     for sf in sf_dirs:
