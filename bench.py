@@ -190,6 +190,10 @@ HEADLINE = [
     "similarity_binary_rerank_topk",
     "text_pii_scrub",
     "text_pii_scan",
+    "graph_link_prediction_jaccard",
+    "drift_value_jsd",
+    "layout_hilbert_key",
+    "dataset_kcenter_coreset",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -495,3 +495,82 @@ def temperature_sample(
         .where(F.col("__rn") <= F.col("__q"))
         .select(F.col(id_col), F.col(source_col))
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-point sampling, Gonzalez 1985):
+    start from the lowest-id vector, then ``k - 1`` times pick the point
+    FARTHEST from every chosen center — the classic 2-approximation to
+    the k-center cover and the standard diversity-maximizing subset
+    selector for training-data curation (pick prototypes, not near-dups).
+
+    Output: ``(center_rank, vec_id, sep_dist2)`` — selection order, the
+    chosen id, and the squared-L2 covering radius at selection time
+    (0.0 for the seed; the rank-r value is the corpus' distance to its
+    nearest center AFTER r-1 centers, so the column traces the coverage
+    curve).
+
+    Determinism: distances are per-element double subtract/square folds
+    summed left-to-right and rounded to 8 BEFORE every min/argmax
+    comparison; ties break to the lower id.  The whole trajectory is a
+    pure function of the vectors, replayed by an unrolled-CTE oracle.
+
+    Scale shape: the running min-distance column rides an iterative
+    frame (the HITS lazy-checkpoint pattern), so each round costs ONE
+    scan folding only the NEW center (O(k) passes total, not O(k^2))
+    plus a WindowGroupLimit-style global argmax; driver state is k rows
+    of (id, vector) — nothing else leaves the executors.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).localCheckpoint(eager=True)
+
+    def d2_to(center_vec: list[float]) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    lit,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            8,
+        )
+
+    first = base.orderBy("__id").limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], "center_rank long, vec_id long, sep_dist2 double"
+        )
+    out_rows = [(1, first[0]["__id"], 0.0)]
+    mind = base.select(
+        "__id", "__v", d2_to(first[0]["__v"]).alias("__mind")
+    ).localCheckpoint(eager=False)
+    for rank in range(2, k + 1):
+        top = (
+            mind.where(~F.col("__id").isin([r[1] for r in out_rows]))
+            .orderBy(F.desc("__mind"), F.asc("__id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        out_rows.append((rank, row["__id"], float(row["__mind"])))
+        mind = mind.select(
+            "__id",
+            "__v",
+            F.least(F.col("__mind"), d2_to(row["__v"])).alias("__mind"),
+        ).localCheckpoint(eager=False)
+    return df.sparkSession.createDataFrame(
+        out_rows, "center_rank long, vec_id long, sep_dist2 double"
+    )

@@ -1117,3 +1117,93 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").cast("double") / F.col("total_pos"), 6
         ).alias("recall_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_kcenter_coreset — farthest-point diverse subset selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kc_d2(point: str, center: str) -> str:
+    """Round-8 squared-L2 between two embedding rows, per-element double
+    subtract/square summed left-to-right — the Spark fold verbatim."""
+    diff = (
+        f"(CAST({point}.embedding[i] AS DOUBLE)"
+        f" - CAST({center}.embedding[i] AS DOUBLE))"
+    )
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, 64),"
+        f" i -> {diff} * {diff})), 8)"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1)",
+        f"""m1 AS MATERIALIZED (
+      SELECT p.vec_id, {_kc_d2('p', 'ce')} AS mind
+      FROM e p, e ce, c1 WHERE ce.vec_id = c1.vec_id
+    )""",
+    ]
+    for r in range(2, k + 1):
+        picked = " UNION ALL ".join(
+            ["SELECT vec_id FROM c1"]
+            + [f"SELECT vec_id FROM c{i}" for i in range(2, r)]
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+      SELECT vec_id, mind FROM m{r - 1}
+      WHERE vec_id NOT IN ({picked})
+      ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS MATERIALIZED (
+      SELECT m.vec_id,
+             LEAST(m.mind, {_kc_d2('p', 'ce')}) AS mind
+      FROM m{r - 1} m
+      JOIN e p ON p.vec_id = m.vec_id, e ce, c{r}
+      WHERE ce.vec_id = c{r}.vec_id
+    )"""
+            )
+    finals = " UNION ALL ".join(
+        ["SELECT 1 AS center_rank, vec_id, 0.0 AS sep_dist2 FROM c1"]
+        + [
+            f"SELECT {r}, vec_id, mind FROM c{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(center_rank AS BIGINT) AS center_rank,"
+        " vec_id, sep_dist2 FROM (" + finals + ")"
+    )
+
+
+@register(
+    "dataset_kcenter_coreset",
+    _kcenter_oracle(_KC_K),
+    doc="Greedy k-center coreset (Gonzalez 1985 farthest-point "
+    "sampling, the 2-approximation): seed = lowest vec_id, then 7 "
+    "rounds of 'pick the point farthest from every chosen center' — "
+    "the diversity-maximizing prototype selector of a curation "
+    "pipeline, with sep_dist2 tracing the coverage-radius curve.  "
+    "Round-8 left-to-right distance folds and lower-id tie-breaks "
+    "make the trajectory engine-exact; the running min-distance rides "
+    "a lazy-checkpointed frame so each round folds only the NEW "
+    "center (O(k) scans total) and only k (id, vector) rows ever "
+    "reach the driver (operators/dataset.py kcenter_coreset).",
+)
+def dataset_kcenter_coreset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.dataset import kcenter_coreset
+    from heparchy_spark.queries.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "embedding", "vec_id", k=_KC_K)

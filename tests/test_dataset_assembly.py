@@ -704,3 +704,56 @@ def test_logreg_score_rejects_bucket_weight_mismatch(spark):
     )
     with _pytest.raises(Exception, match="out of range"):
         logreg_score(feats, [0.1] * 4).collect()
+
+
+def test_kcenter_coreset_picks_one_per_cluster(spark):
+    """Farthest-point sampling on 4 well-separated clusters must pick
+    exactly one center per cluster before refining, and the trajectory
+    must match a plain-Python greedy mirror (round-8 fold, low-id
+    ties)."""
+    import numpy as np
+
+    from heparchy_spark.operators.dataset import kcenter_coreset
+
+    rng = np.random.RandomState(2)
+    anchors = np.array(
+        [[0.0] * 8, [100.0] + [0.0] * 7, [0.0, 100.0] + [0.0] * 6,
+         [0.0, 0.0, 100.0] + [0.0] * 5]
+    )
+    pts = np.vstack(
+        [anchors[i % 4] + rng.standard_normal(8) * 0.1 for i in range(40)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_coreset(df, "embedding", "vec_id", k=4).collect()
+    got = [(r.center_rank, r.vec_id, r.sep_dist2) for r in out]
+    got.sort()
+    # mirror: greedy with identical rounding/tie rules
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return round(s, 8)
+
+    centers = [0]
+    mind = {i: d2(pts[i], pts[0]) for i in range(40)}
+    want = [(1, 0, 0.0)]
+    for rank in range(2, 5):
+        best = max(
+            ((m, -i) for i, m in mind.items() if i not in centers),
+        )
+        pick = -best[1]
+        want.append((rank, pick, mind[pick]))
+        centers.append(pick)
+        for i in range(40):
+            mind[i] = min(mind[i], d2(pts[i], pts[pick]))
+    assert got == want
+    # one center per planted cluster
+    assert sorted(v % 4 for _, v, _ in got) == [0, 1, 2, 3]
+    # empty input
+    assert kcenter_coreset(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        "embedding", "vec_id", k=3,
+    ).count() == 0

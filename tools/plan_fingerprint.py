@@ -60,6 +60,7 @@ RUNTIME_MATERIALIZED = {
     "graph_bfs_hops",  # per-level frontier emptiness probes
     "dedup_entity_resolution",  # connected-components fixpoint counts
     "dedup_fs_em_params",  # pattern-rollup collect feeds driver-side EM
+    "dataset_kcenter_coreset",  # per-round argmax collects + checkpoints
 }
 
 
