@@ -296,12 +296,13 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    wrap = _score_side(labels.count())
     w = Window.partitionBy("node").orderBy(
         F.desc("votes"), F.asc("label")
     )
     for _ in range(iters):
         votes = (
-            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            e.join(wrap(labels.withColumnRenamed("node", "dst")), "dst")
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
@@ -728,11 +729,12 @@ def sssp(edges: DataFrame, sources: DataFrame, iters: int = 4) -> DataFrame:
     work and result staleness the way any Pregel SSSP round limit does.
     """
     e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    wrap = _score_side(e.select("src").distinct().count())
     dist = sources.select(
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        relax = e.join(dist, e["src"] == dist["node"]).select(
+        relax = e.join(wrap(dist), e["src"] == dist["node"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
