@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from heparchy_spark.operators.dataset import (
     pack_sequences,
@@ -12,6 +12,7 @@ from heparchy_spark.operators.dataset import (
 )
 from heparchy_spark.operators.text import token_count
 from heparchy_spark.queries import register
+from heparchy_spark.queries.numeric import davg, sql_davg
 from heparchy_spark.queries.tables import load
 from heparchy_spark.queries.text import _TOKCOUNT_SQL
 from heparchy_spark.queries.dedup import _JACCARD_PAIRS_06_SQL
@@ -1207,3 +1208,135 @@ def dataset_kcenter_coreset(
 
     emb = load(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, "embedding", "vec_id", k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# quality_conformal_coverage — split-conformal calibration + coverage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_conformal_coverage",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey % 4 AS part, o_orderpriority AS pr,
+             o_totalprice AS y
+      FROM orders
+    ),
+    mu AS (
+      SELECT pr, {sql_davg('y')} AS mu
+      FROM base WHERE part < 2 GROUP BY pr
+    ),
+    calr AS MATERIALIZED (
+      SELECT ROUND(ABS(y - mu), 2) AS r
+      FROM base JOIN mu USING (pr) WHERE part = 2
+    ),
+    kk AS (
+      SELECT COUNT(*) AS n_cal,
+             ((COUNT(*) + 1) * 9 + 9) // 10 AS k
+      FROM calr
+    ),
+    cum AS (
+      SELECT r, SUM(cnt) OVER (ORDER BY r) AS cum FROM (
+        SELECT r, COUNT(*) AS cnt FROM calr GROUP BY r
+      )
+    ),
+    q AS (
+      SELECT COALESCE(
+               (SELECT MIN(r) FROM cum, kk WHERE cum >= kk.k),
+               (SELECT MAX(r) FROM calr)) AS qhat
+    ),
+    testr AS (
+      SELECT ROUND(ABS(y - mu), 2) AS r
+      FROM base JOIN mu USING (pr) WHERE part = 3
+    )
+    SELECT CAST(kk.n_cal AS BIGINT) AS n_cal,
+           CAST(kk.k AS BIGINT) AS k,
+           q.qhat AS qhat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN testr.r <= q.qhat THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(CAST(SUM(CASE WHEN testr.r <= q.qhat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM testr, q, kk
+    GROUP BY kk.n_cal, kk.k, q.qhat
+    """,
+    doc="Split-conformal prediction audit (Vovk; Angelopoulos & Bates "
+    "2021 tutorial rank rule): per-priority train-split means predict "
+    "order totals, the calibration split's |residual| at exact rank "
+    "ceil((n+1)*0.9) gives the 90% conformal radius qhat, and the "
+    "held-out split reports empirical coverage — the distribution-free "
+    "guarantee every model-gated curation step should verify.  All "
+    "rank math is exact integers on round-2 residuals (davg round-6 "
+    "means), so both engines agree bit-for-bit.  Scale shape: one "
+    "grouped mean, a distinct-residual cumulative (bounded by the "
+    "value domain, never the row count), scalar broadcasts; at corpus "
+    "scale swap the exact rank for bottomk_sample_quantiles.",
+    expects_bnlj=True,
+)
+def quality_conformal_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.queries.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("part"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").alias("y"),
+    )
+    mu = (
+        o.where(F.col("part") < 2)
+        .groupBy("pr")
+        .agg(davg("y").alias("mu"))
+    )
+    resid = F.round(F.abs(F.col("y") - F.col("mu")), 2)
+    calr = (
+        o.where(F.col("part") == 2)
+        .join(F.broadcast(mu), "pr")
+        .select(resid.alias("r"))
+    )
+    kk = calr.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr("((count(1) + 1) * 9 + 9) div 10").alias("k"),
+    )
+    counts = calr.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    qmin = (
+        cum.join(F.broadcast(kk))
+        .where(F.col("cum") >= F.col("k"))
+        .agg(F.min("r").alias("__q"))
+    )
+    qmax = calr.agg(F.max("r").alias("__qm"))
+    q = qmin.join(F.broadcast(qmax)).select(
+        F.coalesce("__q", "__qm").alias("qhat")
+    )
+    testr = (
+        o.where(F.col("part") == 3)
+        .join(F.broadcast(mu), "pr")
+        .select(resid.alias("r"))
+    )
+    return (
+        testr.join(F.broadcast(q))
+        .join(F.broadcast(kk))
+        .groupBy("n_cal", "k", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("k").cast("long").alias("k"),
+            "qhat",
+            "n_test",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )
