@@ -41,6 +41,8 @@ __all__ = [
     "sample_frames",
     "payload_embedding",
     "keyframe_select",
+    "image_dhash",
+    "dhash_neardup_pairs",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -903,4 +905,138 @@ def keyframe_select(
     return (
         scored.withColumn("kf_rank", F.row_number().over(wr))
         .where(F.col("kf_rank") <= top_k)
+    )
+
+
+def _dhash64(arr: "np.ndarray") -> int:
+    """64-bit difference hash of a decoded uint8 [h, w, c] image: integer
+    grayscale (channel mean, floor), nearest-neighbor downsample to 9x8
+    (the resize_images index rule), bit j*8+i set iff gray[j, i] <
+    gray[j, i+1].  Pure integer pipeline — deterministic everywhere."""
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype("uint32").sum(axis=2) // arr.shape[2]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, :-1] < g[:, 1:]).astype("uint64")
+    weights = (
+        np.uint64(1) << np.arange(64, dtype="uint64").reshape(8, 8)
+    )
+    val = int((bits * weights).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual difference-hash per image: (id, dhash, decodable).
+
+    dHash is the classic near-duplicate-image signature (adjacent-pixel
+    gradient signs on an 8x9 grayscale thumbnail): small recompressions
+    / brightness shifts move few bits, so near-dup detection is a
+    Hamming-radius search over 64-bit codes — exactly the machinery the
+    binary-quantized ANN family already provides (``hamming_topk``, or
+    band the code into 4x16-bit keys for the LSH-bucket equi-join at
+    corpus scale; never all-pairs).
+
+    Decode uses the real stdlib PNG codec (``_png_decode_pixels``);
+    payloads that don't carry pixels (header-only corpus containers,
+    other formats) come back ``decodable = false`` with a null hash —
+    they are EXCLUDED from dedup rather than colliding at hash 0.
+
+    Scale shape: a pure Arrow-batched ``mapInPandas`` projection over
+    the scan — zero shuffles; downstream pairing is the banded
+    equi-join.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _png_decode_pixels(bytes(payload or b""))
+                ids.append(mid)
+                if dec is None:
+                    hashes.append(None)
+                    oks.append(False)
+                else:
+                    _w, _h, _c, arr = dec
+                    hashes.append(_dhash64(arr))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": pd.array(hashes, dtype="Int64"),
+                 "decodable": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash codes: (id_a, id_b,
+    hamming) for every decodable pair within ``max_hamming`` bits.
+
+    Banded LSH shape, not all-pairs: the 64-bit code splits into four
+    16-bit bands; any pair within Hamming 10 of each other agrees
+    exactly on at least one band (pigeonhole: 10 < 4 bands * 3), so the
+    candidate set is the per-band equi-join and only candidates pay the
+    popcount verify.  Identical to the simhash/minhash banding already
+    in operators/dedup.py — 100 TB-safe for the same reason.
+
+    Note the pigeonhole bound: ``max_hamming`` <= 3 per band * 4 - 1
+    keeps recall exact; raising it past 11 without adding bands would
+    silently lose pairs, so the function refuses.
+    """
+    if max_hamming > 11:
+        raise ValueError(
+            "dhash_neardup_pairs: max_hamming > 11 breaks the 4x16-bit"
+            " band pigeonhole guarantee; add bands instead"
+        )
+    h = hashes.where(F.col("decodable")).select("media_id", "dhash")
+    bands = None
+    for b in range(4):
+        band = h.select(
+            "media_id",
+            "dhash",
+            F.lit(b).alias("band"),
+            F.shiftright("dhash", b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bkey"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )

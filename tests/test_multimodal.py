@@ -443,3 +443,56 @@ def test_keyframe_select_real_avi_planted_boundary(spark):
     assert by_rank[1].l1_change == 2 * frame_len
     # every other transition is identical-frame -> zero change
     assert by_rank[2].l1_change == 0
+
+
+def test_image_dhash_and_neardup_pairs(spark):
+    """dHash over REAL decoded PNG pixels: a brightness-shifted copy
+    stays within the Hamming radius, an unrelated image does not,
+    non-pixel payloads are excluded, and a strictly-increasing-row
+    image gives the all-ones hash (signed -1)."""
+    import numpy as np
+
+    from heparchy_spark.operators.multimodal import (
+        _png_encode,
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 200, (32, 32, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    ramp = np.tile(
+        (np.arange(18, dtype=np.uint8) * 14)[None, :, None], (16, 1, 3)
+    )
+    rows = [
+        (0, bytearray(_png_encode(base))),
+        (1, bytearray(_png_encode(shifted))),
+        (2, bytearray(_png_encode(other))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\x08header-only")),  # not a PNG
+        (4, bytearray(_png_encode(ramp))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hs = {r.media_id: r for r in image_dhash(df).collect()}
+    assert hs[3].decodable is False and hs[3].dhash is None
+    assert all(hs[i].decodable for i in (0, 1, 2, 4))
+    assert hs[4].dhash == -1  # every adjacent step increases -> all bits
+
+    mask = (1 << 64) - 1
+    def ham(a, b):
+        return bin((a ^ b) & mask).count("1")
+
+    assert ham(hs[0].dhash, hs[1].dhash) <= 10
+    assert ham(hs[0].dhash, hs[2].dhash) > 10
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(image_dhash(df), max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == ham(hs[0].dhash, hs[1].dhash)
+    assert all(3 not in p and (0, 2) != p for p in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash_neardup_pairs(image_dhash(df), max_hamming=12)
