@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
@@ -37,6 +38,7 @@ __all__ = [
     "chunk_documents",
     "bpe_train",
     "bpe_encode_counts",
+    "unigram_lm_train",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
@@ -986,3 +988,170 @@ def compression_signals(
     return df.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
     ).mapInPandas(signals, schema=out_schema)
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 48,
+    iters: int = 3,
+    seed_size: int = 192,
+    max_sub_len: int = 4,
+) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary induction (Kudo 2018, the
+    SentencePiece unigram model) — the probabilistic counterpart to
+    :func:`bpe_train`, here in its deterministic hard-EM (Viterbi)
+    form: start from a frequency-seeded candidate vocabulary, and each
+    iteration (E) segments every distinct word by best-path Viterbi
+    under the current subword log-probabilities, then (M) re-estimates
+    probabilities from the exact integer usage counts, +1-smoothed over
+    the whole candidate set so every entry keeps a finite log-prob.
+    Returns the shipped artifact: (rank, subword, n_uses, logprob),
+    the ``vocab_size`` most-used subwords under (count desc, subword
+    asc) with single characters always retained (coverability).
+
+    Distributed shape: the ONLY corpus-scale pass is the word-frequency
+    aggregate (the wordcount shuffle).  Seeding explodes substrings of
+    the DISTINCT-WORD table (bounded by vocabulary, not corpus); each
+    EM iteration is one Arrow-batched ``mapInPandas`` Viterbi pass over
+    that same word table — the per-word DP is inherently sequential,
+    and the word table is off the corpus hot path where the
+    no-Python-UDF rule applies — plus one exact integer count
+    aggregate; the candidate vocabulary (<= ``seed_size`` + alphabet)
+    is the only driver state.
+
+    Determinism: seed selection and usage counts are exact integers
+    with (weight desc, subword asc) ties; probabilities are single
+    divisions of exact ints; the DP scans split points left to right
+    and updates only on strictly-better scores, so equal-probability
+    ties resolve to the longest-first-token path — the plain-Python
+    fixture mirror replicates each rule bit-for-bit.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    words = (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    words.count()
+
+    # seed candidates: every substring of length 1..max_sub_len, with
+    # multiplicity, weighted by word frequency
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(max_sub_len)),
+                        lambda ln: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.length("w")),
+                                lambda i: F.col("w").substr(i, ln),
+                            ),
+                            lambda s: F.length(s) == ln,
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sum("freq").alias("wt"))
+    )
+    chars = [
+        r["s"]
+        for r in subs.where(F.length("s") == 1).collect()
+    ]
+    multi = (
+        subs.where(F.length("s") > 1)
+        .orderBy(F.desc("wt"), F.asc("s"))
+        .limit(seed_size)
+        .collect()
+    )
+    weights = {r["s"]: int(r["wt"]) for r in multi}
+    for r in subs.where(F.length("s") == 1).collect():
+        weights[r["s"]] = int(r["wt"])
+
+    import math
+
+    def logprobs(counts: dict) -> dict:
+        v = len(counts)
+        total = sum(counts.values())
+        return {
+            s: math.log((c + 1) / (total + v)) for s, c in counts.items()
+        }
+
+    lp = logprobs(weights)
+    max_len = max(len(s) for s in lp)
+
+    count_schema = T.StructType(
+        [
+            T.StructField("s", T.StringType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def viterbi(word: str, table: dict) -> list[str] | None:
+        best: list = [0.0] + [None] * len(word)
+        back: list = [0] * (len(word) + 1)
+        for i in range(1, len(word) + 1):
+            for j in range(max(0, i - max_len), i):
+                piece = word[j:i]
+                if best[j] is None or piece not in table:
+                    continue
+                sc = best[j] + table[piece]
+                if best[i] is None or sc > best[i]:
+                    best[i] = sc
+                    back[i] = j
+        if best[len(word)] is None:
+            return None
+        out, i = [], len(word)
+        while i > 0:
+            out.append(word[back[i] : i])
+            i = back[i]
+        return out[::-1]
+
+    for _ in range(iters):
+        table = dict(lp)
+
+        def estep(batches):
+            for pdf in batches:
+                agg: dict = {}
+                for w, freq in zip(pdf["w"], pdf["freq"]):
+                    seg = viterbi(str(w), table)
+                    if seg is None:
+                        continue
+                    for piece in seg:
+                        agg[piece] = agg.get(piece, 0) + int(freq)
+                yield pd.DataFrame(
+                    {"s": list(agg), "n": list(agg.values())}
+                )
+
+        used = (
+            words.mapInPandas(estep, schema=count_schema)
+            .groupBy("s")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        counts = {s: 0 for s in lp}
+        for r in used:
+            counts[r["s"]] = int(r["n"])
+        lp = logprobs(counts)
+
+    ranked = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:vocab_size]
+    out = [
+        (i + 1, s, int(n), round(lp[s], 6))
+        for i, (s, n) in enumerate(ranked)
+    ]
+    words.unpersist()
+    return df.sparkSession.createDataFrame(
+        out, "rank long, subword string, n_uses long, logprob double"
+    )

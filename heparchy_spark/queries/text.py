@@ -1358,3 +1358,24 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("keyword"), F.col("rank").alias("score")
         )
     )
+
+
+@register(
+    "text_unigram_lm_vocab",
+    expected_fixture_sql("text_unigram_lm_vocab"),
+    doc="Unigram-LM tokenizer vocabulary (Kudo 2018, SentencePiece's "
+    "probabilistic model) beside the BPE trainer: frequency-seeded "
+    "candidates, 3 hard-EM (Viterbi) rounds over the distinct-word "
+    "table, +1-smoothed probabilities from exact integer usage "
+    "counts; top-48 by (uses desc, subword asc).  One corpus-scale "
+    "wordcount shuffle; the EM passes are Arrow-batched mapInPandas "
+    "DP over the bounded word table (the vocab path where the "
+    "no-Python-UDF rule permits it).  Oracle = independent "
+    "plain-Python mirror, precomputed (operators/text.py "
+    "unigram_lm_train).",
+)
+def text_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import unigram_lm_train
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_lm_train(docs, "text", "doc_id")

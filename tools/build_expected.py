@@ -411,6 +411,78 @@ def bpe_merges(docs, n_merges=8) -> list[tuple]:
 
 
 
+def unigram_vocab(
+    docs,
+    vocab_size: int = 48,
+    iters: int = 3,
+    seed_size: int = 192,
+    max_sub_len: int = 4,
+) -> list[tuple]:
+    """Mirror of operators.text.unigram_lm_train (hard-EM unigram LM):
+    frequency-seeded candidates (all single chars + top multi-char
+    substrings by weight with (wt desc, s asc) ties), per-iteration
+    Viterbi segmentation of the distinct-word table under +1-smoothed
+    log-probs (split scan left to right, strictly-better updates), exact
+    integer usage counts, final top-``vocab_size`` by (count desc,
+    subword asc)."""
+    import math
+
+    freq: dict[str, int] = {}
+    for _, text in docs:
+        for w in tokens(text):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    weights: dict[str, int] = {}
+    for w, c in freq.items():
+        for ln in range(1, max_sub_len + 1):
+            for i in range(0, len(w) - ln + 1):
+                s = w[i : i + ln]
+                weights[s] = weights.get(s, 0) + c
+    multi = sorted(
+        ((s, wt) for s, wt in weights.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    cand = {s: wt for s, wt in weights.items() if len(s) == 1}
+    cand.update(dict(multi))
+
+    def logprobs(counts: dict) -> dict:
+        v = len(counts)
+        total = sum(counts.values())
+        return {
+            s: math.log((c + 1) / (total + v)) for s, c in counts.items()
+        }
+
+    lp = logprobs(cand)
+    max_len = max(len(s) for s in lp)
+    counts: dict[str, int] = {}
+    for _ in range(iters):
+        counts = {s: 0 for s in lp}
+        for w, c in freq.items():
+            best: list = [0.0] + [None] * len(w)
+            back = [0] * (len(w) + 1)
+            for i in range(1, len(w) + 1):
+                for j in range(max(0, i - max_len), i):
+                    piece = w[j:i]
+                    if best[j] is None or piece not in lp:
+                        continue
+                    sc = best[j] + lp[piece]
+                    if best[i] is None or sc > best[i]:
+                        best[i] = sc
+                        back[i] = j
+            if best[len(w)] is None:
+                continue
+            i = len(w)
+            while i > 0:
+                counts[w[back[i] : i]] += c
+                i = back[i]
+        lp = logprobs(counts)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (i + 1, s, int(n), round(lp[s], 6))
+        for i, (s, n) in enumerate(ranked[:vocab_size])
+    ]
+
+
 def bpe_encode_counts(docs, merges) -> list[tuple]:
     """Mirror of operators.text.bpe_encode_counts for the learned rules."""
     def enc_len(w: str) -> int:
@@ -466,6 +538,19 @@ def main() -> None:
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, out_dir / f"{name}.parquet")
         print(f"{name}: {table.num_rows} rows")
+
+    ug = unigram_vocab(docs)
+    write(
+        "text_unigram_lm_vocab",
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in ug], pa.int64()),
+                "subword": pa.array([r[1] for r in ug], pa.string()),
+                "n_uses": pa.array([r[2] for r in ug], pa.int64()),
+                "logprob": pa.array([r[3] for r in ug], pa.float64()),
+            }
+        ),
+    )
 
     bm = bpe_merges(docs)
     enc = bpe_encode_counts(docs, [(r[1], r[2]) for r in bm])
