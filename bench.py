@@ -194,6 +194,8 @@ HEADLINE = [
     "drift_value_jsd",
     "layout_hilbert_key",
     "dataset_kcenter_coreset",
+    "quality_conformal_coverage",
+    "text_unigram_lm_vocab",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

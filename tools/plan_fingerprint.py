@@ -61,6 +61,7 @@ RUNTIME_MATERIALIZED = {
     "dedup_entity_resolution",  # connected-components fixpoint counts
     "dedup_fs_em_params",  # pattern-rollup collect feeds driver-side EM
     "dataset_kcenter_coreset",  # per-round argmax collects + checkpoints
+    "text_unigram_lm_vocab",  # per-iteration EM collects on the word table
 }
 
 
