@@ -26,7 +26,6 @@ __all__ = [
     "salted_join",
     "equiwidth_bucket",
     "zorder_key",
-    "with_hilbert_key",
     "cluster_by_zorder",
     "write_bloom_file_index",
     "bloom_prune_files",
@@ -209,83 +208,6 @@ def zorder_key(bucket_cols: ty.Sequence[Column], bits_per_col: int) -> Column:
                 j * k + i,
             )
     return out
-
-
-def with_hilbert_key(
-    df: DataFrame,
-    x_col: str,
-    y_col: str,
-    bits_per_col: int,
-    out: str = "hkey",
-) -> DataFrame:
-    """Append a 2-D Hilbert-curve index of two ``bits_per_col``-bit
-    bucket id columns.
-
-    Same write-time clustering role as :func:`zorder_key`, with strictly
-    better locality: the Hilbert curve never jumps, so consecutive key
-    ranges are tighter bounding boxes than Morton's (the Z-shape's long
-    diagonal seams) — fewer files touched per box predicate at the same
-    file count.  The price is the per-level rotation, which Morton
-    doesn't need.
-
-    Construction: the classic xy2d walk (one level per bit, most
-    significant first — quadrant id ``(3*rx) XOR ry`` scaled by s^2,
-    then the reflect-and-swap rotation), unrolled as ONE ``select``
-    PER LEVEL with named intermediate columns.  The per-level state
-    (x, y, d) is referenced several times by the next level, so a
-    single nested Column expression would grow exponentially with the
-    bit depth; named projections keep the plan linear (CollapseProject
-    declines to merge because it would duplicate non-cheap
-    expressions).  Pure integer CASE/shift algebra, fully codegen'd,
-    no UDF, engine-exact — the SQL oracle replays the identical unroll
-    as one CTE per level.
-    """
-    if 2 * bits_per_col > 62:
-        raise ValueError("with_hilbert_key: 2 * bits_per_col must be <= 62")
-    passthrough = [c for c in df.columns if c not in (x_col, y_col)]
-    cur = df.select(
-        *passthrough,
-        F.col(x_col).cast("long").alias("__hx"),
-        F.col(y_col).cast("long").alias("__hy"),
-        F.lit(0).cast("long").alias("__hd"),
-    )
-    for level in range(bits_per_col - 1, -1, -1):
-        s = 1 << level
-        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
-        rx = (
-            F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        ry = (
-            F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        cur = cur.select(
-            *passthrough,
-            "__hx",
-            "__hy",
-            "__hd",
-            rx.alias("__rx"),
-            ry.alias("__ry"),
-        )
-        rx, ry = F.col("__rx"), F.col("__ry")
-        flip = (ry == 0) & (rx == 1)
-        x1 = F.when(flip, F.lit(s - 1) - x).otherwise(x)
-        y1 = F.when(flip, F.lit(s - 1) - y).otherwise(y)
-        cur = cur.select(
-            *passthrough,
-            F.when(ry == 0, y1).otherwise(x).alias("__hx"),
-            F.when(ry == 0, x1).otherwise(y).alias("__hy"),
-            (
-                d
-                + F.lit(s).cast("long")
-                * F.lit(s)
-                * ((F.lit(3) * rx).bitwiseXOR(ry))
-            ).alias("__hd"),
-        )
-    return cur.select(*passthrough, F.col("__hd").alias(out))
 
 
 def cluster_by_zorder(

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from heparchy_spark.operators.layout import zorder_key
+from heparchy_spark.operators.layout import hilbert_key, zorder_key
 from heparchy_spark.queries import register
 from heparchy_spark.queries.tables import load
 
@@ -150,15 +150,14 @@ def _hilbert_oracle(bits: int) -> str:
     "better locality than Morton/Z-order (the curve never jumps, so "
     "consecutive key ranges are tighter bounding boxes and box "
     "predicates touch fewer files at the same file count).  The xy2d "
-    "walk unrolls to one branch-free integer projection per bit level "
-    "(named intermediate columns keep the plan linear); the oracle "
-    "replays the identical unroll as one CTE per level "
-    "(operators/layout.py with_hilbert_key).",
+    "walk runs as a per-row JVM HigherOrderFunction fold over the "
+    "level array (O(bits) expression tree); the oracle replays the "
+    "identical walk as one MATERIALIZED CTE per level "
+    "(operators/layout.py hilbert_key — the operator behind "
+    "cluster_by_hilbert and optimize(curve='hilbert')).",
     expects_bnlj=True,
 )
 def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from heparchy_spark.operators.layout import with_hilbert_key
-
     o = load(spark, sf_dir, "orders")
     stats = o.agg(
         F.min(F.col("o_custkey").cast("double")).alias("lo0"),
@@ -180,4 +179,7 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket("o_custkey", "lo0", "hi0").alias("b0"),
         bucket("o_totalprice", "lo1", "hi1").alias("b1"),
     )
-    return with_hilbert_key(bucketed, "b0", "b1", _BITS, out="hkey")
+    return bucketed.select(
+        "o_orderkey",
+        hilbert_key(F.col("b0"), F.col("b1"), _BITS).alias("hkey"),
+    )

@@ -408,46 +408,3 @@ def test_cluster_by_hilbert_3d_roundtrip(spark, tmp_path):
     got = spark.read.parquet(d)
     assert got.count() == li.count()
     assert sorted(got.columns) == sorted(li.columns)
-
-
-def test_hilbert_key_matches_reference_and_is_a_curve(spark):
-    """with_hilbert_key vs the classic xy2d reference on a full 16x16
-    grid, plus the curve property that makes it a better clustering
-    key than Morton: consecutive keys are always grid-neighbors (the
-    Z-order curve jumps; the Hilbert curve never does)."""
-    import pyspark.sql.functions as F
-
-    from heparchy_spark.operators.layout import with_hilbert_key
-
-    def xy2d(n, x, y):
-        d, s = 0, n // 2
-        while s > 0:
-            rx = 1 if (x & s) > 0 else 0
-            ry = 1 if (y & s) > 0 else 0
-            d += s * s * ((3 * rx) ^ ry)
-            if ry == 0:
-                if rx == 1:
-                    x, y = s - 1 - x, s - 1 - y
-                x, y = y, x
-            s //= 2
-        return d
-
-    pts = [(a, b) for a in range(16) for b in range(16)]
-    df = spark.createDataFrame(
-        [(i, x, y) for i, (x, y) in enumerate(pts)], "k long, bx long, by long"
-    )
-    out = with_hilbert_key(df, "bx", "by", 4)
-    got = {r.k: r.hkey for r in out.collect()}
-    assert got == {i: xy2d(16, x, y) for i, (x, y) in enumerate(pts)}
-    # bijective onto 0..255 and unit-step adjacent
-    inv = {got[i]: pts[i] for i in range(256)}
-    assert sorted(inv) == list(range(256))
-    for d in range(255):
-        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
-        assert abs(x1 - x2) + abs(y1 - y2) == 1
-    # passthrough columns survive and the out column is a long
-    assert out.columns == ["k", "hkey"]
-    assert dict(out.dtypes)["hkey"] == "bigint"
-
-    with pytest.raises(ValueError):
-        with_hilbert_key(df, "bx", "by", 32)
