@@ -196,6 +196,7 @@ HEADLINE = [
     "dataset_kcenter_coreset",
     "quality_conformal_coverage",
     "text_unigram_lm_vocab",
+    "text_unigram_encode_counts",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -39,6 +39,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode_counts",
     "unigram_lm_train",
+    "unigram_encode_counts",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
@@ -990,6 +991,33 @@ def compression_signals(
     ).mapInPandas(signals, schema=out_schema)
 
 
+def _unigram_viterbi(
+    word: str, table: dict, max_len: int
+) -> list[str] | None:
+    """Best-path segmentation of ``word`` under subword log-probs:
+    split points scanned left to right, strictly-better updates only
+    (equal-score ties resolve to the longest-first-token path), None
+    when the word is not coverable by the table."""
+    best: list = [0.0] + [None] * len(word)
+    back: list = [0] * (len(word) + 1)
+    for i in range(1, len(word) + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            if best[j] is None or piece not in table:
+                continue
+            sc = best[j] + table[piece]
+            if best[i] is None or sc > best[i]:
+                best[i] = sc
+                back[i] = j
+    if best[len(word)] is None:
+        return None
+    out, i = [], len(word)
+    while i > 0:
+        out.append(word[back[i] : i])
+        i = back[i]
+    return out[::-1]
+
+
 def unigram_lm_train(
     df: DataFrame,
     text_col: str,
@@ -1097,34 +1125,15 @@ def unigram_lm_train(
         ]
     )
 
-    def viterbi(word: str, table: dict) -> list[str] | None:
-        best: list = [0.0] + [None] * len(word)
-        back: list = [0] * (len(word) + 1)
-        for i in range(1, len(word) + 1):
-            for j in range(max(0, i - max_len), i):
-                piece = word[j:i]
-                if best[j] is None or piece not in table:
-                    continue
-                sc = best[j] + table[piece]
-                if best[i] is None or sc > best[i]:
-                    best[i] = sc
-                    back[i] = j
-        if best[len(word)] is None:
-            return None
-        out, i = [], len(word)
-        while i > 0:
-            out.append(word[back[i] : i])
-            i = back[i]
-        return out[::-1]
-
     for _ in range(iters):
         table = dict(lp)
+        _ml = max_len
 
         def estep(batches):
             for pdf in batches:
                 agg: dict = {}
                 for w, freq in zip(pdf["w"], pdf["freq"]):
-                    seg = viterbi(str(w), table)
+                    seg = _unigram_viterbi(str(w), table, _ml)
                     if seg is None:
                         continue
                     for piece in seg:
@@ -1154,4 +1163,64 @@ def unigram_lm_train(
     words.unpersist()
     return df.sparkSession.createDataFrame(
         out, "rank long, subword string, n_uses long, logprob double"
+    )
+
+
+def unigram_encode_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: list[tuple[str, float]],
+) -> DataFrame:
+    """Encode documents under a trained unigram-LM vocabulary
+    (:func:`unigram_lm_train`'s (subword, logprob) artifact) and report
+    per-document token economics: (id, n_words, n_unigram_tokens,
+    unigram_per_word) — whitespace words, Viterbi-best token counts,
+    and the tokens-per-word ratio.  A word not coverable by the pruned
+    vocabulary falls back to one token per character (the SentencePiece
+    byte-fallback convention), deterministically.
+
+    Scale shape mirrors :func:`bpe_encode_counts`: the Viterbi DP runs
+    once per DISTINCT word (Arrow-batched pandas over the bounded
+    vocabulary table); per-document totals come from joining the
+    exploded token stream to the broadcast encoded vocabulary plus one
+    combinable aggregate.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    table = dict(vocab)
+    max_len = max((len(s) for s in table), default=1)
+
+    @F.pandas_udf("int")
+    def encode_len(s: pd.Series) -> pd.Series:
+        def enc(w: str) -> int:
+            seg = _unigram_viterbi(w, table, max_len)
+            return len(seg) if seg is not None else len(w)
+
+        return s.map(enc).astype("int32")
+
+    ts = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.length("w") > 0)
+    vocab_df = ts.select("w").distinct().withColumn(
+        "n_uni", encode_len("w")
+    )
+    return (
+        ts.join(F.broadcast(vocab_df), "w")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_uni").cast("long").alias("n_unigram_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_unigram_tokens",
+            F.round(
+                F.col("n_unigram_tokens")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("unigram_per_word"),
+        )
     )

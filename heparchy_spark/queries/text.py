@@ -1379,3 +1379,31 @@ def text_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return unigram_lm_train(docs, "text", "doc_id")
+
+
+@register(
+    "text_unigram_encode_counts",
+    expected_fixture_sql("text_unigram_encode_counts"),
+    doc="Per-document token economics under the trained unigram-LM "
+    "vocabulary (text_unigram_lm_vocab's artifact): whitespace words, "
+    "Viterbi-best token counts with one-per-character fallback for "
+    "words the pruned vocab cannot cover, and tokens-per-word — the "
+    "measurement a tokenizer choice is judged by.  Viterbi runs once "
+    "per DISTINCT word; totals come from the broadcast vocab join + "
+    "one combinable aggregate.  Oracle = independent plain-Python "
+    "mirror, precomputed (operators/text.py unigram_encode_counts).",
+)
+def text_unigram_encode_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.text import (
+        unigram_encode_counts,
+        unigram_lm_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = [
+        (r["subword"], r["logprob"])
+        for r in unigram_lm_train(docs, "text", "doc_id").collect()
+    ]
+    return unigram_encode_counts(docs, "text", "doc_id", vocab)

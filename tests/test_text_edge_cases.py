@@ -678,3 +678,27 @@ def test_unigram_lm_train_learns_planted_subwords(spark):
     # exposed — assert the reported mass never exceeds the corpus mass
     assert used_chars <= total_chars
     assert all(r.logprob < 0 for r in out)
+
+
+def test_unigram_encode_counts_fallback_and_ratio(spark):
+    """Encoding under a hand-built vocab: coverable words take the
+    Viterbi-best (fewest high-prob pieces) count; a word the vocab
+    cannot cover falls back to one token per character."""
+    from heparchy_spark.operators.text import unigram_encode_counts
+
+    vocab = [("ab", -1.0), ("a", -3.0), ("b", -3.0), ("c", -3.0)]
+    df = spark.createDataFrame(
+        [(0, "abab c"), (1, "zzz"), (2, "ababab abc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in unigram_encode_counts(df, "text", "doc_id", vocab).collect()
+    }
+    # 'abab' -> ab|ab (2), 'c' -> 1
+    assert (got[0].n_words, got[0].n_unigram_tokens) == (2, 3)
+    # 'zzz' uncoverable -> 3 (char fallback)
+    assert (got[1].n_words, got[1].n_unigram_tokens) == (1, 3)
+    # 'ababab' -> 3, 'abc' -> ab|c = 2
+    assert (got[2].n_words, got[2].n_unigram_tokens) == (2, 5)
+    assert got[2].unigram_per_word == 2.5

@@ -518,6 +518,50 @@ def bpe_encode_counts(docs, merges) -> list[tuple]:
     return rows
 
 
+def unigram_encode(docs, vocab) -> list[tuple]:
+    """Mirror of operators.text.unigram_encode_counts under the trained
+    unigram vocabulary: per-doc word count, Viterbi token count (char
+    fallback for uncoverable words), tokens-per-word (spark_round 6)."""
+    table = {s: lpv for _, s, _, lpv in vocab}
+    max_len = max((len(s) for s in table), default=1)
+
+    def enc(w: str) -> int:
+        best: list = [0.0] + [None] * len(w)
+        back = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            for j in range(max(0, i - max_len), i):
+                piece = w[j:i]
+                if best[j] is None or piece not in table:
+                    continue
+                sc = best[j] + table[piece]
+                if best[i] is None or sc > best[i]:
+                    best[i] = sc
+                    back[i] = j
+        if best[len(w)] is None:
+            return len(w)
+        n, i = 0, len(w)
+        while i > 0:
+            n += 1
+            i = back[i]
+        return n
+
+    cache: dict[str, int] = {}
+    rows = []
+    for did, text in docs:
+        ws = [w for w in tokens(text) if w]
+        if not ws:
+            continue
+        n_uni = 0
+        for w in ws:
+            if w not in cache:
+                cache[w] = enc(w)
+            n_uni += cache[w]
+        rows.append(
+            (did, len(ws), n_uni, spark_round(n_uni / len(ws), 6))
+        )
+    return rows
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = Path(
@@ -540,6 +584,18 @@ def main() -> None:
         print(f"{name}: {table.num_rows} rows")
 
     ug = unigram_vocab(docs)
+    ue = unigram_encode(docs, ug)
+    write(
+        "text_unigram_encode_counts",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in ue], pa.int64()),
+                "n_words": pa.array([r[1] for r in ue], pa.int64()),
+                "n_unigram_tokens": pa.array([r[2] for r in ue], pa.int64()),
+                "unigram_per_word": pa.array([r[3] for r in ue], pa.float64()),
+            }
+        ),
+    )
     write(
         "text_unigram_lm_vocab",
         pa.table(

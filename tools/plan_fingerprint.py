@@ -62,6 +62,7 @@ RUNTIME_MATERIALIZED = {
     "dedup_fs_em_params",  # pattern-rollup collect feeds driver-side EM
     "dataset_kcenter_coreset",  # per-round argmax collects + checkpoints
     "text_unigram_lm_vocab",  # per-iteration EM collects on the word table
+    "text_unigram_encode_counts",  # trains (collects) before encoding
 }
 
 
