@@ -197,6 +197,7 @@ HEADLINE = [
     "quality_conformal_coverage",
     "text_unigram_lm_vocab",
     "text_unigram_encode_counts",
+    "multimodal_audio_vad",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -43,6 +43,7 @@ __all__ = [
     "keyframe_select",
     "image_dhash",
     "dhash_neardup_pairs",
+    "audio_vad_segments",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -1039,4 +1040,109 @@ def dhash_neardup_pairs(
             ),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("seg_idx", T.IntegerType(), False),
+        T.StructField("start_window", T.IntegerType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("seg_rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_vad_segments(
+    df: DataFrame,
+    frame_len: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-based voice-activity detection over REAL WAV PCM: split
+    the decoded 16-bit signal into analysis windows of ``frame_len``
+    multichannel frames, mark a window voiced when its RMS exceeds the
+    whole signal's RMS, and emit one row per maximal voiced run —
+    (media_id, seg_idx, start_window, n_windows, seg_rms) with seg_rms
+    the round-6 mean of the run's window RMS values (normalized to
+    [0, 1] by the int16 range).  The adaptive global-RMS threshold is
+    the classic first-pass VAD every speech curation pipeline starts
+    from; non-WAV payloads emit no rows.
+
+    Determinism: the whole computation is NumPy float64 over exact
+    int16 samples with a fixed operation order, so a plain-Python
+    mirror reproduces it bit-for-bit.  Scale shape: a pure
+    Arrow-batched ``mapInPandas`` fan-out over the scan (one input row
+    → one row per voiced segment) — zero shuffles.
+    """
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                try:
+                    with wave.open(io.BytesIO(buf)) as wv:
+                        ch = wv.getnchannels()
+                        nf = wv.getnframes()
+                        sw = wv.getsampwidth()
+                        data = wv.readframes(nf)
+                except Exception:
+                    continue
+                if sw != 2:
+                    continue
+                fs = ch * 2
+                nf = min(nf, len(data) // fs)
+                if nf == 0:
+                    continue
+                frames = np.frombuffer(
+                    data[: nf * fs], dtype="<i2"
+                ).astype("float64") / 32768.0
+                sig_rms = float(np.sqrt(np.mean(frames * frames)))
+                n_win = nf // frame_len
+                if n_win == 0 or sig_rms == 0.0:
+                    continue
+                win = frames[: n_win * frame_len * ch].reshape(
+                    n_win, frame_len * ch
+                )
+                wrms = np.sqrt(np.mean(win * win, axis=1))
+                voiced = wrms > sig_rms
+                seg_idx = 0
+                i = 0
+                while i < n_win:
+                    if voiced[i]:
+                        j = i
+                        while j < n_win and voiced[j]:
+                            j += 1
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "seg_idx": seg_idx,
+                                "start_window": i,
+                                "n_windows": j - i,
+                                "seg_rms": round(
+                                    float(np.mean(wrms[i:j])), 6
+                                ),
+                            }
+                        )
+                        seg_idx += 1
+                        i = j
+                    else:
+                        i += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "seg_idx",
+                    "start_window",
+                    "n_windows",
+                    "seg_rms",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=VAD_SCHEMA
     )

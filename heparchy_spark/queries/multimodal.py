@@ -285,3 +285,22 @@ def multimodal_keyframe_select(
 
     media = _media_df(spark, sf_dir).where(F.col("kind") == "video")
     return keyframe_select(media, every_n=4, top_k=3)
+
+
+@register(
+    "multimodal_audio_vad",
+    expected_fixture_sql("multimodal_audio_vad"),
+    doc="Energy-based voice-activity detection over the REAL WAV "
+    "payloads: per 8-frame analysis window RMS vs the whole signal's "
+    "RMS (the adaptive first-pass VAD of a speech curation pipeline), "
+    "one row per maximal voiced run with its round-6 mean window RMS.  "
+    "Pure Arrow-batched mapInPandas fan-out — zero shuffles at any "
+    "corpus size.  Oracle fixture mirrors the windowing/threshold/"
+    "run-length logic from the generator parameters in plain Python "
+    "(operators/multimodal.py audio_vad_segments).",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.multimodal import audio_vad_segments
+
+    media = _media_df(spark, sf_dir).where(F.col("kind") == "audio")
+    return audio_vad_segments(media, frame_len=8)

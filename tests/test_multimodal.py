@@ -496,3 +496,45 @@ def test_image_dhash_and_neardup_pairs(spark):
 
     with _pytest.raises(ValueError):
         dhash_neardup_pairs(image_dhash(df), max_hamming=12)
+
+
+def test_audio_vad_finds_planted_burst(spark):
+    """A WAV of silence + loud burst + silence must yield exactly one
+    voiced segment covering the burst windows, with the mirror-exact
+    RMS; silence-only and non-WAV payloads yield no rows."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from heparchy_spark.operators.multimodal import audio_vad_segments
+
+    def wav(samples: np.ndarray) -> bytes:
+        out = io.BytesIO()
+        with wave.open(out, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return out.getvalue()
+
+    sig = np.zeros(320, dtype=np.int64)
+    sig[:40] = 10          # faint noise floor
+    sig[128:192] = 20000   # the burst: windows 16..23 at frame_len=8
+    sig[280:] = 10
+    rows = [
+        (0, bytearray(wav(sig))),
+        (1, bytearray(wav(np.zeros(160, dtype=np.int64)))),  # pure silence
+        (2, bytearray(b"not a wav at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = audio_vad_segments(df, frame_len=8).collect()
+    assert {r.media_id for r in out} == {0}
+    assert len(out) == 1
+    seg = out[0]
+    assert (seg.start_window, seg.n_windows, seg.seg_idx) == (16, 8, 0)
+    frames = sig.astype("float64") / 32768.0
+    win = frames.reshape(40, 8)
+    wrms = np.sqrt(np.mean(win * win, axis=1))
+    assert seg.seg_rms == round(float(np.mean(wrms[16:24])), 6)

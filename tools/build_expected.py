@@ -306,6 +306,45 @@ def expected_resample(doc_id: int, text: str | None):
     )
 
 
+def vad_rows(doc_id: int, text: str | None, frame_len: int = 8) -> list[tuple]:
+    """Mirror of operators/multimodal.audio_vad_segments on the
+    generator's WAV params: PCM16 frames = the text bytes; identical
+    NumPy float64 windowing, global-RMS threshold, run-length output."""
+    body = (text or "").encode("utf-8")
+    channels = 1 + doc_id % 2
+    fs = channels * 2
+    nf = len(body) // fs
+    if nf == 0:
+        return []
+    frames = (
+        np.frombuffer(body[: nf * fs], dtype="<i2").astype("float64")
+        / 32768.0
+    )
+    sig_rms = float(np.sqrt(np.mean(frames * frames)))
+    n_win = nf // frame_len
+    if n_win == 0 or sig_rms == 0.0:
+        return []
+    win = frames[: n_win * frame_len * channels].reshape(
+        n_win, frame_len * channels
+    )
+    wrms = np.sqrt(np.mean(win * win, axis=1))
+    voiced = wrms > sig_rms
+    rows, seg_idx, i = [], 0, 0
+    while i < n_win:
+        if voiced[i]:
+            j = i
+            while j < n_win and voiced[j]:
+                j += 1
+            rows.append(
+                (doc_id, seg_idx, i, j - i, round(float(np.mean(wrms[i:j])), 6))
+            )
+            seg_idx += 1
+            i = j
+        else:
+            i += 1
+    return rows
+
+
 def frame_rows(
     media_id: int, buf: bytes, every_n: int = 8
 ) -> list[tuple[int, int, int]]:
@@ -582,6 +621,25 @@ def main() -> None:
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, out_dir / f"{name}.parquet")
         print(f"{name}: {table.num_rows} rows")
+
+    vr = [
+        row
+        for did, text in docs
+        if did % 4 == 2
+        for row in vad_rows(did, text)
+    ]
+    write(
+        "multimodal_audio_vad",
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in vr], pa.int64()),
+                "seg_idx": pa.array([r[1] for r in vr], pa.int32()),
+                "start_window": pa.array([r[2] for r in vr], pa.int32()),
+                "n_windows": pa.array([r[3] for r in vr], pa.int32()),
+                "seg_rms": pa.array([r[4] for r in vr], pa.float64()),
+            }
+        ),
+    )
 
     ug = unigram_vocab(docs)
     ue = unigram_encode(docs, ug)
