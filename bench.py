@@ -198,6 +198,7 @@ HEADLINE = [
     "text_unigram_lm_vocab",
     "text_unigram_encode_counts",
     "multimodal_audio_vad",
+    "privacy_dp_noisy_counts",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

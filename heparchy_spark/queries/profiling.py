@@ -1309,3 +1309,83 @@ def audit_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate / F.col("max_rate"), 6).alias("impact_ratio"),
         (rate / F.col("max_rate") < 0.8).alias("below_four_fifths"),
     )
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    u AS (
+      SELECT lang, source, n,
+             CAST(('0x' || substr(sha256(lang || '|' || source), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS uu
+      FROM g
+    )
+    SELECT lang, source, n,
+           ROUND(
+             -2.0 * (CASE WHEN uu - 0.5 < 0 THEN 1.0 ELSE -1.0 END)
+             * ROUND(LN(GREATEST(1.0 - 2.0 * ABS(uu - 0.5), 1e-18)), 8),
+             4) AS noise,
+           CAST(GREATEST(
+             ROUND(n + ROUND(
+               -2.0 * (CASE WHEN uu - 0.5 < 0 THEN 1.0 ELSE -1.0 END)
+               * ROUND(LN(GREATEST(1.0 - 2.0 * ABS(uu - 0.5), 1e-18)), 8),
+               4)), 0) AS BIGINT) AS released_n
+    FROM u
+    ORDER BY lang, source
+    """,
+    doc="Differentially-private-STYLE noisy count release per "
+    "(lang, source) cell: Laplace(b = sensitivity/epsilon = 1/0.5) "
+    "noise via the inverse CDF of a [0,1) uniform, counts clamped at "
+    "zero after integerization — the shape of a DP histogram release.  "
+    "The 'uniform' is the portable 60-bit sha256 hash of the group "
+    "key, making the draw DETERMINISTIC (a reproducible test release, "
+    "oracle-checkable; real DP requires fresh secure randomness — swap "
+    "the hash for an RNG at deploy, nothing else changes).  LN rounded "
+    "to 8 before use masks libm ulp differences; one combinable "
+    "aggregate to a |cells|-row table, zero extra shuffles.",
+)
+def privacy_dp_noisy_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    h60 = F.conv(
+        F.substring(
+            F.sha2(F.concat_ws("|", "lang", "source"), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    uu = h60 / F.lit(float(1 << 60))
+    a = uu - F.lit(0.5)
+    noise = F.round(
+        F.lit(-2.0)
+        * F.when(a < 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.round(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.lit(2.0) * F.abs(a), F.lit(1e-18)
+                )
+            ),
+            8,
+        ),
+        4,
+    )
+    return (
+        g.select(
+            "lang",
+            "source",
+            "n",
+            noise.alias("noise"),
+            F.greatest(F.round(F.col("n") + noise), F.lit(0.0))
+            .cast("long")
+            .alias("released_n"),
+        )
+        .orderBy("lang", "source")
+    )
