@@ -199,6 +199,7 @@ HEADLINE = [
     "text_unigram_encode_counts",
     "multimodal_audio_vad",
     "privacy_dp_noisy_counts",
+    "dedup_rouge_l_pairs",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -40,6 +40,7 @@ __all__ = [
     "bpe_encode_counts",
     "unigram_lm_train",
     "unigram_encode_counts",
+    "rouge_l_pairs",
 ]
 
 # Tiny per-language stopword lists for the heuristic scorer.  Public-knowledge
@@ -1224,3 +1225,93 @@ def unigram_encode_counts(
             ).alias("unigram_per_word"),
         )
     )
+
+
+def rouge_l_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ROUGE-L overlap scores for candidate document pairs: per (id_a,
+    id_b), the token-level longest-common-subsequence length and the
+    derived precision/recall/F1 (reference = id_a, candidate = id_b;
+    Lin 2004) — the dedup-QA metric that tells near-duplicate
+    REWRITES (high ROUGE-L, reordering-sensitive) apart from bag-of-
+    shingle coincidences the Jaccard verifier cannot distinguish.
+
+    Scale shape: ``pairs`` is the BOUNDED output of a banded candidate
+    generator (MinHash LSH, simhash, dHash...), so the two text joins
+    ship only candidate documents and the O(n*m) LCS dynamic program
+    runs in Arrow-batched ``mapInPandas`` over pair count, never corpus
+    size.  Integer LCS + int/int divisions keep scores engine-exact;
+    the plain-Python mirror shares the arithmetic by construction.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), normalize_text(text_col).alias("__ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), normalize_text(text_col).alias("__tb")
+    )
+    joined = (
+        pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("lcs_len", T.IntegerType(), False),
+            T.StructField("rouge_p", T.DoubleType(), False),
+            T.StructField("rouge_r", T.DoubleType(), False),
+            T.StructField("rouge_f", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        def lcs(a: list, b: list) -> int:
+            if not a or not b:
+                return 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0] * (len(b) + 1)
+                for j, y in enumerate(b, start=1):
+                    cur[j] = (
+                        prev[j - 1] + 1
+                        if x == y
+                        else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return prev[-1]
+
+        for pdf in batches:
+            rows = []
+            for ia, ib, sa, sb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["__ta"], pdf["__tb"]
+            ):
+                ref = [w for w in str(sa or "").split(" ") if w]
+                cand = [w for w in str(sb or "").split(" ") if w]
+                ln = lcs(ref, cand)
+                p = ln / len(cand) if cand else 0.0
+                r = ln / len(ref) if ref else 0.0
+                f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+                rows.append(
+                    {
+                        "id_a": ia,
+                        "id_b": ib,
+                        "lcs_len": ln,
+                        "rouge_p": round(p, 6),
+                        "rouge_r": round(r, 6),
+                        "rouge_f": round(f, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id_a", "id_b", "lcs_len",
+                    "rouge_p", "rouge_r", "rouge_f",
+                ],
+            )
+
+    return joined.mapInPandas(score, schema=schema)

@@ -1019,3 +1019,27 @@ def dedup_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return fs_em_params(pairs, fields, iters=_EM_ITERS)
+
+
+@register(
+    "dedup_rouge_l_pairs",
+    expected_fixture_sql("dedup_rouge_l_pairs"),
+    doc="ROUGE-L scores (token-LCS precision/recall/F1, reference = "
+    "id_a) for the MinHash-LSH near-dup candidate pairs — the dedup-QA "
+    "metric separating order-preserving rewrites from bag-of-shingle "
+    "coincidences the Jaccard verifier cannot tell apart.  The LCS "
+    "dynamic program runs in Arrow-batched mapInPandas over the "
+    "BOUNDED pair set (never corpus-scale); integer LCS + int/int "
+    "divisions keep scores engine-exact.  Oracle = independent "
+    "plain-Python mirror over the mirrored pair pipeline, precomputed "
+    "(operators/text.py rouge_l_pairs).",
+)
+def dedup_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import rouge_l_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16,
+        jaccard_threshold=0.5,
+    )
+    return rouge_l_pairs(docs, pairs, "text", "doc_id")

@@ -702,3 +702,33 @@ def test_unigram_encode_counts_fallback_and_ratio(spark):
     # 'ababab' -> 3, 'abc' -> ab|c = 2
     assert (got[2].n_words, got[2].n_unigram_tokens) == (2, 5)
     assert got[2].unigram_per_word == 2.5
+
+
+def test_rouge_l_pairs_hand_cases(spark):
+    """ROUGE-L on hand pairs: identical docs score 1.0; an order
+    reversal keeps tokens (Jaccard-identical) but drops LCS; disjoint
+    docs score 0; empty candidate yields zero scores without crashing."""
+    from heparchy_spark.operators.text import rouge_l_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),
+            (3, "zeta eta theta iota"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in rouge_l_pairs(docs, pairs, "text", "doc_id").collect()
+    }
+    assert got[(0, 1)].lcs_len == 4 and got[(0, 1)].rouge_f == 1.0
+    # reversal: same token bag, LCS collapses to 1 -> ROUGE sees it
+    assert got[(0, 2)].lcs_len == 1 and got[(0, 2)].rouge_f == 0.25
+    assert got[(0, 3)].lcs_len == 0 and got[(0, 3)].rouge_f == 0.0
+    assert got[(0, 4)].lcs_len == 0 and got[(0, 4)].rouge_p == 0.0

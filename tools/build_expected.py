@@ -601,6 +601,35 @@ def unigram_encode(docs, vocab) -> list[tuple]:
     return rows
 
 
+def rouge_l_rows(docs, pairs) -> list[tuple]:
+    """Mirror of operators.text.rouge_l_pairs over the mirrored MinHash
+    pairs: token-LCS length + precision/recall/F1 (reference = id_a)."""
+    toks = {did: [w for w in tokens(text) if w] for did, text in docs}
+
+    def lcs(a: list, b: list) -> int:
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, start=1):
+                cur[j] = (
+                    prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = []
+    for a, b, _jac in pairs:
+        ref, cand = toks[a], toks[b]
+        ln = lcs(ref, cand)
+        p = ln / len(cand) if cand else 0.0
+        r = ln / len(ref) if ref else 0.0
+        f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+        rows.append((a, b, ln, round(p, 6), round(r, 6), round(f, 6)))
+    return rows
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = Path(
@@ -737,6 +766,21 @@ def main() -> None:
                 "id_a": pa.array([a for a, _, _ in mp], pa.int64()),
                 "id_b": pa.array([b for _, b, _ in mp], pa.int64()),
                 "jaccard": pa.array([j for _, _, j in mp], pa.float64()),
+            }
+        ),
+    )
+
+    rl = rouge_l_rows(docs, mp)
+    write(
+        "dedup_rouge_l_pairs",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in rl], pa.int64()),
+                "id_b": pa.array([r[1] for r in rl], pa.int64()),
+                "lcs_len": pa.array([r[2] for r in rl], pa.int32()),
+                "rouge_p": pa.array([r[3] for r in rl], pa.float64()),
+                "rouge_r": pa.array([r[4] for r in rl], pa.float64()),
+                "rouge_f": pa.array([r[5] for r in rl], pa.float64()),
             }
         ),
     )
