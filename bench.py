@@ -200,6 +200,7 @@ HEADLINE = [
     "multimodal_audio_vad",
     "privacy_dp_noisy_counts",
     "dedup_rouge_l_pairs",
+    "quality_langid_confusion",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -1407,3 +1407,98 @@ def text_unigram_encode_counts(
         for r in unigram_lm_train(docs, "text", "doc_id").collect()
     ]
     return unigram_encode_counts(docs, "text", "doc_id", vocab)
+
+
+@register(
+    "quality_langid_confusion",
+    f"""
+    WITH __padded AS (
+      SELECT doc_id, lang, {_lang_scores_sql()[0]} AS __p FROM documents
+    ), __scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{expr} AS __s_{lg}" for lg, expr in _lang_scores_sql()[1].items())}
+      FROM __padded
+    ), pred AS (
+      SELECT lang, {_lang_guess_case_sql()} AS guess FROM __scored
+    ), classes AS (
+      SELECT DISTINCT lang AS c FROM documents
+    ), m AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN lang = c AND guess = c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN lang <> c AND guess = c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN lang = c AND guess <> c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM classes, pred GROUP BY c
+    )
+    SELECT c AS lang, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE 2.0 * tp / (2 * tp + fp + fn) END AS f1
+    FROM m ORDER BY c
+    """,
+    doc="Classification eval of the stopword-vote language-ID "
+    "heuristic against the labeled lang column: per-class TP/FP/FN "
+    "and precision/recall/F1 (the F1 uses the 2tp/(2tp+fp+fn) form — "
+    "one division, engine-exact).  One scan scores every document; "
+    "the per-class rollup is a bounded broadcast cross of the "
+    "|classes|-row set with the predictions — the confusion audit any "
+    "heuristic labeler ships with (operators/text.py lang_id).",
+    expects_bnlj=True,
+)
+def quality_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select("lang", lang_id("text").alias("guess"))
+    classes = docs.select(F.col("lang").alias("c")).distinct()
+    m = (
+        classes.join(pred)
+        .groupBy("c")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("c"))
+                    & (F.col("guess") == F.col("c")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") != F.col("c"))
+                    & (F.col("guess") == F.col("c")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("c"))
+                    & (F.col("guess") != F.col("c")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return (
+        m.select(
+            F.col("c").alias("lang"),
+            "tp",
+            "fp",
+            "fn",
+            F.when(tp + fp == 0, F.lit(0.0))
+            .otherwise(tp.cast("double") / (tp + fp))
+            .alias("precision"),
+            F.when(tp + fn == 0, F.lit(0.0))
+            .otherwise(tp.cast("double") / (tp + fn))
+            .alias("recall"),
+            F.when(F.lit(2) * tp + fp + fn == 0, F.lit(0.0))
+            .otherwise(F.lit(2.0) * tp / (F.lit(2) * tp + fp + fn))
+            .alias("f1"),
+        )
+        .orderBy("lang")
+    )
