@@ -201,6 +201,7 @@ HEADLINE = [
     "privacy_dp_noisy_counts",
     "dedup_rouge_l_pairs",
     "quality_langid_confusion",
+    "drift_value_wasserstein",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

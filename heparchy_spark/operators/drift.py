@@ -271,3 +271,89 @@ def log_odds_terms(
         .orderBy(F.abs(F.col("log_odds")).desc(), F.col("term"))
         .limit(k)
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    is_first_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One row (n_a, n_b, w1_dist): exact 1-D Wasserstein (earth
+    mover's) distance between the ``is_first_col`` = true sample (A)
+    and the rest (B) — the integral of |ECDF_A - ECDF_B|, the
+    magnitude-bearing companion to KS's supremum (KS says the
+    distributions differ; W1 says by how much, in value units).
+
+    Exactness: W1 = sum over consecutive distinct values of
+    (next_v - v) * |ca*nb - cb*na| / (na*nb) with INTEGER
+    cross-multiples (the ks_two_sample convention; same < 2^63
+    envelope), per-term round-9 + decimal accumulation so the sum is
+    order-independent and engine-identical.
+
+    Scale shape: cumulative counts come from the distributed prefix
+    sum; the successor value comes from the SAME two-level bucket
+    decomposition (in-bucket lead windows + a <= n_buckets-row
+    boundary table) — no step is serial in more than ``n_buckets``
+    rows, no global sort of the distinct-value table.
+    """
+    from heparchy_spark.queries.numeric import dsum
+
+    ia = F.col(is_first_col).cast("long")
+    pv = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(ia).alias("__da"),
+        F.sum(F.lit(1) - ia).alias("__db"),
+    )
+    cum = prefix_sum(pv, "__v", ["__da", "__db"], n_buckets=n_buckets)
+    # re-bucket with prefix_sum's own equi-width rule for the
+    # distributed successor: in-bucket lead + next-bucket-min boundary
+    o = F.col("__v")
+    bounds = cum.agg(F.min(o).alias("__lo"), F.max(o).alias("__hi"))
+    bucketed = cum.crossJoin(F.broadcast(bounds)).withColumn(
+        "__b",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (o - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(n_buckets))
+                ).cast("int"),
+            )
+        ),
+    )
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("__b").orderBy("__v")
+    bmin = bucketed.groupBy("__b").agg(F.min("__v").alias("__bv"))
+    w_b = Window.partitionBy().orderBy("__b")
+    bnext = bmin.select(
+        "__b", F.lead("__bv").over(w_b).alias("__nextb_v")
+    )
+    stepped = (
+        bucketed.withColumn("__lead_v", F.lead("__v").over(w_in))
+        .join(F.broadcast(bnext), "__b")
+        .withColumn(
+            "__next_v",
+            F.coalesce("__lead_v", "__nextb_v", F.col("__v")),
+        )
+    )
+    n = cum.agg(
+        F.max("__da_cum").alias("__na"), F.max("__db_cum").alias("__nb")
+    )
+    term = F.round(
+        (F.col("__next_v") - F.col("__v"))
+        * F.abs(
+            F.col("__da_cum") * F.col("__nb")
+            - F.col("__db_cum") * F.col("__na")
+        ).cast("double")
+        / (F.col("__na").cast("double") * F.col("__nb")),
+        9,
+    )
+    return (
+        stepped.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("__na").alias("n_a"),
+            F.max("__nb").alias("n_b"),
+            dsum(term, 9).alias("w1_dist"),
+        )
+    )

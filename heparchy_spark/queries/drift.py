@@ -86,6 +86,60 @@ def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_value_wasserstein",
+    f"""
+    WITH b AS ({_MID_SQL}),
+    lab AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                  THEN 1 ELSE 0 END AS ia
+      FROM events
+    ),
+    pv AS (
+      SELECT value, SUM(ia) AS da, SUM(1 - ia) AS db
+      FROM lab GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             SUM(da) OVER (ORDER BY value) AS ca,
+             SUM(db) OVER (ORDER BY value) AS cb,
+             LEAD(value) OVER (ORDER BY value) AS nv
+      FROM pv
+    ),
+    n AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM pv)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CAST(
+             ROUND((COALESCE(nv, value) - value)
+                   * CAST(ABS(ca * nb - cb * na) AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9)
+             AS DECIMAL(38,10))) AS DOUBLE), 9) AS w1_dist
+    FROM cum, n GROUP BY na, nb
+    """,
+    doc="Exact 1-D Wasserstein (earth mover's) distance between event "
+    "values before and after the stream's time midpoint — the "
+    "magnitude-bearing companion to the KS supremum (how FAR the "
+    "distributions moved, in value units).  Spark integrates "
+    "|ECDF_A - ECDF_B| with the distributed prefix sum plus a "
+    "two-level bucket successor (in-bucket lead windows + a bounded "
+    "boundary table — never a global sort); integer cross-multiples "
+    "and per-term round-9 decimal accumulation make the sum "
+    "order-independent and engine-exact.  The oracle uses the serial "
+    "global window the operator replaces "
+    "(operators/drift.py wasserstein_1d).",
+    expects_bnlj=True,
+)
+def drift_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.drift import wasserstein_1d
+
+    return wasserstein_1d(
+        _halved_events(spark, sf_dir).select("value", "__first"),
+        "value",
+        "__first",
+    )
+
+
+@register(
     "drift_value_psi",
     f"""
     WITH b AS ({_MID_SQL}),

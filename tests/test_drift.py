@@ -100,3 +100,44 @@ def test_psi_emits_all_bins_including_empty(spark):
         )
         assert (r.n_first, r.n_second) == (na, nb)
         assert abs(r.psi_term - want) < 1e-12
+
+
+def test_wasserstein_1d_shift_and_mirror(spark):
+    """W1 between a sample and its constant shift equals the shift; a
+    mixed two-sample case matches a plain-Python ECDF-integral
+    mirror."""
+    import numpy as np
+
+    from heparchy_spark.operators.drift import wasserstein_1d
+
+    rng = np.random.RandomState(4)
+    a = np.round(rng.standard_normal(400), 3)
+    b_shift = a + 2.5  # exact representable shift
+    rows = [(float(v), True) for v in a] + [
+        (float(v), False) for v in b_shift
+    ]
+    df = spark.createDataFrame(rows, "value double, first boolean")
+    r = wasserstein_1d(df, "value", "first").collect()[0]
+    assert (r.n_a, r.n_b) == (400, 400)
+    assert abs(r.w1_dist - 2.5) < 1e-6
+
+    b = np.round(rng.standard_normal(300) * 2.0, 3)
+    rows = [(float(v), True) for v in a] + [(float(v), False) for v in b]
+    df = spark.createDataFrame(rows, "value double, first boolean")
+    r = wasserstein_1d(df, "value", "first").collect()[0]
+
+    # mirror: integral of |ECDF_A - ECDF_B| over distinct values
+    vals = sorted(set(a.tolist()) | set(b.tolist()))
+    na, nb = len(a), len(b)
+    ca = cb = 0
+    acc = 0.0
+    sa = sorted(a.tolist())
+    sb = sorted(b.tolist())
+    import bisect
+    for i, v in enumerate(vals[:-1]):
+        ca = bisect.bisect_right(sa, v)
+        cb = bisect.bisect_right(sb, v)
+        acc += round(
+            (vals[i + 1] - v) * abs(ca * nb - cb * na) / (na * nb), 9
+        )
+    assert abs(r.w1_dist - acc) < 1e-8
