@@ -878,3 +878,43 @@ def test_jsd_from_histogram_mirror_and_bounds(spark):
     assert got[w2] == mirror([40, 40, 20, 0])
     assert 0.0 <= got[w1] < 1e-4          # on-reference window
     assert 0.0 < got[w2] <= math.log(2.0)  # drifted, bounded
+
+
+def test_wasserstein_from_histogram_mirror(spark):
+    """The streaming W1 verdict matches a plain-Python cumulative
+    mirror and reports the drift magnitude in value units: an
+    on-reference window scores 0; mass shifted one bin over scores
+    share * bin_width."""
+    import datetime
+
+    from heparchy_spark.streaming.analytics import wasserstein_from_histogram
+
+    w1w = datetime.datetime(2024, 1, 1, 0)
+    w2w = datetime.datetime(2024, 1, 1, 1)
+    hist_rows = [(w1w, b, 25) for b in range(4)] + [
+        (w2w, 0, 0), (w2w, 1, 50), (w2w, 2, 25), (w2w, 3, 25)
+    ]
+    hist = spark.createDataFrame(
+        hist_rows, "window_start timestamp, bin int, n long"
+    )
+    ref = spark.createDataFrame(
+        [(b, 0.25) for b in range(4)], "bin int, ref_share double"
+    )
+    got = {
+        r["window_start"]: r["w1"]
+        for r in wasserstein_from_histogram(hist, ref, 4, 10.0).collect()
+    }
+    assert got[w1w] == 0.0
+    # window 2: bin-0 mass (0.25) moved to bin 1 -> cum diffs
+    # [0.25, 0, 0, 0] -> W1 = 0.25 * 10.0
+    def mirror(counts, width):
+        t = sum(counts)
+        cp = cq = 0.0
+        acc = 0.0
+        for n, q in zip(counts, [0.25] * 4):
+            cp += n / t
+            cq += q
+            acc += round(abs(cp - cq), 8)
+        return round(acc * width, 6) + 0.0
+
+    assert got[w2w] == mirror([0, 50, 25, 25], 10.0) == 2.5
