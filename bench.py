@@ -202,6 +202,7 @@ HEADLINE = [
     "dedup_rouge_l_pairs",
     "quality_langid_confusion",
     "drift_value_wasserstein",
+    "events_ab_uplift_by_segment",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -1389,3 +1389,146 @@ def privacy_dp_noisy_counts(
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "events_ab_uplift_by_segment",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_AB_ARM_SQL} AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    modal AS (
+      SELECT user_id, event_type AS segment FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY c DESC, event_type) AS rk
+        FROM tc
+      ) WHERE rk = 1
+    ),
+    seg AS (
+      SELECT u.arm, u.conv, modal.segment
+      FROM u JOIN modal USING (user_id)
+    ),
+    a AS (
+      SELECT segment,
+             SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS ca,
+             SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS cb
+      FROM seg GROUP BY segment
+    )
+    SELECT segment,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+           ROUND(CAST(cb AS DOUBLE) / NULLIF(nb, 0)
+                 - CAST(ca AS DOUBLE) / NULLIF(na, 0), 6) AS uplift,
+           ROUND(
+             (CAST(cb AS DOUBLE) / NULLIF(nb, 0)
+              - CAST(ca AS DOUBLE) / NULLIF(na, 0))
+             / NULLIF(SQRT(
+                 (CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1.0 / NULLIF(na, 0) + 1.0 / NULLIF(nb, 0))
+               ), 0.0),
+             6) AS z_score
+    FROM a ORDER BY segment
+    """,
+    doc="Heterogeneous-treatment-effect readout: the A/B conversion "
+    "uplift (B minus A) with its pooled-variance z-score PER user "
+    "segment — segment = the user's MODAL event type ((count desc, "
+    "type asc) argmax: deterministic, and the event-type MIX is "
+    "scale-invariant where raw activity bands are not) — the slice "
+    "table every experiment review asks for after the global z-test.  "
+    "Same hash arms and conversion rule as events_ab_ztest; exact "
+    "integer counts per (segment, arm), identical double expressions "
+    "both engines.  Two user-keyed aggregates + one bounded "
+    "per-segment fold.",
+)
+def events_ab_uplift_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.col("user_id").cast("string"), F.lit("ab")),
+                    256,
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > F.lit(150.0))
+                ).cast("int")
+            ).alias("conv")
+        )
+        .withColumn("arm", arm)
+    )
+    # modal event type per user: exact counts, (count desc, type asc)
+    # argmax via a struct max (negated count makes min() the argmax)
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    modal = tc.groupBy("user_id").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("event_type"))
+        )["event_type"].alias("segment")
+    )
+    u = base.join(modal, "user_id")
+    a = u.groupBy("segment").agg(
+        F.sum((F.col("arm") == "A").cast("long")).alias("na"),
+        F.sum((F.col("arm") == "B").cast("long")).alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ca, cb = F.col("ca"), F.col("cb")
+    # an arm can be empty in a thin segment at small scales: NULLIF
+    # yields NULL rates/z for that row in BOTH engines instead of a
+    # divide-by-zero (Spark ANSI) vs inf (DuckDB) divergence
+    sna = F.nullif(na, F.lit(0))
+    snb = F.nullif(nb, F.lit(0))
+    pa = ca.cast("double") / sna
+    pb = cb.cast("double") / snb
+    pp = (ca + cb).cast("double") / (na + nb)
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / sna + F.lit(1.0) / snb)
+    )
+    return (
+        a.select(
+            "segment",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            ca.alias("conv_a"),
+            cb.alias("conv_b"),
+            F.round(pb - pa, 6).alias("uplift"),
+            F.round(
+                (pb - pa) / F.nullif(se, F.lit(0.0)), 6
+            ).alias("z_score"),
+        )
+        .orderBy("segment")
+    )
