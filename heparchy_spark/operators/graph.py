@@ -353,9 +353,16 @@ def personalized_pagerank(
         return seedb.select(
             "node", F.lit(0.0).alias("rank")
         )
-    # the reached set is bounded by the source-node count; use it for
-    # the broadcast decision (deg is one row per distinct source)
-    wrap = _score_side(deg.count())
+    # The broadcast frames are `deg` (one row per distinct source) and
+    # `ranks` (the reached set).  Reached is bounded by seeds ∪
+    # destination nodes — NOT by the source count: on a fan-out graph a
+    # few sources reach unboundedly many dst-only sinks, so sizing the
+    # decision from deg alone risks broadcasting an arbitrarily larger
+    # frame every round.  Take the max of both bounds; above the
+    # threshold fall back to shuffle joins for both sides.
+    n_src = deg.count()
+    n_reach_max = k + e.select("__dst").distinct().count()
+    wrap = _score_side(max(n_src, n_reach_max))
     base = (SCALE * (100 - damping_pct)) // 100 // k
     ranks = seedb.select(
         "node", F.lit(SCALE // k).cast("long").alias("__r")
@@ -729,7 +736,15 @@ def sssp(edges: DataFrame, sources: DataFrame, iters: int = 4) -> DataFrame:
     work and result staleness the way any Pregel SSSP round limit does.
     """
     e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
-    wrap = _score_side(e.select("src").distinct().count())
+    # `dist` (the broadcast side) holds every REACHED node — bounded by
+    # sources ∪ destination nodes, not by the distinct-source count (a
+    # fan-out graph reaches many dst-only sinks), so size the broadcast
+    # decision from that union.
+    n_reach_max = (
+        sources.select("node").distinct().count()
+        + e.select("dst").distinct().count()
+    )
+    wrap = _score_side(n_reach_max)
     dist = sources.select(
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)

@@ -980,6 +980,21 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def _hamming_ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of ``width`` bits with popcount <= ``radius``
+    (the Hamming ball around 0) — sum_{k<=r} C(width, k) masks."""
+    import itertools
+
+    masks = [0]
+    for k in range(1, radius + 1):
+        for bits in itertools.combinations(range(width), k):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
 def dhash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 10,
@@ -987,21 +1002,30 @@ def dhash_neardup_pairs(
     """Near-duplicate image pairs from dHash codes: (id_a, id_b,
     hamming) for every decodable pair within ``max_hamming`` bits.
 
-    Banded LSH shape, not all-pairs: the 64-bit code splits into four
-    16-bit bands; any pair within Hamming 10 of each other agrees
-    exactly on at least one band (pigeonhole: 10 < 4 bands * 3), so the
-    candidate set is the per-band equi-join and only candidates pay the
-    popcount verify.  Identical to the simhash/minhash banding already
-    in operators/dedup.py — 100 TB-safe for the same reason.
+    Multi-index hashing (Norouzi, Punjani & Fleet 2012), not all-pairs:
+    the 64-bit code splits into four 16-bit bands, and one join side
+    additionally PROBES every band key within per-band radius
+    ``r = max_hamming // 4`` (XOR against the precomputed Hamming-ball
+    mask set).  Recall is EXACT by pigeonhole: a pair at distance
+    ``d <= max_hamming`` puts at most ``floor(d/4) <= r`` differing
+    bits in its best band, so that band's probe set contains the exact
+    key of the other side.  (Plain exact-match banding — r = 0 — is
+    only exact for d <= 3; see the r6→r7 fix.)  Only candidates pay
+    the popcount verify, and band keys stay 16 bits wide (65536
+    buckets), so bucket occupancy — the 100 TB skew concern — is
+    unchanged from the simhash/minhash banding in operators/dedup.py.
 
-    Note the pigeonhole bound: ``max_hamming`` <= 3 per band * 4 - 1
-    keeps recall exact; raising it past 11 without adding bands would
-    silently lose pairs, so the function refuses.
+    Cost dial: the probe expansion is sum_{k<=r} C(16, k) rows per
+    band per code on ONE side (r=2 at the default radius 10 → 137x),
+    linear in corpus size, never quadratic.  ``max_hamming`` > 19
+    (r >= 5, >6885x expansion) is refused — add bands instead.
     """
-    if max_hamming > 11:
+    radius = max_hamming // 4
+    if radius >= 5:
         raise ValueError(
-            "dhash_neardup_pairs: max_hamming > 11 breaks the 4x16-bit"
-            " band pigeonhole guarantee; add bands instead"
+            "dhash_neardup_pairs: max_hamming >= 20 needs per-band probe"
+            f" radius {radius} (> 6885x key expansion); split the code"
+            " into more bands instead"
         )
     h = hashes.where(F.col("decodable")).select("media_id", "dhash")
     bands = None
@@ -1015,7 +1039,22 @@ def dhash_neardup_pairs(
             .alias("bkey"),
         )
         bands = band if bands is None else bands.unionByName(band)
-    a, b = bands.alias("a"), bands.alias("b")
+    masks = _hamming_ball_masks(16, radius)
+    probe = bands.select(
+        F.col("media_id"),
+        F.col("dhash"),
+        F.col("band"),
+        F.explode(
+            F.array(*[F.lit(m) for m in masks])
+        ).alias("__mask"),
+        F.col("bkey"),
+    ).select(
+        "media_id",
+        "dhash",
+        "band",
+        F.col("bkey").bitwiseXOR(F.col("__mask")).alias("bkey"),
+    )
+    a, b = probe.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,

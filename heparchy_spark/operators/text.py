@@ -809,11 +809,12 @@ def bpe_encode_counts(
     ``merges`` is the (left, right) rule list from ``bpe_train`` in
     merge order.
 
-    Scale shape: encoding is computed once per DISTINCT word (the
-    vocabulary table, bounded), not per occurrence — an Arrow-batched
-    UDF applies the merge list to each word's symbol sequence, and the
-    per-document totals come from joining the exploded token stream to
-    the encoded vocabulary (vocab side is dictionary-sized, broadcast)
+    Scale shape: encoding is computed once per DISTINCT word, not per
+    occurrence — an Arrow-batched UDF applies the merge list to each
+    word's symbol sequence, and the per-document totals come from
+    joining the exploded token stream back to the encoded distinct-word
+    table (sublinear but UNBOUNDED at web scale, so the join carries no
+    broadcast hint — AQE picks broadcast vs shuffle-hash at runtime)
     followed by one combinable aggregate.
     """
     from heparchy_spark.operators.dedup import normalize_text
@@ -847,8 +848,14 @@ def bpe_encode_counts(
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
     ).where(F.length("w") > 0)
     vocab = ts.select("w").distinct().withColumn("n_bpe", encode_len("w"))
+    # NOTE: no explicit broadcast hint here — ``vocab`` is the corpus
+    # DISTINCT-WORD table, sublinear in corpus size but UNBOUNDED
+    # (10^8-10^9 distinct tokens on web-scale text, multi-GB).  AQE
+    # sizes the join at runtime: it still broadcasts at bench scale
+    # and falls back to a shuffle hash join when the frame outgrows
+    # the autoBroadcastJoinThreshold.
     return (
-        ts.join(F.broadcast(vocab), "w")
+        ts.join(vocab, "w")
         .groupBy(F.col("__id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -1038,7 +1045,10 @@ def unigram_lm_train(
     the whole candidate set so every entry keeps a finite log-prob.
     Returns the shipped artifact: (rank, subword, n_uses, logprob),
     the ``vocab_size`` most-used subwords under (count desc, subword
-    asc) with single characters always retained (coverability).
+    asc).  The truncation is purely usage-ranked — a zero-use character
+    can drop out of the artifact; full coverability is restored at
+    encode time by :func:`unigram_encode_counts`'s deterministic
+    one-token-per-character fallback.
 
     Distributed shape: the ONLY corpus-scale pass is the word-frequency
     aggregate (the wordcount shuffle).  Seeding explodes substrings of
@@ -1093,10 +1103,6 @@ def unigram_lm_train(
         .groupBy("s")
         .agg(F.sum("freq").alias("wt"))
     )
-    chars = [
-        r["s"]
-        for r in subs.where(F.length("s") == 1).collect()
-    ]
     multi = (
         subs.where(F.length("s") > 1)
         .orderBy(F.desc("wt"), F.asc("s"))
@@ -1182,10 +1188,11 @@ def unigram_encode_counts(
     byte-fallback convention), deterministically.
 
     Scale shape mirrors :func:`bpe_encode_counts`: the Viterbi DP runs
-    once per DISTINCT word (Arrow-batched pandas over the bounded
-    vocabulary table); per-document totals come from joining the
-    exploded token stream to the broadcast encoded vocabulary plus one
-    combinable aggregate.
+    once per DISTINCT word (Arrow-batched pandas over the distinct-word
+    table); per-document totals come from joining the exploded token
+    stream back to the encoded distinct-word table — AQE-sized, no
+    broadcast hint, since the frame is unbounded at web scale — plus
+    one combinable aggregate.
     """
     from heparchy_spark.operators.dedup import normalize_text
 
@@ -1207,8 +1214,10 @@ def unigram_encode_counts(
     vocab_df = ts.select("w").distinct().withColumn(
         "n_uni", encode_len("w")
     )
+    # Distinct-word table: AQE-sized join (no explicit broadcast hint —
+    # the frame is unbounded at web scale; see bpe_encode_counts).
     return (
-        ts.join(F.broadcast(vocab_df), "w")
+        ts.join(vocab_df, "w")
         .groupBy(F.col("__id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_words"),

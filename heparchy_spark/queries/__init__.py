@@ -144,9 +144,13 @@ def _driver_evidence() -> tuple[dict[str, int], tuple[str, ...], tuple[str, ...]
 
     * checked  = per query, the LATEST round number a driver row exists
       for;
-    * retry    = the LATEST round's red rows (an error, or any of the
-      rows/schema/hash comparisons false) — these were presumably just
-      fixed and must re-verify before anything else in the window;
+    * retry    = every query whose LATEST driver row — latest for THAT
+      query, across all rounds, not just the newest file — is red (an
+      error, or any of the rows/schema/hash comparisons false).  These
+      must re-verify before anything else in the window.  (Round-6
+      verdict fix: reading only the newest file's reds left queries
+      whose only driver evidence was an old round's error parked behind
+      the reverify queue forever.)
     * reverify = names listed in ``REVERIFY.json`` (written by
       ``tools/mark_reverify.py`` from the round's git diff) whose last
       driver check PRECEDES that file's round — queries edited since
@@ -156,7 +160,7 @@ def _driver_evidence() -> tuple[dict[str, int], tuple[str, ...], tuple[str, ...]
     root = Path(__file__).resolve().parents[2]
     files = sorted(root.glob("CORRECTNESS_r*.json"))
     checked: dict[str, int] = {}
-    retry: tuple[str, ...] = ()
+    latest_red: dict[str, bool] = {}
     import json as _json
     import re as _re
 
@@ -169,33 +173,42 @@ def _driver_evidence() -> tuple[dict[str, int], tuple[str, ...], tuple[str, ...]
             continue
         m = _re.search(r"r(\d+)", p.name)
         rnd = int(m.group(1)) if m else 0
-        for k in data:
-            if isinstance(k, str):
-                checked[k] = max(checked.get(k, 0), rnd)
-        red = tuple(
-            name
-            for name, row in data.items()
-            if isinstance(row, dict)
-            and (
+        for name, row in data.items():
+            if not isinstance(name, str):
+                continue
+            if rnd < checked.get(name, 0):
+                continue  # an older row never overrides a newer verdict
+            checked[name] = rnd
+            latest_red[name] = isinstance(row, dict) and (
                 row.get("err") is not None
                 or any(
                     row.get(k) is False
                     for k in ("rows_match", "schema_match", "hash_match")
                 )
             )
-        )
-        retry = red  # the latest file's reds win (files are sorted)
+    retry = tuple(n for n, red in latest_red.items() if red)
 
     reverify: tuple[str, ...] = ()
     try:
         rv = _json.loads((root / "REVERIFY.json").read_text())
-        rv_round = int(rv.get("round", 0))
-        reverify = tuple(
-            n
-            for n in rv.get("names", ())
-            if isinstance(n, str) and checked.get(n, 0) < rv_round
-        )
-    except (OSError, ValueError):  # no file yet / corrupt -> no fronting
+        entries = rv.get("entries")
+        if isinstance(entries, dict):
+            # v2 format: per-name round (mark_reverify merges unexpired
+            # carryover entries across regenerations, so one round's
+            # regenerate never drops an earlier round's backlog)
+            reverify = tuple(
+                n
+                for n, r in entries.items()
+                if isinstance(n, str) and checked.get(n, 0) < int(r)
+            )
+        else:
+            rv_round = int(rv.get("round", 0))
+            reverify = tuple(
+                n
+                for n in rv.get("names", ())
+                if isinstance(n, str) and checked.get(n, 0) < rv_round
+            )
+    except (OSError, ValueError, TypeError):  # no/corrupt file -> no fronting
         pass
     return checked, retry, reverify
 

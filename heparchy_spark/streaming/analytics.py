@@ -515,7 +515,12 @@ def psi_from_histogram(
             (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1.0)
             / (F.col("__t") + F.lit(float(n_bins)))
         ).alias("__p"),
-        F.col("ref_share").alias("__q"),
+        # PSI is +inf at ref_share = 0 (only the window side is
+        # Laplace-smoothed); clamp the reference to the standard 1e-6
+        # epsilon so a vanished reference bin reports a large FINITE
+        # term instead of a null that sum() would silently skip.
+        # Strictly-positive references are unaffected.
+        F.greatest(F.col("ref_share"), F.lit(1e-6)).alias("__q"),
     )
     term = (F.col("__p") - F.col("__q")) * (
         F.round(F.log("__p"), 8) - F.round(F.log("__q"), 8)
@@ -568,9 +573,16 @@ def jsd_from_histogram(
     )
     m = (F.col("__p") + F.col("__q")) / F.lit(2.0)
     rln = lambda x: F.round(F.log(x), 8)  # noqa: E731
+    # Only the WINDOW side is Laplace-smoothed; a reference bin with
+    # ref_share = 0 is legal and takes the exact x·ln(x) → 0 limit (the
+    # standard JSD convention) instead of a null log that sum() would
+    # silently skip — m = (p+q)/2 stays > 0 because p is smoothed.
+    q_term = F.when(
+        F.col("__q") > 0.0,
+        F.lit(0.5) * F.col("__q") * (rln(F.col("__q")) - rln(m)),
+    ).otherwise(F.lit(0.0))
     term = (
-        F.lit(0.5) * F.col("__p") * (rln(F.col("__p")) - rln(m))
-        + F.lit(0.5) * F.col("__q") * (rln(F.col("__q")) - rln(m))
+        F.lit(0.5) * F.col("__p") * (rln(F.col("__p")) - rln(m)) + q_term
     )
     return (
         p.groupBy("window_start")

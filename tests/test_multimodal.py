@@ -495,7 +495,51 @@ def test_image_dhash_and_neardup_pairs(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        dhash_neardup_pairs(image_dhash(df), max_hamming=12)
+        dhash_neardup_pairs(image_dhash(df), max_hamming=20)
+
+
+def test_dhash_neardup_recall_is_exact_across_bands(spark):
+    """The multi-index probe must find a distance-10 pair whose
+    differing bits spread 3/3/2/2 across the four 16-bit bands — the
+    case plain exact-match banding (no band agrees) silently drops —
+    and must NOT emit a distance-12 pair at max_hamming=10."""
+    from heparchy_spark.operators.multimodal import dhash_neardup_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    # 3 bits in band 0 (bits 0-15), 3 in band 1, 2 in band 2, 2 in band 3
+    spread10 = (
+        base
+        ^ 0b111
+        ^ (0b10101 << 16)
+        ^ (0b11 << 32)
+        ^ (0b1001 << 48)
+    )
+    # 3/3/3/3 spread: distance 12 from base, above the radius ->
+    # excluded (and >10 from spread10 too: bands barely overlap)
+    spread12 = (
+        base
+        ^ (0b111 << 4)
+        ^ (0b111 << 20)
+        ^ (0b111 << 36)
+        ^ (0b111 << 52)
+    )
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [
+        (0, signed(base), True),
+        (1, signed(spread10), True),
+        (2, signed(spread12), True),
+    ]
+    hdf = spark.createDataFrame(
+        rows, "media_id long, dhash long, decodable boolean"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(hdf, max_hamming=10).collect()
+    }
+    assert pairs == {(0, 1): 10}
 
 
 def test_audio_vad_finds_planted_burst(spark):

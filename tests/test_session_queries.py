@@ -255,7 +255,12 @@ def test_reverify_names_front_checked_tier():
     root = Path(__file__).resolve().parents[1]
     rv = json.loads((root / "REVERIFY.json").read_text())
     names = list(spark_queries())
-    listed = [n for n in rv["names"] if n in _REVERIFY]
+    # v2 files carry per-name rounds in "entries" (insertion-ordered);
+    # that order IS the priority order.  v1 fallback: "names".
+    file_order = list(rv.get("entries") or rv["names"])
+    listed = [
+        n for n in file_order if n in _REVERIFY and n not in _RETRY_FIRST
+    ]
     if not listed:  # every listed name already re-checked — nothing to pin
         return
     last_listed = max(names.index(n) for n in listed)
@@ -269,6 +274,7 @@ def test_reverify_names_front_checked_tier():
     assert plain_checked, "corpus should have stable checked queries"
     assert names.index(plain_checked[0]) > last_listed
     # the file's priority order is preserved among listed names that
-    # have prior driver evidence (brand-new queries jump the queue)
+    # have prior driver evidence (brand-new queries jump the queue;
+    # driver-red retries front their own tier)
     idx = [names.index(n) for n in listed if n in _DRIVER_CHECKED]
     assert idx == sorted(idx)

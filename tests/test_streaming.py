@@ -880,6 +880,57 @@ def test_jsd_from_histogram_mirror_and_bounds(spark):
     assert 0.0 < got[w2] <= math.log(2.0)  # drifted, bounded
 
 
+def test_drift_monitors_handle_zero_ref_share(spark):
+    """A reference bin with ref_share = 0 (new value appears only in
+    production) must INCREASE the divergence, not null the term away:
+    JSD takes the exact x*ln(x) -> 0 limit for the q-term; PSI clamps
+    the reference to 1e-6 so the term is large but finite."""
+    import datetime
+    import math
+
+    from heparchy_spark.streaming.analytics import (
+        jsd_from_histogram,
+        psi_from_histogram,
+    )
+
+    w = datetime.datetime(2024, 1, 1, 0)
+    # all mass in bin 3, which the reference says NEVER occurs
+    hist = spark.createDataFrame(
+        [(w, 0, 30), (w, 1, 30), (w, 2, 0), (w, 3, 40)],
+        "window_start timestamp, bin int, n long",
+    )
+    ref = spark.createDataFrame(
+        [(0, 0.5), (1, 0.5), (2, 0.0), (3, 0.0)],
+        "bin int, ref_share double",
+    )
+    jsd = jsd_from_histogram(hist, ref, 4).collect()[0]["jsd"]
+
+    def jsd_mirror(counts, refs):
+        t = sum(counts)
+        s = 0.0
+        for n, q in zip(counts, refs):
+            p = (n + 1.0) / (t + 4.0)
+            m = (p + q) / 2.0
+            qt = (
+                0.5 * q * (round(math.log(q), 8) - round(math.log(m), 8))
+                if q > 0.0
+                else 0.0
+            )
+            s += round(
+                0.5 * p * (round(math.log(p), 8) - round(math.log(m), 8))
+                + qt,
+                8,
+            )
+        return round(s, 6) + 0.0
+
+    assert jsd == jsd_mirror([30, 30, 0, 40], [0.5, 0.5, 0.0, 0.0])
+    # 40% of mass where the reference has none -> substantial drift
+    assert 0.1 < jsd <= math.log(2.0)
+
+    psi = psi_from_histogram(hist, ref, 4).collect()[0]["psi"]
+    assert psi is not None and psi > 1.0  # finite but loud
+
+
 def test_wasserstein_from_histogram_mirror(spark):
     """The streaming W1 verdict matches a plain-Python cumulative
     mirror and reports the drift magnitude in value units: an

@@ -243,6 +243,30 @@ def affected_queries(
     return sorted(direct) + sorted(dependent) + sorted(decorator_only)
 
 
+def _carryover_entries() -> dict[str, int]:
+    """Unexpired entries from the existing REVERIFY.json — names whose
+    recorded round is still ahead of their latest driver check.  Merged
+    BEHIND the new round's names so a regenerate never silently drops an
+    earlier round's backlog (the round-6 verdict's burn-down task)."""
+    sys.path.insert(0, str(ROOT))
+    from heparchy_spark.queries import _driver_evidence
+
+    checked, _retry, _rv = _driver_evidence()
+    try:
+        old = json.loads((ROOT / "REVERIFY.json").read_text())
+    except (OSError, ValueError):
+        return {}
+    entries = old.get("entries")
+    if not isinstance(entries, dict):  # v1 file: one shared round number
+        rnd = int(old.get("round", 0))
+        entries = {n: rnd for n in old.get("names", ()) if isinstance(n, str)}
+    return {
+        n: int(r)
+        for n, r in entries.items()
+        if isinstance(n, str) and checked.get(n, 0) < int(r)
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--since", default=None, help="commit to diff against")
@@ -250,13 +274,22 @@ def main() -> None:
     since = args.since or _latest_snapshot_commit()
     changes = _transitive_hop(_module_changes(since))
     names = affected_queries(changes)
+    rnd = _current_round()
+    entries = {n: rnd for n in names}
+    n_carry = 0
+    for n, r in _carryover_entries().items():
+        if n not in entries:
+            entries[n] = r
+            n_carry += 1
     out = {
-        "round": _current_round(),
+        "round": rnd,
         "since": since,
         "changed_modules": sorted(changes),
         "names": names,
+        "entries": entries,
     }
     (ROOT / "REVERIFY.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(f"carryover: {n_carry} unexpired names from the previous file")
     print(
         f"REVERIFY.json: round {out['round']},"
         f" {len(changes)} changed/affected modules"
