@@ -27,6 +27,7 @@ __all__ = [
     "train_centroids",
     "ivf_assign",
     "ivf_topk",
+    "incremental_ivf_assign",
     "int8_quantize_stats",
     "binary_quantize",
     "hamming_topk",
@@ -377,6 +378,98 @@ def ivf_topk(
     )
     return joined.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= k
+    )
+
+
+def incremental_ivf_assign(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Assign a NEW embedding batch against a persisted IVF/k-means
+    index WITHOUT retraining, and screen it for near-duplicates of the
+    already-ingested corpus — the vector-side twin of
+    ``dedup.incremental_minhash_near_dups`` (one row per new vector,
+    serving-side ingest shape).
+
+    Output per new id: (id, cluster, dist2, n_cell_seen, best_seen_id,
+    best_cosine, is_near_dup) — the assigned cell, round-6 squared L2
+    distance to its centroid, how many SEEN vectors share the cell, the
+    best same-cell match under (cosine desc, seen id asc), and whether
+    that match reaches ``threshold``.  A new vector landing in a cell
+    with no seen members still emits a row (n_cell_seen = 0, null
+    match, is_near_dup = false) — silence is not evidence of novelty.
+
+    Scale shape: assignment is the broadcast-centroid BLAS matmul of
+    ``clustering._assign_udf`` (k x dim doubles in the task closure, a
+    pure map over the batch scan — no shuffle, no retrain); the
+    near-dup screen is the cluster-bounded equi-join (candidates ~
+    |batch| * cell occupancy, never |batch| x |corpus|), and seen-seen
+    pairs are never generated.  At 100 TB the seen side's (id, cluster)
+    assignment is a persisted sidecar written at ingest, bucketed on
+    cluster so the probe join co-locates; this function derives it from
+    the frame it is given (same results, self-contained API) the way
+    the minhash twin does.
+
+    Determinism: assignment/dist2 reuse the grid-rounded kernels of
+    ``clustering.kmeans_fit_assign`` (argmin first-match ties, round-6
+    dist2); cosine is the sequential zip_with fold rounded to 9 BEFORE
+    the max/threshold comparisons, so the plain-NumPy fixture mirror
+    replays the whole pipeline bit-for-bit.
+    """
+    from heparchy_spark.operators.clustering import _assign_udf, _dist2_udf
+
+    nearest = _assign_udf(centroids)
+    d2 = _dist2_udf(centroids)
+    newa = (
+        new_df.select(
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).cast("array<double>").alias("__nv"),
+        )
+        .withColumn("cluster", nearest(F.col("__nv")))
+        .withColumn("dist2", F.round(d2(F.col("__nv"), F.col("cluster")), 6))
+    )
+    seena = seen_df.select(
+        F.col(id_col).alias("__sid"),
+        F.col(vec_col).cast("array<double>").alias("__sv"),
+    ).withColumn("cluster", nearest(F.col("__sv")))
+    best = (
+        newa.join(seena, "cluster")
+        .select(
+            "__nid",
+            "__sid",
+            F.round(cosine(F.col("__nv"), F.col("__sv")), 9).alias("__cos"),
+        )
+        .groupBy("__nid")
+        .agg(
+            F.count(F.lit(1)).alias("n_cell_seen"),
+            # max over (cosine, -seen_id): highest cosine, ties -> the
+            # LOWEST seen id, matching the mirror's sort
+            F.max(
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("__sid")).alias("negid"),
+                )
+            ).alias("__b"),
+        )
+    )
+    return (
+        newa.select("__nid", "cluster", "dist2")
+        .join(best, "__nid", "left")
+        .select(
+            F.col("__nid").alias(id_col),
+            "cluster",
+            "dist2",
+            F.coalesce("n_cell_seen", F.lit(0)).alias("n_cell_seen"),
+            (-F.col("__b.negid")).alias("best_seen_id"),
+            F.col("__b.c").alias("best_cosine"),
+            F.coalesce(
+                F.col("__b.c") >= F.lit(threshold), F.lit(False)
+            ).alias("is_near_dup"),
+        )
     )
 
 

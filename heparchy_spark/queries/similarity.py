@@ -459,6 +459,66 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_incremental_ivf_assign",
+    expected_fixture_sql("similarity_incremental_ivf_assign"),
+    doc="Incremental ANN index maintenance — the vector twin of "
+    "dedup_incremental_minhash: a NEW batch (50 genuinely-new vectors + "
+    "25 planted perturbed copies of indexed ones) assigns against the "
+    "PERSISTED k-means index trained on the seen corpus (vec_id >= 100) "
+    "WITHOUT retraining — broadcast-centroid matmul, pure map — and "
+    "screens for near-dups via the cluster-bounded equi-join (seen-seen "
+    "pairs never generated).  Planted copies must all flag "
+    "is_near_dup=true against their originals for the hash to match; "
+    "oracle = plain-NumPy mirror of the full pipeline.",
+)
+def similarity_incremental_ivf_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.similarity import (
+        incremental_ivf_assign,
+        train_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    seen = emb.where(vid >= 100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # perturbation projected BEFORE the id shift (the lateral-column-
+    # alias pitfall — see _planted_augmentation)
+    planted = (
+        emb.where((vid >= 100) & (vid < 100 + _PLANT_K))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.0005) * ((vid + i) % 3).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        .select((vid + _PLANT_OFFSET).alias("vec_id"), "embedding")
+    )
+    fresh = emb.where(vid < 50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_centroids(
+        seen, "embedding", n_centroids=16, sample_size=2000, iters=4,
+        seed=7, order_col="vec_id",
+    )
+    return incremental_ivf_assign(
+        fresh.unionByName(planted),
+        seen,
+        "embedding",
+        "vec_id",
+        cents,
+        threshold=0.95,
+    )
+
+
 def _rrf_hybrid_sql() -> str:
     from heparchy_spark.queries.dedup import _NORM_SQL
     from heparchy_spark.queries.numeric import sql_davg, sql_dsum

@@ -560,3 +560,64 @@ def test_binary_multiword_matches_numpy_mirror(spark):
         )[:4]
         assert [(h, i) for _, i, h in rows] == want
     assert by_q[1][0] == (1, 30, 0)  # planted sign-copy: rank 1, dist 0
+
+
+def test_incremental_ivf_assign_flags_planted_drift(spark):
+    """Serving-side index maintenance: a new batch assigns against a
+    FROZEN centroid set (no retrain) and flags near-dups of the seen
+    corpus.  A planted near-copy is flagged against its original; a
+    genuinely novel vector in an empty cell still emits a row with
+    n_cell_seen = 0 and no match; the best-match tie-break is
+    (cosine desc, seen id asc)."""
+    from heparchy_spark.operators.similarity import incremental_ivf_assign
+
+    # two well-separated cells; a third centroid no seen vector wins
+    cents = np.array(
+        [
+            [10.0, 0.0, 0.0, 0.0],
+            [0.0, 10.0, 0.0, 0.0],
+            [0.0, 0.0, 10.0, 0.0],
+        ],
+        dtype="float64",
+    )
+    seen_rows = [
+        (100, [10.0, 0.1, 0.0, 0.0]),
+        (101, [9.5, -0.1, 0.0, 0.0]),
+        (200, [0.2, 9.8, 0.0, 0.0]),
+        # two seen vectors COLLINEAR with each other (cosine tie for a
+        # query along the same ray) -> lower id must win
+        (300, [8.0, 8.0, 0.0, 0.0]),
+        (301, [4.0, 4.0, 0.0, 0.0]),
+    ]
+    new_rows = [
+        (1, [10.0, 0.1, 0.0, 0.0]),    # exact copy of seen 100
+        (2, [0.0, 0.0, 12.0, 0.0]),    # empty cell: no seen members
+        (3, [6.0, 6.0, 0.0, 0.0]),     # ties 300 vs 301 at cosine 1.0
+    ]
+    seen = spark.createDataFrame(
+        seen_rows, "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in incremental_ivf_assign(
+            new, seen, "embedding", "vec_id", cents, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 3
+
+    r1 = out[1]
+    assert r1.cluster == 0
+    assert r1.is_near_dup and r1.best_seen_id == 100
+    assert r1.best_cosine == 1.0 and r1.dist2 == 0.01
+
+    r2 = out[2]
+    assert r2.cluster == 2
+    assert r2.n_cell_seen == 0 and not r2.is_near_dup
+    assert r2.best_seen_id is None and r2.best_cosine is None
+
+    r3 = out[3]
+    assert r3.best_cosine == 1.0 and r3.is_near_dup
+    assert r3.best_seen_id == 300  # cosine tie -> lowest seen id

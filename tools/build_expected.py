@@ -1117,6 +1117,89 @@ def ann_ivf_topk(
 
 
 
+def incremental_ivf_rows(
+    vec_ids,
+    vecs,
+    n_centroids=16,
+    sample_size=2000,
+    iters=4,
+    seed=7,
+    threshold=0.95,
+    seen_min=100,
+    fresh_max=50,
+    plant_k=25,
+    plant_offset=1_000_000,
+) -> list[tuple]:
+    """Mirror of queries.similarity.similarity_incremental_ivf_assign:
+    train on the seen corpus (ids >= seen_min, ordered), assign the new
+    batch (fresh ids < fresh_max + planted perturbed copies of seen ids
+    seen_min..seen_min+plant_k) via the identical cn2 - 2 x@cT argmin,
+    then the best same-cell cosine under (cos desc, seen id asc)."""
+    seen = sorted(
+        (vid, np.asarray(v, dtype="float64"))
+        for vid, v in zip(vec_ids, vecs)
+        if vid >= seen_min
+    )
+    x = np.stack([v for _, v in seen])[:sample_size]
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    cents = np.ascontiguousarray(cents, dtype="float64")
+    cn2 = (cents**2).sum(axis=1)
+
+    seen_x = np.stack([v for _, v in seen])
+    seen_cell = (cn2[None, :] - 2.0 * (seen_x @ cents.T)).argmin(axis=1)
+    by_cell: dict[int, list[tuple]] = {}
+    for (sid, sv), c in zip(seen, seen_cell):
+        by_cell.setdefault(int(c), []).append((sid, sv))
+
+    news = [
+        (vid, np.asarray(v, dtype="float64"))
+        for vid, v in zip(vec_ids, vecs)
+        if vid < fresh_max
+    ]
+    for vid, v in zip(vec_ids, vecs):
+        if seen_min <= vid < seen_min + plant_k:
+            news.append(
+                (
+                    vid + plant_offset,
+                    np.array(
+                        [
+                            float(v[j]) * (1.0 + 0.0005 * ((vid + j) % 3))
+                            for j in range(len(v))
+                        ],
+                        dtype="float64",
+                    ),
+                )
+            )
+    new_x = np.stack([v for _, v in news])
+    new_cell = (cn2[None, :] - 2.0 * (new_x @ cents.T)).argmin(axis=1)
+    out = []
+    for (nid, nv), c in zip(news, new_cell):
+        c = int(c)
+        dist2 = spark_round(((nv - cents[c]) ** 2).sum(), 6)
+        members = by_cell.get(c, [])
+        if members:
+            cands = sorted(
+                (
+                    (spark_round(_cosine(nv, sv), 9), sid)
+                    for sid, sv in members
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )
+            bc, bid = cands[0]
+            out.append((nid, c, dist2, len(members), bid, bc, bc >= threshold))
+        else:
+            out.append((nid, c, dist2, 0, None, None, False))
+    return out
+
+
 def semantic_dedup_rows(
     vec_ids,
     vecs,
@@ -1275,6 +1358,22 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
                 }
             ),
         )
+
+    inc = incremental_ivf_rows(vec_ids, vecs)
+    write(
+        "similarity_incremental_ivf_assign",
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in inc], pa.int64()),
+                "cluster": pa.array([r[1] for r in inc], pa.int32()),
+                "dist2": pa.array([r[2] for r in inc], pa.float64()),
+                "n_cell_seen": pa.array([r[3] for r in inc], pa.int64()),
+                "best_seen_id": pa.array([r[4] for r in inc], pa.int64()),
+                "best_cosine": pa.array([r[5] for r in inc], pa.float64()),
+                "is_near_dup": pa.array([r[6] for r in inc], pa.bool_()),
+            }
+        ),
+    )
 
     rp = random_projection_rows(vec_ids, vecs)
     write(
