@@ -304,3 +304,82 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_df(spark, sf_dir).where(F.col("kind") == "audio")
     return audio_vad_segments(media, frame_len=8)
+
+
+def _dhash_fixture_pixels(doc_id: int):
+    """Deterministic 16x16 RGB pixels for the dHash corpus row: docs in
+    the same ``doc_id // 8`` group share a base pattern (a pure-integer
+    mix of group, row, col), and the in-group member at ``doc_id % 8``
+    rides a +3*offset brightness shift, clipped at 255 — a monotone
+    shift preserves every gradient sign except where clipping flattens
+    it, so group pairs land at SMALL (usually <= 10) Hamming distance
+    while distinct groups do not.  Shared verbatim with the
+    plain-NumPy fixture mirror in tools/build_expected.py."""
+    import numpy as np
+
+    g = doc_id // 8
+    r = np.arange(16, dtype="int64")[:, None]
+    c = np.arange(16, dtype="int64")[None, :]
+    # multiplicative mix: the per-cell GRADIENTS (what dHash reads)
+    # depend on g, so distinct groups give unrelated hashes — an
+    # additive mix would only shift the offset and every group would
+    # share one gradient field
+    base = ((g + 1) * 2654435761 * (r * 16 + c + 1)) % 251
+    pix = np.minimum(base + 3 * (doc_id % 8), 255).astype("uint8")
+    return np.repeat(pix[:, :, None], 3, axis=2)
+
+
+def _real_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) of REAL pixel-bearing PNGs — the stdlib
+    encoder over the deterministic fixture pixels, one per image-kind
+    doc (doc_id % 4 == 0).  Arrow-batched generation, pure map."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        from heparchy_spark.operators.multimodal import _png_encode
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(did)
+                payloads.append(_png_encode(_dhash_fixture_pixels(did)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+@register(
+    "multimodal_dhash_neardups",
+    expected_fixture_sql("multimodal_dhash_neardups"),
+    doc="Perceptual near-duplicate image pairs over REAL decoded PNGs: "
+    "stdlib PNG encode of deterministic fixture pixels (brightness-"
+    "shifted in-group copies), full decode -> 64-bit dHash -> "
+    "multi-index banded candidate join (per-band Hamming-ball probe, "
+    "radius 10, recall EXACT by pigeonhole) -> popcount verify.  The "
+    "oracle fixture is a genuinely independent check: it computes "
+    "ALL-PAIRS Hamming distances in plain NumPy and keeps d <= 10, so "
+    "any banding recall loss hash-mismatches.  Never all-pairs on the "
+    "Spark side — candidates are the 16-bit-band equi-join.",
+)
+def multimodal_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    media = _real_png_media_df(spark, sf_dir)
+    return dhash_neardup_pairs(image_dhash(media), max_hamming=10)

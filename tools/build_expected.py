@@ -990,6 +990,21 @@ def main() -> None:
         ),
     )
 
+    # multimodal_dhash_neardups: fixture pixels -> dHash -> ALL-PAIRS
+    # Hamming (independent of the Spark side's banded candidate join,
+    # so any multi-index recall loss hash-mismatches here)
+    dh = dhash_neardup_rows([d for d, _ in docs])
+    write(
+        "multimodal_dhash_neardups",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in dh], pa.int64()),
+                "id_b": pa.array([r[1] for r in dh], pa.int64()),
+                "hamming": pa.array([r[2] for r in dh], pa.int32()),
+            }
+        ),
+    )
+
     # multimodal_resample_audio: WAV frame decimation from generator params
     res = [expected_resample(d, t) for d, t in docs if d % 4 == 2]
     write(
@@ -1115,6 +1130,39 @@ def ann_ivf_topk(
     return _topk_rows(cands, k)
 
 
+
+
+def dhash_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
+    """Mirror of queries.multimodal.multimodal_dhash_neardups: the
+    fixture pixel recipe (group base pattern + in-group brightness
+    shift), the integer dHash pipeline (channel-mean grayscale,
+    nearest-neighbor 9x8 grid, gradient signs), then ALL-PAIRS Hamming
+    — deliberately NOT the banded join the Spark side uses, so this
+    fixture independently audits the multi-index recall guarantee."""
+    hashes = []
+    for did in sorted(d for d in doc_ids if d % 4 == 0):
+        g = did // 8
+        r = np.arange(16, dtype="int64")[:, None]
+        c = np.arange(16, dtype="int64")[None, :]
+        base = ((g + 1) * 2654435761 * (r * 16 + c + 1)) % 251
+        pix = np.minimum(base + 3 * (did % 8), 255)
+        # three identical channels -> integer channel-mean == pix
+        gray = pix
+        ys = (np.arange(8) * 16) // 8
+        xs = (np.arange(9) * 16) // 9
+        gg = gray[np.ix_(ys, xs)]
+        bits = (gg[:, :-1] < gg[:, 1:]).astype("uint64")
+        weights = np.uint64(1) << np.arange(64, dtype="uint64").reshape(8, 8)
+        hashes.append((did, int((bits * weights).sum())))
+    out = []
+    for i in range(len(hashes)):
+        a, ha = hashes[i]
+        for j in range(i + 1, len(hashes)):
+            b, hb = hashes[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return out
 
 
 def incremental_ivf_rows(
