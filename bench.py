@@ -203,6 +203,10 @@ HEADLINE = [
     "quality_langid_confusion",
     "drift_value_wasserstein",
     "events_ab_uplift_by_segment",
+    # round-7 additions
+    "similarity_incremental_ivf_assign",
+    "multimodal_dhash_neardups",
+    "dataset_leakage_safe_split",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the
@@ -252,6 +256,34 @@ PRINTED = [
 ]
 
 
+def _current_round() -> int:
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.name))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _schedule() -> list[str]:
+    """This round's timed set: the PRINTED comparable set every round,
+    plus ONE HALF of the remaining HEADLINE tail, alternating by round
+    parity over the tail's sorted order (round-6 verdict: 147 timed
+    queries pushed total bench wall past the driver budget and kept
+    growing ~15 s/round; rotation keeps every query timed at most one
+    round stale while halving per-round wall).  Override with
+    SPARK_GRAFT_BENCH_ALL=1 to time everything (local investigations)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        return list(HEADLINE)
+    keep = set(PRINTED)
+    tail = sorted(n for n in HEADLINE if n not in keep)
+    parity = _current_round() % 2
+    keep.update(n for i, n in enumerate(tail) if i % 2 == parity)
+    return [n for n in HEADLINE if n in keep]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -287,9 +319,10 @@ def main() -> None:
     timed(CANARY)  # discard: early-session JVM warm-up biases the first
     canary_first, _ = timed(CANARY)  # sample or the drift reads as noise
 
+    schedule = _schedule()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in schedule:
         try:
             timings[name], spreads[name] = timed(name)
         except Exception as exc:  # noqa: BLE001
@@ -320,6 +353,12 @@ def main() -> None:
         "sf": sf,
         "total_all": total_all,
         "printed_total": total,
+        "round": _current_round(),
+        "rotation": {
+            "scheduled": len(schedule),
+            "headline": len(HEADLINE),
+            "skipped": sorted(set(HEADLINE) - set(schedule)),
+        },
     }
     (Path(__file__).resolve().parent / "BENCH_DETAILS.json").write_text(
         json.dumps(details, indent=1)

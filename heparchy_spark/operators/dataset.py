@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 __all__ = [
     "hash_bucket",
     "split_assign",
+    "cluster_safe_split",
     "stratified_sample",
     "pack_sequences",
     "mix_sources",
@@ -573,4 +574,59 @@ def kcenter_coreset(
         ).localCheckpoint(eager=False)
     return df.sparkSession.createDataFrame(
         out_rows, "center_rank long, vec_id long, sep_dist2 double"
+    )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "csplit",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate-leakage-safe train/val/test assignment: (id,
+    component, split) where ``component`` is the connected-component
+    label of the near-dup pair graph and the split buckets on the
+    COMPONENT, so an entire dup cluster always co-assigns.
+
+    :func:`split_assign` already co-assigns EXACT duplicates (it hashes
+    the content); near-duplicates — one edited sentence apart — still
+    straddle splits there and leak eval answers into training.  This is
+    the assignment-side fix for what ``dataset_split_leakage`` only
+    detects: feed it the banded near-dup pairs (minhash / n-gram
+    Jaccard / simhash — any of ``operators/dedup.py``'s candidate
+    generators) and the cluster, not the document, is the unit of
+    randomization.
+
+    Scale shape: components via min-label propagation (O(diameter)
+    rounds, shallow for near-dup cliques; each round one uniform
+    node-id shuffle, lineage checkpoint-truncated), then a pure per-row
+    projection — the sha256-prefix bucket of the component label under
+    the same engine-portable formula as :func:`hash_bucket`.  Adding
+    documents never reassigns an existing cluster unless an edge merges
+    two clusters (in which case co-assignment REQUIRES the move).
+    """
+    from heparchy_spark.operators.dedup import connected_components
+
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    comp = connected_components(
+        pairs, "id_a", "id_b", df.select(id_col), id_col, max_iter=max_iter
+    )
+    bucket = hash_bucket(F.col("component").cast("string"), salt)
+    expr: Column | None = None
+    cum = 0.0
+    *head, (last_name, _) = list(weights.items())
+    for name, w in head:
+        cum += w
+        bound = int(round(cum * _BUCKETS))
+        arm = (bucket < F.lit(bound), F.lit(name))
+        expr = F.when(*arm) if expr is None else expr.when(*arm)
+    split = (
+        F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    )
+    return comp.select(
+        F.col("node").alias(id_col), "component", split.alias("split")
     )

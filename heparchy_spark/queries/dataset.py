@@ -1340,3 +1340,60 @@ def quality_conformal_coverage(
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "dataset_leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    __pairs AS ({_JACCARD_PAIRS_06_SQL}),
+    __sym AS (
+      SELECT id_a AS a, id_b AS b FROM __pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM __pairs
+    ),
+    __reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.lab FROM __reach r JOIN __sym s ON s.a = r.node
+    ),
+    __comp AS (
+      SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+      FROM __reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           CASE WHEN __b < 8000 THEN 'train'
+                WHEN __b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             ('0x' || substr(sha256(CAST(component AS VARCHAR) || 'csplit'),
+                             1, 12))::BIGINT % 10000 AS __b
+      FROM __comp
+    )
+    """,
+    doc="Near-duplicate-leakage-SAFE 80/10/10 split: connected components "
+    "of the n-gram-Jaccard near-dup graph (banded candidates, min-label "
+    "propagation) pick one label per dup cluster, and the split buckets "
+    "on the COMPONENT's content hash — so near-dups can never straddle "
+    "train/test (dataset_split_assign only co-assigns EXACT duplicates; "
+    "dataset_split_leakage only detects the straddle).  Oracle replays "
+    "components with a recursive CTE and the identical sha256-prefix "
+    "bucket formula.",
+)
+def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dataset import cluster_safe_split
+    from heparchy_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.6, prefix_tokens=None
+    )
+    out = cluster_safe_split(
+        docs,
+        pairs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="csplit",
+    )
+    return out

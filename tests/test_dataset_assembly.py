@@ -757,3 +757,38 @@ def test_kcenter_coreset_picks_one_per_cluster(spark):
         spark.createDataFrame([], "vec_id long, embedding array<double>"),
         "embedding", "vec_id", k=3,
     ).count() == 0
+
+
+def test_cluster_safe_split_coassigns_near_dup_clusters(spark):
+    """Every near-dup CLUSTER lands wholly in one split (the leakage
+    property dataset_split_leakage can only detect), singletons keep
+    their own id as component, and weights must sum to 1."""
+    import pytest as _pytest
+
+    from heparchy_spark.operators.dataset import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # two clusters: a 3-clique {0,1,2} and a CHAIN 10-11-12 (transitive
+    # closure must merge non-adjacent 10 and 12), rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12)],
+        "id_a long, id_b long",
+    )
+    out = cluster_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    assert {rows[i].component for i in (0, 1, 2)} == {0}
+    assert {rows[i].component for i in (10, 11, 12)} == {10}
+    assert len({rows[i].split for i in (0, 1, 2)}) == 1
+    assert len({rows[i].split for i in (10, 11, 12)}) == 1
+    assert rows[5].component == 5  # singleton
+    assert set(out.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test",
+    }
+
+    with _pytest.raises(ValueError):
+        cluster_safe_split(docs, pairs, "doc_id", {"train": 0.5, "val": 0.1})

@@ -275,3 +275,24 @@ def test_sample_quantiles_windowgrouplimit_partial(spark):
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
     pre_exchange = plan.split("Exchange hashpartitioning", 1)[-1]
     assert "WindowGroupLimit" in pre_exchange  # the map-side (partial) one
+
+
+def test_no_broadcast_hint_on_unbounded_frames():
+    """The distinct-word table is sublinear but UNBOUNDED (10^8-10^9
+    tokens at web scale — past Spark's broadcast hard cap), so the
+    tokenizer-economics joins must leave sizing to AQE.  Grep-style
+    guard: no F.broadcast inside the two encode operators (the r6
+    verdict's weak flags); a reintroduced hint fails here, not at a
+    100 TB deploy."""
+    import inspect
+
+    from heparchy_spark.operators.text import (
+        bpe_encode_counts,
+        unigram_encode_counts,
+    )
+
+    for fn in (bpe_encode_counts, unigram_encode_counts):
+        src = inspect.getsource(fn)
+        assert "F.broadcast" not in src, (
+            f"{fn.__name__} broadcasts the unbounded distinct-word frame"
+        )
