@@ -207,6 +207,7 @@ HEADLINE = [
     "similarity_incremental_ivf_assign",
     "multimodal_dhash_neardups",
     "dataset_leakage_safe_split",
+    "privacy_t_closeness",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

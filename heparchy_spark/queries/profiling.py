@@ -21,7 +21,7 @@ hashing) holds by construction.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from heparchy_spark.queries import register
 from heparchy_spark.queries.numeric import sql_dsum
@@ -699,6 +699,130 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class_size") < 10).alias("k_violation"),
         )
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )
+
+
+@register(
+    "privacy_t_closeness",
+    """
+    WITH cls AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_band,
+             c_custkey % 7 AS sv,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+      SELECT c_mktsegment, bal_band, SUM(n) AS class_size
+      FROM cls GROUP BY 1, 2
+    ),
+    gshare AS (
+      SELECT c_custkey % 7 AS sv, COUNT(*) AS gn
+      FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM customer),
+    spine AS (
+      SELECT s.c_mktsegment, s.bal_band, s.class_size, v.sv, v.gn
+      FROM sizes s CROSS JOIN gshare v
+    ),
+    cum AS (
+      SELECT sp.c_mktsegment, sp.bal_band, sp.class_size, sp.sv,
+             SUM(COALESCE(c.n, 0)) OVER w AS cum_n,
+             SUM(sp.gn) OVER w AS cum_g,
+             t.total
+      FROM spine sp
+      LEFT JOIN cls c
+        ON c.c_mktsegment = sp.c_mktsegment AND c.bal_band = sp.bal_band
+       AND c.sv = sp.sv
+      CROSS JOIN tot t
+      WINDOW w AS (PARTITION BY sp.c_mktsegment, sp.bal_band ORDER BY sp.sv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c_mktsegment, bal_band, class_size,
+           ROUND(CAST(SUM(abs(cum_n * total - cum_g * class_size)) AS DOUBLE)
+                 / (6.0 * class_size * total), 9) + 0.0 AS t_distance,
+           (CAST(SUM(abs(cum_n * total - cum_g * class_size)) AS DOUBLE)
+                 / (6.0 * class_size * total)) > 0.2 AS t_violation
+    FROM cum
+    GROUP BY c_mktsegment, bal_band, class_size, total
+    """,
+    doc="t-closeness audit (Li, Li & Venkatasubramanian 2007) beside the "
+    "k-anonymity/l-diversity gate: per quasi-identifier class (market "
+    "segment x balance band), the ordered-domain earth-mover's distance "
+    "between the class's sensitive-value distribution (custkey mod 7 "
+    "stands in) and the GLOBAL one — EMD over an ordered domain is the "
+    "mean absolute cumulative-share gap.  All-integer determinism: the "
+    "per-prefix gap is |cum_n*total - cum_g*class_size| (exact longs, "
+    "order-free sum), divided ONCE at the end — no double cumsum to "
+    "drift cross-engine.  The class/value table is bounded by the "
+    "quasi-identifier x sensitive domain, not the row count.",
+    expects_bnlj=True,  # 7-row value spine + 1-row total broadcasts
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    sv = (F.col("c_custkey") % 7).alias("sv")
+    cls = cust.groupBy(
+        "c_mktsegment", band.alias("bal_band"), sv
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sizes = cls.groupBy("c_mktsegment", "bal_band").agg(
+        F.sum("n").alias("class_size")
+    )
+    glob = cust.groupBy(sv).agg(F.count(F.lit(1)).alias("gn"))
+    tot = cust.agg(F.count(F.lit(1)).alias("total"))
+    spine = sizes.crossJoin(F.broadcast(glob))
+    joined = (
+        spine.join(cls, ["c_mktsegment", "bal_band", "sv"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "bal_band",
+            "class_size",
+            "sv",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "gn",
+            "total",
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment", "bal_band")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        "total",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("gn").over(w).alias("cum_g"),
+    )
+    gap = F.abs(
+        F.col("cum_n") * F.col("total")
+        - F.col("cum_g") * F.col("class_size")
+    )
+    t_raw = F.sum(gap).cast("double") / (
+        F.lit(6.0) * F.col("class_size") * F.col("total")
+    )
+    return (
+        cum.groupBy("c_mktsegment", "bal_band", "class_size", "total")
+        .agg(
+            (F.round(t_raw, 9) + F.lit(0.0)).alias("t_distance"),
+            (t_raw > F.lit(0.2)).alias("t_violation"),
+        )
+        .select(
+            "c_mktsegment",
+            "bal_band",
+            "class_size",
+            "t_distance",
+            "t_violation",
+        )
     )
 
 

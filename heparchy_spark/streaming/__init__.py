@@ -20,6 +20,7 @@ from heparchy_spark.streaming.analytics import (
     sessionize,
     sliding_user_counts,
     streaming_count_min,
+    streaming_frequent_items,
     streaming_funnel,
     streaming_scd2,
     windowed_token_counts,
@@ -40,6 +41,7 @@ __all__ = [
     "corpus_gates",
     "stream_corpus_pipeline",
     "streaming_count_min",
+    "streaming_frequent_items",
     "streaming_funnel",
     "streaming_scd2",
     "windowed_token_counts",

@@ -246,6 +246,99 @@ def streaming_count_min(
     return count_min_build(events, cm_positions(F.col(key_col), width, depth))
 
 
+_MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("max_err", T.LongType()),
+    ]
+)
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("offset", T.LongType()),
+    ]
+)
+
+
+def streaming_frequent_items(
+    events: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-group Misra-Gries frequent-items summary in the state store —
+    bounded-memory heavy hitters beside the Count-Min twin: CM answers
+    "how often is THIS key" (point query, fixed d x w counters); MG
+    answers "WHICH keys are frequent" with at most ``k`` (item, count)
+    counters per group, regardless of stream length or item cardinality
+    — the DataSketches "frequent items" shape.
+
+    Classic MG update per event: increment a tracked item; insert if a
+    slot is free; otherwise decrement EVERY counter by one (dropping
+    zeros) and count the decrement in ``offset``.  Emitted per
+    micro-batch in update mode: (group, item, count_lb, max_err) —
+    the deterministic guarantees are ``count_lb <= true_count <=
+    count_lb + max_err`` and every item with true frequency >
+    n_group/(k+1) is PRESENT in the summary (pigeonhole on the
+    decrement budget).  Summaries merge by counter addition + offset
+    (Agarwal et al. 2012 mergeable summaries), so per-executor partials
+    would combine the same way on a real cluster.
+
+    Determinism: each batch slice is processed in (ts, event_id) order
+    and the state/output lists sort by item, so the plain-Python twin
+    replays bit-for-bit.  State is O(k) per group — the monitor never
+    holds the key universe, which is the whole point at 100 TB.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
+    ) -> ty.Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, offset = state.get
+            table = dict(zip(items, counts))
+            offset = int(offset)
+        else:
+            table, offset = {}, 0
+        chunks = [c for c in pdfs if len(c)]
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for it in rows[item_col]:
+                it = str(it)
+                if it in table:
+                    table[it] = int(table[it]) + 1
+                elif len(table) < k:
+                    table[it] = 1
+                else:
+                    offset += 1
+                    table = {
+                        i: int(c) - 1 for i, c in table.items() if int(c) > 1
+                    }
+        out_items = sorted(table)
+        out_counts = [int(table[i]) for i in out_items]
+        state.update((out_items, out_counts, offset))
+        yield pd.DataFrame(
+            {
+                "group": [str(key[0])] * len(out_items),
+                "item": out_items,
+                "count_lb": out_counts,
+                "max_err": [offset] * len(out_items),
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 _FUNNEL_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -969,3 +969,76 @@ def test_wasserstein_from_histogram_mirror(spark):
         return round(acc * width, 6) + 0.0
 
     assert got[w2w] == mirror([0, 50, 25, 25], 10.0) == 2.5
+
+
+def test_streaming_frequent_items_matches_mirror(spark, landing):
+    """Per-group Misra-Gries state across micro-batches: the final
+    update row per (group, item) must equal a plain-Python MG replay
+    over the same (ts, event_id)-ordered stream, the state stays
+    bounded at k counters per group, and the deterministic guarantees
+    hold: count_lb <= true <= count_lb + max_err, and every item with
+    true frequency > n/(k+1) is present."""
+    from heparchy_spark.streaming import (
+        read_event_stream,
+        streaming_frequent_items,
+    )
+
+    k = 8
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(
+        streaming_frequent_items(stream, "event_type", "user_id", k=k),
+        "t_mg",
+        "update",
+    )
+    got: dict[tuple, tuple] = {}
+    for r in spark.sql("select * from t_mg").collect():
+        # update-mode rows arrive in batch order; dict keeps the last
+        got[(r["group"], r["item"])] = (r["count_lb"], r["max_err"])
+
+    ev = load(spark, SF_DIR, "events")
+    half = ev.count() // 2
+    rows = [
+        (str(r["event_type"]), str(r["user_id"]), r["ts"], r["event_id"])
+        for r in ev.select("event_type", "user_id", "ts", "event_id").collect()
+    ]
+    # replay the two arrival files in order, each sorted like update()
+    batches = [
+        sorted((r for r in rows if r[3] < half), key=lambda r: (r[2], r[3])),
+        sorted((r for r in rows if r[3] >= half), key=lambda r: (r[2], r[3])),
+    ]
+    tables: dict[str, dict] = {}
+    offsets: dict[str, int] = {}
+    for batch in batches:
+        for g, it, _ts, _eid in batch:
+            t = tables.setdefault(g, {})
+            if it in t:
+                t[it] += 1
+            elif len(t) < k:
+                t[it] = 1
+            else:
+                offsets[g] = offsets.get(g, 0) + 1
+                tables[g] = {i: c - 1 for i, c in t.items() if c > 1}
+    # the LAST update-mode emission per group is its final state
+    want = {
+        (g, it): (tables[g][it], offsets.get(g, 0))
+        for g in tables
+        for it in tables[g]
+    }
+    for gk, gv in want.items():
+        assert got.get(gk) == gv, gk
+    # bounded state
+    for g in tables:
+        assert len(tables[g]) <= k
+
+    # guarantees vs exact truth
+    true_counts: dict[tuple, int] = {}
+    n_per_group: dict[str, int] = {}
+    for g, it, _ts, _eid in rows:
+        true_counts[(g, it)] = true_counts.get((g, it), 0) + 1
+        n_per_group[g] = n_per_group.get(g, 0) + 1
+    for (g, it), (lb, err) in want.items():
+        t = true_counts[(g, it)]
+        assert lb <= t <= lb + err, (g, it)
+    for (g, it), t in true_counts.items():
+        if t > n_per_group[g] / (k + 1):
+            assert (g, it) in want, (g, it, t)
