@@ -208,6 +208,8 @@ HEADLINE = [
     "multimodal_dhash_neardups",
     "dataset_leakage_safe_split",
     "privacy_t_closeness",
+    "similarity_ivf_recall_at_k",
+    "drift_embedding_shift",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

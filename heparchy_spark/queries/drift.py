@@ -591,3 +591,71 @@ def drift_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("long").alias("n_a"),
         F.col("nb2").cast("long").alias("n_b"),
     )
+
+
+@register(
+    "drift_embedding_shift",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 = 0 AS fh, i - 1 AS dim,
+             ROUND(CAST(embedding[i] AS DOUBLE), 10) AS x
+      FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    m AS (
+      SELECT dim,
+             ROUND(CAST(SUM(CASE WHEN fh THEN CAST(x AS DECIMAL(38,10))
+                                 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN fh THEN 1 ELSE 0 END), 9) AS mean_first,
+             ROUND(CAST(SUM(CASE WHEN NOT fh THEN CAST(x AS DECIMAL(38,10))
+                                 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN NOT fh THEN 1 ELSE 0 END), 9) AS mean_second
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, mean_first, mean_second,
+           ROUND(abs(mean_first - mean_second), 9) + 0.0 AS abs_shift
+    FROM m
+    """,
+    doc="EMBEDDING-space drift — the representation-drift lens the "
+    "scalar drift family (PSI/KS/JSD/W1 on values) cannot see: "
+    "per-dimension mean of the two corpus halves (vec_id parity) and "
+    "the absolute shift, the first-moment check run before trusting a "
+    "re-embedded corpus against a persisted ANN index.  One posexplode "
+    "scan to a 64-row table (map-side combinable decimal sums of "
+    "round-10 components, so partial-aggregation order cannot leak); "
+    "at 100 TB this is a single combinable aggregate, no shuffle of "
+    "vectors themselves.",
+)
+def drift_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("fh"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x0"
+        ),
+    ).select("fh", "dim", F.round("x0", 10).alias("x"))
+    dec = "decimal(38,10)"
+    mean_first = F.round(
+        F.sum(F.when(F.col("fh"), F.col("x")).otherwise(0.0).cast(dec))
+        .cast("double")
+        / F.sum(F.when(F.col("fh"), 1).otherwise(0)),
+        9,
+    )
+    mean_second = F.round(
+        F.sum(F.when(~F.col("fh"), F.col("x")).otherwise(0.0).cast(dec))
+        .cast("double")
+        / F.sum(F.when(~F.col("fh"), 1).otherwise(0)),
+        9,
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(mean_first.alias("mean_first"), mean_second.alias("mean_second"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "mean_first",
+            "mean_second",
+            (
+                F.round(F.abs(F.col("mean_first") - F.col("mean_second")), 9)
+                + F.lit(0.0)
+            ).alias("abs_shift"),
+        )
+    )

@@ -715,7 +715,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY 1, 2, 3
     ),
     sizes AS (
-      SELECT c_mktsegment, bal_band, SUM(n) AS class_size
+      SELECT c_mktsegment, bal_band, CAST(SUM(n) AS BIGINT) AS class_size
       FROM cls GROUP BY 1, 2
     ),
     gshare AS (

@@ -519,6 +519,76 @@ def similarity_incremental_ivf_assign(
     )
 
 
+@register(
+    "similarity_ivf_recall_at_k",
+    expected_fixture_sql("similarity_ivf_recall_at_k"),
+    doc="ANN index QUALITY audit — recall@10 of the IVF index against "
+    "exact brute-force cosine top-10 for the 5 query vectors: the "
+    "eval loop every production ANN deployment runs before trusting "
+    "an approximate index (nprobe too low shows up HERE, not in a "
+    "hash check of the approximate results themselves).  Exact side = "
+    "broadcast-query scan + per-query WindowGroupLimit top-10; hit "
+    "count via a left-semi join of exact against approximate; recall "
+    "is one int/int division.  Oracle = plain-NumPy mirror of BOTH "
+    "pipelines.",
+    expects_bnlj=True,  # 5-row broadcast query batch crossJoin
+)
+def similarity_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import ivf_topk, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        emb, "embedding", n_centroids=16, sample_size=2000, iters=4, seed=7,
+        order_col="vec_id",
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = ivf_topk(
+        emb, "embedding", "vec_id", queries, "embedding", "vec_id",
+        cents, k=10, nprobe=2,
+    ).select("query_id", "match_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("match_id"), F.col("embedding").alias("__v")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "match_id",
+            cosine(F.col("__v"), F.col("__q")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("match_id")
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "match_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "match_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("k_exact")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def _rrf_hybrid_sql() -> str:
     from heparchy_spark.queries.dedup import _NORM_SQL
     from heparchy_spark.queries.numeric import sql_davg, sql_dsum

@@ -1248,6 +1248,30 @@ def incremental_ivf_rows(
     return out
 
 
+def ivf_recall_rows(vec_ids, vecs, k=10, n_queries=5) -> list[tuple]:
+    """Mirror of queries.similarity.similarity_ivf_recall_at_k: exact
+    brute-force cosine top-k per query vs the ann_ivf_topk mirror's
+    result sets; recall = one int/int division."""
+    approx_sets: dict = {}
+    for q, m, _c, _r in ann_ivf_topk(vec_ids, vecs):
+        approx_sets.setdefault(q, set()).add(m)
+    cands = [
+        (qid, mid, _cosine(vecs[mi], vecs[qi]))
+        for qi, qid in enumerate(vec_ids)
+        if qid < n_queries
+        for mi, mid in enumerate(vec_ids)
+    ]
+    per_q: dict = {}
+    for q, m, _c, _r in _topk_rows(cands, k):
+        per_q.setdefault(q, []).append(m)
+    out = []
+    for q in sorted(per_q):
+        ms = per_q[q]
+        hits = sum(1 for m in ms if m in approx_sets.get(q, ()))
+        out.append((q, len(ms), hits, hits / len(ms)))
+    return out
+
+
 def semantic_dedup_rows(
     vec_ids,
     vecs,
@@ -1406,6 +1430,19 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
                 }
             ),
         )
+
+    rec = ivf_recall_rows(vec_ids, vecs)
+    write(
+        "similarity_ivf_recall_at_k",
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rec], pa.int64()),
+                "k_exact": pa.array([r[1] for r in rec], pa.int64()),
+                "n_hits": pa.array([r[2] for r in rec], pa.int64()),
+                "recall_at_k": pa.array([r[3] for r in rec], pa.float64()),
+            }
+        ),
+    )
 
     inc = incremental_ivf_rows(vec_ids, vecs)
     write(
