@@ -210,6 +210,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "similarity_ivf_recall_at_k",
     "drift_embedding_shift",
+    "layout_clustering_quality",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the
