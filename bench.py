@@ -211,6 +211,7 @@ HEADLINE = [
     "similarity_ivf_recall_at_k",
     "drift_embedding_shift",
     "layout_clustering_quality",
+    "events_bot_regularity",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -656,3 +656,85 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_mean",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@register(
+    "events_bot_regularity",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             (epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000
+               AS gap_ms
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id,
+             CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_ms AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(gap_ms AS DECIMAL(38,0))
+                      * CAST(gap_ms AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM seq WHERE gap_ms IS NOT NULL
+      GROUP BY user_id HAVING COUNT(gap_ms) >= 4
+    )
+    SELECT user_id, n_gaps + 1 AS n_events,
+           ROUND(s1 / n_gaps, 3) AS mean_gap_ms,
+           ROUND(CASE WHEN s1 > 0
+                      THEN sqrt(greatest(s2 / n_gaps
+                                         - (s1 / n_gaps) * (s1 / n_gaps),
+                                         0.0)) / (s1 / n_gaps)
+                      ELSE 0.0 END, 6) + 0.0 AS cv_gap,
+           (CASE WHEN s1 > 0
+                 THEN sqrt(greatest(s2 / n_gaps
+                                    - (s1 / n_gaps) * (s1 / n_gaps),
+                                    0.0)) / (s1 / n_gaps)
+                 ELSE 0.0 END) < 0.1 AS bot_like
+    FROM sums
+    """,
+    doc="Automation/bot screening by inter-arrival REGULARITY — the "
+    "curation filter that catches scripted traffic organic behavior "
+    "never produces: per user (>= 5 events), the coefficient of "
+    "variation of consecutive event gaps; cv near 0 = metronome-like "
+    "scheduling, flagged below 0.1.  Moments-sketch determinism: per-"
+    "user state is exact (n, sum gap, sum gap^2) with millisecond gaps "
+    "squared in DECIMAL(38,0), and every derived double is the same "
+    "literal expression of those exact integers in both engines.  One "
+    "lag window + one combinable aggregate; at 100 TB the lag rides "
+    "the same (user, ts) sort the sessionizer already pays.",
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - lag(unix_micros(cast(ts as timestamp))) over"
+            " (partition by user_id order by ts, event_id)) div 1000"
+        ).alias("gap_ms"),
+    )
+    dec = "decimal(38,0)"
+    sums = (
+        seq.where(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_ms").alias("n_gaps"),
+            F.sum(F.col("gap_ms").cast(dec)).cast("double").alias("s1"),
+            F.sum(F.col("gap_ms").cast(dec) * F.col("gap_ms").cast(dec))
+            .cast("double")
+            .alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 4)
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("s2") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+    )
+    cv = F.when(F.col("s1") > 0, F.sqrt(var) / mean).otherwise(F.lit(0.0))
+    return sums.select(
+        "user_id",
+        (F.col("n_gaps") + 1).alias("n_events"),
+        F.round(mean, 3).alias("mean_gap_ms"),
+        (F.round(cv, 6) + F.lit(0.0)).alias("cv_gap"),
+        (cv < 0.1).alias("bot_like"),
+    )
