@@ -64,6 +64,7 @@ RUNTIME_MATERIALIZED = {
     "text_unigram_lm_vocab",  # per-iteration EM collects on the word table
     "text_unigram_encode_counts",  # trains (collects) before encoding
     "similarity_incremental_ivf_assign",  # train_centroids collects at build
+    "similarity_ivf_recall_at_k",  # train_centroids collects at build
     "dataset_leakage_safe_split",  # connected-components fixpoint counts
 }
 
