@@ -212,6 +212,7 @@ HEADLINE = [
     "drift_embedding_shift",
     "layout_clustering_quality",
     "events_bot_regularity",
+    "text_lm_perplexity",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

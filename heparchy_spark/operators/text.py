@@ -40,6 +40,7 @@ __all__ = [
     "bpe_encode_counts",
     "unigram_lm_train",
     "unigram_encode_counts",
+    "lm_perplexity",
     "rouge_l_pairs",
 ]
 
@@ -1324,3 +1325,99 @@ def rouge_l_pairs(
             )
 
     return joined.mapInPandas(score, schema=schema)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: list[tuple[str, float]],
+) -> DataFrame:
+    """Per-document negative log-likelihood under a trained unigram-LM
+    vocabulary (:func:`unigram_lm_train`'s (subword, logprob) artifact)
+    — the CCNet/Wenzek-style LM quality signal: well-modeled text
+    scores low nats/token, boilerplate and noise score high, and the
+    corpus is bucketed on that number for curation.  Output one row per
+    non-empty document: (id, n_words, n_tokens, nll_nats,
+    nats_per_token), round-6 doubles.
+
+    Scoring: each whitespace word contributes its Viterbi-best
+    segmentation's summed subword log-probs (left-to-right addition —
+    fixed order, so the double is deterministic); a word the pruned
+    vocabulary cannot cover falls back to one token per character at a
+    floor log-prob of ``min(vocab logprob) - 1.0`` (an OOV penalty
+    strictly below every learned piece).  Per-word scores are rounded
+    to 8 dp and accumulated in DECIMAL(38,10), so the document total is
+    independent of partial-aggregation order (the corpus float
+    contract; see ``heparchy_spark.queries.numeric``).
+
+    Scale shape mirrors :func:`unigram_encode_counts`: the Viterbi DP
+    runs once per DISTINCT word (Arrow-batched pandas over the
+    distinct-word table), totals come from the AQE-sized token-stream
+    join plus one combinable aggregate.  Zero driver collects.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    table = dict(vocab)
+    max_len = max((len(s) for s in table), default=1)
+    unk_lp = min(table.values(), default=0.0) - 1.0
+
+    @F.pandas_udf("n_tok int, lp double")
+    def enc(s: pd.Series) -> pd.DataFrame:
+        def one(w: str) -> tuple[int, float]:
+            seg = _unigram_viterbi(w, table, max_len)
+            if seg is None:
+                return len(w), len(w) * unk_lp
+            lp = 0.0
+            for piece in seg:
+                lp += table[piece]
+            return len(seg), lp
+
+        pairs = [one(w) for w in s]
+        return pd.DataFrame(
+            {
+                "n_tok": pd.array([p[0] for p in pairs], dtype="int32"),
+                "lp": [p[1] for p in pairs],
+            }
+        )
+
+    ts = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.length("w") > 0)
+    wtab = (
+        ts.select("w")
+        .distinct()
+        .withColumn("__e", enc("w"))
+        .select(
+            "w",
+            F.col("__e.n_tok").alias("__n_tok"),
+            F.round(F.col("__e.lp"), 8)
+            .cast("decimal(38,10)")
+            .alias("__lp_dec"),
+        )
+    )
+    # Distinct-word table: AQE-sized join (no explicit broadcast hint —
+    # the frame is unbounded at web scale; see bpe_encode_counts).
+    return (
+        ts.join(wtab, "w")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_tok").cast("long").alias("n_tokens"),
+            F.sum("__lp_dec").alias("__total_lp"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_tokens",
+            F.round(-F.col("__total_lp").cast("double"), 6).alias(
+                "nll_nats"
+            ),
+            F.round(
+                -F.col("__total_lp").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("nats_per_token"),
+        )
+    )

@@ -1502,3 +1502,34 @@ def quality_langid_confusion(
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_lm_perplexity",
+    expected_fixture_sql("text_lm_perplexity"),
+    doc="CCNet-style LM quality signal: per-document negative "
+    "log-likelihood under the trained unigram-LM vocabulary "
+    "(text_unigram_lm_vocab's artifact) — Viterbi-best subword "
+    "log-probs summed per word (fixed left-to-right order), "
+    "min(logprob)-1 per-character OOV floor for uncoverable words, "
+    "per-word scores rounded to 8 dp and accumulated in "
+    "DECIMAL(38,10) so the document total is partial-aggregation-"
+    "order-independent.  Outputs (doc_id, n_words, n_tokens, "
+    "nll_nats, nats_per_token) — the number the corpus is bucketed "
+    "on for curation.  Viterbi runs once per DISTINCT word; totals "
+    "are the AQE-sized token-stream join + one combinable aggregate.  "
+    "Oracle = independent plain-Python mirror, precomputed "
+    "(operators/text.py lm_perplexity).",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import (
+        lm_perplexity,
+        unigram_lm_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = [
+        (r["subword"], r["logprob"])
+        for r in unigram_lm_train(docs, "text", "doc_id").collect()
+    ]
+    return lm_perplexity(docs, "text", "doc_id", vocab)

@@ -732,3 +732,61 @@ def test_rouge_l_pairs_hand_cases(spark):
     assert got[(0, 2)].lcs_len == 1 and got[(0, 2)].rouge_f == 0.25
     assert got[(0, 3)].lcs_len == 0 and got[(0, 3)].rouge_f == 0.0
     assert got[(0, 4)].lcs_len == 0 and got[(0, 4)].rouge_p == 0.0
+
+
+def test_lm_perplexity_scores_fallback_and_totals(spark):
+    """Perplexity under a hand vocabulary: coverable words sum their
+    Viterbi-path log-probs, uncoverable words pay len(word) tokens at
+    the min(logprob)-1 OOV floor, empty docs are dropped, and the doc
+    totals match a plain-Python recomputation through the same
+    round(8)->decimal accumulation."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from heparchy_spark.operators.text import lm_perplexity
+
+    vocab = [
+        ("ab", math.log(0.5)),
+        ("c", math.log(0.25)),
+        ("a", math.log(0.125)),
+        ("b", math.log(0.0625)),
+    ]
+    df = spark.createDataFrame(
+        [(1, "ab c"), (2, "zz"), (3, "abc ab"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in lm_perplexity(df, "text", "doc_id", vocab).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    q10 = Decimal(1).scaleb(-10)
+
+    def dec8(x: float) -> Decimal:
+        d = Decimal(repr(x)).quantize(
+            Decimal("1e-8"), rounding=ROUND_HALF_UP
+        )
+        return d.quantize(q10, rounding=ROUND_HALF_UP)
+
+    unk = math.log(0.0625) - 1.0
+    # doc 1: "ab" -> [ab], "c" -> [c]
+    t1 = dec8(math.log(0.5)) + dec8(math.log(0.25))
+    assert got[1].n_words == 2 and got[1].n_tokens == 2
+    assert got[1].nll_nats == float(
+        Decimal(repr(-float(t1))).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+    )
+    # doc 2: "zz" uncoverable -> 2 char tokens at the OOV floor
+    assert got[2].n_words == 1 and got[2].n_tokens == 2
+    t2 = dec8(2 * unk)
+    assert got[2].nats_per_token == float(
+        Decimal(repr(-float(t2) / 2)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+    )
+    # doc 3: "abc" best path ab+c beats a+b+c; plus "ab"
+    assert got[3].n_tokens == 2 + 1
+    # monotone: the OOV doc is the worst-modeled per token
+    assert got[2].nats_per_token > got[1].nats_per_token

@@ -601,6 +601,71 @@ def unigram_encode(docs, vocab) -> list[tuple]:
     return rows
 
 
+def unigram_perplexity(docs, vocab) -> list[tuple]:
+    """Mirror of operators.text.lm_perplexity under the trained unigram
+    vocabulary: per-word Viterbi-best summed log-probs (left-to-right
+    addition), min(logprob)-1 per-character OOV floor for uncoverable
+    words, per-word scores spark_round(8) then accumulated as exact
+    DECIMAL(38,10); per-doc nll_nats / nats_per_token spark_round(6)."""
+    table = {s: lpv for _, s, _, lpv in vocab}
+    max_len = max((len(s) for s in table), default=1)
+    unk_lp = min(table.values(), default=0.0) - 1.0
+    q10 = Decimal(1).scaleb(-10)
+
+    def one(w: str) -> tuple[int, Decimal]:
+        best: list = [0.0] + [None] * len(w)
+        back = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            for j in range(max(0, i - max_len), i):
+                piece = w[j:i]
+                if best[j] is None or piece not in table:
+                    continue
+                sc = best[j] + table[piece]
+                if best[i] is None or sc > best[i]:
+                    best[i] = sc
+                    back[i] = j
+        if best[len(w)] is None:
+            lp = len(w) * unk_lp
+            n_tok = len(w)
+        else:
+            pieces, i = [], len(w)
+            while i > 0:
+                pieces.append(w[back[i] : i])
+                i = back[i]
+            lp = 0.0
+            for piece in pieces[::-1]:
+                lp += table[piece]
+            n_tok = len(pieces)
+        return n_tok, Decimal(repr(spark_round(lp, 8))).quantize(
+            q10, rounding=ROUND_HALF_UP
+        )
+
+    cache: dict[str, tuple[int, Decimal]] = {}
+    rows = []
+    for did, text in docs:
+        ws = [w for w in tokens(text) if w]
+        if not ws:
+            continue
+        n_tokens, total = 0, Decimal(0)
+        for w in ws:
+            if w not in cache:
+                cache[w] = one(w)
+            nt, dec = cache[w]
+            n_tokens += nt
+            total += dec
+        nll = -float(total)
+        rows.append(
+            (
+                did,
+                len(ws),
+                n_tokens,
+                spark_round(nll, 6),
+                spark_round(nll / n_tokens, 6),
+            )
+        )
+    return rows
+
+
 def rouge_l_rows(docs, pairs) -> list[tuple]:
     """Mirror of operators.text.rouge_l_pairs over the mirrored MinHash
     pairs: token-LCS length + precision/recall/F1 (reference = id_a)."""
@@ -680,6 +745,21 @@ def main() -> None:
                 "n_words": pa.array([r[1] for r in ue], pa.int64()),
                 "n_unigram_tokens": pa.array([r[2] for r in ue], pa.int64()),
                 "unigram_per_word": pa.array([r[3] for r in ue], pa.float64()),
+            }
+        ),
+    )
+    up = unigram_perplexity(docs, ug)
+    write(
+        "text_lm_perplexity",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in up], pa.int64()),
+                "n_words": pa.array([r[1] for r in up], pa.int64()),
+                "n_tokens": pa.array([r[2] for r in up], pa.int64()),
+                "nll_nats": pa.array([r[3] for r in up], pa.float64()),
+                "nats_per_token": pa.array(
+                    [r[4] for r in up], pa.float64()
+                ),
             }
         ),
     )

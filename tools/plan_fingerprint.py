@@ -63,6 +63,7 @@ RUNTIME_MATERIALIZED = {
     "dataset_kcenter_coreset",  # per-round argmax collects + checkpoints
     "text_unigram_lm_vocab",  # per-iteration EM collects on the word table
     "text_unigram_encode_counts",  # trains (collects) before encoding
+    "text_lm_perplexity",  # trains (collects) before scoring
     "similarity_incremental_ivf_assign",  # train_centroids collects at build
     "similarity_ivf_recall_at_k",  # train_centroids collects at build
     "dataset_leakage_safe_split",  # connected-components fixpoint counts
