@@ -213,6 +213,7 @@ HEADLINE = [
     "layout_clustering_quality",
     "events_bot_regularity",
     "text_lm_perplexity",
+    "multimodal_phash_neardups",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

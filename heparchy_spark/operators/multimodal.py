@@ -42,6 +42,7 @@ __all__ = [
     "payload_embedding",
     "keyframe_select",
     "image_dhash",
+    "image_phash",
     "dhash_neardup_pairs",
     "audio_vad_segments",
 ]
@@ -980,6 +981,85 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def _dct_basis(n: int = 32) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (n x n, float64): row k =
+    a_k * cos(pi * (2j + 1) * k / (2n)), a_0 = sqrt(1/n), else
+    sqrt(2/n).  Pure NumPy construction — the fixture mirror builds
+    the identical expression, so coefficients are bit-identical."""
+    j = np.arange(n, dtype="float64")
+    k = j[:, None]
+    d = np.cos(np.pi * (2.0 * j[None, :] + 1.0) * k / (2.0 * n))
+    d[0] *= np.sqrt(1.0 / n)
+    d[1:] *= np.sqrt(2.0 / n)
+    return d
+
+
+def _phash64(arr: "np.ndarray", basis: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of a decoded uint8 [h, w, c] image:
+    integer grayscale (channel mean, floor), nearest-neighbor resample
+    to 32x32 (the resize_images index rule), 2-D orthonormal DCT-II,
+    top-left 8x8 low-frequency block; bit i (row-major) set iff
+    coefficient i exceeds the MEDIAN of the 63 non-DC coefficients
+    (63 values -> the exact middle element, no averaging).  pHash
+    reads global structure where dHash reads local gradients, so it
+    survives smoothing/rescaling that flips many dHash bits; a uniform
+    brightness shift moves only the DC coefficient -> hash unchanged."""
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype("uint32").sum(axis=2) // arr.shape[2]
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g = gray[np.ix_(ys, xs)].astype("float64")
+    co = basis @ g @ basis.T
+    flat = co[:8, :8].ravel()
+    med = np.median(flat[1:])
+    bits = flat > med
+    val = 0
+    for i in range(64):
+        if bits[i]:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """DCT perceptual hash per image: (id, phash, decodable) — the
+    frequency-domain companion to :func:`image_dhash` (same decode,
+    same output contract, same downstream banded pairing via
+    :func:`dhash_neardup_pairs` with ``hash_col="phash"``).  Pure
+    Arrow-batched ``mapInPandas`` projection — zero shuffles."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        basis = _dct_basis(32)
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _png_decode_pixels(bytes(payload or b""))
+                ids.append(mid)
+                if dec is None:
+                    hashes.append(None)
+                    oks.append(False)
+                else:
+                    _w, _h, _c, arr = dec
+                    hashes.append(_phash64(arr, basis))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": pd.array(hashes, dtype="Int64"),
+                 "decodable": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def _hamming_ball_masks(width: int, radius: int) -> list[int]:
     """All XOR masks of ``width`` bits with popcount <= ``radius``
     (the Hamming ball around 0) — sum_{k<=r} C(width, k) masks."""
@@ -998,6 +1078,7 @@ def _hamming_ball_masks(width: int, radius: int) -> list[int]:
 def dhash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 10,
+    hash_col: str = "dhash",
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash codes: (id_a, id_b,
     hamming) for every decodable pair within ``max_hamming`` bits.
@@ -1027,7 +1108,9 @@ def dhash_neardup_pairs(
             f" radius {radius} (> 6885x key expansion); split the code"
             " into more bands instead"
         )
-    h = hashes.where(F.col("decodable")).select("media_id", "dhash")
+    h = hashes.where(F.col("decodable")).select(
+        "media_id", F.col(hash_col).alias("dhash")
+    )
     bands = None
     for b in range(4):
         band = h.select(

@@ -383,3 +383,30 @@ def multimodal_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _real_png_media_df(spark, sf_dir)
     return dhash_neardup_pairs(image_dhash(media), max_hamming=10)
+
+
+@register(
+    "multimodal_phash_neardups",
+    expected_fixture_sql("multimodal_phash_neardups"),
+    doc="DCT perceptual-hash near-duplicate pairs over the same REAL "
+    "decoded PNGs as the dHash gate: 32x32 grayscale -> orthonormal "
+    "2-D DCT-II -> 8x8 low-frequency block -> median-threshold 64-bit "
+    "code, then the multi-index banded candidate join (per-band "
+    "Hamming-ball probe, radius 8, recall EXACT by pigeonhole) + "
+    "popcount verify.  pHash reads global structure where dHash reads "
+    "local gradients (a uniform brightness shift moves only the DC "
+    "coefficient), so the two gates flag different edit classes.  The "
+    "oracle fixture computes ALL-PAIRS Hamming in independent plain "
+    "NumPy, auditing banding recall directly.  Never all-pairs on the "
+    "Spark side.",
+)
+def multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_phash,
+    )
+
+    media = _real_png_media_df(spark, sf_dir)
+    return dhash_neardup_pairs(
+        image_phash(media), max_hamming=8, hash_col="phash"
+    )

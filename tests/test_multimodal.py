@@ -582,3 +582,72 @@ def test_audio_vad_finds_planted_burst(spark):
     win = frames.reshape(40, 8)
     wrms = np.sqrt(np.mean(win * win, axis=1))
     assert seg.seg_rms == round(float(np.mean(wrms[16:24])), 6)
+
+
+def test_image_phash_brightness_invariance_and_pairs(spark):
+    """pHash over REAL decoded PNGs: a uniform non-clipping brightness
+    shift moves ONLY the DC coefficient, so the hash is IDENTICAL
+    (where dHash merely stays close); an unrelated image is far; the
+    banded pairing over phash recovers the planted pair; non-pixel
+    payloads are excluded."""
+    import numpy as np
+
+    from heparchy_spark.operators.multimodal import (
+        _dct_basis,
+        _phash64,
+        _png_encode,
+        dhash_neardup_pairs,
+        image_phash,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 200, (32, 32, 3)).astype(np.uint8)
+    shifted = (base.astype(np.int16) + 40).astype(np.uint8)  # no clip
+    other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    rows = [
+        (0, bytearray(_png_encode(base))),
+        (1, bytearray(_png_encode(shifted))),
+        (2, bytearray(_png_encode(other))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\x08header-only")),  # not a PNG
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hs = {r.media_id: r for r in image_phash(df).collect()}
+    assert hs[3].decodable is False and hs[3].phash is None
+    # brightness shift: DC-only change -> bit-identical hash
+    assert hs[0].phash == hs[1].phash
+
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((a ^ b) & mask).count("1")
+
+    assert ham(hs[0].phash, hs[2].phash) > 8
+    # the UDF agrees with the direct NumPy pipeline
+    assert hs[0].phash == _phash64(base, _dct_basis(32))
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(
+            image_phash(df), max_hamming=8, hash_col="phash"
+        ).collect()
+    }
+    assert pairs == {(0, 1): 0}
+
+
+def test_phash_banding_recovers_cross_band_spread(spark):
+    """A pair whose differing bits spread across all four bands (the
+    r6 dHash recall bug class) is still recovered at radius 8: two
+    hand-built codes at Hamming 8, 2 bits per band."""
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.operators.multimodal import dhash_neardup_pairs
+
+    a = 0x0123456789ABCDEF
+    flip = 0x0003000300030003  # 2 bits in each 16-bit band
+    b = a ^ flip
+    df = spark.createDataFrame(
+        [(1, a, True), (2, b, True)],
+        "media_id long, phash long, decodable boolean",
+    )
+    got = dhash_neardup_pairs(df, max_hamming=8, hash_col="phash").collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 8)]

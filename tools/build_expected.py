@@ -1085,6 +1085,18 @@ def main() -> None:
         ),
     )
 
+    ph = phash_neardup_rows([d for d, _ in docs])
+    write(
+        "multimodal_phash_neardups",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in ph], pa.int64()),
+                "id_b": pa.array([r[1] for r in ph], pa.int64()),
+                "hamming": pa.array([r[2] for r in ph], pa.int32()),
+            }
+        ),
+    )
+
     # multimodal_resample_audio: WAV frame decimation from generator params
     res = [expected_resample(d, t) for d, t in docs if d % 4 == 2]
     write(
@@ -1234,6 +1246,45 @@ def dhash_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
         bits = (gg[:, :-1] < gg[:, 1:]).astype("uint64")
         weights = np.uint64(1) << np.arange(64, dtype="uint64").reshape(8, 8)
         hashes.append((did, int((bits * weights).sum())))
+    out = []
+    for i in range(len(hashes)):
+        a, ha = hashes[i]
+        for j in range(i + 1, len(hashes)):
+            b, hb = hashes[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return out
+
+
+def phash_neardup_rows(doc_ids, max_hamming=8) -> list[tuple]:
+    """Mirror of queries.multimodal.multimodal_phash_neardups: fixture
+    pixels -> 32x32 nearest-neighbor grayscale -> orthonormal 2-D
+    DCT-II -> 8x8 block, median-of-63-non-DC threshold -> 64-bit code,
+    then ALL-PAIRS Hamming — independent of the Spark side's banded
+    join, so any banding recall loss hash-mismatches."""
+    n32 = np.arange(32, dtype="float64")
+    basis = np.cos(np.pi * (2.0 * n32[None, :] + 1.0) * n32[:, None] / 64.0)
+    basis[0] *= np.sqrt(1.0 / 32.0)
+    basis[1:] *= np.sqrt(2.0 / 32.0)
+    hashes = []
+    for did in sorted(d for d in doc_ids if d % 4 == 0):
+        g = did // 8
+        r = np.arange(16, dtype="int64")[:, None]
+        c = np.arange(16, dtype="int64")[None, :]
+        base = ((g + 1) * 2654435761 * (r * 16 + c + 1)) % 251
+        pix = np.minimum(base + 3 * (did % 8), 255)
+        # three identical channels -> integer channel-mean == pix
+        ys = (np.arange(32) * 16) // 32
+        gg = pix[np.ix_(ys, ys)].astype("float64")
+        co = basis @ gg @ basis.T
+        flat = co[:8, :8].ravel()
+        med = np.median(flat[1:])
+        val = 0
+        for i in range(64):
+            if flat[i] > med:
+                val |= 1 << i
+        hashes.append((did, val))
     out = []
     for i in range(len(hashes)):
         a, ha = hashes[i]
