@@ -214,6 +214,7 @@ HEADLINE = [
     "events_bot_regularity",
     "text_lm_perplexity",
     "multimodal_phash_neardups",
+    "multimodal_audio_spectral",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -45,6 +45,7 @@ __all__ = [
     "image_phash",
     "dhash_neardup_pairs",
     "audio_vad_segments",
+    "audio_spectral_profile",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -1267,4 +1268,107 @@ def audio_vad_segments(
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=VAD_SCHEMA
+    )
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("centroid_bin", T.DoubleType(), False),
+        T.StructField("b0_power", T.DoubleType(), False),
+        T.StructField("b1_power", T.DoubleType(), False),
+        T.StructField("b2_power", T.DoubleType(), False),
+        T.StructField("b3_power", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_spectral_profile(
+    df: DataFrame,
+    window: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frequency-domain audio features over REAL WAV PCM — the
+    first-pass spectral fingerprint of an audio curation pipeline
+    (music/speech/noise separate on band balance and centroid long
+    before a codec model is involved): decode 16-bit PCM, mono-mix the
+    channels, cut non-overlapping ``window``-sample frames, rFFT each,
+    and emit one row per media — mean power in four equal bands of the
+    32 non-DC bins plus the power-weighted mean frequency bin
+    (spectral centroid), all round-6 doubles.  Payloads that aren't
+    parseable 16-bit WAVs, or are shorter than one window, emit no
+    rows.
+
+    Determinism: NumPy float64 with a fixed operation order (rFFT,
+    squared magnitudes, axis means) over exact int16 samples — a
+    plain-Python mirror reproduces it bit-for-bit.  Scale shape: pure
+    Arrow-batched ``mapInPandas`` over the scan, zero shuffles; the
+    FFT cost is O(samples log window) per row, embarrassingly
+    parallel.
+    """
+    n_bins = window // 2  # non-DC rFFT bins
+    band = n_bins // 4
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                buf = bytes(payload or b"")
+                try:
+                    with wave.open(io.BytesIO(buf)) as wv:
+                        ch = wv.getnchannels()
+                        nf = wv.getnframes()
+                        sw = wv.getsampwidth()
+                        data = wv.readframes(nf)
+                except Exception:
+                    continue
+                if sw != 2:
+                    continue
+                fs = ch * 2
+                nf = min(nf, len(data) // fs)
+                n_win = nf // window
+                if n_win == 0:
+                    continue
+                frames = np.frombuffer(
+                    data[: nf * fs], dtype="<i2"
+                ).astype("float64") / 32768.0
+                mono = frames.reshape(nf, ch).mean(axis=1)
+                win = mono[: n_win * window].reshape(n_win, window)
+                spec = np.fft.rfft(win, axis=1)
+                power = (spec.real**2 + spec.imag**2)[:, 1 : n_bins + 1]
+                band_means = [
+                    float(power[:, b * band : (b + 1) * band].mean())
+                    for b in range(4)
+                ]
+                total = float(power.sum())
+                if total > 0.0:
+                    k = np.arange(1, n_bins + 1, dtype="float64")
+                    centroid = float((power * k[None, :]).sum() / total)
+                else:
+                    centroid = 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_windows": n_win,
+                        "centroid_bin": round(centroid, 6),
+                        "b0_power": round(band_means[0], 6),
+                        "b1_power": round(band_means[1], 6),
+                        "b2_power": round(band_means[2], 6),
+                        "b3_power": round(band_means[3], 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_windows", "centroid_bin",
+                    "b0_power", "b1_power", "b2_power", "b3_power",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=SPECTRAL_SCHEMA
     )

@@ -410,3 +410,23 @@ def multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(
         image_phash(media), max_hamming=8, hash_col="phash"
     )
+
+
+@register(
+    "multimodal_audio_spectral",
+    expected_fixture_sql("multimodal_audio_spectral"),
+    doc="Frequency-domain audio profile over the REAL WAV payloads: "
+    "mono-mixed 16-bit PCM cut into 64-sample windows, rFFT per "
+    "window, mean power in four equal bands of the 32 non-DC bins + "
+    "the power-weighted mean frequency bin (spectral centroid) — the "
+    "first-pass spectral fingerprint an audio curation pipeline "
+    "separates music/speech/noise on.  Pure Arrow-batched mapInPandas "
+    "over the scan, zero shuffles.  Oracle fixture mirrors the exact "
+    "NumPy float64 pipeline from the generator parameters in plain "
+    "Python (operators/multimodal.py audio_spectral_profile).",
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.multimodal import audio_spectral_profile
+
+    media = _media_df(spark, sf_dir).where(F.col("kind") == "audio")
+    return audio_spectral_profile(media, window=64)

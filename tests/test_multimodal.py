@@ -651,3 +651,56 @@ def test_phash_banding_recovers_cross_band_spread(spark):
     )
     got = dhash_neardup_pairs(df, max_hamming=8, hash_col="phash").collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 8)]
+
+
+def test_audio_spectral_profile_planted_tone(spark):
+    """A pure tone at rFFT bin 4 of a 64-sample window concentrates all
+    power in band 0 and puts the centroid exactly at 4.0; a bin-20
+    tone lands in band 2 with centroid 20.0; short or non-WAV payloads
+    emit no rows; a stereo payload mono-mixes before the FFT."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from heparchy_spark.operators.multimodal import audio_spectral_profile
+
+    def wav(samples: np.ndarray, channels: int = 1) -> bytes:
+        out = io.BytesIO()
+        with wave.open(out, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return out.getvalue()
+
+    t = np.arange(256, dtype="float64")
+    low = (10000 * np.sin(2 * np.pi * 4 * t / 64)).astype(np.int64)
+    high = (10000 * np.sin(2 * np.pi * 20 * t / 64)).astype(np.int64)
+    # stereo: left = tone, right = -tone -> mono mix is silence
+    stereo = np.empty(512, dtype=np.int64)
+    stereo[0::2] = low
+    stereo[1::2] = -low
+    rows = [
+        (0, bytearray(wav(low))),
+        (1, bytearray(wav(high))),
+        (2, bytearray(wav(low[:32]))),      # shorter than one window
+        (3, bytearray(b"not a wav")),
+        (4, bytearray(wav(stereo, channels=2))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in audio_spectral_profile(df, window=64).collect()}
+    assert set(got) == {0, 1, 4}
+    assert got[0].n_windows == 4 and got[1].n_windows == 4
+    # bin 4 lives in band 0 (bins 1-8); bin 20 in band 2 (bins 17-24)
+    assert got[0].b0_power > 1000 * max(
+        got[0].b1_power, got[0].b2_power, got[0].b3_power
+    )
+    assert got[1].b2_power > 1000 * max(
+        got[1].b0_power, got[1].b1_power, got[1].b3_power
+    )
+    assert abs(got[0].centroid_bin - 4.0) < 1e-6
+    assert abs(got[1].centroid_bin - 20.0) < 1e-6
+    # anti-phase stereo mono-mixes to (near-)silence: centroid from the
+    # rounding residue only, all band powers ~0
+    assert got[4].b0_power < 1e-6 and got[4].b2_power < 1e-6

@@ -345,6 +345,48 @@ def vad_rows(doc_id: int, text: str | None, frame_len: int = 8) -> list[tuple]:
     return rows
 
 
+def spectral_rows(doc_id: int, text: str | None, window: int = 64) -> tuple | None:
+    """Mirror of operators/multimodal.audio_spectral_profile on the
+    generator's WAV params: PCM16 = text bytes, channels 1+id%2;
+    identical NumPy float64 mono-mix, rFFT window power, four band
+    means + power-weighted centroid bin, round 6."""
+    body = (text or "").encode("utf-8")
+    channels = 1 + doc_id % 2
+    fs = channels * 2
+    nf = len(body) // fs
+    n_win = nf // window
+    if n_win == 0:
+        return None
+    frames = (
+        np.frombuffer(body[: nf * fs], dtype="<i2").astype("float64")
+        / 32768.0
+    )
+    mono = frames.reshape(nf, channels).mean(axis=1)
+    win = mono[: n_win * window].reshape(n_win, window)
+    spec = np.fft.rfft(win, axis=1)
+    n_bins = window // 2
+    band = n_bins // 4
+    power = (spec.real**2 + spec.imag**2)[:, 1 : n_bins + 1]
+    band_means = [
+        float(power[:, b * band : (b + 1) * band].mean()) for b in range(4)
+    ]
+    total = float(power.sum())
+    if total > 0.0:
+        k = np.arange(1, n_bins + 1, dtype="float64")
+        centroid = float((power * k[None, :]).sum() / total)
+    else:
+        centroid = 0.0
+    return (
+        doc_id,
+        n_win,
+        round(centroid, 6),
+        round(band_means[0], 6),
+        round(band_means[1], 6),
+        round(band_means[2], 6),
+        round(band_means[3], 6),
+    )
+
+
 def frame_rows(
     media_id: int, buf: bytes, every_n: int = 8
 ) -> list[tuple[int, int, int]]:
@@ -731,6 +773,28 @@ def main() -> None:
                 "start_window": pa.array([r[2] for r in vr], pa.int32()),
                 "n_windows": pa.array([r[3] for r in vr], pa.int32()),
                 "seg_rms": pa.array([r[4] for r in vr], pa.float64()),
+            }
+        ),
+    )
+
+    sp = [
+        row
+        for row in (
+            spectral_rows(did, text) for did, text in docs if did % 4 == 2
+        )
+        if row is not None
+    ]
+    write(
+        "multimodal_audio_spectral",
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in sp], pa.int64()),
+                "n_windows": pa.array([r[1] for r in sp], pa.int32()),
+                "centroid_bin": pa.array([r[2] for r in sp], pa.float64()),
+                "b0_power": pa.array([r[3] for r in sp], pa.float64()),
+                "b1_power": pa.array([r[4] for r in sp], pa.float64()),
+                "b2_power": pa.array([r[5] for r in sp], pa.float64()),
+                "b3_power": pa.array([r[6] for r in sp], pa.float64()),
             }
         ),
     )
