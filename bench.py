@@ -215,6 +215,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "multimodal_phash_neardups",
     "multimodal_audio_spectral",
+    "similarity_pq_recall_at_k",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

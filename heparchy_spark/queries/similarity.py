@@ -1432,3 +1432,78 @@ def similarity_binary_multiword_topk(
         F.col("hamming").cast("long").alias("hamming"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "similarity_pq_recall_at_k",
+    expected_fixture_sql("similarity_pq_recall_at_k"),
+    doc="Compression-quality audit for the PQ index — recall@10 of ADC "
+    "top-10 against exact brute-force squared-L2 top-10 for the 5 "
+    "query vectors: the eval that tells you whether m=8 subspaces x "
+    "16 codes preserve enough geometry to serve, the same way "
+    "similarity_ivf_recall_at_k audits the IVF routing.  Exact side = "
+    "broadcast-query scan + sequential-fold squared distance + "
+    "per-query WindowGroupLimit top-10; hit count = one left-semi "
+    "join; recall = int/int.  Oracle = plain-NumPy mirror of BOTH "
+    "pipelines.",
+    expects_bnlj=True,  # 5-row broadcast query batch crossJoin
+)
+def similarity_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, "embedding", m=8, n_codes=16, sample_size=2000, iters=4, seed=7,
+        order_col="vec_id",
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = pq_adc_topk(
+        emb, "embedding", "vec_id", queries, "embedding", "vec_id", books, k=10
+    ).select("query_id", "match_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("__q"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("match_id"), F.col("embedding").alias("__v")
+        )
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "match_id", l2sq.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("match_id")
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "match_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "match_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("k_exact")
+            ).alias("recall_at_k"),
+        )
+    )

