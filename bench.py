@@ -216,6 +216,7 @@ HEADLINE = [
     "multimodal_phash_neardups",
     "multimodal_audio_spectral",
     "similarity_pq_recall_at_k",
+    "text_ngram_novelty",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -41,6 +41,7 @@ __all__ = [
     "unigram_lm_train",
     "unigram_encode_counts",
     "lm_perplexity",
+    "ngram_novelty",
     "rouge_l_pairs",
 ]
 
@@ -1419,5 +1420,67 @@ def lm_perplexity(
                 / F.col("n_tokens").cast("double"),
                 6,
             ).alias("nats_per_token"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document n-gram novelty — the inverse curation signal of
+    the duplicated-span detector: per document, the fraction of its
+    DISTINCT token ``n``-grams that occur in no other document.  Low
+    novelty flags boilerplate/template mass the corpus already carries
+    many times (navigation chrome, license blocks, mirrored articles);
+    high novelty marks content that actually adds information.  Output
+    (id, n_grams, n_novel, novelty) for documents with at least ``n``
+    normalized tokens; ``novelty`` is one exact int/int division
+    (IEEE-identical across engines, no rounding grid needed).
+
+    Scale shape: ONE exploded gram stream (the text is read and
+    exploded once — a groupBy-df + join-back form would recompute the
+    explode on both join sides) to a (doc, gram) DISTINCT (shuffle 1),
+    the gram document-frequency as a whole-partition window count over
+    the gram key (shuffle 2 — no ordering, no join), and the final
+    per-doc rollup (shuffle 3).  Gram strings never leave the exchange
+    pipeline — no driver collects, no bounded-table assumption.
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__a"),
+    ).where(F.size("__a") >= n)
+    grams = toks.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__a") - (n - 1)),
+                lambda i: F.array_join(F.slice("__a", i, n), " "),
+            )
+        ).alias("g"),
+    ).distinct()
+    with_df = grams.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return (
+        with_df.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
         )
     )

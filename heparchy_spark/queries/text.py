@@ -1533,3 +1533,44 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in unigram_lm_train(docs, "text", "doc_id").collect()
     ]
     return lm_perplexity(docs, "text", "doc_id", vocab)
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS a FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(a[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(a) - 4)) AS t(i)
+      WHERE len(a) >= 5
+    ), gdf AS (
+      SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM grams JOIN gdf USING (g)
+    GROUP BY grams.doc_id
+    """,
+    doc="Cross-document 5-gram novelty — the inverse of the "
+    "duplicated-span detector: per doc, the fraction of its DISTINCT "
+    "token 5-grams occurring in no other document.  Low novelty flags "
+    "boilerplate/template mass (navigation chrome, license blocks) "
+    "the corpus already carries; the signal a curation pipeline reads "
+    "BESIDE near-dup pairs, because templated text duplicates at the "
+    "span level without whole documents pairing up.  One exploded "
+    "gram DISTINCT, one map-combinable document-frequency aggregate, "
+    "one co-partitioned gram join back, one per-doc rollup; novelty "
+    "is a single exact int/int division (IEEE-identical across "
+    "engines, no rounding grid).  Full SQL oracle (operators/text.py "
+    "ngram_novelty).",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", n=5)

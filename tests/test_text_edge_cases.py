@@ -790,3 +790,28 @@ def test_lm_perplexity_scores_fallback_and_totals(spark):
     assert got[3].n_tokens == 2 + 1
     # monotone: the OOV doc is the worst-modeled per token
     assert got[2].nats_per_token > got[1].nats_per_token
+
+
+def test_ngram_novelty_planted_boilerplate(spark):
+    """Two docs sharing a long template plus unique tails: shared
+    5-grams score df=2 (not novel), unique tails score novel; a doc
+    with fewer than 5 tokens emits no row; a fully-unique doc scores
+    novelty 1.0."""
+    from heparchy_spark.operators.text import ngram_novelty
+
+    template = "this is the standard footer text of every page"
+    rows = [
+        (1, template + " alpha beta gamma delta epsilon"),
+        (2, template + " zeta eta theta iota kappa"),
+        (3, "completely different words appear only here once more"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3].novelty == 1.0
+    # doc 1: 14 tokens -> 10 grams; the 5 grams fully inside the
+    # 9-token template occur in doc 2 as well -> exactly 5 novel
+    assert got[1].n_grams == 10 and got[1].n_novel == 5
+    assert got[1].novelty == 0.5
+    assert got[2].novelty == 0.5
