@@ -21,7 +21,9 @@ from heparchy_spark.streaming.analytics import (
     sliding_user_counts,
     streaming_count_min,
     streaming_frequent_items,
+    rate_limit_batch,
     streaming_funnel,
+    streaming_rate_limit,
     streaming_scd2,
     windowed_token_counts,
     tumbling_counts,
@@ -43,6 +45,8 @@ __all__ = [
     "streaming_count_min",
     "streaming_frequent_items",
     "streaming_funnel",
+    "streaming_rate_limit",
+    "rate_limit_batch",
     "streaming_scd2",
     "windowed_token_counts",
     "read_event_stream",

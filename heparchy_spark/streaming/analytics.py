@@ -748,3 +748,130 @@ def wasserstein_from_histogram(
         )
         .orderBy("window_start")
     )
+
+
+_RATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+_RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens_micro", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _rate_limit_fold(
+    rows: pd.DataFrame,
+    tokens_micro: int,
+    last_us: int,
+    capacity: int,
+    rate: int,
+) -> tuple[pd.DataFrame, int, int]:
+    """Shared token-bucket fold over (ts, event_id)-sorted events —
+    EXACT integer micro-token accounting (1 token = 1e6 micro-tokens;
+    refill = elapsed_us * rate is exact for integer tokens/second), so
+    the streaming operator and its batch twin can never drift."""
+    cap_micro = capacity * 1_000_000
+    admitted = []
+    for ts in rows["ts"]:
+        ts_us = int(pd.Timestamp(ts).value) // 1000
+        if ts_us > last_us:
+            tokens_micro = min(
+                cap_micro, tokens_micro + (ts_us - last_us) * rate
+            )
+            last_us = ts_us
+        if tokens_micro >= 1_000_000:
+            tokens_micro -= 1_000_000
+            admitted.append(True)
+        else:
+            admitted.append(False)
+    out = pd.DataFrame(
+        {
+            "user_id": rows["user_id"].values,
+            "event_id": rows["event_id"].values,
+            "ts": rows["ts"].values,
+            "admitted": admitted,
+        }
+    )
+    return out, tokens_micro, last_us
+
+
+def streaming_rate_limit(
+    events: DataFrame,
+    capacity: int = 5,
+    rate: int = 1,
+) -> DataFrame:
+    """Per-user token-bucket admission control in the state store — the
+    ingest-side rate limiter a multi-tenant pipeline puts in front of
+    expensive downstream stages (bot bursts drain their own bucket
+    instead of the cluster): each user holds a bucket of ``capacity``
+    tokens refilling at ``rate`` tokens/second of EVENT time; an event
+    is admitted iff a full token is available, and every event is
+    emitted with its verdict (user_id, event_id, ts, admitted) so drops
+    are observable, not silent.
+
+    Exactness contract: integer micro-token accounting (refill =
+    elapsed_us x rate — exact, no float drift), matching the batch twin
+    (:func:`rate_limit_batch`) whenever events arrive in event-time
+    order ACROSS micro-batches (in-batch disorder is sorted away on
+    (ts, event_id) like the funnel/SCD2 family).  State is two longs
+    per user — O(active users); the bucket refills from event time, so
+    quiet users cost nothing.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
+    ) -> ty.Iterator[pd.DataFrame]:
+        tokens_micro, last_us = (
+            state.get if state.exists else (capacity * 1_000_000, 0)
+        )
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+            out, tokens_micro, last_us = _rate_limit_fold(
+                rows, tokens_micro, last_us, capacity, rate
+            )
+            yield out
+        state.update((tokens_micro, last_us))
+
+    return events.select("user_id", "event_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_RATE_OUT_SCHEMA,
+        stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def rate_limit_batch(
+    events: DataFrame,
+    capacity: int = 5,
+    rate: int = 1,
+) -> DataFrame:
+    """Batch twin of :func:`streaming_rate_limit`: the same integer
+    token-bucket fold per user over the (ts, event_id)-sorted history —
+    one shuffle on user_id, Arrow-batched per-group apply (the bucket
+    recursion is inherently sequential per key; keys fan out across
+    executors)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.sort_values(["ts", "event_id"])
+        out, _t, _l = _rate_limit_fold(
+            rows, capacity * 1_000_000, 0, capacity, rate
+        )
+        return out
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(run, schema=_RATE_OUT_SCHEMA)
+    )

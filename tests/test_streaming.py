@@ -1042,3 +1042,63 @@ def test_streaming_frequent_items_matches_mirror(spark, landing):
     for (g, it), t in true_counts.items():
         if t > n_per_group[g] / (k + 1):
             assert (g, it) in want, (g, it, t)
+
+
+def test_streaming_rate_limit_matches_batch(spark, landing):
+    """Per-user token-bucket admission across micro-batches (append
+    mode: one verdict row per event) must equal the batch twin's fold
+    over the full history — exact integer micro-token accounting means
+    equality is bitwise, not approximate."""
+    from heparchy_spark.streaming import (
+        rate_limit_batch,
+        read_event_stream,
+        streaming_rate_limit,
+    )
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(
+        streaming_rate_limit(stream, capacity=3, rate=1), "t_rate", "append"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["ts"], r["admitted"])
+        for r in spark.sql("select * from t_rate").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        r["event_id"]: (r["user_id"], r["ts"], r["admitted"])
+        for r in rate_limit_batch(ev, capacity=3, rate=1).collect()
+    }
+    assert got == want
+    # every event got exactly one verdict (denials are exercised by the
+    # hand case below — sf0.001 traffic is too sparse to throttle at 1/s)
+    assert len(got) == ev.count()
+
+
+def test_rate_limit_bucket_semantics(spark):
+    """Hand case: a same-timestamp burst of capacity+2 admits exactly
+    capacity events (event_id order), a 1-second gap refills exactly
+    one token at rate=1, and a 10-minute gap caps at capacity."""
+    import datetime as dt
+
+    from heparchy_spark.streaming import rate_limit_batch
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, 7, t0) for i in range(5)]                 # burst of 5, cap 3
+    rows.append((5, 7, t0 + dt.timedelta(seconds=1)))     # +1 token
+    rows.append((6, 7, t0 + dt.timedelta(seconds=1)))     # bucket dry again
+    rows.append((7, 7, t0 + dt.timedelta(minutes=10)))    # refill caps at 3
+    rows.append((8, 7, t0 + dt.timedelta(minutes=10)))
+    rows.append((9, 7, t0 + dt.timedelta(minutes=10)))
+    rows.append((10, 7, t0 + dt.timedelta(minutes=10)))   # 4th: denied
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r.event_id: r.admitted
+        for r in rate_limit_batch(df, capacity=3, rate=1).collect()
+    }
+    assert [got[i] for i in range(11)] == [
+        True, True, True, False, False,   # burst: first 3 admitted
+        True, False,                      # one refilled token
+        True, True, True, False,          # capped refill: 3 tokens
+    ]
