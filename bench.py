@@ -217,6 +217,7 @@ HEADLINE = [
     "multimodal_audio_spectral",
     "similarity_pq_recall_at_k",
     "text_ngram_novelty",
+    "orders_rfm_segments",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

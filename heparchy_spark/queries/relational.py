@@ -1967,3 +1967,80 @@ def agg_moments_skew_kurtosis(
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "orders_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           6 - NTILE(5) OVER (ORDER BY recency_days, c_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary, c_custkey) AS m_score,
+           CAST(6 - NTILE(5) OVER (ORDER BY recency_days, c_custkey)
+                AS VARCHAR)
+           || CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS VARCHAR)
+           || CAST(NTILE(5) OVER (ORDER BY monetary, c_custkey) AS VARCHAR)
+             AS rfm_code
+    FROM base
+    """,
+    doc="RFM customer segmentation — the classic curation of a customer "
+    "base (recency since last order vs the corpus max date, order "
+    "frequency, exact-decimal monetary total) quintile-scored by three "
+    "NTILE(5) windows with (metric, c_custkey) total orders so ties "
+    "are deterministic; r_score inverts (recent = 5).  One combinable "
+    "per-customer aggregate, then the bounded customer frame pays "
+    "three single-partition windows — the documented scale swap is "
+    "approx-percentile bucket edges broadcast back (the equi-depth "
+    "histogram pattern) once the customer dimension outgrows one "
+    "partition.  Full SQL oracle.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # ONE combinable fact-table aggregate; the global max-date then
+    # rides a window over the BOUNDED customer frame (max of per-
+    # customer maxes == corpus max), never a fact-table-wide window
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    base = per_cust.select(
+        "c_custkey",
+        F.datediff(
+            F.max("__last").over(Window.partitionBy()), F.col("__last")
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy("frequency", "c_custkey")
+    wm = Window.orderBy("monetary", "c_custkey")
+    r = (F.lit(6) - F.ntile(5).over(wr)).alias("r_score")
+    f_ = F.ntile(5).over(wf).alias("f_score")
+    m = F.ntile(5).over(wm).alias("m_score")
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r,
+        f_,
+        m,
+        F.concat(
+            (F.lit(6) - F.ntile(5).over(wr)).cast("string"),
+            F.ntile(5).over(wf).cast("string"),
+            F.ntile(5).over(wm).cast("string"),
+        ).alias("rfm_code"),
+    )
