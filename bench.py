@@ -218,6 +218,7 @@ HEADLINE = [
     "similarity_pq_recall_at_k",
     "text_ngram_novelty",
     "orders_rfm_segments",
+    "graph_degree_assortativity",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -827,3 +827,68 @@ def link_prediction_jaccard(
         .where(F.col("rank") <= k)
         .select("src", "dst", "n_common", "jaccard", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002): the
+    Pearson correlation of (deg(u), deg(v)) over the DIRECTED edge list
+    (each undirected edge counted both ways — the standard convention,
+    making the two marginals identical).  Positive r = hubs link hubs
+    (social cores), negative = hub-and-spoke (infrastructure); the
+    one-number structural health check beside the clustering
+    coefficient.
+
+    Determinism: degrees are exact integers, so the five moment sums
+    accumulate in DECIMAL(38,0) (order-free, overflow-safe at any edge
+    count); r is ONE shared double expression over their double casts —
+    identical literal algebra in the SQL oracle, round 6.  Scale shape:
+    one degree aggregate (map-combinable), two degree joins shuffled on
+    the endpoint keys, one global 1-row aggregate.
+
+    Input must already be the deduplicated src < dst undirected form.
+    """
+    both = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    deg = both.groupBy(F.col(src).alias("__n")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    paired = (
+        both.join(deg.withColumnRenamed("__n", src), src)
+        .withColumnRenamed("__deg", "__dx")
+        .join(
+            deg.select(
+                F.col("__n").alias(dst), F.col("__deg").alias("__dy")
+            ),
+            dst,
+        )
+    )
+    dec = "decimal(38,0)"
+    sums = paired.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("__dx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__dy").cast(dec)).alias("__sy"),
+        F.sum((F.col("__dx") * F.col("__dy")).cast(dec)).alias("__sxy"),
+        F.sum((F.col("__dx") * F.col("__dx")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__dy") * F.col("__dy")).cast(dec)).alias("__syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
+        )
+        + 0.0,
+    ).otherwise(F.lit(0.0))
+    return sums.select("n_edges", r.alias("assortativity"))

@@ -941,3 +941,78 @@ def graph_link_prediction_jaccard(
 
     li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
     return link_prediction_jaccard(li, "l_partkey", "l_suppkey", k=20)
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= 49
+    ), e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM supply a JOIN supply b ON a.l_partkey = b.l_partkey
+      WHERE a.l_suppkey < b.l_suppkey
+    ), both_dir AS (
+      SELECT src, dst FROM e
+      UNION ALL SELECT dst AS src, src AS dst FROM e
+    ), deg AS (
+      SELECT src AS n, COUNT(*) AS d FROM both_dir GROUP BY src
+    ), paired AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM both_dir b JOIN deg dx ON b.src = dx.n
+                      JOIN deg dy ON b.dst = dy.n
+    ), sums AS (
+      SELECT COUNT(*) AS n_edges,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+      FROM paired
+    )
+    SELECT n_edges,
+           CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ROUND((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6) + 0.0
+                ELSE 0.0 END AS assortativity
+    FROM sums
+    """,
+    doc="Degree assortativity (Newman 2002) of the co-supplier graph: "
+    "Pearson r of (deg(u), deg(v)) over the directed edge list (each "
+    "undirected edge both ways) — hubs-link-hubs vs hub-and-spoke as "
+    "ONE number beside the clustering coefficient.  Degrees are exact "
+    "ints, the five moment sums accumulate in DECIMAL(38,0) "
+    "(order-free at any edge count), r is one shared double "
+    "expression round 6 (+0.0 normalizes IEEE -0.0).  One "
+    "map-combinable degree aggregate, two endpoint-keyed joins, one "
+    "1-row rollup.  Full SQL oracle.",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.graph import degree_assortativity
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    a = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src")
+    )
+    b = supply.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return degree_assortativity(edges)

@@ -296,3 +296,29 @@ def test_no_broadcast_hint_on_unbounded_frames():
         assert "F.broadcast" not in src, (
             f"{fn.__name__} broadcasts the unbounded distinct-word frame"
         )
+
+
+def test_degree_assortativity_signs(spark):
+    """A star graph is maximally disassortative (r = -1); a clean
+    two-clique graph is assortative-degenerate (all degrees equal ->
+    zero variance -> defined 0.0); a path of 4 nodes is negative."""
+    from heparchy_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edges == 10 and abs(r.assortativity + 1.0) < 1e-9
+
+    cliques = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    r2 = degree_assortativity(cliques).collect()[0]
+    assert r2.assortativity == 0.0  # all degrees 2: zero variance
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    r3 = degree_assortativity(path).collect()[0]
+    assert r3.assortativity < 0.0
