@@ -219,6 +219,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "orders_rfm_segments",
     "graph_degree_assortativity",
+    "dedup_winnowing_pairs",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -21,6 +21,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     "compression_signals",
     "fingerprint_df",
     "text_profile",
@@ -1482,5 +1483,76 @@ def ngram_novelty(
                 F.col("n_novel").cast("double")
                 / F.col("n_grams").cast("double")
             ).alias("novelty"),
+        )
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """MOSS-style local-overlap pairs from winnowing fingerprints
+    (Schleimer et al. 2003, §5 "ranking matches"): document pairs
+    sharing at least ``min_shared`` fingerprints, with the shared count
+    and the containment-style ratio shared / min(|fp_a|, |fp_b|).
+    Winnowing's guarantee makes this a LOCAL-match detector — two docs
+    sharing any k+window-1-token run pair up here even when their
+    global MinHash similarity is negligible (the quote/excerpt case).
+
+    Fingerprints with document frequency above ``max_df`` are dropped
+    before pairing — MOSS's "noise" rule, and the skew guard: a
+    boilerplate fingerprint shared by f documents would otherwise emit
+    O(f^2) candidate rows in its hash bucket.  The drop is BEFORE the
+    per-pair count, so ``shared_fps`` counts discriminative
+    fingerprints only (sizes count them consistently).
+
+    Scale shape: fingerprints (one id-shuffle), document frequency +
+    per-doc sizes (map-combinable aggregates), the fingerprint-keyed
+    self-join (bucket fan-out bounded by max_df), one (a, b) rollup,
+    two bounded size joins.  Ratio = int/int + least() — exact.
+    """
+    fps = winnowing_fingerprints(df, text_col, id_col, k=k, window=window)
+    keep = fps.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    ).where(F.col("__df") <= max_df)
+    sizes = keep.groupBy(F.col("doc_id").alias("__d")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    a, b = keep.alias("a"), keep.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("__d").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__d").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            (
+                F.col("shared_fps").cast("double")
+                / F.least("__na", "__nb").cast("double")
+            ).alias("overlap"),
         )
     )

@@ -1043,3 +1043,27 @@ def dedup_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5,
     )
     return rouge_l_pairs(docs, pairs, "text", "doc_id")
+
+
+@register(
+    "dedup_winnowing_pairs",
+    expected_fixture_sql("dedup_winnowing_pairs"),
+    doc="MOSS-style local-overlap pairs from winnowing fingerprints "
+    "(Schleimer et al. 2003): doc pairs sharing >= 2 fingerprints "
+    "after dropping fingerprints with document frequency > 100 (the "
+    "MOSS noise rule AND the skew guard — a boilerplate fingerprint "
+    "would emit O(df^2) candidates in its bucket), with the shared "
+    "count and shared/min(|fp_a|, |fp_b|) containment ratio.  Catches "
+    "quote/excerpt overlap MinHash's global similarity dilutes away.  "
+    "Fingerprint self-join bounded by max_df; ratio is exact "
+    "int/int + least().  Oracle = plain-Python mirror over the "
+    "independently recomputed fingerprints, precomputed "
+    "(operators/text.py winnowing_overlap_pairs).",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import winnowing_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(
+        docs, "text", "doc_id", min_shared=2, max_df=100
+    )

@@ -815,3 +815,39 @@ def test_ngram_novelty_planted_boilerplate(spark):
     assert got[1].n_grams == 10 and got[1].n_novel == 5
     assert got[1].novelty == 0.5
     assert got[2].novelty == 0.5
+
+
+def test_winnowing_overlap_pairs_catches_local_excerpt(spark):
+    """A long quote embedded in an otherwise-unrelated host document
+    pairs with its source (local overlap), unrelated docs do not, and
+    a fingerprint common to > max_df docs stops contributing."""
+    from heparchy_spark.operators.text import winnowing_overlap_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog every day"
+    rows = [
+        (1, "source article " + quote + " with original commentary after"),
+        (2, "completely separate host text then " + quote + " then more"),
+        (3, "nothing in common with either document at all honestly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): (r.shared_fps, r.overlap)
+        for r in winnowing_overlap_pairs(
+            df, "text", "doc_id", min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    s, ov = pairs[(1, 2)]
+    assert s >= 2 and 0.0 < ov <= 1.0
+    assert all(3 not in p for p in pairs)
+
+    # max_df guard: the same quote in 3 docs with max_df=2 drops its
+    # fingerprints entirely -> no pair survives min_shared
+    df3 = spark.createDataFrame(
+        [(i, "host %d text " % i + quote) for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = winnowing_overlap_pairs(
+        df3, "text", "doc_id", min_shared=2, max_df=2
+    ).collect()
+    assert got == []

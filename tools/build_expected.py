@@ -132,6 +132,35 @@ def winnowing_rows(
     return sorted(out)
 
 
+def winnowing_pairs_rows(
+    docs, k: int = 3, window: int = 4, min_shared: int = 2, max_df: int = 100
+) -> list[tuple]:
+    """Mirror of operators.text.winnowing_overlap_pairs over the
+    winnowing_rows fingerprints: drop fingerprints with document
+    frequency > max_df, count shared fingerprints per (a < b) pair,
+    keep >= min_shared, ratio = shared / min(|fp_a|, |fp_b|)."""
+    from collections import Counter, defaultdict
+
+    fps = winnowing_rows(docs, k=k, window=window)
+    df_count = Counter(fp for _d, fp in fps)
+    kept = [(d, fp) for d, fp in fps if df_count[fp] <= max_df]
+    sizes = Counter(d for d, _fp in kept)
+    by_fp = defaultdict(list)
+    for d, fp in kept:
+        by_fp[fp].append(d)
+    shared: Counter = Counter()
+    for fp, ds in by_fp.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    out = []
+    for (a, b), s in sorted(shared.items()):
+        if s >= min_shared:
+            out.append((a, b, s, s / min(sizes[a], sizes[b])))
+    return out
+
+
 def minhash_pairs(
     docs: list[tuple[int, str | None]],
     num_perm: int = 64,
@@ -964,6 +993,19 @@ def main() -> None:
             {
                 "doc_id": pa.array([d for d, _ in wf], pa.int64()),
                 "fingerprint": pa.array([f for _, f in wf], pa.int64()),
+            }
+        ),
+    )
+
+    wp = winnowing_pairs_rows(docs)
+    write(
+        "dedup_winnowing_pairs",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in wp], pa.int64()),
+                "id_b": pa.array([r[1] for r in wp], pa.int64()),
+                "shared_fps": pa.array([r[2] for r in wp], pa.int64()),
+                "overlap": pa.array([r[3] for r in wp], pa.float64()),
             }
         ),
     )
