@@ -220,6 +220,7 @@ HEADLINE = [
     "orders_rfm_segments",
     "graph_degree_assortativity",
     "dedup_winnowing_pairs",
+    "events_markov_entropy",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

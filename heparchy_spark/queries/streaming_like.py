@@ -738,3 +738,80 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(cv, 6) + F.lit(0.0)).alias("cv_gap"),
         (cv < 0.1).alias("bot_like"),
     )
+
+
+@register(
+    "events_markov_entropy",
+    """
+    WITH tr AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_type AS cur
+      FROM events
+    ),
+    cnt AS (
+      SELECT user_id, prev, cur, COUNT(*) AS cij
+      FROM tr WHERE prev IS NOT NULL
+      GROUP BY user_id, prev, cur
+    ),
+    marg AS (
+      SELECT user_id, prev, cur, cij,
+             SUM(cij) OVER (PARTITION BY user_id, prev) AS ci,
+             SUM(cij) OVER (PARTITION BY user_id) AS n
+      FROM cnt
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_transitions,
+           ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(cij AS DOUBLE) / CAST(n AS DOUBLE))
+               * ROUND(LN(CAST(cij AS DOUBLE) / CAST(ci AS DOUBLE)), 8),
+             10) AS DECIMAL(38,10))) AS DOUBLE), 6) + 0.0
+             AS entropy_rate
+    FROM marg GROUP BY user_id
+    """,
+    doc="Per-user Markov entropy rate — behavioral predictability "
+    "beside the inter-arrival cv screen: transition counts between "
+    "consecutive event types (one lag window on the (user, ts, "
+    "event_id) sort the sessionizer already pays), entropy "
+    "H = -sum (cij/n) ln(cij/ci) over the user's transition matrix.  "
+    "Zero = fully scripted next-event behavior (another bot "
+    "signature), high = diverse organic use.  Determinism: counts are "
+    "exact ints, both probability ratios are single int/int divisions "
+    "(IEEE-identical), LN is rounded to 8 dp (cross-engine libm ULP "
+    "guard), each term rounds to 10 dp into a DECIMAL(38,10) sum — "
+    "order-free — and the final double rounds to 6 (+0.0 normalizes "
+    "-0.0).  One grouped aggregate + two windows riding the user "
+    "partitioning.  Full SQL oracle.",
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).where(F.col("prev").isNotNull())
+    cnt = tr.groupBy("user_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("cij")
+    )
+    marg = cnt.select(
+        "user_id",
+        "cij",
+        F.sum("cij").over(Window.partitionBy("user_id", "prev")).alias("ci"),
+        F.sum("cij").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    term = F.round(
+        -(F.col("cij").cast("double") / F.col("n").cast("double"))
+        * F.round(
+            F.log(F.col("cij").cast("double") / F.col("ci").cast("double")),
+            8,
+        ),
+        10,
+    ).cast("decimal(38,10)")
+    return marg.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        (F.round(F.sum(term).cast("double"), 6) + 0.0).alias(
+            "entropy_rate"
+        ),
+    )

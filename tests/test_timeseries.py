@@ -238,3 +238,44 @@ def test_ewma_constant_step_and_first_row(spark):
     assert all(b > a for a, b in zip(post, post[1:]))  # monotone approach
     assert all(5.0 < v < 9.0 for v in post[:5])  # lags behind the level
     assert post[-1] > 8.5  # converges
+
+
+def test_markov_entropy_extremes(spark):
+    """A strictly-cycling user has entropy 0 (every transition
+    deterministic); a user alternating unpredictably between two next
+    states from one state approaches ln 2 per transition; single-event
+    users emit no row."""
+    import datetime as dt
+    import math
+
+    from heparchy_spark.queries.streaming_like import events_markov_entropy
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1: a b a b a b ... -> transitions a->b, b->a only
+    for i, et in enumerate(["a", "b"] * 6):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 1, et, 0.0, "{}"))
+    # user 2: from 'a' go to b, c, b, c ... (each a->X 50/50), X->a always
+    seq = ["a", "b", "a", "c", "a", "b", "a", "c", "a"]
+    for i, et in enumerate(seq):
+        rows.append((200 + i, t0 + dt.timedelta(minutes=i), 2, et, 0.0, "{}"))
+    # user 3: one event, no transitions
+    rows.append((300, t0, 3, "a", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        got = {
+            r.user_id: r
+            for r in events_markov_entropy(spark, d).collect()
+        }
+    assert set(got) == {1, 2}
+    assert got[1].entropy_rate == 0.0
+    # user 2: 8 transitions, a->b 2, a->c 2 (ci=4), b->a 2, c->a 2
+    # H = -(2/8 ln .5)*2 - 0 - 0 = .5 ln 2
+    assert abs(got[2].entropy_rate - 0.5 * math.log(2)) < 1e-6
