@@ -221,6 +221,7 @@ HEADLINE = [
     "graph_degree_assortativity",
     "dedup_winnowing_pairs",
     "events_markov_entropy",
+    "similarity_cluster_purity",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

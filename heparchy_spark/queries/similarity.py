@@ -1507,3 +1507,54 @@ def similarity_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "similarity_cluster_purity",
+    expected_fixture_sql("similarity_cluster_purity"),
+    doc="Clustering-quality audit for the distributed k-means — the "
+    "label-agreement eval beside the IVF/PQ recall audits: per "
+    "cluster, member count, the majority label (ties to the "
+    "lexicographically smaller label) and its share, plus how much of "
+    "the corpus the cluster holds.  Purity says whether unsupervised "
+    "structure tracks the labeled structure before anyone trusts the "
+    "clusters for curation buckets.  Assignment is the deterministic "
+    "kmeans trajectory (similarity_kmeans_assign); the rollup is one "
+    "grouped count + one WindowGroupLimit argmax; shares are exact "
+    "int/int divisions.  Oracle = plain-NumPy trajectory mirror + "
+    "plain-Python rollup, precomputed.",
+)
+def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_fit_assign(emb, "embedding", "vec_id", k=8, iters=4)
+    labeled = assign.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    per = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    total = per.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n_members")
+    )
+    top = (
+        per.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("cluster", F.col("label").alias("top_label"), F.col("n").alias("__top_n"))
+    )
+    return (
+        total.join(top, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "top_label",
+            (
+                F.col("__top_n").cast("double")
+                / F.col("n_members").cast("double")
+            ).alias("top_share"),
+        )
+    )

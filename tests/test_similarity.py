@@ -666,3 +666,39 @@ def test_pq_recall_perfect_when_codebook_lossless(spark):
         )[:5]
         for _d, m in d2:
             assert (q, m) in got, (q, m)
+
+
+def test_cluster_purity_planted_blobs(spark):
+    """Two well-separated labeled blobs cluster cleanly at k=2: every
+    cluster is pure (top_share 1.0) and the majority labels are the
+    planted ones."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.clustering import kmeans_fit_assign
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(40):
+        center = 10.0 if i % 2 else -10.0
+        v = center + 0.1 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assign = kmeans_fit_assign(emb, "embedding", "vec_id", k=2, iters=4)
+    per = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = per.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    got = {r.cluster: (r.label, r.n) for r in top.collect()}
+    assert len(got) == 2
+    # each cluster holds exactly one planted label's 20 members
+    assert sorted(lab for lab, _n in got.values()) == [0, 1]
+    assert all(n == 20 for _lab, n in got.values())

@@ -1978,7 +1978,8 @@ def kmeans_assign_rows(vec_ids, vecs, k=8, iters=4):
 
 def write_kmeans_fixture(sf_dir: str, write) -> None:
     et = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
     )
     rows = kmeans_assign_rows(
         et["vec_id"].to_pylist(), et["embedding"].to_pylist()
@@ -1990,6 +1991,37 @@ def write_kmeans_fixture(sf_dir: str, write) -> None:
                 "vec_id": pa.array([r[0] for r in rows], pa.int64()),
                 "cluster": pa.array([r[1] for r in rows], pa.int32()),
                 "dist2": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+    )
+
+    # similarity_cluster_purity: label rollup over the SAME trajectory
+    from collections import Counter
+
+    labels = dict(zip(et["vec_id"].to_pylist(), et["label"].to_pylist()))
+    per: Counter = Counter()
+    for vid, cluster, _d2 in rows:
+        per[(cluster, labels[vid])] += 1
+    totals: Counter = Counter()
+    for (cluster, _lab), n in per.items():
+        totals[cluster] += n
+    purity = []
+    for cluster in sorted(totals):
+        top_lab, top_n = sorted(
+            ((lab, n) for (c, lab), n in per.items() if c == cluster),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[0]
+        purity.append(
+            (cluster, totals[cluster], top_lab, top_n / totals[cluster])
+        )
+    write(
+        "similarity_cluster_purity",
+        pa.table(
+            {
+                "cluster": pa.array([r[0] for r in purity], pa.int32()),
+                "n_members": pa.array([r[1] for r in purity], pa.int64()),
+                "top_label": pa.array([r[2] for r in purity], pa.int64()),
+                "top_share": pa.array([r[3] for r in purity], pa.float64()),
             }
         ),
     )
