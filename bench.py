@@ -222,6 +222,7 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "events_markov_entropy",
     "similarity_cluster_purity",
+    "multimodal_image_gradients",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -43,6 +43,7 @@ __all__ = [
     "keyframe_select",
     "image_dhash",
     "image_phash",
+    "image_gradient_energy",
     "dhash_neardup_pairs",
     "audio_vad_segments",
     "audio_spectral_profile",
@@ -1372,3 +1373,64 @@ def audio_spectral_profile(
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=SPECTRAL_SCHEMA
     )
+
+
+def image_gradient_energy(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image information-content gate: mean absolute neighbor gradient
+    of the decoded integer grayscale — the cheap blur/flat screen an
+    image curation pipeline runs before spending on embeddings (a
+    solid-color or near-flat image scores ~0, natural structure scores
+    high).  Output (id, n_pixels, grad_energy, decodable): total
+    |horizontal| + |vertical| gradient summed EXACTLY in integers over
+    all valid positions, divided once by the position count —
+    engine-exact by construction, no rounding grid.
+
+    Scale shape: pure Arrow-batched ``mapInPandas`` projection over the
+    scan, zero shuffles; integer ops only.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_pixels", T.IntegerType(), True),
+            T.StructField("grad_energy", T.DoubleType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _png_decode_pixels(bytes(payload or b""))
+                if dec is None:
+                    rows.append(
+                        {"media_id": mid, "n_pixels": None,
+                         "grad_energy": None, "decodable": False}
+                    )
+                    continue
+                _w, _h, _c, arr = dec
+                gray = arr.astype("int64").sum(axis=2) // arr.shape[2]
+                gh = np.abs(gray[:, 1:] - gray[:, :-1])
+                gv = np.abs(gray[1:, :] - gray[:-1, :])
+                n_pos = gh.size + gv.size
+                total = int(gh.sum()) + int(gv.sum())
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_pixels": gray.size,
+                        "grad_energy": (
+                            total / n_pos if n_pos else 0.0
+                        ),
+                        "decodable": True,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_pixels", "grad_energy", "decodable"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -430,3 +430,22 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_df(spark, sf_dir).where(F.col("kind") == "audio")
     return audio_spectral_profile(media, window=64)
+
+
+@register(
+    "multimodal_image_gradients",
+    expected_fixture_sql("multimodal_image_gradients"),
+    doc="Image information-content gate over the REAL decoded PNGs: "
+    "mean absolute neighbor gradient of the integer grayscale — the "
+    "cheap blur/flat screen run before spending on embeddings (solid "
+    "color scores ~0, structure scores high).  Total |dx| + |dy| sums "
+    "EXACTLY in integers; ONE division by the position count — "
+    "engine-exact, no rounding grid.  Pure zero-shuffle mapInPandas.  "
+    "Oracle fixture recomputes from the fixture pixel recipe in plain "
+    "NumPy (operators/multimodal.py image_gradient_energy).",
+)
+def multimodal_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.multimodal import image_gradient_energy
+
+    media = _real_png_media_df(spark, sf_dir)
+    return image_gradient_energy(media)

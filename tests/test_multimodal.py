@@ -704,3 +704,35 @@ def test_audio_spectral_profile_planted_tone(spark):
     # anti-phase stereo mono-mixes to (near-)silence: centroid from the
     # rounding residue only, all band powers ~0
     assert got[4].b0_power < 1e-6 and got[4].b2_power < 1e-6
+
+
+def test_image_gradient_energy_flat_vs_structured(spark):
+    """A solid-color image scores exactly 0 gradient energy, a
+    checkerboard scores the maximum (255 at every neighbor step), a
+    ramp scores its exact step size, and non-pixel payloads come back
+    decodable=false with null energy."""
+    import numpy as np
+
+    from heparchy_spark.operators.multimodal import (
+        _png_encode,
+        image_gradient_energy,
+    )
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    checker = (255 * ((np.arange(8)[:, None] + np.arange(8)[None, :]) % 2))
+    checker = np.repeat(checker.astype(np.uint8)[:, :, None], 3, axis=2)
+    ramp = np.tile((np.arange(8, dtype=np.uint8) * 10)[None, :, None], (8, 1, 3))
+    rows = [
+        (0, bytearray(_png_encode(flat))),
+        (1, bytearray(_png_encode(checker))),
+        (2, bytearray(_png_encode(ramp))),
+        (3, bytearray(b"no pixels here")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in image_gradient_energy(df).collect()}
+    assert got[3].decodable is False and got[3].grad_energy is None
+    assert got[0].grad_energy == 0.0
+    assert got[1].grad_energy == 255.0
+    # ramp: horizontal steps of 10 (56 positions), vertical 0 (56)
+    assert abs(got[2].grad_energy - 10 * 56 / 112) < 1e-12
+    assert got[0].n_pixels == 64

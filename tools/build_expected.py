@@ -1191,6 +1191,30 @@ def main() -> None:
         ),
     )
 
+    ge = []
+    for did in sorted(d for d, _ in docs if d % 4 == 0):
+        g = did // 8
+        r = np.arange(16, dtype="int64")[:, None]
+        c = np.arange(16, dtype="int64")[None, :]
+        base = ((g + 1) * 2654435761 * (r * 16 + c + 1)) % 251
+        pix = np.minimum(base + 3 * (did % 8), 255)
+        gh = np.abs(pix[:, 1:] - pix[:, :-1])
+        gv = np.abs(pix[1:, :] - pix[:-1, :])
+        n_pos = gh.size + gv.size
+        total = int(gh.sum()) + int(gv.sum())
+        ge.append((did, int(pix.size), total / n_pos))
+    write(
+        "multimodal_image_gradients",
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in ge], pa.int64()),
+                "n_pixels": pa.array([r[1] for r in ge], pa.int32()),
+                "grad_energy": pa.array([r[2] for r in ge], pa.float64()),
+                "decodable": pa.array([True] * len(ge), pa.bool_()),
+            }
+        ),
+    )
+
     ph = phash_neardup_rows([d for d, _ in docs])
     write(
         "multimodal_phash_neardups",
