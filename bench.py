@@ -223,6 +223,7 @@ HEADLINE = [
     "events_markov_entropy",
     "similarity_cluster_purity",
     "multimodal_image_gradients",
+    "agg_theil_inequality",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

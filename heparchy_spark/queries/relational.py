@@ -2044,3 +2044,120 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(5).over(wm).cast("string"),
         ).alias("rfm_code"),
     )
+
+
+@register(
+    "agg_theil_inequality",
+    """
+    WITH rev AS (
+      SELECT o.o_custkey AS c, c.c_nationkey AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    tot AS (
+      SELECT c, nation, x,
+             SUM(x) OVER () AS xt,
+             COUNT(*) OVER () AS n
+      FROM rev
+    ),
+    total_t AS (
+      SELECT MAX(n) AS n_customers,
+             CAST(SUM(CAST(ROUND(
+               (x / xt) * ROUND(LN((x / xt) * n), 8), 10)
+               AS DECIMAL(38,10))) AS DOUBLE) AS t_total
+      FROM tot
+    ),
+    bygrp AS (
+      SELECT nation, SUM(x) AS xg, COUNT(*) AS ng,
+             MAX(xt) AS xt, MAX(n) AS n
+      FROM tot GROUP BY nation
+    ),
+    between_t AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               (xg / xt) * ROUND(LN((xg / xt)
+                                    * (CAST(n AS DOUBLE) / ng)), 8), 10)
+               AS DECIMAL(38,10))) AS DOUBLE) AS t_between
+      FROM bygrp
+    )
+    SELECT CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(t_total, 6) + 0.0 AS theil_total,
+           ROUND(t_between, 6) + 0.0 AS theil_between,
+           ROUND(t_total - t_between, 6) + 0.0 AS theil_within
+    FROM total_t, between_t
+    """,
+    doc="Theil-T inequality of customer revenue with the "
+    "between/within-nation decomposition (the additive property Gini "
+    "lacks — answers 'is revenue concentration a geography story or "
+    "an in-market story' in one pass): T = sum (x_i/X) ln(n x_i/X), "
+    "between-group = sum (X_g/X) ln((X_g/X)(n/n_g)), within = "
+    "difference.  Revenues are exact decimal sums; each ratio is a "
+    "single division; LN rounds to 8 dp (cross-engine ULP guard), "
+    "terms round to 10 dp into DECIMAL(38,10) order-free sums, final "
+    "round 6 (+0.0 for -0.0).  One fact aggregate, then windows + "
+    "rollups on the BOUNDED customer frame.  Full SQL oracle.",
+)
+def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy()
+    tot = rev.select(
+        "c",
+        "nation",
+        "x",
+        F.sum("x").over(w).alias("xt"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    term_total = F.round(
+        (F.col("x") / F.col("xt"))
+        * F.round(F.log((F.col("x") / F.col("xt")) * F.col("n")), 8),
+        10,
+    ).cast("decimal(38,10)")
+    total_t = tot.agg(
+        F.max("n").alias("n_customers"),
+        F.sum(term_total).cast("double").alias("t_total"),
+    )
+    bygrp = tot.groupBy("nation").agg(
+        F.sum("x").alias("xg"),
+        F.count(F.lit(1)).alias("ng"),
+        F.max("xt").alias("xt"),
+        F.max("n").alias("n"),
+    )
+    term_between = F.round(
+        (F.col("xg") / F.col("xt"))
+        * F.round(
+            F.log(
+                (F.col("xg") / F.col("xt"))
+                * (F.col("n").cast("double") / F.col("ng"))
+            ),
+            8,
+        ),
+        10,
+    ).cast("decimal(38,10)")
+    between_t = bygrp.agg(
+        F.sum(term_between).cast("double").alias("t_between")
+    )
+    return total_t.crossJoin(between_t).select(
+        F.col("n_customers").cast("long").alias("n_customers"),
+        (F.round(F.col("t_total"), 6) + 0.0).alias("theil_total"),
+        (F.round(F.col("t_between"), 6) + 0.0).alias("theil_between"),
+        (F.round(F.col("t_total") - F.col("t_between"), 6) + 0.0).alias(
+            "theil_within"
+        ),
+    )

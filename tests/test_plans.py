@@ -322,3 +322,54 @@ def test_degree_assortativity_signs(spark):
     )
     r3 = degree_assortativity(path).collect()[0]
     assert r3.assortativity < 0.0
+
+
+def test_theil_decomposition_identity_and_zero(spark):
+    """Equal revenues give Theil 0 everywhere; concentrating revenue in
+    one nation makes between-group dominate; total = between + within
+    by construction (within column is the difference, so check between
+    <= total and both nonnegative on a skewed case)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from heparchy_spark.queries.relational import agg_theil_inequality
+
+    cust = [(i, f"c{i}", i % 2, 0.0, "SEG") for i in range(8)]
+    equal = [(100 + i, i, "O", 50.0, "2024-01-01", "p") for i in range(8)]
+    skew = [
+        (100 + i, i, "O", 1000.0 if i % 2 == 0 else 1.0, "2024-01-01", "p")
+        for i in range(8)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            cust,
+            "c_custkey long, c_name string, c_nationkey long,"
+            " c_acctbal double, c_mktsegment string",
+        ).write.parquet(d + "/customer.parquet")
+        for name, orders in [("eq", equal), ("sk", skew)]:
+            df = spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_totalprice double, o_orderdate string,"
+                " o_orderpriority string",
+            ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+            df.write.parquet(d + f"/{name}/orders.parquet")
+        import shutil
+
+        shutil.copytree(
+            d + "/customer.parquet", d + "/eq/customer.parquet"
+        )
+        shutil.copytree(
+            d + "/customer.parquet", d + "/sk/customer.parquet"
+        )
+        r_eq = agg_theil_inequality(spark, d + "/eq").collect()[0]
+        r_sk = agg_theil_inequality(spark, d + "/sk").collect()[0]
+    assert r_eq.theil_total == 0.0
+    assert r_eq.theil_between == 0.0 and r_eq.theil_within == 0.0
+    assert r_sk.theil_total > 0.0
+    # revenue concentrates entirely in nation 0's customers
+    assert 0.0 < r_sk.theil_between <= r_sk.theil_total
+    assert abs(
+        (r_sk.theil_between + r_sk.theil_within) - r_sk.theil_total
+    ) < 2e-6
