@@ -872,9 +872,18 @@ def degree_assortativity(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum(F.col("__dx").cast(dec)).alias("__sx"),
         F.sum(F.col("__dy").cast(dec)).alias("__sy"),
-        F.sum((F.col("__dx") * F.col("__dy")).cast(dec)).alias("__sxy"),
-        F.sum((F.col("__dx") * F.col("__dx")).cast(dec)).alias("__sxx"),
-        F.sum((F.col("__dy") * F.col("__dy")).cast(dec)).alias("__syy"),
+        # cast each degree BEFORE multiplying: the decimal product is
+        # exact at any degree, where an int64 pre-cast product would
+        # silently wrap above ~3.04e9 (and diverge from the oracle)
+        F.sum(F.col("__dx").cast(dec) * F.col("__dy").cast(dec)).alias(
+            "__sxy"
+        ),
+        F.sum(F.col("__dx").cast(dec) * F.col("__dx").cast(dec)).alias(
+            "__sxx"
+        ),
+        F.sum(F.col("__dy").cast(dec) * F.col("__dy").cast(dec)).alias(
+            "__syy"
+        ),
     )
     n = F.col("n_edges").cast("double")
     sx = F.col("__sx").cast("double")

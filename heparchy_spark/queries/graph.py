@@ -966,9 +966,12 @@ def graph_link_prediction_jaccard(
       SELECT COUNT(*) AS n_edges,
              SUM(CAST(x AS DECIMAL(38,0))) AS sx,
              SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS syy
       FROM paired
     )
     SELECT n_edges,

@@ -1969,6 +1969,34 @@ def agg_moments_skew_kurtosis(
     ).orderBy("l_returnflag")
 
 
+def _range_bucket(metric: str, lo: float, hi: float, n_buckets: int):
+    """Bucket id (0..n_buckets-1) of ``metric`` from LITERAL bounds —
+    monotone in the metric, so bucket-major order == total order and
+    equal values always share a bucket."""
+    if hi <= lo:
+        return F.lit(0)
+    m = F.col(metric).cast("double")
+    step = (hi - lo) / n_buckets
+    return F.least(
+        F.lit(n_buckets - 1), F.floor((m - F.lit(lo)) / F.lit(step))
+    ).cast("int")
+
+
+def _ntile_from_rank(rank_col: str, n: int, k: int):
+    """Closed-form ``NTILE(k)`` from an exact 1-based global rank —
+    same first-buckets-get-the-extra split as the SQL window."""
+    q, rm = n // k, n % k
+    if q == 0:
+        return F.col(rank_col).cast("int")
+    thresh = rm * (q + 1)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {thresh} "
+        f"THEN ({rank_col} + {q}) div {q + 1} "
+        f"ELSE {rm} + ({rank_col} - {thresh} + {q - 1}) div {q} "
+        f"END AS INT)"
+    )
+
+
 @register(
     "orders_rfm_segments",
     """
@@ -1995,20 +2023,21 @@ def agg_moments_skew_kurtosis(
     """,
     doc="RFM customer segmentation — the classic curation of a customer "
     "base (recency since last order vs the corpus max date, order "
-    "frequency, exact-decimal monetary total) quintile-scored by three "
-    "NTILE(5) windows with (metric, c_custkey) total orders so ties "
-    "are deterministic; r_score inverts (recent = 5).  One combinable "
-    "per-customer aggregate, then the bounded customer frame pays "
-    "three single-partition windows — the documented scale swap is "
-    "approx-percentile bucket edges broadcast back (the equi-depth "
-    "histogram pattern) once the customer dimension outgrows one "
-    "partition.  Full SQL oracle.",
+    "frequency, exact-decimal monetary total) quintile-scored with "
+    "(metric, c_custkey) total orders so ties are deterministic; "
+    "r_score inverts (recent = 5).  Scale shape: ONE combinable "
+    "fact-table aggregate, then each quintile is an EXACT distributed "
+    "NTILE — range-bucket the metric, in-bucket row_number windows "
+    "(partitioned, parallel), a bucket-offset scan over the bounded "
+    "<=64-row bucket frame, and the closed-form NTILE(rank, n) "
+    "arithmetic — bit-identical to the single-partition NTILE window "
+    "the oracle uses but with no 'WindowExec: No Partition Defined' "
+    "stage, so the customer frame never funnels through one task.  "
+    "Full SQL oracle.",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    # ONE combinable fact-table aggregate; the global max-date then
-    # rides a window over the BOUNDED customer frame (max of per-
-    # customer maxes == corpus max), never a fact-table-wide window
+    # ONE combinable fact-table aggregate
     per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("__last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -2016,32 +2045,87 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
+    # 1-row global stats -> driver literals (bounded collect): corpus
+    # max date, row count, and per-metric value bounds in one pass
+    srow = per_cust.agg(
+        F.max("__last").alias("gmax"),
+        F.min("__last").alias("lmin"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("frequency").alias("flo"),
+        F.max("frequency").alias("fhi"),
+        F.min("monetary").alias("mlo"),
+        F.max("monetary").alias("mhi"),
+    ).collect()[0]
+    n = int(srow["n"])
     base = per_cust.select(
         "c_custkey",
-        F.datediff(
-            F.max("__last").over(Window.partitionBy()), F.col("__last")
-        ).alias("recency_days"),
+        F.datediff(F.lit(srow["gmax"]), F.col("__last")).alias(
+            "recency_days"
+        ),
         "frequency",
         "monetary",
     )
-    wr = Window.orderBy("recency_days", "c_custkey")
-    wf = Window.orderBy("frequency", "c_custkey")
-    wm = Window.orderBy("monetary", "c_custkey")
-    r = (F.lit(6) - F.ntile(5).over(wr)).alias("r_score")
-    f_ = F.ntile(5).over(wf).alias("f_score")
-    m = F.ntile(5).over(wm).alias("m_score")
+    nb = 64
+    metrics = {
+        "r": ("recency_days", 0.0, float((srow["gmax"] - srow["lmin"]).days)),
+        "f": ("frequency", float(srow["flo"]), float(srow["fhi"])),
+        "m": ("monetary", float(srow["mlo"]), float(srow["mhi"])),
+    }
+    # range-bucket each metric from the literal bounds, then exact
+    # in-bucket row_number — PARTITIONED windows, never a global one
+    for t, (col, lo, hi) in metrics.items():
+        base = base.withColumn(f"__b{t}", _range_bucket(col, lo, hi, nb))
+        w = Window.partitionBy(f"__b{t}").orderBy(col, "c_custkey")
+        base = base.withColumn(f"__rn{t}", F.row_number().over(w))
+    # one bounded counts pass (<= 3*nb rows) -> per-bucket rank
+    # offsets as literal lookup maps, so the rank is a pure projection
+    crows = (
+        base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col(f"__b{t}").alias("b"),
+                        )
+                        for t in metrics
+                    ]
+                )
+            ).alias("e")
+        )
+        .groupBy("e.t", "e.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offmaps: dict[str, list] = {}
+    for t in metrics:
+        acc, pairs = 0, []
+        for b, c in sorted(
+            (r["b"], r["c"]) for r in crows if r["t"] == t
+        ):
+            pairs.extend([F.lit(b), F.lit(acc)])
+            acc += c
+        offmaps[t] = F.create_map(*pairs)
+    for t in metrics:
+        rank = (
+            F.element_at(offmaps[t], F.col(f"__b{t}")) + F.col(f"__rn{t}")
+        ).cast("long")
+        base = base.withColumn(f"__rk{t}", rank).withColumn(
+            f"__t{t}", _ntile_from_rank(f"__rk{t}", n, 5)
+        )
+    r = (F.lit(6) - F.col("__tr")).alias("r_score")
     return base.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
         r,
-        f_,
-        m,
+        F.col("__tf").alias("f_score"),
+        F.col("__tm").alias("m_score"),
         F.concat(
-            (F.lit(6) - F.ntile(5).over(wr)).cast("string"),
-            F.ntile(5).over(wf).cast("string"),
-            F.ntile(5).over(wm).cast("string"),
+            (F.lit(6) - F.col("__tr")).cast("string"),
+            F.col("__tf").cast("string"),
+            F.col("__tm").cast("string"),
         ).alias("rfm_code"),
     )
 
@@ -2051,52 +2135,59 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT o.o_custkey AS c, c.c_nationkey AS nation,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
-               AS x
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2)))
+                  AS DECIMAL(38,2)) AS x
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY o.o_custkey, c.c_nationkey
     ),
     tot AS (
-      SELECT c, nation, x,
-             SUM(x) OVER () AS xt,
-             COUNT(*) OVER () AS n
+      SELECT CAST(SUM(x) AS DECIMAL(38,2)) AS xt, COUNT(*) AS n
       FROM rev
     ),
-    total_t AS (
-      SELECT MAX(n) AS n_customers,
+    pernation AS (
+      SELECT r.nation,
+             CAST(SUM(r.x) AS DECIMAL(38,2)) AS xg,
+             COUNT(*) AS ng,
+             MAX(t.xt) AS xt, MAX(t.n) AS n,
+             SUM(CAST(ROUND(
+               (CAST(r.x AS DOUBLE) / CAST(t.xt AS DOUBLE))
+               * ROUND(LN((CAST(r.x AS DOUBLE) / CAST(t.xt AS DOUBLE))
+                          * t.n), 8), 10)
+               AS DECIMAL(38,10))) AS t_total_part
+      FROM rev r JOIN tot t ON 1 = 1
+      GROUP BY r.nation
+    ),
+    final AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n_customers,
+             CAST(SUM(t_total_part) AS DOUBLE) AS t_total,
              CAST(SUM(CAST(ROUND(
-               (x / xt) * ROUND(LN((x / xt) * n), 8), 10)
-               AS DECIMAL(38,10))) AS DOUBLE) AS t_total
-      FROM tot
-    ),
-    bygrp AS (
-      SELECT nation, SUM(x) AS xg, COUNT(*) AS ng,
-             MAX(xt) AS xt, MAX(n) AS n
-      FROM tot GROUP BY nation
-    ),
-    between_t AS (
-      SELECT CAST(SUM(CAST(ROUND(
-               (xg / xt) * ROUND(LN((xg / xt)
-                                    * (CAST(n AS DOUBLE) / ng)), 8), 10)
+               (CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))
+               * ROUND(LN((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))
+                          * (CAST(n AS DOUBLE) / ng)), 8), 10)
                AS DECIMAL(38,10))) AS DOUBLE) AS t_between
-      FROM bygrp
+      FROM pernation
     )
-    SELECT CAST(n_customers AS BIGINT) AS n_customers,
+    SELECT n_customers,
            ROUND(t_total, 6) + 0.0 AS theil_total,
            ROUND(t_between, 6) + 0.0 AS theil_between,
            ROUND(t_total - t_between, 6) + 0.0 AS theil_within
-    FROM total_t, between_t
+    FROM final
     """,
     doc="Theil-T inequality of customer revenue with the "
     "between/within-nation decomposition (the additive property Gini "
     "lacks — answers 'is revenue concentration a geography story or "
     "an in-market story' in one pass): T = sum (x_i/X) ln(n x_i/X), "
     "between-group = sum (X_g/X) ln((X_g/X)(n/n_g)), within = "
-    "difference.  Revenues are exact decimal sums; each ratio is a "
-    "single division; LN rounds to 8 dp (cross-engine ULP guard), "
-    "terms round to 10 dp into DECIMAL(38,10) order-free sums, final "
-    "round 6 (+0.0 for -0.0).  One fact aggregate, then windows + "
-    "rollups on the BOUNDED customer frame.  Full SQL oracle.",
+    "difference.  Revenues stay exact DECIMAL(38,2) through every sum "
+    "(order-free — no shuffle-arrival float drift at any SF); each "
+    "ratio casts to double once; LN rounds to 8 dp (cross-engine ULP "
+    "guard), terms round to 10 dp into DECIMAL(38,10) order-free "
+    "sums, final round 6 (+0.0 for -0.0).  Scale shape: one fact "
+    "aggregate, the 1-row global total collected to driver LITERALS "
+    "(the bounded-collect exception class — no BNLJ, no global "
+    "window, no plan-subtree duplication), per-nation partial term "
+    "sums, and ONE final 1-row aggregate over the bounded nation "
+    "frame — no single-partition stage anywhere.  Full SQL oracle.",
 )
 def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
@@ -2112,49 +2203,43 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
-            .cast("double")
+            .cast("decimal(38,2)")
             .alias("x")
         )
     )
-    w = Window.partitionBy()
-    tot = rev.select(
-        "c",
-        "nation",
-        "x",
-        F.sum("x").over(w).alias("xt"),
-        F.count(F.lit(1)).over(w).alias("n"),
-    )
+    # 1-row global totals -> driver literals (bounded collect): the
+    # exact decimal total and count are constants of the dataset, so
+    # embedding them beats a 1-row nested-loop join or a global window
+    trow = rev.agg(
+        F.sum("x").cast("decimal(38,2)").alias("xt"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    xt = F.lit(trow["xt"]).cast("decimal(38,2)")
+    n = F.lit(int(trow["n"]))
+    ratio = F.col("x").cast("double") / xt.cast("double")
     term_total = F.round(
-        (F.col("x") / F.col("xt"))
-        * F.round(F.log((F.col("x") / F.col("xt")) * F.col("n")), 8),
-        10,
+        ratio * F.round(F.log(ratio * n), 8), 10
     ).cast("decimal(38,10)")
-    total_t = tot.agg(
-        F.max("n").alias("n_customers"),
-        F.sum(term_total).cast("double").alias("t_total"),
-    )
-    bygrp = tot.groupBy("nation").agg(
-        F.sum("x").alias("xg"),
+    pernation = rev.groupBy("nation").agg(
+        F.sum("x").cast("decimal(38,2)").alias("xg"),
         F.count(F.lit(1)).alias("ng"),
-        F.max("xt").alias("xt"),
-        F.max("n").alias("n"),
+        F.sum(term_total).alias("t_total_part"),
     )
+    gratio = F.col("xg").cast("double") / xt.cast("double")
     term_between = F.round(
-        (F.col("xg") / F.col("xt"))
+        gratio
         * F.round(
-            F.log(
-                (F.col("xg") / F.col("xt"))
-                * (F.col("n").cast("double") / F.col("ng"))
-            ),
-            8,
+            F.log(gratio * (n.cast("double") / F.col("ng"))), 8
         ),
         10,
     ).cast("decimal(38,10)")
-    between_t = bygrp.agg(
-        F.sum(term_between).cast("double").alias("t_between")
+    final = pernation.agg(
+        F.sum("ng").cast("long").alias("n_customers"),
+        F.sum("t_total_part").cast("double").alias("t_total"),
+        F.sum(term_between).cast("double").alias("t_between"),
     )
-    return total_t.crossJoin(between_t).select(
-        F.col("n_customers").cast("long").alias("n_customers"),
+    return final.select(
+        "n_customers",
         (F.round(F.col("t_total"), 6) + 0.0).alias("theil_total"),
         (F.round(F.col("t_between"), 6) + 0.0).alias("theil_between"),
         (F.round(F.col("t_total") - F.col("t_between"), 6) + 0.0).alias(

@@ -1,0 +1,118 @@
+"""Fast pre-commit plan gate for one or a few named queries.
+
+The corpus-wide scale-killer gate (``tests/test_plans.py::
+test_corpus_wide_no_scale_killers``) plans all ~270 queries and takes
+minutes — rounds 5 and 7 both shipped a red tree because it wasn't run
+before commit.  This tool applies the SAME rules (read from the registry,
+no separate allowlist) to just the queries you touched, in seconds:
+
+    python tools/plan_gate.py agg_theil_inequality orders_rfm_segments
+    python tools/plan_gate.py --changed     # queries in modules touched
+                                            # since HEAD (git diff)
+    python tools/plan_gate.py --all         # the full corpus gate
+
+Checks per query (planned at sf0.001 — plan shape, no execution of the
+final frame): no CartesianProduct; no BroadcastNestedLoopJoin unless
+``expects_bnlj=True`` was declared; no row-at-a-time Python UDF
+(BatchEvalPython) unless ``expects_row_udf=True``; plus a WARN (not a
+failure) for any unpartitioned WindowExec, the single-task sort class.
+Exit code 0 = clean, 1 = offenders found.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def changed_query_names() -> list[str]:
+    """Queries whose defining module was touched since HEAD."""
+    out = subprocess.run(
+        ["git", "diff", "--name-only", "HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=Path(__file__).resolve().parent.parent,
+    ).stdout.split()
+    touched = {Path(p).stem for p in out if p.endswith(".py")}
+    from heparchy_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    names = []
+    for name, spec in REGISTRY.items():
+        mod = spec.spark.__module__.rsplit(".", 1)[-1]
+        if mod in touched:
+            names.append(name)
+    return names
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    flags = {a for a in sys.argv[1:] if a.startswith("-")}
+
+    from heparchy_spark.queries import REGISTRY, _load_all
+    from heparchy_spark.session import get_spark
+
+    _load_all()
+    if "--all" in flags:
+        names = list(REGISTRY)
+    elif "--changed" in flags:
+        names = changed_query_names()
+        if not names:
+            print("no registered queries in modules changed since HEAD")
+            return 0
+    else:
+        names = args
+    if not names:
+        print(__doc__)
+        return 1
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
+
+    spark = get_spark("plan-gate")
+    offenders = []
+    for name in names:
+        spec = REGISTRY[name]
+        plan = (
+            spec.spark(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        probs = []
+        if "CartesianProduct" in plan:
+            probs.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and not spec.expects_bnlj:
+            probs.append("unexpected-BNLJ")
+        if "BatchEvalPython" in plan and not spec.expects_row_udf:
+            probs.append("row-python-udf")
+        # unpartitioned window: the spec's FIRST element is an order
+        # entry (attr ASC/DESC) or the frame itself — no partition cols
+        warn = ""
+        if re.search(
+            r"windowspecdefinition\((?:\w+#\d+\w* (?:ASC|DESC)"
+            r"|specifiedwindowframe)",
+            plan,
+        ):
+            warn = "  [warn: unpartitioned window]"
+        status = "FAIL " + ",".join(probs) if probs else "ok"
+        print(f"{name}: {status}{warn}")
+        if probs:
+            offenders.append((name, probs))
+    spark.stop()
+    if offenders:
+        print(f"\n{len(offenders)} offender(s): {offenders}")
+        return 1
+    print(f"\n{len(names)} quer{'y' if len(names) == 1 else 'ies'} clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
