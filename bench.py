@@ -3,15 +3,20 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query executes end-to-end into a noop sink (full computation, no
-driver-side materialization cost).  Protocol: one UNTIMED warm-up run per
-query, then MIN of 3 timed runs, with the relative spread of the timed
-runs recorded per query.  The warm-up is per-query, not just
+driver-side materialization cost).  Protocol (round-8 revision): one
+UNTIMED warm-up PASS over the whole schedule, then 3 timed passes in
+round-robin order (A/B/C/A/B/C), per-query MIN + relative spread over
+the interleaved samples.  The warm-up is per-query, not just
 per-session: the first execution of each plan pays whole-stage-codegen
 class compilation + JIT, measured at 3-6x steady state on the widest
 generated classes (the 64-column dedup aggregates), and a session-level
-warm-up does not amortize it.  min-of-3 then guards against the shared
-VM's bursty neighbor load (single-shot timings vary 3x on identical
-plans).  Together they measure the engine, not the JIT or the neighbors.
+warm-up does not amortize it.  Interleaving (round-7 post-mortem) is
+what makes min-of-3 able to reject a DRIFTING machine: back-to-back
+repetitions put all 3 samples of a query inside the same slow stretch,
+while round-robin passes spread them across the session so a stretch
+costs one sample of many queries, not every sample of a few.  If the
+canary's first/last pass-boundary samples differ >25% the schedule gets
+ONE extra timed pass before the minima are taken.
 
 Noise instrumentation (round-2 verdict: a 22% round-over-round drift on
 byte-identical code was indistinguishable from a real regression):
@@ -292,6 +297,9 @@ def _schedule() -> list[str]:
     growing ~15 s/round; rotation keeps every query timed at most one
     round stale while halving per-round wall).  Override with
     SPARK_GRAFT_BENCH_ALL=1 to time everything (local investigations)."""
+    if only := os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        return [n for n in HEADLINE if n in names]
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
         return list(HEADLINE)
     keep = set(PRINTED)
@@ -322,31 +330,62 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    def timed(name: str, n: int = 3) -> tuple[float, float]:
-        """(min, relative spread) over n timed runs, after one untimed
-        warm-up run that absorbs codegen compile + JIT."""
-        run(name)
-        samples = [run(name) for _ in range(n)]
-        lo, hi = min(samples), max(samples)
-        return round(lo, 3), round((hi - lo) / lo if lo > 0 else 0.0, 3)
-
+    # INTERLEAVED repetitions (round-7 verdict: back-to-back min-of-3
+    # cannot reject a VM that drifts mid-run — the r7 canary moved 62%
+    # inside one process and the session was uninterpretable).  The
+    # whole schedule runs as round-robin PASSES (A/B/C/A/B/C...): one
+    # untimed warm-up pass absorbs codegen compile + JIT per query,
+    # then 3 timed passes.  A slow stretch of the machine now lands on
+    # ONE sample of every query instead of all 3 samples of a few, so
+    # the per-query min survives it.  The canary is timed at every pass
+    # boundary; if first/last boundary samples differ >25% the whole
+    # schedule gets ONE extra timed pass (canary-gated retry, bounded).
     run("q1_pricing_summary")  # warm-up: JVM/JIT/codegen startup
 
     CANARY = "q6_forecast_revenue"
-    timed(CANARY)  # discard: early-session JVM warm-up biases the first
-    canary_first, _ = timed(CANARY)  # sample or the drift reads as noise
-
     schedule = _schedule()
+    samples: dict[str, list[float]] = {n: [] for n in schedule}
+    canary_boundary: list[float] = []
+    failed: set[str] = set()
+
+    def one_pass(timed_pass: bool) -> None:
+        c = run(CANARY)
+        if timed_pass:
+            canary_boundary.append(c)
+        for name in schedule:
+            if name in failed:
+                continue
+            try:
+                dt = run(name)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                failed.add(name)
+                continue
+            if timed_pass:
+                samples[name].append(dt)
+
+    one_pass(False)  # untimed warm-up pass
+    for _ in range(3):
+        one_pass(True)
+    canary_boundary.append(run(CANARY))  # closing boundary sample
+    canary_first, canary_last = canary_boundary[0], canary_boundary[-1]
+    retried = False
+    if canary_first > 0 and abs(canary_last / canary_first - 1) > 0.25:
+        retried = True
+        one_pass(True)  # one clean(er) pass; per-query min absorbs it
+        canary_boundary.append(run(CANARY))
+        canary_last = canary_boundary[-1]
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in schedule:
-        try:
-            timings[name], spreads[name] = timed(name)
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+        ss = samples[name]
+        if not ss:
             timings[name] = -1.0
-
-    canary_last, _ = timed(CANARY)
+            continue
+        lo, hi = min(ss), max(ss)
+        timings[name] = round(lo, 3)
+        spreads[name] = round((hi - lo) / lo if lo > 0 else 0.0, 3)
 
     valid_spreads = sorted(s for n, s in spreads.items() if timings[n] >= 0)
     noise_floor = (
@@ -366,6 +405,8 @@ def main() -> None:
             "first": canary_first,
             "last": canary_last,
             "drift": drift,
+            "boundary_samples": [round(c, 3) for c in canary_boundary],
+            "retried": retried,
         },
         "sf": sf,
         "total_all": total_all,

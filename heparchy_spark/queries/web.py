@@ -201,3 +201,147 @@ def web_url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), _synth_host(), F.lit("/x")).alias("url"),
     )
     return docs.select("doc_id", url_domain("url").alias("domain"))
+
+
+# ---------------------------------------------------------------------------
+# web_host_quality_rollup — the CommonCrawl-style curation readout
+# ---------------------------------------------------------------------------
+
+# Rollup host matrix: 23 registered domains x 3 subdomains, suffix class
+# rotating over PSL cases, so the PSL collapse (www./m./blog. -> one
+# registrable domain) actually aggregates multiple hosts per group.
+_ROLLUP_HOST_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.' ELSE 'blog.' END"
+    " || 'site' || CAST(doc_id % 23 AS VARCHAR)"
+    " || CASE (doc_id % 23) % 4 WHEN 0 THEN '.co.uk'"
+    "                           WHEN 1 THEN '.github.io'"
+    "                           WHEN 2 THEN '.com'"
+    "                           ELSE '.com.au' END"
+)
+
+
+def _rollup_host() -> F.Column:
+    did = F.col("doc_id")
+    g = did % 23
+    sub = (
+        F.when(did % 3 == 0, F.lit("www."))
+        .when(did % 3 == 1, F.lit("m."))
+        .otherwise(F.lit("blog."))
+    )
+    sfx = (
+        F.when(g % 4 == 0, F.lit(".co.uk"))
+        .when(g % 4 == 1, F.lit(".github.io"))
+        .when(g % 4 == 2, F.lit(".com"))
+        .otherwise(F.lit(".com.au"))
+    )
+    return F.concat(sub, F.lit("site"), g.cast("string"), sfx)
+
+
+def _rollup_oracle() -> str:
+    from heparchy_spark.operators.text import PII_PATTERNS
+
+    pii_any = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    tok = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    quality = (
+        "CASE WHEN n_chars >= 100"
+        " AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "       >= 0.6 * length(text)"
+        f" AND {tok} BETWEEN 20 AND 100000 THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH __h AS (
+      SELECT doc_id, text, n_chars, {_ROLLUP_HOST_SQL} AS __host
+      FROM documents
+    ),
+    {_domain_ctes("__h")}
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT __host) AS BIGINT) AS n_hosts,
+           ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate,
+           ROUND(CAST(SUM({quality}) AS DOUBLE) / COUNT(*), 6)
+             AS quality_rate,
+           ROUND(CAST(SUM(CASE WHEN {pii_any} > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pii_rate,
+           {_sql_davg_chars()} AS avg_chars
+    FROM __dom
+    GROUP BY domain
+    """
+
+
+def _sql_davg_chars() -> str:
+    from heparchy_spark.queries.numeric import sql_davg
+
+    return sql_davg("n_chars")
+
+
+@register(
+    "web_host_quality_rollup",
+    _rollup_oracle(),
+    doc="Host-level curation rollup — the per-registered-domain readout a "
+    "CommonCrawl-scale pipeline keeps (docs, host fan-in, exact-dup "
+    "rate, C4-gate pass rate, PII incidence, mean length) to decide "
+    "which domains to keep, cap, or drop.  Registrable domain via the "
+    "PSL snapshot (operators.web.url_domain: InSet probe, no join); "
+    "signals are the SAME expressions as text_quality_filter / "
+    "text_pii_scan / dedup_exact so the rollup agrees with the per-doc "
+    "gates.  ONE grouped aggregate with exact multi-DISTINCT (Expand); "
+    "the documented 100 TB swap is approx_count_distinct / an HLL "
+    "sketch per domain once exact host/text cardinalities stop "
+    "mattering.  Ratios are int/int divisions of exact counts "
+    "(engine-identical), mean length rides the decimal davg grid.  "
+    "Full SQL oracle.",
+)
+def web_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+        token_count,
+    )
+    from heparchy_spark.operators.web import url_domain
+    from heparchy_spark.queries.numeric import davg
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", _rollup_host().alias("__host")
+    )
+    with_dom = docs.select(
+        "text",
+        "n_chars",
+        "__host",
+        url_domain(
+            F.concat(F.lit("https://"), F.col("__host"))
+        ).alias("domain"),
+    )
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast(
+        "double"
+    )
+    quality = (
+        (F.col("n_chars") >= 100)
+        & (alpha >= 0.6 * F.length("text"))
+        & token_count("text").between(20, 100000)
+    ).cast("int")
+    counts = pii_counts("text")
+    pii_any = (
+        sum(counts[k] for k in PII_PATTERNS) > 0
+    ).cast("int")
+    return with_dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__host").cast("long").alias("n_hosts"),
+        F.round(
+            1.0 - F.countDistinct("text").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.sum(quality).cast("double") / F.count(F.lit(1)), 6).alias(
+            "quality_rate"
+        ),
+        F.round(F.sum(pii_any).cast("double") / F.count(F.lit(1)), 6).alias(
+            "pii_rate"
+        ),
+        davg("n_chars").alias("avg_chars"),
+    )
