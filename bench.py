@@ -3,20 +3,28 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query executes end-to-end into a noop sink (full computation, no
-driver-side materialization cost).  Protocol (round-8 revision): one
-UNTIMED warm-up PASS over the whole schedule, then 3 timed passes in
-round-robin order (A/B/C/A/B/C), per-query MIN + relative spread over
-the interleaved samples.  The warm-up is per-query, not just
+driver-side materialization cost).  Protocol: one UNTIMED warm-up run
+per query, then MIN of 3 back-to-back timed runs, with the relative
+spread recorded per query.  The warm-up is per-query, not just
 per-session: the first execution of each plan pays whole-stage-codegen
 class compilation + JIT, measured at 3-6x steady state on the widest
 generated classes (the 64-column dedup aggregates), and a session-level
-warm-up does not amortize it.  Interleaving (round-7 post-mortem) is
-what makes min-of-3 able to reject a DRIFTING machine: back-to-back
-repetitions put all 3 samples of a query inside the same slow stretch,
-while round-robin passes spread them across the session so a stretch
-costs one sample of many queries, not every sample of a few.  If the
-canary's first/last pass-boundary samples differ >25% the schedule gets
-ONE extra timed pass before the minima are taken.
+warm-up does not amortize it.
+
+Round-8 finding — INTERLEAVED passes (A/B/C/A/B/C) were tried as the
+drift-rejection fix and REJECTED: with ~104 distinct plans between two
+samples of the same query, the JVM evicts the query's generated classes
+from the code cache, so every "timed" sample re-pays compilation — the
+dedup family read 4.4/5.5/3.1 s interleaved vs 2.1/2.8/1.2 s
+back-to-back in the SAME session (r6/r7-level), a +80% artifact
+concentrated exactly in the widest-codegen queries.  Interleaving
+measures the code cache, not the engine.  Drift rejection instead comes
+from CANARY CHECKPOINTS: the fixed canary (q6, scan+agg, byte-stable)
+is timed before the schedule, after every 10 queries, and at the end;
+any stretch whose bracketing canary samples exceed 1.25x the session's
+canary minimum is re-run (one extra timed run per affected query,
+min-merged), so a slow burst corrupts at most one stretch once instead
+of the whole session silently.
 
 Noise instrumentation (round-2 verdict: a 22% round-over-round drift on
 byte-identical code was indistinguishable from a real regression):
@@ -330,51 +338,52 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    # INTERLEAVED repetitions (round-7 verdict: back-to-back min-of-3
-    # cannot reject a VM that drifts mid-run — the r7 canary moved 62%
-    # inside one process and the session was uninterpretable).  The
-    # whole schedule runs as round-robin PASSES (A/B/C/A/B/C...): one
-    # untimed warm-up pass absorbs codegen compile + JIT per query,
-    # then 3 timed passes.  A slow stretch of the machine now lands on
-    # ONE sample of every query instead of all 3 samples of a few, so
-    # the per-query min survives it.  The canary is timed at every pass
-    # boundary; if first/last boundary samples differ >25% the whole
-    # schedule gets ONE extra timed pass (canary-gated retry, bounded).
     run("q1_pricing_summary")  # warm-up: JVM/JIT/codegen startup
 
     CANARY = "q6_forecast_revenue"
+    STRETCH = 10  # canary checkpoint cadence (queries per stretch)
     schedule = _schedule()
     samples: dict[str, list[float]] = {n: [] for n in schedule}
-    canary_boundary: list[float] = []
     failed: set[str] = set()
 
-    def one_pass(timed_pass: bool) -> None:
-        c = run(CANARY)
-        if timed_pass:
-            canary_boundary.append(c)
-        for name in schedule:
-            if name in failed:
-                continue
+    def sample(name: str, n: int) -> None:
+        for _ in range(n):
             try:
-                dt = run(name)
+                samples[name].append(run(name))
             except Exception as exc:  # noqa: BLE001
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
                 failed.add(name)
-                continue
-            if timed_pass:
-                samples[name].append(dt)
+                return
 
-    one_pass(False)  # untimed warm-up pass
-    for _ in range(3):
-        one_pass(True)
-    canary_boundary.append(run(CANARY))  # closing boundary sample
-    canary_first, canary_last = canary_boundary[0], canary_boundary[-1]
-    retried = False
-    if canary_first > 0 and abs(canary_last / canary_first - 1) > 0.25:
-        retried = True
-        one_pass(True)  # one clean(er) pass; per-query min absorbs it
+    run(CANARY)  # canary's own codegen warm-up
+    run(CANARY)  # second warm-up: C2 steady state, not C1
+    canary_boundary: list[float] = [run(CANARY)]
+    stretches: list[list[str]] = []
+    for i in range(0, len(schedule), STRETCH):
+        chunk = schedule[i : i + STRETCH]
+        stretches.append(chunk)
+        for name in chunk:
+            run(name)  # untimed per-query warm-up
+            sample(name, 3)  # hot back-to-back min-of-3
         canary_boundary.append(run(CANARY))
-        canary_last = canary_boundary[-1]
+
+    # canary-gated stretch retry: a stretch bracketed by a slow canary
+    # sample gets one extra timed run per query, min-merged — a machine
+    # burst costs one re-pass of <=10 queries, never the whole session.
+    # Reference = MEDIAN boundary sample (the min is an outlier by
+    # construction; 1.25x the min retried every stretch in the first
+    # r8 session), threshold 1.5x = well past the canary's own jitter.
+    srt = sorted(canary_boundary)
+    cref = srt[len(srt) // 2]
+    retried: list[int] = []
+    for k, chunk in enumerate(stretches):
+        if max(canary_boundary[k], canary_boundary[k + 1]) > 1.5 * cref:
+            retried.append(k)
+            for name in chunk:
+                if name not in failed:
+                    sample(name, 1)
+    canary_boundary.append(run(CANARY))
+    canary_first, canary_last = canary_boundary[0], canary_boundary[-1]
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -406,7 +415,7 @@ def main() -> None:
             "last": canary_last,
             "drift": drift,
             "boundary_samples": [round(c, 3) for c in canary_boundary],
-            "retried": retried,
+            "retried_stretches": retried,
         },
         "sf": sf,
         "total_all": total_all,

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from heparchy_spark.operators.dataset import (
     pack_sequences,
@@ -356,7 +356,12 @@ def dataset_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_sql(n_buckets: int, iters: int, lr_pct: int) -> str:
+def _logreg_sql(
+    n_buckets: int,
+    iters: int,
+    lr_pct: int,
+    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+) -> str:
     """Unrolled training-trajectory replay (the pagerank-CTE pattern):
     every reduction is decimal-accumulated on the round-8 grid and every
     weight update rounds engine-side, so the SQL replay is bit-exact."""
@@ -381,8 +386,8 @@ def _logreg_sql(n_buckets: int, iters: int, lr_pct: int) -> str:
       UNION ALL
       SELECT doc_id, {n_buckets}, 1.0 FROM documents
     )""",
-        """lab AS (
-      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        f"""lab AS (
+      SELECT doc_id, {label_sql} AS y
       FROM documents
     )""",
         "nn AS (SELECT COUNT(*) AS n FROM lab)",
@@ -551,12 +556,15 @@ def dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _auc_sql() -> str:
-    scored = _logreg_sql(n_buckets=64, iters=4, lr_pct=50)
+def _auc_sql(
+    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+    d_label_sql: str = "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END",
+) -> str:
+    scored = _logreg_sql(n_buckets=64, iters=4, lr_pct=50, label_sql=label_sql)
     return f"""
     WITH s AS (
       SELECT sc.quality_score AS score,
-             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+             {d_label_sql} AS y
       FROM ({scored}) sc JOIN documents d ON sc.doc_id = d.doc_id
     ),
     hist AS (
@@ -595,6 +603,15 @@ def _auc_sql() -> str:
     "through one reducer.",
 )
 def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return logreg_label_auc(docs, (F.col("lang") == "en").cast("int"))
+
+
+def logreg_label_auc(docs: DataFrame, label: Column) -> DataFrame:
+    """Train the hashed-bag-of-words logistic classifier toward ``label``
+    (0/1 column over ``documents``) and return its histogram-computed
+    ROC AUC against that same label — shared by the quality-filter
+    self-audit and the classifier two-sample drift test."""
     from pyspark.sql import Window
 
     from heparchy_spark.operators.classifier import (
@@ -603,11 +620,8 @@ def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         logreg_train,
     )
 
-    docs = load(spark, sf_dir, "documents")
     feats = hashed_features(docs, "text", "doc_id", n_buckets=64).persist()
-    labels = docs.select(
-        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
-    )
+    labels = docs.select("doc_id", label.alias("y"))
     weights = logreg_train(feats, labels, n_buckets=64, iters=4, lr_pct=50)
     scored = logreg_score(feats, weights).join(labels, "doc_id")
     hist = scored.groupBy(F.col("quality_score").alias("score")).agg(
@@ -1146,7 +1160,8 @@ def _kcenter_oracle(k: int) -> str:
         "c1 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1)",
         f"""m1 AS MATERIALIZED (
       SELECT p.vec_id, {_kc_d2('p', 'ce')} AS mind
-      FROM e p, e ce, c1 WHERE ce.vec_id = c1.vec_id
+      FROM e p CROSS JOIN
+           (SELECT e.embedding FROM e JOIN c1 USING (vec_id)) ce
     )""",
     ]
     for r in range(2, k + 1):
@@ -1167,8 +1182,9 @@ def _kcenter_oracle(k: int) -> str:
       SELECT m.vec_id,
              LEAST(m.mind, {_kc_d2('p', 'ce')}) AS mind
       FROM m{r - 1} m
-      JOIN e p ON p.vec_id = m.vec_id, e ce, c{r}
-      WHERE ce.vec_id = c{r}.vec_id
+      JOIN e p ON p.vec_id = m.vec_id
+      CROSS JOIN
+           (SELECT e.embedding FROM e JOIN c{r} USING (vec_id)) ce
     )"""
             )
     finals = " UNION ALL ".join(

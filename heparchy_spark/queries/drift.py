@@ -659,3 +659,49 @@ def drift_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# drift_classifier_auc — the classifier two-sample test
+# ---------------------------------------------------------------------------
+
+_C2ST_LABEL = (
+    "CASE WHEN CAST(substring(source, 4) AS INTEGER) >= 10"
+    " THEN 1 ELSE 0 END"
+)
+_C2ST_D_LABEL = (
+    "CASE WHEN CAST(substring(d.source, 4) AS INTEGER) >= 10"
+    " THEN 1 ELSE 0 END"
+)
+
+
+def _c2st_oracle() -> str:
+    from heparchy_spark.queries.dataset import _auc_sql
+
+    return _auc_sql(label_sql=_C2ST_LABEL, d_label_sql=_C2ST_D_LABEL)
+
+
+@register(
+    "drift_classifier_auc",
+    _c2st_oracle(),
+    doc="Classifier two-sample test (Lopez-Paz & Oquab 2017): train the "
+    "hashed-bag-of-words logistic classifier to DISTINGUISH the "
+    "reference corpus half (sources src0-src9) from the current half "
+    "(src10-src19) and report its ROC AUC — AUC ~ 0.5 means the model "
+    "cannot tell the corpora apart (no content drift), AUC near 1 "
+    "means the new crawl's text distribution moved.  The modern drift "
+    "check the scalar PSI/KS/JSD family cannot do: it sees ANY "
+    "separable shift in the full lexical distribution, not one "
+    "statistic at a time.  Same scale shape as quality_logreg_auc "
+    "(shared logreg_label_auc): bounded 65-bucket training replay, "
+    "histogram AUC over the score grid — no per-row global rank "
+    "window.  Full SQL oracle (unrolled training trajectory).",
+)
+def drift_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.queries.dataset import logreg_label_auc
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.substring("source", 4, 10).cast("int") >= 10
+    ).cast("int")
+    return logreg_label_auc(docs, label)

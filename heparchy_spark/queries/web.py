@@ -345,3 +345,172 @@ def web_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         davg("n_chars").alias("avg_chars"),
     )
+
+
+@register(
+    "web_domain_cap_sample",
+    f"""
+    WITH __h AS (
+      SELECT doc_id, text, n_chars, {_ROLLUP_HOST_SQL} AS __host
+      FROM documents
+    ),
+    {_domain_ctes("__h")},
+    __q AS (
+      SELECT doc_id, domain,
+             CASE WHEN n_chars >= 100
+               AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     >= 0.6 * length(text)
+               AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                     BETWEEN 20 AND 100000
+               THEN 1 ELSE 0 END AS q,
+             sha256(text || 'cap') AS __hsh
+      FROM __dom
+    )
+    SELECT doc_id, domain, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY q DESC, __hsh, doc_id) AS rnk
+      FROM __q
+    )
+    WHERE rnk <= 20
+    """,
+    doc="Per-domain document cap — the anti-over-representation step of "
+    "web curation (one boilerplate-heavy domain must not dominate the "
+    "training mix): keep at most 20 docs per PSL registered domain, "
+    "quality-gate passers first, then content-hash order (a "
+    "deterministic uniform draw, same A-ES keying as the samplers), "
+    "doc_id as the total tiebreak.  ONE partitioned rank window over "
+    "the domain key — parallel across domains at any corpus size; a "
+    "skewed mega-domain pays only its own partition (salting note in "
+    "SCALE.md applies).  Full SQL oracle.",
+)
+def web_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.text import token_count
+    from heparchy_spark.operators.web import url_domain
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", _rollup_host().alias("__host")
+    )
+    with_dom = docs.withColumn(
+        "domain",
+        url_domain(F.concat(F.lit("https://"), F.col("__host"))),
+    )
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast(
+        "double"
+    )
+    q = (
+        (F.col("n_chars") >= 100)
+        & (alpha >= 0.6 * F.length("text"))
+        & token_count("text").between(20, 100000)
+    ).cast("int")
+    hsh = F.sha2(F.concat(F.col("text"), F.lit("cap")), 256)
+    w = Window.partitionBy("domain").orderBy(
+        F.col("__q").desc(), "__hsh", "doc_id"
+    )
+    return (
+        with_dom.withColumn("__q", q)
+        .withColumn("__hsh", hsh)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 20)
+        .select("doc_id", "domain", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# web_url_dedup_canonical — URL-level crawl dedup
+# ---------------------------------------------------------------------------
+
+# Variant matrix: (host mod 7) x (path mod 50) defines the canonical
+# page; utm param / fragment variants differ ONLY in what normalization
+# strips, so every (host, path) group collapses to one canonical URL.
+_DEDUP_URL_SQL = (
+    "'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/p/'"
+    " || CAST(doc_id % 50 AS VARCHAR)"
+    " || CASE doc_id % 3 WHEN 0 THEN '?utm_source=x'"
+    "                    WHEN 1 THEN '?utm_campaign=y'"
+    "                    ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _dedup_url() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (did % 7).cast("string"),
+        F.lit(".COM:443/p/"),
+        (did % 50).cast("string"),
+        F.when(did % 3 == 0, F.lit("?utm_source=x"))
+        .when(did % 3 == 1, F.lit("?utm_campaign=y"))
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "web_url_dedup_canonical",
+    f"""
+    WITH __u AS (SELECT doc_id, {_DEDUP_URL_SQL} AS url FROM documents),
+    __p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS __scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1)) AS __hostport,
+             regexp_replace(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS __rest
+      FROM __u
+    ),
+    __n AS (
+      SELECT doc_id, url,
+             __scheme || '://' ||
+             (CASE WHEN __scheme = 'https'
+                   THEN regexp_replace(__hostport, ':443$', '')
+                   WHEN __scheme = 'http'
+                   THEN regexp_replace(__hostport, ':80$', '')
+                   ELSE __hostport END) ||
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(__rest, '#.*$', ''),
+               '([?&])(utm_[^&#]*&)+', '\\1', 'g'),
+               '[?&]utm_[^&#]*$', ''),
+               '\\?&+', '?', 'g'),
+               '[?&]+$', '') AS url_norm
+      FROM __p
+    )
+    SELECT url_norm,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_crawled,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM __n
+    GROUP BY url_norm
+    """,
+    doc="URL-level crawl dedup — the cheapest dedup tier of a web "
+    "pipeline, upstream of any content hashing: canonicalize "
+    "(case-fold, default-port strip, fragment drop, utm_* removal — "
+    "operators.web.normalize_url) and keep the FIRST crawl per "
+    "canonical URL (min doc_id), reporting how many raw crawls and "
+    "distinct raw spellings collapsed onto each page.  Pure projection "
+    "+ one grouped aggregate on the canonical key; at 100 TB the key "
+    "is uniform (hash of a URL) so the shuffle is skew-free, and "
+    "min/count are combinable (map-side partials).  Full SQL oracle.",
+)
+def web_url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.web import normalize_url
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _dedup_url().alias("url")
+    )
+    return (
+        docs.withColumn("url_norm", normalize_url("url"))
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_crawled"),
+            F.countDistinct("url").cast("long").alias("n_raw_variants"),
+        )
+    )

@@ -22,6 +22,8 @@ from heparchy_spark.streaming.analytics import (
     streaming_count_min,
     streaming_frequent_items,
     rate_limit_batch,
+    group_sample_batch,
+    streaming_group_sample,
     streaming_funnel,
     streaming_rate_limit,
     streaming_scd2,
@@ -31,6 +33,7 @@ from heparchy_spark.streaming.analytics import (
 from heparchy_spark.streaming.pipeline import (
     corpus_gates,
     stream_corpus_pipeline,
+    streaming_ivf_ingest,
 )
 from heparchy_spark.streaming.ingest import (
     EVENT_STREAM_SCHEMA,
@@ -42,11 +45,14 @@ __all__ = [
     "EVENT_STREAM_SCHEMA",
     "corpus_gates",
     "stream_corpus_pipeline",
+    "streaming_ivf_ingest",
     "streaming_count_min",
     "streaming_frequent_items",
     "streaming_funnel",
     "streaming_rate_limit",
     "rate_limit_batch",
+    "group_sample_batch",
+    "streaming_group_sample",
     "streaming_scd2",
     "windowed_token_counts",
     "read_event_stream",

@@ -875,3 +875,107 @@ def rate_limit_batch(
         .groupBy("user_id")
         .applyInPandas(run, schema=_RATE_OUT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_group_sample — bounded-state uniform k-sample per group
+# ---------------------------------------------------------------------------
+
+_SAMPLE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_SAMPLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.StringType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _sample_key(event_id: int, salt: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(f"{event_id}{salt}".encode()).hexdigest()
+
+
+def streaming_group_sample(
+    events: DataFrame, k: int = 16, salt: str = "sample"
+) -> DataFrame:
+    """Uniform ``k``-row sample per event_type maintained across
+    micro-batches in O(k) state — the reservoir-sampling slot of a
+    streaming pipeline, implemented as BOTTOM-K BY CONTENT HASH rather
+    than Algorithm R: keeping the k smallest sha256(event_id || salt)
+    keys IS a uniform k-sample (the hash is a uniform permutation key),
+    the merge is associative and order-free (min-merge of two bottom-k
+    sets), and the result is BIT-IDENTICAL to the batch twin
+    (:func:`group_sample_batch`) and to any replay/arrival order —
+    where Algorithm R's sample depends on arrival order and a stateful
+    RNG, which can never match a deterministic batch twin.
+
+    Each micro-batch emits the group's CURRENT sample (update mode)
+    tagged with ``n_seen``, the total rows observed — the emission with
+    the group's max n_seen is its final sample.  State is (k hashes, k
+    ids, count): bounded, no growth with stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: ty.Iterator[pd.DataFrame], state: GroupState
+    ) -> ty.Iterator[pd.DataFrame]:
+        hashes, ids, n_seen = (
+            state.get if state.exists else ([], [], 0)
+        )
+        pool = list(zip(hashes, ids))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pool.extend(
+                (_sample_key(int(e), salt), int(e))
+                for e in pdf["event_id"]
+            )
+        pool.sort()
+        pool = pool[:k]
+        state.update(([h for h, _ in pool], [i for _, i in pool], n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(pool),
+                "event_id": [i for _, i in pool],
+                "n_seen": [n_seen] * len(pool),
+            }
+        )
+
+    return events.select("event_type", "event_id").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_SAMPLE_OUT_SCHEMA,
+        stateStructType=_SAMPLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def group_sample_batch(
+    events: DataFrame, k: int = 16, salt: str = "sample"
+) -> DataFrame:
+    """Batch twin of :func:`streaming_group_sample`: the k smallest
+    sha256(event_id || salt) keys per event_type plus the group size —
+    one shuffle on the group key, a rank window inside it (top-k per
+    group, never a global sort)."""
+    from pyspark.sql import Window
+
+    h = F.sha2(F.concat(F.col("event_id").cast("string"), F.lit(salt)), 256)
+    w = Window.partitionBy("event_type").orderBy("__h")
+    wn = Window.partitionBy("event_type")
+    return (
+        events.select("event_type", "event_id")
+        .withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_seen", F.count(F.lit(1)).over(wn))
+        .where(F.col("__rn") <= k)
+        .select("event_type", "event_id", "n_seen")
+    )

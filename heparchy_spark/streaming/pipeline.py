@@ -162,3 +162,62 @@ def stream_corpus_pipeline_txn(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ivf_ingest(
+    new_stream: DataFrame,
+    seen_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+    table,
+    checkpoint: str,
+    threshold: float = 0.95,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``operators.similarity.incremental_ivf_assign``:
+    new embeddings stream in, each micro-batch is assigned against the
+    BROADCAST centroid codebook and screened for near-duplicates of the
+    already-ingested ``seen_df`` corpus, and the per-vector verdict rows
+    (id, cluster, dist2, n_cell_seen, best_seen_id, best_cosine,
+    is_near_dup) land EXACTLY ONCE as one atomic snapshot commit per
+    micro-batch (``commit_batch_once`` — replays are recognized by
+    batch id and skipped).
+
+    Twin contract: with a static ``seen_df``, the union of all committed
+    micro-batch outputs equals the batch operator run once over the full
+    new set — bit-for-bit, because assignment/dist2/cosine reuse the
+    same grid-rounded kernels and each new vector's verdict depends only
+    on (vector, centroids, seen corpus), never on other new vectors.
+
+    Scale shape: the centroid matmul is a pure map over the batch (k x
+    dim doubles in the task closure); the near-dup screen is the
+    cluster-bounded equi-join of the batch operator — candidates ~
+    |batch| x cell occupancy.  The seen side's (id, cluster) assignment
+    is recomputed per micro-batch HERE (self-contained API); a
+    production deployment persists it as a cluster-bucketed sidecar
+    written at ingest and refreshes the codebook on the cadence
+    documented in SCALE.md (centroids drift slowly; re-assignment of
+    the seen side is only needed when the codebook version changes).
+    """
+    from heparchy_spark.operators.similarity import incremental_ivf_assign
+    from heparchy_spark.sources.snapshot import commit_batch_once
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        last = table.latest_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        verdicts = incremental_ivf_assign(
+            batch, seen_df, vec_col, id_col, centroids, threshold=threshold
+        )
+        # a batch with no rows still banks its batch-id token
+        commit_batch_once(table, verdicts, batch_id)
+
+    writer = (
+        new_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -95,3 +95,29 @@ def test_round2_red_rows_now_hash_clean():
     # the sort the driver performs must now succeed
     mf.sort_values(by=sorted(mf.columns), inplace=False)
     con.close()
+
+
+def test_oracles_execute_under_resource_cap():
+    """Every oracle must EXECUTE (not just bind) under a fixed DuckDB
+    resource cap — 512 MB, 4 threads, spill disabled — so an oracle
+    that silently assumes an unbounded driver box (a blow-up join, a
+    HUGEINT-wide materialization, an accidental cross product) fails
+    HERE at sf0.001 instead of erroring in the driver's gate.  Binding
+    alone missed the round-2 class until runtime; execution under a cap
+    closes the next one."""
+    import __spark_entry__ as entry_mod
+
+    con = _duck_con()
+    con.execute("SET memory_limit='512MB'")
+    con.execute("SET threads=4")
+    con.execute("SET temp_directory=''")  # no spill: the cap is real
+    failures = []
+    for name, sql in sorted(entry_mod.oracle_sql().items()):
+        try:
+            con.execute(sql).fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, str(exc)[:160]))
+    con.close()
+    assert not failures, (
+        "oracles failing under the 512MB/4-thread cap: " f"{failures}"
+    )

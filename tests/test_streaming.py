@@ -1102,3 +1102,116 @@ def test_rate_limit_bucket_semantics(spark):
         True, False,                      # one refilled token
         True, True, True, False,          # capped refill: 3 tokens
     ]
+
+
+def test_streaming_ivf_ingest_matches_batch(spark, tmp_path):
+    """Incremental IVF serving twin: micro-batched new embeddings,
+    assigned against broadcast centroids and screened vs the static
+    seen corpus, must union to exactly the batch operator's output —
+    bit-for-bit (same grid-rounded kernels, per-vector independence) —
+    and land exactly once (snapshot batch-id tokens survive a
+    checkpointed re-run)."""
+    from heparchy_spark.operators.similarity import (
+        incremental_ivf_assign,
+        train_centroids,
+    )
+    from heparchy_spark.sources.snapshot import SnapshotTable
+    from heparchy_spark.streaming import streaming_ivf_ingest
+
+    emb = load(spark, SF_DIR, "embeddings")
+    seen = emb.where(F.col("vec_id") < 250)
+    new = emb.where(F.col("vec_id") >= 250)
+    cents = train_centroids(
+        seen, "embedding", n_centroids=8, order_col="vec_id"
+    )
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    parts = [
+        new.where(F.col("vec_id") < 375),
+        new.where(F.col("vec_id") >= 375),
+    ]
+    for i, part in enumerate(parts):
+        sub = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        for j, f in enumerate(sorted(sub.glob("*.parquet"))):
+            f.rename(flat / f"part-{i}{j}.parquet")
+
+    def run_once(tbl):
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        q = streaming_ivf_ingest(
+            stream, seen, "embedding", "vec_id", cents, tbl,
+            str(tmp_path / "ckpt"), threshold=0.9,
+        )
+        q.awaitTermination(180)
+
+    table = SnapshotTable(spark, tmp_path / "verdicts")
+    run_once(table)
+
+    got = {tuple(r) for r in table.read().collect()}
+    want_rows = incremental_ivf_assign(
+        new, seen, "embedding", "vec_id", cents, threshold=0.9
+    ).collect()
+    want = {tuple(r) for r in want_rows}
+    assert got == want
+    assert len(want) == new.count()  # one verdict per new vector
+    # at least one micro-batch per landing file, each an atomic append
+    vers = table.versions()
+    assert len(vers) >= 2
+    assert {v["operation"] for v in vers} == {"append"}
+
+    # checkpointed re-run: engine replays nothing, table unchanged
+    n_before = len(vers)
+    run_once(table)
+    assert len(table.versions()) == n_before
+    assert {tuple(r) for r in table.read().collect()} == want
+
+
+def test_streaming_group_sample_matches_batch(spark, landing):
+    """Bounded-state uniform sample per event_type: the bottom-k-by-hash
+    reservoir across micro-batches must equal the batch twin exactly
+    (associative min-merge, content-hash keys), and the final emission's
+    n_seen must equal the true group size."""
+    from heparchy_spark.streaming import (
+        group_sample_batch,
+        streaming_group_sample,
+    )
+
+    stream = read_event_stream(spark, landing, max_files_per_trigger=1)
+    _run_to_memory(
+        streaming_group_sample(stream, k=7), "t_sample", "update"
+    )
+    rows = spark.sql("select * from t_sample").collect()
+    # the emission with the group's max n_seen is its final sample
+    final_n = {}
+    for r in rows:
+        final_n[r["event_type"]] = max(
+            final_n.get(r["event_type"], 0), r["n_seen"]
+        )
+    got = {
+        (r["event_type"], r["event_id"], r["n_seen"])
+        for r in rows
+        if r["n_seen"] == final_n[r["event_type"]]
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        (r["event_type"], r["event_id"], r["n_seen"])
+        for r in group_sample_batch(ev, k=7).collect()
+    }
+    assert got == want
+    # n_seen is the exact group size; every group sampled at exactly k
+    # (sf0.001 groups all exceed k=7)
+    sizes = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert final_n == sizes
+    per_group: dict = {}
+    for t, _e, _n in got:
+        per_group[t] = per_group.get(t, 0) + 1
+    assert all(v == 7 for v in per_group.values())
