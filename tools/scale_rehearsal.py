@@ -163,6 +163,12 @@ def main() -> int:
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
+    import os
+
+    # live UI on: the stage REST API is the shuffle-bytes source
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     from heparchy_spark.queries import REGISTRY, _load_all
     from heparchy_spark.session import get_spark
 
@@ -175,6 +181,15 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in slate:
         row: dict = {}
+        # untimed warm-up at base scale: codegen + JIT for this plan
+        # family, so the base sample isn't the cold one
+        try:
+            REGISTRY[name].spark(spark, BASE).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 - the timed loop reports it
+            pass
         for label, sf_dir in [("base", BASE), ("inflated", str(scratch))]:
             r0, w0 = _shuffle_totals(spark)
             t0 = time.time()
