@@ -1413,3 +1413,74 @@ def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="csplit",
     )
     return out
+
+
+@register(
+    "dataset_packing_efficiency",
+    f"""
+    WITH packed AS (
+      SELECT doc_id, lang,
+             CAST(__tc AS BIGINT) AS seq_len,
+             CAST(floor(CAST(__cum - __tc AS DOUBLE) / 512.0) AS BIGINT)
+               AS bin_id
+      FROM (
+        SELECT doc_id, lang, __tc,
+               sum(__tc) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS __cum
+        FROM (SELECT doc_id, lang, {_TOKCOUNT_SQL} AS __tc FROM documents)
+      )
+    ),
+    bins AS (
+      SELECT lang, bin_id, SUM(seq_len) AS used, COUNT(*) AS n_docs
+      FROM packed GROUP BY lang, bin_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(used) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(used) AS DOUBLE) / (COUNT(*) * 512), 6)
+             AS utilization,
+           CAST(SUM(CASE WHEN used > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_bins,
+           CAST(SUM(CASE WHEN used < 512 THEN 512 - used ELSE 0 END)
+                AS BIGINT) AS wasted_tokens
+    FROM bins GROUP BY lang
+    """,
+    doc="Packing-efficiency audit of the 512-token sequence packer — the "
+    "metric a training pipeline actually tracks about its packer: bins, "
+    "docs, token utilization (tokens / bin-slots), overflow bins (a "
+    "single doc longer than the budget spills past its slot in the "
+    "first-fit floor scheme), and wasted padding tokens.  Exact integer "
+    "aggregates over the packed frame, same windows as "
+    "dataset_pack_bins (per-lang partitioned cumsum, no global sort); "
+    "ratios are int/int divisions.  Full SQL oracle nesting the pack "
+    "chain.",
+)
+def dataset_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "lang", "doc_id", token_count("text"), budget=512
+    )
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("seq_len").alias("used"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("used").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("used").cast("double") / (F.count(F.lit(1)) * 512), 6
+        ).alias("utilization"),
+        F.sum((F.col("used") > 512).cast("int"))
+        .cast("long")
+        .alias("n_overflow_bins"),
+        F.sum(
+            F.when(F.col("used") < 512, F.lit(512) - F.col("used")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("wasted_tokens"),
+    )

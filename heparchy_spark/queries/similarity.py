@@ -1558,3 +1558,145 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_int8_recall_at_k — compression-cost audit for scalar
+# quantization, completing the eval triple (IVF / PQ / int8)
+# ---------------------------------------------------------------------------
+
+def _int8_recall_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND({dot.format(d=DIM, a=a, b=b)}"
+            f" / (sqrt({dot.format(d=DIM, a=a, b=a)})"
+            f" * sqrt({dot.format(d=DIM, a=b, b=b)})), 9)"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v, list_min(v) AS vmin,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM base
+    ),
+    deq AS (
+      SELECT vec_id, v,
+             CASE WHEN scale > 0 THEN list_transform(v,
+               x -> vmin + round((x - vmin) / scale) * scale)
+             ELSE v END AS dv
+      FROM s
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+    ex AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, d.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos('d.v', 'q.qv')} DESC, d.vec_id) AS rk
+        FROM deq d, q
+      ) WHERE rk <= 10
+    ),
+    ap AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, d.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos('d.dv', 'q.qv')} DESC, d.vec_id) AS rk
+        FROM deq d, q
+      ) WHERE rk <= 10
+    )
+    SELECT e.query_id,
+           COUNT(*) AS k_exact,
+           CAST(COALESCE(SUM(CASE WHEN a.match_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN a.match_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / COUNT(*) AS recall_at_k
+    FROM ex e LEFT JOIN ap a
+      ON a.query_id = e.query_id AND a.match_id = e.match_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "similarity_int8_recall_at_k",
+    _int8_recall_oracle(),
+    doc="Compression-cost audit completing the ANN eval triple beside "
+    "IVF and PQ recall: recall@10 of asymmetric cosine search over the "
+    "int8 scalar-dequantized corpus (affine min/max codebook per "
+    "vector, full-precision queries — the ADC serving shape) against "
+    "exact cosine top-10.  Tells you what the 4x storage shrink costs "
+    "in retrieval BEFORE you serve from it.  Both sides rank on "
+    "round-9 cosine with match_id tiebreak (cross-engine-stable); "
+    "dequantization is pure per-row arithmetic (no training, so a "
+    "FULL SQL oracle, unlike the fixture-mirrored IVF/PQ audits).  "
+    "Scale: corpus-side scan x 5 broadcast queries, WindowGroupLimit "
+    "top-k per query — no all-pairs.",
+    expects_bnlj=True,  # 5-row broadcast query batch crossJoin
+)
+def similarity_int8_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    vmin = F.array_min(v)
+    scale = (F.array_max(v) - vmin) / F.lit(255.0)
+    dv = F.when(
+        scale > 0,
+        F.transform(v, lambda x: vmin + F.round((x - vmin) / scale) * scale),
+    ).otherwise(v)
+    deq = emb.select(
+        F.col("vec_id").alias("match_id"),
+        v.alias("__v"),
+        dv.alias("__dv"),
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__q"),
+    )
+    scored = deq.crossJoin(F.broadcast(q))
+
+    def topk(score_col: F.Column) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__c"), F.asc("match_id")
+        )
+        return (
+            scored.select(
+                "query_id", "match_id", F.round(score_col, 9).alias("__c")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("query_id", "match_id")
+        )
+
+    exact = topk(cosine(F.col("__v"), F.col("__q")))
+    approx = topk(cosine(F.col("__dv"), F.col("__q")))
+    hits = (
+        exact.join(approx, ["query_id", "match_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("k_exact")
+            ).alias("recall_at_k"),
+        )
+    )
