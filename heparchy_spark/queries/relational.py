@@ -2246,3 +2246,93 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_within"
         ),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH fm AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    cs AS (
+      SELECT cohort_month, COUNT(*) AS cohort_size FROM fm GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month,
+                       date_trunc('month', o.o_orderdate)) AS month_offset,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2)))
+                  AS DECIMAL(38,2)) AS revenue,
+             COUNT(DISTINCT o.o_custkey) AS active_customers
+      FROM orders o JOIN fm f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_month,
+           CAST(r.month_offset AS BIGINT) AS month_offset,
+           CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+           CAST(r.active_customers AS BIGINT) AS active_customers,
+           CAST(r.revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(r.revenue) OVER (
+                   PARTITION BY r.cohort_month ORDER BY r.month_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / cs.cohort_size, 6) AS cum_ltv_per_customer
+    FROM rev r JOIN cs USING (cohort_month)
+    """,
+    doc="Cohort lifetime-value curves — the revenue twin of the "
+    "retention matrix: customers bucketed by first-order month, "
+    "per-(cohort, month-offset) exact-decimal revenue and active "
+    "count, and the running cumulative LTV per cohort member (the "
+    "curve a growth team reads payback periods off).  Revenue stays "
+    "DECIMAL(38,2) through the grouped sum AND the running window "
+    "(order-free / exact), one double cast + round 6 at the end; the "
+    "cumulative window is PARTITIONED by cohort (parallel across "
+    "cohorts, ~tens of offsets per partition); cohort sizes broadcast "
+    "back on the month key.  Full SQL oracle.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    fm = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort_month")
+    )
+    cs = fm.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = (
+        orders.join(fm, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.trunc("o_orderdate", "month"), F.col("cohort_month")
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(cs), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("month_offset").cast("long").alias("month_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_customers").cast("long").alias("active_customers"),
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.sum("revenue").over(w).cast("double")
+                / F.col("cohort_size"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
