@@ -1656,3 +1656,185 @@ def events_ab_uplift_by_segment(
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "events_ab_msprt",
+    f"""
+    WITH p AS (
+      SELECT CAST(ts AS DATE) AS day, {_AB_ARM_SQL} AS arm,
+             CAST(value AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase'
+    ),
+    byday AS (
+      SELECT day,
+             SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na_d,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb_d,
+             SUM(CASE WHEN arm = 'A'
+                 THEN CAST(x AS DECIMAL(38,10)) ELSE 0 END) AS sa_d,
+             SUM(CASE WHEN arm = 'B'
+                 THEN CAST(x AS DECIMAL(38,10)) ELSE 0 END) AS sb_d,
+             SUM(CASE WHEN arm = 'A'
+                 THEN CAST(ROUND(x * x, 8) AS DECIMAL(38,10))
+                 ELSE 0 END) AS qa_d,
+             SUM(CASE WHEN arm = 'B'
+                 THEN CAST(ROUND(x * x, 8) AS DECIMAL(38,10))
+                 ELSE 0 END) AS qb_d
+      FROM p GROUP BY day
+    ),
+    cum AS (
+      SELECT day,
+             SUM(na_d) OVER w AS na, SUM(nb_d) OVER w AS nb,
+             CAST(SUM(sa_d) OVER w AS DOUBLE) AS sa,
+             CAST(SUM(sb_d) OVER w AS DOUBLE) AS sb,
+             CAST(SUM(qa_d) OVER w AS DOUBLE) AS qa,
+             CAST(SUM(qb_d) OVER w AS DOUBLE) AS qb
+      FROM byday
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    stats AS (
+      SELECT day, na, nb,
+             sa / na AS ma, sb / nb AS mb,
+             ((qa - sa * sa / na) + (qb - sb * sb / nb))
+               / (na + nb - 2) AS s2
+      FROM cum WHERE na >= 2 AND nb >= 2
+    ),
+    lam AS (
+      SELECT day, na, nb, ma, mb,
+             s2 * (1.0 / na + 1.0 / nb) AS v
+      FROM stats WHERE s2 > 0
+    ),
+    ll AS (
+      SELECT day, na, nb, ma, mb,
+             ROUND(0.5 * ROUND(LN(v / (v + 100.0)), 8)
+                   + (ma - mb) * (ma - mb) * 100.0
+                     / (2.0 * v * (v + 100.0)), 8) AS log_lambda
+      FROM lam
+    )
+    SELECT day,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(log_lambda, 6) AS log_lambda,
+           ROUND(LEAST(1.0, EXP(-MAX(log_lambda) OVER (
+             ORDER BY day ROWS UNBOUNDED PRECEDING))), 6)
+             AS p_always_valid
+    FROM ll
+    """,
+    doc="Always-valid A/B inference (mixture SPRT, Johari et al. 2017) "
+    "over the hash-assigned arms: per interim DAY, cumulative "
+    "purchase-value moments per arm feed the normal-mixture likelihood "
+    "ratio ln L = 0.5 ln(V/(V+t2)) + D^2 t2 / (2V(V+t2)) (t2 = 100, "
+    "pooled-variance plug-in), and the always-valid p-value is the "
+    "running min of 1/L — the sequential readout you may peek at "
+    "EVERY day without inflating false positives, versus the fixed-n "
+    "z-test's single look.  Determinism: exact decimal moment sums "
+    "(x^2 rounded to 8 dp BEFORE accumulation), one double cast per "
+    "cumulative stat, ROUND(LN,8) ULP guard, log-domain Lambda (no "
+    "exp overflow), round-6 outputs.  Windows ride the bounded "
+    "day frame (~hundreds of rows after the one grouped aggregate — "
+    "the AUC-histogram exception class).  Full SQL oracle.",
+)
+def events_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.col("user_id").cast("string"), F.lit("ab")),
+                    256,
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    dec = "decimal(38,10)"
+    x = F.col("value").cast("double")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"), arm.alias("arm"), x.alias("x")
+    )
+    isa = (F.col("arm") == "A").cast("int")
+    isb = (F.col("arm") == "B").cast("int")
+    byday = p.groupBy("day").agg(
+        F.sum(isa).alias("na_d"),
+        F.sum(isb).alias("nb_d"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x").cast(dec)).otherwise(
+            F.lit(0).cast(dec))).alias("sa_d"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x").cast(dec)).otherwise(
+            F.lit(0).cast(dec))).alias("sb_d"),
+        F.sum(F.when(
+            F.col("arm") == "A",
+            F.round(F.col("x") * F.col("x"), 8).cast(dec),
+        ).otherwise(F.lit(0).cast(dec))).alias("qa_d"),
+        F.sum(F.when(
+            F.col("arm") == "B",
+            F.round(F.col("x") * F.col("x"), 8).cast(dec),
+        ).otherwise(F.lit(0).cast(dec))).alias("qb_d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byday.select(
+        "day",
+        F.sum("na_d").over(w).alias("na"),
+        F.sum("nb_d").over(w).alias("nb"),
+        F.sum("sa_d").over(w).cast("double").alias("sa"),
+        F.sum("sb_d").over(w).cast("double").alias("sb"),
+        F.sum("qa_d").over(w).cast("double").alias("qa"),
+        F.sum("qb_d").over(w).cast("double").alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    stats = cum.where((na >= 2) & (nb >= 2)).select(
+        "day",
+        "na",
+        "nb",
+        (F.col("sa") / na).alias("ma"),
+        (F.col("sb") / nb).alias("mb"),
+        (
+            (
+                (F.col("qa") - F.col("sa") * F.col("sa") / na)
+                + (F.col("qb") - F.col("sb") * F.col("sb") / nb)
+            )
+            / (na + nb - 2)
+        ).alias("s2"),
+    )
+    t2 = F.lit(100.0)
+    lam = stats.where(F.col("s2") > 0).select(
+        "day",
+        "na",
+        "nb",
+        "ma",
+        "mb",
+        (F.col("s2") * (1.0 / na + 1.0 / nb)).alias("v"),
+    )
+    d = F.col("ma") - F.col("mb")
+    ll = lam.select(
+        "day",
+        "na",
+        "nb",
+        "ma",
+        "mb",
+        F.round(
+            0.5 * F.round(F.log(F.col("v") / (F.col("v") + t2)), 8)
+            + d * d * t2 / (2.0 * F.col("v") * (F.col("v") + t2)),
+            8,
+        ).alias("log_lambda"),
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return ll.select(
+        "day",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round("log_lambda", 6).alias("log_lambda"),
+        F.round(
+            F.least(
+                F.lit(1.0), F.exp(-F.max("log_lambda").over(wp))
+            ),
+            6,
+        ).alias("p_always_valid"),
+    )

@@ -1662,3 +1662,70 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("type_coverage"),
     )
+
+
+_BLOCKLIST = ("slow", "dup", "legacy", "spam")
+
+
+@register(
+    "text_blocklist_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN tok IN
+               ({', '.join(repr(t) for t in _BLOCKLIST)})
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+      FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_blocked, 0) AS n_blocked,
+           ROUND(CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+                 ELSE CAST(a.n_blocked AS DOUBLE) / a.n_tokens END, 6)
+             AS blocked_ratio,
+           COALESCE(a.n_blocked, 0) = 0 AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    doc="Blocklist (C4 'bad words') filter over the normalized token "
+    "stream: per doc, blocklisted-token count, share, and the C4 "
+    "contains-any keep verdict — the list is a config input (a "
+    "4-term stand-in here); exact token-boundary matches, never "
+    "substring regex (the 'classic' false-positive class).  One "
+    "exploded scan + grouped count with an InSet probe (JVM, "
+    "whole-stage codegen), left join back so token-less docs still "
+    "get a verdict.  Full SQL oracle.",
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.text import token_stream
+
+    docs = load(spark, sf_dir, "documents")
+    tok = token_stream(docs, "text", "doc_id")
+    agg = tok.groupBy(F.col("__id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("__tok").isin(*_BLOCKLIST).cast("int"))
+        .cast("long")
+        .alias("n_blocked"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.col("n_blocked").cast("double") / F.col("n_tokens")
+                ),
+                6,
+            ).alias("blocked_ratio"),
+            (F.coalesce("n_blocked", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -333,8 +333,13 @@ def web_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_dom.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("__host").cast("long").alias("n_hosts"),
+        # distinct CONTENT HASHES, not texts: the Expand/shuffle carries
+        # 32-byte digests instead of whole documents (the oracle's
+        # COUNT(DISTINCT text) is value-identical, sha256 collision-free)
         F.round(
-            1.0 - F.countDistinct("text").cast("double") / F.count(F.lit(1)),
+            1.0
+            - F.countDistinct(F.sha2("text", 256)).cast("double")
+            / F.count(F.lit(1)),
             6,
         ).alias("dup_rate"),
         F.round(F.sum(quality).cast("double") / F.count(F.lit(1)), 6).alias(
