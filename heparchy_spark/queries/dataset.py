@@ -1484,3 +1484,55 @@ def dataset_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wasted_tokens"),
     )
+
+
+@register(
+    "dataset_mixture_manifest",
+    f"""
+    WITH per AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM({_TOKCOUNT_SQL}) AS BIGINT) AS n_tokens,
+             SUM(CAST(('0x' || substr(sha256(text), 1, 12))::BIGINT
+                      AS DECIMAL(38,0))) AS checksum_dec
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+             AS token_share,
+           CAST(checksum_dec % 1000000007 AS BIGINT) AS content_checksum
+    FROM per CROSS JOIN tot
+    """,
+    doc="Mixture manifest — the dataset-card numbers a training run "
+    "must be reproducible from: per (lang, source) cell, doc count, "
+    "whitespace-token count, share of the total token budget, and a "
+    "deterministic ORDER-FREE content checksum (sum of 48-bit "
+    "sha256-prefix ints in DECIMAL(38,0), reduced mod 1e9+7) — two "
+    "corpora with the same manifest row are byte-interchangeable for "
+    "that cell, and a single changed/dropped document changes the "
+    "checksum.  One grouped aggregate; the 1-row total joins back "
+    "broadcast.  Full SQL oracle.",
+    expects_bnlj=True,  # 1-row total crossJoin (bounded)
+)
+def dataset_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pre = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10)
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        F.sum(pre.cast("decimal(38,0)")).alias("checksum_dec"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("token_share"),
+        (F.col("checksum_dec") % 1000000007)
+        .cast("long")
+        .alias("content_checksum"),
+    )

@@ -815,3 +815,131 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate"
         ),
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    ),
+    med AS (
+      SELECT CASE WHEN MAX(n) % 2 = 1
+               THEN MAX(CASE WHEN rn = (n + 1) // 2 THEN s END)
+               ELSE (SUM(CASE WHEN rn IN (n // 2, n // 2 + 1)
+                         THEN s ELSE 0 END)) / 2.0 END AS slope
+      FROM ranked
+    ),
+    resid AS (
+      SELECT d.y - m.slope * d.x AS r
+      FROM daily d CROSS JOIN med m
+    ),
+    rranked AS (
+      SELECT r, row_number() OVER (ORDER BY r) AS rn,
+             COUNT(*) OVER () AS n
+      FROM resid
+    ),
+    rmed AS (
+      SELECT CASE WHEN MAX(n) % 2 = 1
+               THEN MAX(CASE WHEN rn = (n + 1) // 2 THEN r END)
+               ELSE (SUM(CASE WHEN rn IN (n // 2, n // 2 + 1)
+                         THEN r ELSE 0 END)) / 2.0 END AS intercept
+      FROM rranked
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           (SELECT COUNT(*) FROM slopes) AS n_pairs,
+           ROUND(m.slope, 6) AS slope_per_day,
+           ROUND(rm.intercept, 6) AS intercept
+    FROM med m CROSS JOIN rmed rm
+    """,
+    doc="Theil-Sen robust trend of daily purchase revenue: slope = "
+    "exact median of all pairwise day-over-day slopes, intercept = "
+    "median residual at that slope — a single outlier day (a flash "
+    "sale, a logging gap) cannot move it, where OLS swings (the "
+    "reason monitoring dashboards prefer it).  The pairwise self-join "
+    "and medians run on the BOUNDED per-day frame (one grouped "
+    "aggregate first: ~hundreds of rows, ~10^4 pairs at ANY corpus "
+    "scale — the fact table is never self-joined), so the declared "
+    "bounded BNLJ and the unpartitioned median windows are the "
+    "AUC-histogram exception class.  Exact decimal daily sums, one "
+    "double cast, slopes as single divisions, even-count medians "
+    "average two exact doubles.  Full SQL oracle.",
+    expects_bnlj=True,  # bounded day-frame self-join + 1-row medians
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "s"
+        )
+    )
+
+    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col)
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        mid_odd = F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") + 1) / 2).cast("long"),
+                F.col(col),
+            )
+        )
+        mid_even = (
+            F.sum(
+                F.when(
+                    (F.col("rn") == (F.col("n") / 2).cast("long"))
+                    | (F.col("rn") == (F.col("n") / 2).cast("long") + 1),
+                    F.col(col),
+                ).otherwise(F.lit(0.0))
+            )
+            / 2.0
+        )
+        return ranked.agg(
+            F.when(F.max("n") % 2 == 1, mid_odd)
+            .otherwise(mid_even)
+            .alias(out)
+        )
+
+    med = _median(slopes, "s", "slope")
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    rmed = _median(resid, "r", "intercept")
+    n_days = daily.count()
+    n_pairs = n_days * (n_days - 1) // 2
+    return med.crossJoin(F.broadcast(rmed)).select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.round("slope", 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+    )
