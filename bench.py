@@ -237,6 +237,19 @@ HEADLINE = [
     "similarity_cluster_purity",
     "multimodal_image_gradients",
     "agg_theil_inequality",
+    # round-8 rows
+    "web_host_quality_rollup",
+    "web_domain_cap_sample",
+    "web_url_dedup_canonical",
+    "drift_classifier_auc",
+    "similarity_int8_recall_at_k",
+    "dataset_packing_efficiency",
+    "text_vocab_coverage",
+    "orders_cohort_ltv",
+    "text_blocklist_filter",
+    "events_ab_msprt",
+    "dataset_mixture_manifest",
+    "events_theil_sen_trend",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the
