@@ -21,10 +21,24 @@ concentrated exactly in the widest-codegen queries.  Interleaving
 measures the code cache, not the engine.  Drift rejection instead comes
 from CANARY CHECKPOINTS: the fixed canary (q6, scan+agg, byte-stable)
 is timed before the schedule, after every 10 queries, and at the end;
-any stretch whose bracketing canary samples exceed 1.25x the session's
-canary minimum is re-run (one extra timed run per affected query,
-min-merged), so a slow burst corrupts at most one stretch once instead
-of the whole session silently.
+any stretch whose bracketing canary samples exceed 1.5x the MEDIAN
+boundary canary sample is re-run (one extra timed run per affected
+query, min-merged), so a slow burst corrupts at most one stretch once
+instead of the whole session silently.
+
+Round-9 additions (the r8 verdict's "make the 2x rule decidable"):
+
+* ``normalized`` — per query, wall / session-canary-median.  The canary
+  is byte-stable across rounds, so dividing by it removes the shared
+  VM's session-to-session speed factor: cross-round comparisons should
+  be stated in these units (r8's +19% "regression" was entirely a VM
+  factor — the same queries re-ran 2x apart on an idle machine).
+* ``suspect_reruns`` — any scheduled query whose raw time moved >1.5x
+  against the PREVIOUS round's BENCH_DETAILS (read before this run
+  overwrites it) is re-run once in a FRESH SparkSession at bench end
+  (new JVM-side session state, cold code cache paid by one untimed
+  warm-up), and both numbers are recorded.  A real regression
+  reproduces in the fresh session; VM noise doesn't.
 
 Noise instrumentation (round-2 verdict: a 22% round-over-round drift on
 byte-identical code was indistinguishable from a real regression):
@@ -330,6 +344,18 @@ def _schedule() -> list[str]:
     return [n for n in HEADLINE if n in keep]
 
 
+def _previous_details() -> dict:
+    """Last round's BENCH_DETAILS.json, read BEFORE this run overwrites
+    it — the baseline for the >1.5x suspect-rerun check."""
+    try:
+        prev = json.loads(
+            (Path(__file__).resolve().parent / "BENCH_DETAILS.json").read_text()
+        )
+        return prev if isinstance(prev, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -337,6 +363,7 @@ def main() -> None:
     from heparchy_spark.queries import spark_queries
     from heparchy_spark.session import get_spark
 
+    prev_details = _previous_details()
     spark = get_spark("heparchy-spark-bench")
     qs = spark_queries()
 
@@ -402,7 +429,11 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name in schedule:
         ss = samples[name]
-        if not ss:
+        # A query that failed on ANY run reports -1.0 even when earlier
+        # samples succeeded — a flaky query must not look healthy (r8
+        # advice: partial samples were silently kept and the failure was
+        # stderr-only).  The partial samples still go to BENCH_DETAILS.
+        if not ss or name in failed:
             timings[name] = -1.0
             continue
         lo, hi = min(ss), max(ss)
@@ -418,18 +449,76 @@ def main() -> None:
     total = round(sum(t for t in printed.values() if t >= 0), 3)
     drift = round(canary_last / canary_first if canary_first > 0 else 1.0, 3)
 
+    # Canary-normalized timings: the canary is byte-stable across rounds,
+    # so wall / canary-median divides out the VM's session speed factor —
+    # the unit cross-round comparisons should be stated in.
+    canary_median = cref
+    normalized = {
+        n: round(t / canary_median, 3) if t >= 0 and canary_median > 0 else -1.0
+        for n, t in timings.items()
+    }
+
+    # Suspect reruns: raw time moved >1.5x either way vs last round's
+    # recorded detail -> one fresh-session re-measure at bench end.  A
+    # real regression reproduces there; a VM burst doesn't.  Capped at 8
+    # (largest movement first) so a globally-slow session can't double
+    # the bench wall; anything dropped is listed, not silent.
+    prev_timings = prev_details.get("queries", {})
+    prev_canary = (prev_details.get("canary") or {}).get("median", 0.0)
+    suspects: list[tuple[float, str]] = []
+    for n, t in timings.items():
+        pt = prev_timings.get(n, -1.0)
+        if t > 0 and isinstance(pt, (int, float)) and pt > 0:
+            ratio = t / pt
+            if ratio > 1.5 or ratio < 1 / 1.5:
+                suspects.append((max(ratio, 1 / ratio), n))
+    suspects.sort(reverse=True)
+    rerun_names = [n for _, n in suspects[:8]]
+    dropped_suspects = [n for _, n in suspects[8:]]
+    suspect_reruns: dict[str, dict] = {}
+    if rerun_names:
+        spark.stop()
+        spark = get_spark("heparchy-spark-bench-fresh")
+        qs = spark_queries()
+        fresh_canary = -1.0
+        try:
+            run(CANARY)
+            fresh_canary = round(run(CANARY), 3)
+            for n in rerun_names:
+                run(n)  # untimed warm-up in the fresh session
+                fresh = round(run(n), 3)
+                suspect_reruns[n] = {
+                    "prev": prev_timings.get(n),
+                    "this": timings[n],
+                    "fresh": fresh,
+                    "fresh_normalized": round(fresh / fresh_canary, 3)
+                    if fresh_canary > 0
+                    else -1.0,
+                }
+        except Exception as exc:  # noqa: BLE001 - reruns are best-effort
+            print(f"suspect rerun failed: {exc}", file=sys.stderr)
+
     details = {
         "queries": timings,
+        "normalized": normalized,
         "spread": spreads,
         "noise_floor": noise_floor,
+        "failed": sorted(failed),
+        "partial_samples": {
+            n: [round(s, 3) for s in samples[n]] for n in sorted(failed)
+        },
         "canary": {
             "query": CANARY,
             "first": canary_first,
             "last": canary_last,
+            "median": round(canary_median, 3),
             "drift": drift,
             "boundary_samples": [round(c, 3) for c in canary_boundary],
             "retried_stretches": retried,
         },
+        "suspect_reruns": suspect_reruns,
+        "suspects_dropped": dropped_suspects,
+        "prev_canary_median": prev_canary,
         "sf": sf,
         "total_all": total_all,
         "printed_total": total,
@@ -452,8 +541,11 @@ def main() -> None:
             "queries": printed,
             "total_all": total_all,
             "n_all": len(timings),
+            "n_failed": len(failed),
             "noise_floor": noise_floor,
             "drift": drift,
+            "canary_median": round(canary_median, 3),
+            "n_suspect_reruns": len(suspect_reruns),
             "sf": sf,
         }
     )

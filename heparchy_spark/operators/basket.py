@@ -86,10 +86,12 @@ def association_rules(
     ``confidence(a -> b) = supp(a,b) / supp(a)`` and
     ``lift(a -> b) = supp(a,b) * n_baskets / (supp(a) * supp(b))``.
 
-    The per-item support table is a tiny dim (one row per distinct item)
-    and is broadcast onto the pair table; the basket total is a
-    broadcast single-row aggregate.  Returns ``(antecedent, consequent,
-    pair_support, confidence, lift)``.
+    The per-item support table (one row per distinct item) joins onto
+    the pair table UNHINTED — the item catalog scales with the corpus
+    (parts here), so sizing is AQE's call: BHJ while it fits, SMJ
+    beyond the 8 GB broadcast cap.  Only the single-row basket total
+    carries an explicit broadcast hint.  Returns ``(antecedent,
+    consequent, pair_support, confidence, lift)``.
     """
     pairs = copurchase_pairs(baskets, min_support=min_pair_support)
     # Both directions from the canonical a<b pair.
@@ -110,12 +112,12 @@ def association_rules(
     )
     return (
         directed.join(
-            F.broadcast(item_supp.withColumnsRenamed({"item": "antecedent"})),
+            item_supp.withColumnsRenamed({"item": "antecedent"}),
             "antecedent",
         )
         .withColumnRenamed("__supp", "__supp_a")
         .join(
-            F.broadcast(item_supp.withColumnsRenamed({"item": "consequent"})),
+            item_supp.withColumnsRenamed({"item": "consequent"}),
             "consequent",
         )
         .withColumnRenamed("__supp", "__supp_c")

@@ -105,5 +105,9 @@ def skyline_2d(
         .select(x_col, F.col("__y").alias(y_col))
     )
 
-    # 4. recover full rows (ties on (x, max-y) all survive)
-    return df.join(F.broadcast(frontier), [x_col, y_col], "semi")
+    # 4. recover full rows (ties on (x, max-y) all survive).  The
+    # frontier is ~O(log n) on typical data but worst-case O(n) (fully
+    # anti-correlated x,y keeps every per-x survivor), so the semi-join
+    # is UNHINTED — AQE broadcasts it while it fits and falls back to a
+    # shuffled semi-join when an adversarial frontier doesn't.
+    return df.join(frontier, [x_col, y_col], "semi")

@@ -74,6 +74,18 @@ class QuerySpec:
     # go stale when a new query lands (three rounds shipped that miss).
     expects_bnlj: bool = False
     expects_row_udf: bool = False
+    # Explicit F.broadcast()/hint("broadcast") sites: an explicit hint is
+    # HONORED regardless of size — AQE never demotes it — so a hint on a
+    # frame that grows with the corpus is a hard failure (>8 GB) at
+    # scale that no local bench can see (the round-8 verdict found 17
+    # such queries sitting green for 7 rounds).  Any query whose
+    # ANALYZED plan carries a ResolvedHint must therefore declare WHY
+    # the hinted frame is bounded (e.g. "nation/region dims",
+    # "1-row global stats", "top-k vocab").  Undeclared hints fail the
+    # plan gate; frames that scale with the fact tables must not be
+    # hinted at all — AQE/autoBroadcastJoinThreshold picks BHJ when the
+    # side genuinely fits and SMJ when it doesn't.
+    expects_broadcast: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -86,12 +98,17 @@ def register(
     *,
     expects_bnlj: bool = False,
     expects_row_udf: bool = False,
+    expects_broadcast: str | None = None,
 ):
     """Decorator: register a Spark query builder with its oracle SQL.
 
     ``expects_bnlj`` / ``expects_row_udf`` declare intentional
     plan shapes (bounded broadcast nested-loop join; row-at-a-time
     Python UDF) that the corpus-wide plan gate would otherwise flag.
+    ``expects_broadcast`` declares every explicit broadcast hint in the
+    query's plan, naming the bounded frame(s) hinted — required because
+    explicit hints are honored at ANY size (AQE never demotes them), so
+    only frames with a scale-independent bound may carry one.
     """
 
     def deco(fn: SparkBuilder) -> SparkBuilder:
@@ -104,6 +121,7 @@ def register(
             doc=doc,
             expects_bnlj=expects_bnlj,
             expects_row_udf=expects_row_udf,
+            expects_broadcast=expects_broadcast,
         )
         return fn
 

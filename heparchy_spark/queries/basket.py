@@ -96,6 +96,7 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Confidence and lift are each ONE IEEE division of exact integers "
     "(< 2**53), rounded to 6 — engine-independent.",
     expects_bnlj=True,
+    expects_broadcast="1-row basket-count aggregate",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

@@ -120,6 +120,7 @@ def dataset_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(N* = min_s floor(1000*n_s/w_s)), rows picked by content-hash order. "
     "Integer per-mille weights keep quotas engine-portable.",
     expects_bnlj=True,
+    expects_broadcast="per-source counts + 1-row N* (bounded source domain)",
 )
 def dataset_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import mix_sources
@@ -346,6 +347,7 @@ def _dsir_sql() -> str:
     "sized broadcast log-ratio table, one per-doc aggregate; round-8 "
     "ratios accumulate in exact decimal so the sum is order-independent.",
     expects_bnlj=True,
+    expects_broadcast="fixed hashed-bucket weight tables",
 )
 def dataset_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import dsir_logweights
@@ -451,6 +453,7 @@ def _logreg_sql(
     "collect; every reduction decimal-accumulates round-8 addends and "
     "weights round engine-side, so the oracle replays the trajectory as "
     "unrolled CTEs (the pagerank pattern).",
+    expects_broadcast="fixed hashed-feature weight vector (2^k buckets)",
 )
 def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.classifier import (
@@ -504,6 +507,7 @@ def _temperature_sql(total: int, alpha_pct: int) -> str:
     "round-8 powers + decimal normalizer; the only full shuffle is the "
     "per-source ranking window.",
     expects_bnlj=True,
+    expects_broadcast="per-source quota frames (bounded source domain)",
 )
 def dataset_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import temperature_sample
@@ -537,6 +541,7 @@ def dataset_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted sampler (content-hash uniforms, TakeOrdered plan); the "
     "oracle nests the full DSIR chain as a CTE.",
     expects_bnlj=True,
+    expects_broadcast="fixed hashed-bucket weight tables + 1-row bounds",
 )
 def dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import (
@@ -601,6 +606,7 @@ def _auc_sql(
     "by the round-6 score grid (<= 1e6 rows at ANY corpus scale) — "
     "never a per-row global rank window, which would funnel 100 TB "
     "through one reducer.",
+    expects_broadcast="fixed hashed-feature weight vector (2^k buckets)",
 )
 def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -737,6 +743,7 @@ def _calibration_sql() -> str:
     "to quality_logreg_auc (same bounded-histogram shape: the grouped "
     "frame never exceeds 10 rows regardless of corpus size).",
     expects_bnlj=True,
+    expects_broadcast="fixed calibration-bucket frame + 1-row totals",
 )
 def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.classifier import (
@@ -814,6 +821,7 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-category aggregate broadcast back onto the corpus — category "
     "cardinality bounds the broadcast, corpus size never does; "
     "singleton categories encode NULL rather than a self-leak.",
+    expects_broadcast="per-category stats (bounded category domain)",
 )
 def dataset_target_encoding_loo(
     spark: SparkSession, sf_dir: str
@@ -878,6 +886,7 @@ def dataset_target_encoding_loo(
     "woe is ROUNDED to the 1e-9 grid before entering the iv product so "
     "both engines multiply identical doubles.",
     expects_bnlj=True,
+    expects_broadcast="per-bucket WoE table (fixed bucket count)",
 )
 def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
@@ -972,6 +981,7 @@ def _curriculum_sql() -> str:
     "constant-quality corpus re-buckets the in-group window on a hash "
     "prefix the same way.",
     expects_bnlj=True,
+    expects_broadcast="per-source/stage quota frames (bounded source domain)",
 )
 def dataset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1080,6 +1090,7 @@ def _pr_curve_sql() -> str:
     "without retraining anything — one scan, a scalar bounds "
     "broadcast, and a 10-row window.",
     expects_bnlj=True,
+    expects_broadcast="fixed threshold grid + 1-row totals",
 )
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1289,6 +1300,7 @@ def dataset_kcenter_coreset(
     "value domain, never the row count), scalar broadcasts; at corpus "
     "scale swap the exact rank for bottomk_sample_quantiles.",
     expects_bnlj=True,
+    expects_broadcast="1-row conformal quantile threshold",
 )
 def quality_conformal_coverage(
     spark: SparkSession, sf_dir: str
@@ -1514,6 +1526,7 @@ def dataset_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checksum.  One grouped aggregate; the 1-row total joins back "
     "broadcast.  Full SQL oracle.",
     expects_bnlj=True,  # 1-row total crossJoin (bounded)
+    expects_broadcast="1-row corpus totals",
 )
 def dataset_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -258,6 +258,7 @@ _SPLIT_BUCKET_SQL = (
     "checked for 5-gram shingle collisions with the held-out eval split "
     "(buckets >= 9000). Eval shingle set is broadcast; the train stream "
     "is never shuffled for the join.",
+    expects_broadcast="bounded eval-benchmark shingle set",
 )
 def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dataset import hash_bucket
@@ -431,6 +432,7 @@ def _bloom_pos_spark(h, i: int):
     "bloom_filter_build/probe). maybe_dup is the filter verdict, is_dup "
     "the exact truth; no false negatives by construction. Oracle "
     "recomputes the identical filter in portable SQL.",
+    expects_broadcast="1-row aggregated Bloom bitmap",
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.dedup import (
@@ -801,6 +803,7 @@ def _fs_sql() -> str:
     "(never all pairs; sub-block a skewed key on a hash prefix), "
     "TakeOrdered top-k.",
     expects_bnlj=True,
+    expects_broadcast="bounded Fellegi-Sunter weight table",
 )
 def dedup_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")

@@ -76,6 +76,7 @@ def _halved_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(integer cross-multiples, supremum exact); the oracle uses the "
     "serial global window the operator replaces.",
     expects_bnlj=True,
+    expects_broadcast="1-row totals + bounded bin frames",
 )
 def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(
@@ -128,6 +129,7 @@ def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global window the operator replaces "
     "(operators/drift.py wasserstein_1d).",
     expects_bnlj=True,
+    expects_broadcast="1-row totals + bounded bin frames",
 )
 def drift_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.drift import wasserstein_1d
@@ -187,6 +189,7 @@ def drift_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "midpoint, Laplace-smoothed; sum(psi_term) IS the PSI.  One "
     "map-side-combinable scan to a 10-row table.",
     expects_bnlj=True,
+    expects_broadcast="fixed histogram-bucket frames + 1-row bounds",
 )
 def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_fixed_bins(
@@ -251,6 +254,7 @@ def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "beside PSI and KS.  One map-side-combinable scan to a 10-row "
     "table (operators/drift.py jsd_fixed_bins).",
     expects_bnlj=True,
+    expects_broadcast="fixed histogram-bucket frames + 1-row bounds",
 )
 def drift_value_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.drift import jsd_fixed_bins
@@ -304,6 +308,7 @@ def drift_value_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln() values snap to the 1e-8 grid so both engines rank "
     "identically.",
     expects_bnlj=True,
+    expects_broadcast="1-row corpus totals",
 )
 def drift_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -358,6 +363,7 @@ def drift_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1e-9 grid and accumulate in decimal so the statistic is "
     "order-independent across engines and partitionings.",
     expects_bnlj=True,
+    expects_broadcast="bounded contingency marginals (lang x source domain)",
 )
 def drift_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
@@ -535,6 +541,7 @@ def drift_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximation applies the standard tie correction "
     "sum(t^3 - t) from exact integer tie counts.",
     expects_bnlj=True,
+    expects_broadcast="1-row group totals",
 )
 def drift_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sweep import prefix_sum
@@ -696,6 +703,7 @@ def _c2st_oracle() -> str:
     "(shared logreg_label_auc): bounded 65-bucket training replay, "
     "histogram AUC over the score grid — no per-row global rank "
     "window.  Full SQL oracle (unrolled training trajectory).",
+    expects_broadcast="fixed 65-bucket histogram + 1-row totals",
 )
 def drift_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.dataset import logreg_label_auc

@@ -528,6 +528,7 @@ def _hits_sql(iters: int) -> str:
     "unrolled SQL CTEs (operators/graph.py hits — the pagerank "
     "technique extended to a two-phase iteration).",
     expects_bnlj=True,
+    expects_broadcast="1-row normalization quotients; |V| score frames size-gated (unhinted above 1M nodes)",
 )
 def graph_hits_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.graph import hits

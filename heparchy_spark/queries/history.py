@@ -42,6 +42,7 @@ from heparchy_spark.queries.tables import load
     "count aggregate and a row-normalizing self-aggregate join give "
     "MLE transition probabilities.  The |types|^2-bounded matrix is "
     "the model a sequence-aware sampler or anomaly scorer consumes.",
+    expects_broadcast="per-event-type totals (bounded type domain)",
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -234,6 +235,7 @@ def events_last_touch_attribution(
     "|distinct lifetimes| table — bounded by the corpus time span in "
     "days, not by its row count.",
     expects_bnlj=True,
+    expects_broadcast="1-row study-end bound + 1-row total",
 )
 def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -329,6 +331,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "users whose behavior the model finds surprising surface with the "
     "highest avg_nll.  Same ln/round-8 determinism contract as the "
     "bigram-LM NLL in queries/text.py.",
+    expects_broadcast="per-event-type-pair transition table (bounded type domain)",
 )
 def events_anomaly_markov_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
@@ -396,6 +399,7 @@ def events_anomaly_markov_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(consecutive n-grams) and events_funnel_conversion (one fixed "
     "stage chain).",
     expects_bnlj=True,
+    expects_broadcast="1-row user-count total",
 )
 def events_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

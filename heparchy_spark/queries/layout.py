@@ -63,6 +63,7 @@ _ORACLE = f"""
     "cluster_by_zorder). Stats pass + pure shift/mask algebra; the "
     "oracle recomputes the whole construction in portable SQL.",
     expects_bnlj=True,
+    expects_broadcast="1-row min/max bounds",
 )
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -163,6 +164,7 @@ def _hilbert_oracle(bits: int) -> str:
     "(operators/layout.py hilbert_key — the operator behind "
     "cluster_by_hilbert and optimize(curve='hilbert')).",
     expects_bnlj=True,
+    expects_broadcast="1-row min/max bounds",
 )
 def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -254,6 +256,7 @@ _N_FILES = 32
     "the metric — at 100 TB it is the same range-partitioned sort the "
     "layout rewrite itself pays.",
     expects_bnlj=True,  # 1-row stats broadcast under each bucketing
+    expects_broadcast="1-row min/max bounds",
 )
 def layout_clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

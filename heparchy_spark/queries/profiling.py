@@ -222,6 +222,7 @@ def join_salted_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "number. One combinable count aggregate; everything after runs on "
     "the |keys|-sized frame.",
     expects_bnlj=True,
+    expects_broadcast="1-row global totals",
 )
 def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -759,6 +760,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift cross-engine.  The class/value table is bounded by the "
     "quasi-identifier x sensitive domain, not the row count.",
     expects_bnlj=True,  # 7-row value spine + 1-row total broadcasts
+    expects_broadcast="7-row sensitive-value spine + 1-row total",
 )
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -877,6 +879,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-user frame plus a broadcast scalar — experimentation-platform "
     "math at event-log scale, bit-identical across engines.",
     expects_bnlj=True,
+    expects_broadcast="1-row covariate moments",
 )
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import DEC, dsum
@@ -1017,6 +1020,7 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outranks a 30/40 one).  Top-20 by shrunk rate; everything after "
     "the per-part aggregate is scalar algebra on broadcast constants.",
     expects_bnlj=True,
+    expects_broadcast="1-row global prior",
 )
 def rank_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
@@ -1132,6 +1136,7 @@ def rank_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract.  Each arm is an independent count so the fact tables "
     "are scanned once per check with full pushdown; the whole audit "
     "is the release gate a warehouse load runs before publishing.",
+    expects_broadcast="1-row global totals",
 )
 def audit_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -1241,6 +1246,7 @@ def audit_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulates in decimal(38,0) — exact integers on both engines — "
     "with ONE final cast to double; no step is serial in more than "
     "n_buckets rows per group.",
+    expects_broadcast="1-row global totals",
 )
 def profile_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sweep import prefix_sum
@@ -1321,6 +1327,7 @@ def profile_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round-9 terms accumulate in decimal — order-independent across "
     "engines and partitionings.",
     expects_bnlj=True,
+    expects_broadcast="bounded marginal frames (category domains) + 1-row total",
 )
 def profile_mutual_information(
     spark: SparkSession, sf_dir: str
@@ -1401,6 +1408,7 @@ _DI_KEEP_SQL = (
     "de-select a language.  One combinable scan + a scalar max "
     "broadcast; exact integer counts, one rounded division per group.",
     expects_bnlj=True,
+    expects_broadcast="1-row reference-group rates",
 )
 def audit_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

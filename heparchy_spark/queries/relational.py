@@ -219,8 +219,12 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3: broadcast the filtered customer dim into the orders join, "
-    "then join lineitem on orderkey; top-10 via TakeOrdered (no global sort).",
+    doc="TPC-H Q3: join the filtered customers into orders, then lineitem "
+    "on orderkey; top-10 via TakeOrdered (no global sort). customer and "
+    "orders both scale with SF, so NEITHER side is hinted — AQE/"
+    "autoBroadcastJoinThreshold picks BHJ while the filtered side fits "
+    "and SMJ beyond Spark's 8 GB broadcast cap (an explicit hint would "
+    "be honored at any size and hard-fail at 100x).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -232,7 +236,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -263,8 +267,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5: 6-way join. region/nation/supplier/customer all broadcast; "
-    "only the orders-lineitem join shuffles (on orderkey) at scale.",
+    doc="TPC-H Q5: 6-way join. Only the fixed-cardinality region/nation "
+    "dims are hinted; supplier and customer SCALE with SF so their joins "
+    "are left to AQE (BHJ while they fit, SMJ past the 8 GB cap).",
+    expects_broadcast="nation/region fixed dims (25/5 rows at every SF)",
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -280,9 +286,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     snr = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(snr), li.l_suppkey == snr.s_suppkey)
+        .join(snr, li.l_suppkey == snr.s_suppkey)
         .join(
-            F.broadcast(c),
+            c,
             (o.o_custkey == c.c_custkey) & (c.c_nationkey == snr.n_nationkey),
         )
         .groupBy("n_name")
@@ -311,7 +317,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
-    doc="TPC-H Q10: returned-item revenue by customer; nation broadcast.",
+    doc="TPC-H Q10: returned-item revenue by customer. Only nation (fixed "
+    "25 rows) is hinted; customer scales with SF so its join is left to "
+    "AQE sizing.",
+    expects_broadcast="nation fixed dim (25 rows at every SF)",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -323,7 +332,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -406,13 +415,15 @@ def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_partkey = p_partkey AND p_size >= 20
     GROUP BY p_brand
     """,
-    doc="Fact-dim join on partkey with dim filter; part broadcast.",
+    doc="Fact-dim join on partkey with dim filter. part scales with SF, "
+    "so the join is unhinted — AQE broadcasts it while it fits and "
+    "falls back to SMJ past the 8 GB cap.",
 )
 def join_parts_by_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_size") >= 20)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -1054,8 +1065,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7: shipping volume between two nations per year. Both "
-    "nation sides and supplier broadcast; the only big shuffles are "
-    "lineitem-orders and orders-customer on their join keys.",
+    "nation sides (fixed 25 rows) are hinted; supplier scales with SF so "
+    "its join is left to AQE. The big shuffles are lineitem-orders and "
+    "orders-customer on their join keys.",
+    expects_broadcast="two nation projections (fixed 25 rows each)",
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1078,7 +1091,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
@@ -1105,9 +1118,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
     """,
-    doc="TPC-H Q14: promo revenue share for one month. part broadcasts "
-    "(adapted: p_type = 'PROMO' exact match — the driver's p_type carries "
-    "no TPC-H sub-type suffixes).",
+    doc="TPC-H Q14: promo revenue share for one month (adapted: p_type = "
+    "'PROMO' exact match — the driver's p_type carries no TPC-H sub-type "
+    "suffixes). part scales with SF, so the join is unhinted — AQE picks "
+    "BHJ while part fits and SMJ beyond the broadcast cap.",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1117,7 +1131,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.where(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
-    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    ).join(p, F.col("p_partkey") == F.col("l_partkey"))
     return joined.agg(
         F.round(100.0 * dsum(promo) / dsum(disc), 6).alias("promo_revenue")
     )
@@ -1325,6 +1339,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter — two passes over orders, no shuffle of the filtered stream; "
     "the decimal-accumulated average makes the threshold engine-identical.",
     expects_bnlj=True,
+    expects_broadcast="1-row global average",
 )
 def orders_above_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -1492,6 +1507,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mislead. Two passes: a group-percentile aggregate (broadcast back, "
     "|types| rows) then one deviation aggregate; exact percentiles are "
     "the parity form, approx_percentile is the documented scale path.",
+    expects_broadcast="per-event-type percentile frame (bounded type domain)",
 )
 def agg_robust_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1538,6 +1554,7 @@ def agg_robust_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combinable aggregate. The scale path swaps approx_percentile "
     "boundaries in (mergeable sketch, no full sort) — same plan shape.",
     expects_bnlj=True,
+    expects_broadcast="1-row decile-boundary array",
 )
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1594,6 +1611,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survives the outliers it hunts (mean/stddev z-scores get dragged "
     "by the tail). Two percentile passes broadcast back, then a "
     "bounded per-type ranking window over the scored scan.",
+    expects_broadcast="per-event-type median/MAD frames (bounded type domain)",
 )
 def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1713,6 +1731,7 @@ def _bootstrap_sql() -> str:
     "exactly; the CI is the 2.5/97.5 interpolated percentile of the 32 "
     "replicate means (Spark percentile == DuckDB quantile_cont).",
     expects_bnlj=True,
+    expects_broadcast="1-row point-estimate aggregate",
 )
 def agg_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -2193,8 +2212,10 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     rev = (
+        # customer scales with SF: no broadcast hint — AQE picks BHJ
+        # while the 2-column projection fits, SMJ past the 8 GB cap.
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == customer["c_custkey"],
         )
         .groupBy(
@@ -2290,6 +2311,7 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative window is PARTITIONED by cohort (parallel across "
     "cohorts, ~tens of offsets per partition); cohort sizes broadcast "
     "back on the month key.  Full SQL oracle.",
+    expects_broadcast="per-cohort-month size frame (bounded month domain)",
 )
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")

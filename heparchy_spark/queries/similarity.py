@@ -75,6 +75,7 @@ def similarity_cosine_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "random-hyperplane signs -> equi-join on bucket, rank within query. "
     "Approximate but deterministic (seeded hyperplanes); oracle = plain-"
     "Python mirror with sequential-fold dots, precomputed.",
+    expects_broadcast="bounded query batch",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -179,6 +180,7 @@ def similarity_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     "(driver-side sample), vectorized pandas-UDF cell assignment, equi-join "
     "on cell id with nprobe=2 multi-probing — the nprobe/C-cost scale path "
     "beside LSH.",
+    expects_broadcast="bounded query batch + fixed centroid codebook",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.similarity import ivf_topk, train_centroids
@@ -285,6 +287,7 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial distances (operators/similarity.py pq_*). Deterministic at "
     "fixture scale; oracle = plain-NumPy mirror of the whole train/encode/"
     "ADC pipeline, precomputed.",
+    expects_broadcast="bounded query batch + fixed PQ LUT (k*m rows)",
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.similarity import pq_adc_topk, pq_train
@@ -350,6 +353,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-break, compared to the true label. The evaluation harness shape "
     "for embedding-quality checks over a labeled corpus.",
     expects_bnlj=True,
+    expects_broadcast="bounded query batch",
 )
 def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -436,6 +440,7 @@ def _planted_augmentation(emb: DataFrame) -> DataFrame:
     "pipeline, precomputed; the planted dups must ALL lose to their "
     "originals for the hash to match.  Candidate pairs are an equi-join "
     "on the cluster id — n^2/C, never all-pairs.",
+    expects_broadcast="fixed centroid codebook + 1-row stats",
 )
 def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.similarity import (
@@ -532,6 +537,7 @@ def similarity_incremental_ivf_assign(
     "is one int/int division.  Oracle = plain-NumPy mirror of BOTH "
     "pipelines.",
     expects_bnlj=True,  # 5-row broadcast query batch crossJoin
+    expects_broadcast="bounded eval query batch + fixed centroid codebook",
 )
 def similarity_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.similarity import ivf_topk, train_centroids
@@ -702,6 +708,7 @@ def _rrf_hybrid_sql() -> str:
     "Composes operators/text.py bm25_topk + operators/similarity.py "
     "rrf_fuse across the documents AND embeddings tables.",
     expects_bnlj=True,
+    expects_broadcast="bounded query batch + k-bounded rank lists",
 )
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -759,6 +766,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.py mmr_rerank). Oracle = plain-Python mirror "
     "with the _seq_dot fold convention, precomputed.",
     expects_bnlj=True,
+    expects_broadcast="bounded query batch + k-bounded candidate set",
 )
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1116,6 +1124,7 @@ def similarity_eval_decontamination(
     "|dim|-row table at any corpus scale), broadcast back over a "
     "pure-map scan.  Decimal-exact moments on the round-8 grid keep "
     "mu/sigma bit-identical across engines.",
+    expects_broadcast="per-dimension stats (fixed embedding dim)",
 )
 def similarity_whiten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.numeric import dsum
@@ -1197,6 +1206,7 @@ def similarity_whiten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not arithmetic, so codes are bit-identical cross-engine "
     "(operators/similarity.py binary_quantize/hamming_topk).",
     expects_bnlj=True,
+    expects_broadcast="bounded query batch",
 )
 def similarity_binary_hamming_topk(
     spark: SparkSession, sf_dir: str
@@ -1284,6 +1294,7 @@ def similarity_binary_hamming_topk(
     "rows per query instead of the whole corpus.  Sequential-fold "
     "dots on the round-9 grid keep the rerank engine-exact.",
     expects_bnlj=True,
+    expects_broadcast="bounded query batch",
 )
 def similarity_binary_rerank_topk(
     spark: SparkSession, sf_dir: str
@@ -1404,6 +1415,7 @@ def _mw_sql() -> str:
     "broadcasts and only |Q|*k ranking state shuffles "
     "(operators/similarity.py binary_quantize multi-word layout).",
     expects_bnlj=True,
+    expects_broadcast="bounded query batch",
 )
 def similarity_binary_multiword_topk(
     spark: SparkSession, sf_dir: str
@@ -1447,6 +1459,7 @@ def similarity_binary_multiword_topk(
     "join; recall = int/int.  Oracle = plain-NumPy mirror of BOTH "
     "pipelines.",
     expects_bnlj=True,  # 5-row broadcast query batch crossJoin
+    expects_broadcast="bounded eval query batch + fixed PQ LUT (k*m rows)",
 )
 def similarity_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.similarity import pq_adc_topk, pq_train
@@ -1643,6 +1656,7 @@ def _int8_recall_oracle() -> str:
     "Scale: corpus-side scan x 5 broadcast queries, WindowGroupLimit "
     "top-k per query — no all-pairs.",
     expects_bnlj=True,  # 5-row broadcast query batch crossJoin
+    expects_broadcast="bounded eval query batch + 1-row quantization bounds",
 )
 def similarity_int8_recall_at_k(
     spark: SparkSession, sf_dir: str

@@ -67,6 +67,7 @@ def _pos_sql(h: str, i: int) -> str:
     "users' event counts; exact counts sit alongside for the one-sided "
     "error contract (cm_est >= exact_n). Oracle rebuilds the identical "
     "sketch in portable SQL (operators/sketch.py).",
+    expects_broadcast="fixed-width CM sketch frame (d x w cells)",
 )
 def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -264,6 +265,7 @@ _HLL_EST_SQL = """
     "bit-identical doubles — order-free where naive double summation "
     "is partition-order-dependent.",
     expects_bnlj=True,
+    expects_broadcast="1-row HLL register aggregates",
 )
 def sketch_hll_intersection_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sketch import hll_estimate_df, hll_registers
@@ -526,6 +528,7 @@ def _js_pos_sql(h: str, i: int) -> str:
     "one-sided error contract (est >= exact). Deterministic sha-slice "
     "positions; the oracle rebuilds both sketches in portable SQL.",
     expects_bnlj=True,
+    expects_broadcast="fixed-width CM sketch frames",
 )
 def sketch_cm_join_size_views_purchases(
     spark: SparkSession, sf_dir: str

@@ -35,6 +35,7 @@ from heparchy_spark.queries.tables import load
     "independent quadratic NOT-EXISTS dominance definition, so parity "
     "compares two different algorithms for the same frontier.",
     expects_bnlj=True,
+    expects_broadcast="1-row bounds + <=64-row bucket-prefix frame",
 )
 def skyline_cheap_big_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")

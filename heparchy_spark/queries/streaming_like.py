@@ -878,6 +878,7 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double cast, slopes as single divisions, even-count medians "
     "average two exact doubles.  Full SQL oracle.",
     expects_bnlj=True,  # bounded day-frame self-join + 1-row medians
+    expects_broadcast="bounded day-frame medians (declared bounded BNLJ)",
 )
 def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -51,6 +51,7 @@ from heparchy_spark.queries.tables import load
     "replaces, so parity compares the scalable plan against the "
     "textbook sweep line.",
     expects_bnlj=True,
+    expects_broadcast="per-bucket offset frame (|buckets| rows) + 1-row bounds",
 )
 def events_peak_concurrent_users(
     spark: SparkSession, sf_dir: str

@@ -643,6 +643,7 @@ def text_top_bigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln() on a double ratio is IEEE-identical across engines; round(6) "
     "guards the last ulp.",
     expects_bnlj=True,
+    expects_broadcast="1-row doc-count total",
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -816,6 +817,7 @@ _BM25_TOPK_SQL = f"""
     "single-row join, and ranking windows over candidate docs only. "
     "Same ln/round(6) determinism contract as text_tfidf_top_terms.",
     expects_bnlj=True,
+    expects_broadcast="bounded query-term table + 1-row corpus stats",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import bm25_topk
@@ -925,6 +927,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "determinism discipline (round-8 inputs, decimal accumulation, "
     "round-6 outputs) so both engines produce identical doubles.",
     expects_bnlj=True,
+    expects_broadcast="1-row regression aggregates",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1085,6 +1088,7 @@ def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_topk; chunk dl differs from doc dl, so scores legitimately "
     "differ from document-level BM25.",
     expects_bnlj=True,
+    expects_broadcast="bounded query-term table + 1-row corpus stats",
 )
 def text_bm25_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import bm25_topk, chunk_documents
@@ -1196,6 +1200,7 @@ def _ndcg_sql() -> str:
     "quality_logreg_auc/calibration — everything after the ranking is "
     "bounded (3 queries x 10 positions).",
     expects_bnlj=True,
+    expects_broadcast="k-bounded rank-weight + cumulative-positives frames",
 )
 def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import bm25_topk
@@ -1619,6 +1624,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab broadcasts into the coverage join (1000 rows), and the "
     "rollup is one grouped aggregate with exact distincts (Expand; "
     "approx_count_distinct swap documented).  Full SQL oracle.",
+    expects_broadcast="top-1000 vocabulary table",
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

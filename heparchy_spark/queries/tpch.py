@@ -11,8 +11,13 @@ relation for q2/q16/q20 is derived as ``distinct (l_partkey, l_suppkey)``
 from lineitem — "supplier S supplies part P" evidence — with unit cost
 ``min(l_extendedprice / l_quantity)`` standing in for ``ps_supplycost``.
 
-Scale notes: nation/region always broadcast; supplier broadcasts (1/10000
-of lineitem); part broadcasts after its filters.  Correlated subqueries
+Scale notes: nation/region (fixed 25/5 rows at every SF) carry explicit
+broadcast hints, declared per-query via ``expects_broadcast``; supplier,
+part and every orders/customer-derived frame GROW with SF, so their
+joins are unhinted — an explicit hint is honored at any size (AQE never
+demotes one) and hard-fails above Spark's 8 GB broadcast cap, while an
+unhinted join lets AQE pick BHJ exactly while the side fits and SMJ
+beyond it (the measured q18 10x transition).  Correlated subqueries
 are hand-decorrelated in the DataFrame API into aggregate+join — the same
 rewrite Catalyst/DuckDB performs — so the Spark plan is explicitly the
 scalable one (no per-row re-execution semantics to trust an optimizer
@@ -77,7 +82,9 @@ _SQL_SUPPLY = """
     "unit_cost = min unit price — no partsupp in the driver schema): "
     "min-cost supplier per part in a region. The correlated MIN is "
     "decorrelated to a per-part aggregate joined back on (partkey, cost); "
-    "supplier/nation/region broadcast.",
+    "nation/region (fixed dims) are hinted; supplier scales with SF so "
+    "its join is left to AQE sizing.",
+    expects_broadcast="nation/region fixed dims (25/5 rows at every SF)",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -94,7 +101,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # storage contract as pagerank / connected_components.
     eu_supply = (
         _supply(spark, sf_dir)
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .where(F.col("r_name") == "EUROPE")
@@ -143,8 +150,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 (constants adapted to the driver's value domain): "
     "NATION_5's share of ECONOMY-part volume sold into ASIA per year. "
-    "part/supplier/nation/region broadcast; the two fact shuffles are "
+    "Only the fixed nation/region dims are hinted; part/supplier scale "
+    "with SF so those joins are left to AQE. The two fact shuffles are "
     "lineitem-orders and orders-customer.",
+    expects_broadcast="nation projections + region (fixed dims)",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -161,10 +170,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(
-            F.broadcast(p.where(F.col("p_type") == "ECONOMY")),
+            p.where(F.col("p_type") == "ECONOMY"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             o.where(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -207,8 +216,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q9 (adapted: cost = 0.5 * p_retailprice * l_quantity — no "
     "ps_supplycost in the driver schema; 0.5 is exactly representable so "
     "per-row doubles match DuckDB bit-for-bit): profit on red parts by "
-    "supplier nation and year. part filter broadcasts; profit accumulates "
+    "supplier nation and year. Only nation (fixed dim) is hinted — part "
+    "and supplier scale with SF; profit accumulates "
     "in decimal for engine-independent hashes.",
+    expects_broadcast="nation fixed dim (25 rows at every SF)",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -221,10 +232,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(
-            F.broadcast(p.where(F.col("p_name").like("%red%"))),
+            p.where(F.col("p_name").like("%red%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
@@ -257,8 +268,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "selectivity is stable at every scale factor): parts representing a "
     "significant share of one nation's shipped value. The scalar "
     "subquery is a single-row broadcast-joined aggregate, the cross-"
-    "join-with-one-row pattern.",
+    "join-with-one-row pattern. Only nation (fixed dim) and the 1-row "
+    "threshold are hinted; part/supplier scale with SF.",
     expects_bnlj=True,
+    expects_broadcast="nation fixed dim + 1-row threshold aggregate",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -266,8 +279,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     pv = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .where(F.col("n_name") == "NATION_3")
         .groupBy(F.col("l_partkey").alias("partkey"))
@@ -376,7 +389,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q15: top supplier by quarterly revenue. The revenue view "
     "computes once (persisted) and feeds both the max scalar subquery and "
     "the equality filter; dsum grid-rounding makes the double equality "
-    "engine-independent.",
+    "engine-independent. Only the 1-row max aggregate is hinted; "
+    "supplier scales with SF so its join is left to AQE.",
+    expects_broadcast="1-row max-revenue aggregate",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -399,8 +414,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        F.broadcast(s)
-        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
         .join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("__max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -425,8 +439,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16 (adapted: supply relation from lineitem; excluded "
     "suppliers = negative account balance — no comment column for the "
     "complaints pattern): supplier diversity per part attribute group. "
-    "The NOT IN is a broadcast anti-join (the excluded set is tiny); "
-    "count(distinct) expands two-phase.",
+    "The NOT IN decorrelates to an anti-join; the excluded set and the "
+    "part filter both scale with SF, so neither is hinted (AQE "
+    "broadcasts them while they fit); count(distinct) expands two-phase.",
 )
 def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -435,17 +450,15 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _supply(spark, sf_dir)
         .join(
-            F.broadcast(
-                p.where(
-                    (F.col("p_brand") != "Brand#1")
-                    & (F.col("p_type") != "PROMO")
-                    & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
-                )
+            p.where(
+                (F.col("p_brand") != "Brand#1")
+                & (F.col("p_type") != "PROMO")
+                & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
             ),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -469,8 +482,9 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q17 (adapted: part filter = brand + small size — no "
     "container column): revenue lost to small-quantity orders. The "
     "correlated per-part average decorrelates to a per-partkey aggregate "
-    "broadcast-joined back; davg grid-rounding keeps the threshold "
-    "comparison engine-independent.",
+    "joined back; the filtered part table and the per-partkey aggregate "
+    "both scale with SF, so neither is hinted (AQE sizes them); davg "
+    "grid-rounding keeps the threshold comparison engine-independent.",
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -480,8 +494,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * davg("l_quantity")).alias("__qty_threshold")
     )
     return (
-        li.join(F.broadcast(target), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(per_part_avg), F.col("__pk") == F.col("l_partkey"))
+        li.join(target, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("__pk") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("__qty_threshold"))
         .agg(
             F.round(dsum("l_extendedprice", 2) / 7.0, 6).alias("avg_yearly")
@@ -503,7 +517,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q19 (adapted: size ranges replace the container lists): "
     "disjunctive brand/size/quantity predicate over the part join. The "
-    "common p_size <= 15 bound pushes to the broadcast part scan; the OR "
+    "common p_size <= 15 bound pushes to the part scan; part scales "
+    "with SF so the join is unhinted (AQE sizes it); the OR "
     "evaluates post-join without a second pass.",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +544,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(p.where(F.col("p_size").between(1, 15))),
+            p.where(F.col("p_size").between(1, 15)),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .where(branch)
@@ -560,7 +575,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q20 (adapted: qualification = shipped >100 units of blue "
     "parts in 1997, via lineitem — no partsupp availability to halve): "
     "suppliers in one nation with significant promo-part volume. The IN "
-    "decorrelates to a left-semi join on the HAVING-pruned supplier set.",
+    "decorrelates to a left-semi join on the HAVING-pruned supplier set. "
+    "Only nation (fixed dim) is hinted; the blue-part filter scales "
+    "with SF so that join is left to AQE.",
+    expects_broadcast="nation fixed dim (25 rows at every SF)",
 )
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -573,7 +591,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(p.where(F.col("p_name").like("%blue%"))),
+            p.where(F.col("p_name").like("%blue%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey")
@@ -615,7 +633,9 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no commit/receipt dates): suppliers who were the SOLE late supplier "
     "on a finished multi-supplier order. The EXISTS/NOT EXISTS pair "
     "becomes left-semi + left-anti joins on orderkey; both reuse the "
-    "lineitem scan.",
+    "lineitem scan. Only nation (fixed dim) is hinted; supplier scales "
+    "with SF so its join is left to AQE.",
+    expects_broadcast="nation fixed dim (25 rows at every SF)",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -629,7 +649,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .where(F.col("l_shipdate") > late_cut)
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .where(F.col("n_name") == "NATION_4")
         .select(
@@ -689,6 +709,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXISTS is a left-anti join against the filtered orders key "
     "projection.",
     expects_bnlj=True,
+    expects_broadcast="1-row average-balance aggregate",
 )
 def q22_global_sales_opportunity(
     spark: SparkSession, sf_dir: str

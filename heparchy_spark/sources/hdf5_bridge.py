@@ -34,6 +34,7 @@ __all__ = [
     "chunk_key_format",
     "parse_event_key",
     "parse_chunk_key",
+    "distribute_file_reads",
     "ingest_hdf5",
     "export_hdf5",
     "layout_manifest",
@@ -84,6 +85,50 @@ def _require_h5py() -> None:
 _FILES_SCHEMA = T.StructType([T.StructField("path", T.StringType(), False)])
 
 
+def distribute_file_reads(
+    spark: SparkSession,
+    paths: ty.Sequence[str],
+    reader: ty.Callable[[str], ty.Iterator],
+    schema: T.StructType,
+) -> DataFrame:
+    """The bridge's parallel unit, as a reusable harness: the file list
+    becomes an N-partition frame (one file per partition) and
+    ``reader(path) -> Iterator[pd.DataFrame]`` runs inside
+    ``mapInPandas`` in the worker task holding that file's partition —
+    N files, N concurrent tasks, no driver bottleneck (SURVEY §7 step
+    1; the reference's chunked single-writer layout is per-file
+    sequential, ``write/hdf.py:63-95``).
+
+    Split from the h5py decode so the distribution contract (one task
+    per file, row-identical union) is pytest-assertable in an
+    environment WITHOUT h5py by injecting a synthetic reader — the
+    decode step is the stub, the Spark plumbing is real.
+
+    Placement is range-partitioned on an explicit file INDEX, not
+    round-robin: ``repartition(n)`` round-robins each input partition
+    from a per-partition random offset, so a many-tiny-partition file
+    list collides several files into one task while other tasks idle —
+    the exact skew this harness exists to avoid.  Range on the distinct
+    indices 0..N-1 into N partitions is deterministic one-file-per-task.
+    """
+    files_df = spark.createDataFrame(
+        [(str(p), i) for i, p in enumerate(paths)],
+        schema=T.StructType(
+            [
+                T.StructField("path", T.StringType(), False),
+                T.StructField("__file_idx", T.IntegerType(), False),
+            ]
+        ),
+    ).repartitionByRange(len(paths), "__file_idx")
+
+    def _map(batches: ty.Iterator) -> ty.Iterator:
+        for pdf in batches:
+            for path in pdf["path"]:
+                yield from reader(path)
+
+    return files_df.mapInPandas(_map, schema=schema)
+
+
 def ingest_hdf5(
     spark: SparkSession,
     paths: ty.Sequence[str],
@@ -104,10 +149,6 @@ def ingest_hdf5(
     from heparchy_spark.sources import store as store_mod
     from heparchy_spark.sources.writer import HepWriter
 
-    files_df = spark.createDataFrame(
-        [(str(p),) for p in paths], schema=_FILES_SCHEMA
-    ).repartition(len(paths))
-
     out_schema = T.StructType(
         [
             T.StructField("process", T.StringType(), False),
@@ -126,60 +167,58 @@ def ingest_hdf5(
         ]
     )
 
-    def read_files(batches: ty.Iterator) -> ty.Iterator:
+    def read_one_file(path: str) -> ty.Iterator:
         import h5py  # worker-side import
         import pandas as pd
 
-        for pdf in batches:
-            for path in pdf["path"]:
-                with h5py.File(path, "r") as f:
-                    epc = int(f.attrs.get("evts_per_chunk", EVTS_PER_CHUNK_DEFAULT))
-                    for proc_name, proc_grp in f.items():
-                        if not isinstance(proc_grp, h5py.Group):
+        with h5py.File(path, "r") as f:
+            epc = int(f.attrs.get("evts_per_chunk", EVTS_PER_CHUNK_DEFAULT))
+            for proc_name, proc_grp in f.items():
+                if not isinstance(proc_grp, h5py.Group):
+                    continue
+                for chunk_key, chunk_grp in proc_grp.items():
+                    if not chunk_key.startswith("evt-set-"):
+                        continue
+                    cidx = parse_chunk_key(chunk_key)
+                    for evt_key, evt_grp in chunk_grp.items():
+                        eid = cidx * epc + parse_event_key(evt_key)
+                        n = None
+                        cols: dict[str, ty.Any] = {}
+                        if "pmu" in evt_grp:
+                            pmu = evt_grp["pmu"][...]
+                            for ours, ref in (
+                                ("px", "x"), ("py", "y"),
+                                ("pz", "z"), ("e", "e"),
+                            ):
+                                cols[ours] = pmu[ref]
+                            n = len(pmu)
+                        for name in ("pdg", "status", "helicity"):
+                            if name in evt_grp:
+                                cols[name] = evt_grp[name][...]
+                                n = len(cols[name]) if n is None else n
+                        if "color" in evt_grp:
+                            c = evt_grp["color"][...]
+                            cols["color"] = c["color"]
+                            cols["anticolor"] = c["anticolor"]
+                            n = len(c) if n is None else n
+                        if n is None:
                             continue
-                        for chunk_key, chunk_grp in proc_grp.items():
-                            if not chunk_key.startswith("evt-set-"):
-                                continue
-                            cidx = parse_chunk_key(chunk_key)
-                            for evt_key, evt_grp in chunk_grp.items():
-                                eid = cidx * epc + parse_event_key(evt_key)
-                                n = None
-                                cols: dict[str, ty.Any] = {}
-                                if "pmu" in evt_grp:
-                                    pmu = evt_grp["pmu"][...]
-                                    for ours, ref in (
-                                        ("px", "x"), ("py", "y"),
-                                        ("pz", "z"), ("e", "e"),
-                                    ):
-                                        cols[ours] = pmu[ref]
-                                    n = len(pmu)
-                                for name in ("pdg", "status", "helicity"):
-                                    if name in evt_grp:
-                                        cols[name] = evt_grp[name][...]
-                                        n = len(cols[name]) if n is None else n
-                                if "color" in evt_grp:
-                                    c = evt_grp["color"][...]
-                                    cols["color"] = c["color"]
-                                    cols["anticolor"] = c["anticolor"]
-                                    n = len(c) if n is None else n
-                                if n is None:
-                                    continue
-                                out = pd.DataFrame(
-                                    {
-                                        "process": proc_name,
-                                        "event_id": eid,
-                                        "chunk_id": eid // epc,
-                                        "pcl_idx": range(n),
-                                    }
-                                )
-                                for k in (
-                                    "px", "py", "pz", "e", "pdg",
-                                    "status", "helicity", "color", "anticolor",
-                                ):
-                                    out[k] = cols.get(k)
-                                yield out
+                        out = pd.DataFrame(
+                            {
+                                "process": proc_name,
+                                "event_id": eid,
+                                "chunk_id": eid // epc,
+                                "pcl_idx": range(n),
+                            }
+                        )
+                        for k in (
+                            "px", "py", "pz", "e", "pdg",
+                            "status", "helicity", "color", "anticolor",
+                        ):
+                            out[k] = cols.get(k)
+                        yield out
 
-    particles = files_df.mapInPandas(read_files, schema=out_schema)
+    particles = distribute_file_reads(spark, paths, read_one_file, out_schema)
     dest = Path(dest)
     dest.mkdir(parents=True, exist_ok=True)
     (

@@ -34,6 +34,7 @@ from heparchy_spark.streaming.pipeline import (
     corpus_gates,
     stream_corpus_pipeline,
     streaming_ivf_ingest,
+    streaming_url_dedup_ingest,
 )
 from heparchy_spark.streaming.ingest import (
     EVENT_STREAM_SCHEMA,
@@ -46,6 +47,7 @@ __all__ = [
     "corpus_gates",
     "stream_corpus_pipeline",
     "streaming_ivf_ingest",
+    "streaming_url_dedup_ingest",
     "streaming_count_min",
     "streaming_frequent_items",
     "streaming_funnel",

@@ -30,6 +30,7 @@ __all__ = [
     "corpus_gates",
     "stream_corpus_pipeline",
     "stream_corpus_pipeline_txn",
+    "streaming_url_dedup_ingest",
 ]
 
 
@@ -156,6 +157,74 @@ def stream_corpus_pipeline_txn(
 
     writer = (
         gated.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_url_dedup_ingest(
+    stream_df: DataFrame,
+    url_col: str,
+    id_col: str,
+    table,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``web_url_dedup_canonical``'s keep-decision: the
+    CHEAPEST ingest gate of a web pipeline — canonicalize the URL
+    (``operators.web.normalize_url``: case-fold, default-port strip,
+    fragment drop, utm_* removal) and land only the FIRST crawl per
+    canonical URL, exactly once (one atomic snapshot commit per
+    micro-batch, replays recognized by batch id and skipped — same
+    commit protocol as the content-hash txn pipeline, but keying on the
+    canonical URL so a re-crawled page is dropped WITHOUT reading its
+    body: this gate runs before content hashing, quality scoring or any
+    text processing).
+
+    "First" = arrival order across micro-batches (crawl order), min
+    ``id_col`` within a batch (deterministic under replay).  With
+    id-ordered arrival the union of committed batches equals the batch
+    operator's min-id-wins keep set — the twin-equality pytest contract.
+
+    Scale shape per micro-batch: canonicalization is a scan-side
+    regexp projection (whole-stage codegen, no UDF); the within-batch
+    first-crawl pick is one window over the batch (bounded); the
+    cross-corpus check anti-joins the table's ``__url_norm`` COLUMN
+    (Parquet column pruning — canonical URLs are ~1/1000th of page
+    bytes, and the key is a hash-uniform string so the shuffle is
+    skew-free).  At very large corpora swap the reference for a
+    bucketed url_norm projection maintained by OPTIMIZE — the commit
+    protocol is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.web import normalize_url
+    from heparchy_spark.sources.snapshot import commit_batch_once
+
+    tagged = stream_df.withColumn("__url_norm", normalize_url(url_col))
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        last = table.latest_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        # within-batch first-crawl-wins (min id per canonical URL)
+        w = Window.partitionBy("__url_norm").orderBy(id_col)
+        b = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if table.latest_version() > 0:
+            seen = table.read().select("__url_norm")
+            b = b.join(seen, "__url_norm", "left_anti")
+        # joins reorder columns; keep the table's file layout stable
+        commit_batch_once(table, b.select(*batch.columns), batch_id)
+
+    writer = (
+        tagged.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

@@ -186,7 +186,14 @@ def test_corpus_wide_no_scale_killers(spark):
     BroadcastNestedLoopJoin unless the query DECLARED the shape at
     registration time (``@register(..., expects_bnlj=True)`` for the
     scalar-subquery / bounded-broadcast pattern,
-    ``expects_row_udf=True`` for the one UDTF slow-path demo).  The
+    ``expects_row_udf=True`` for the one UDTF slow-path demo); and no
+    explicit broadcast hint (``ResolvedHint`` in the ANALYZED plan)
+    unless ``expects_broadcast="why the frame is bounded"`` was
+    declared — an explicit hint is honored at ANY size (AQE never
+    demotes it, unlike threshold-chosen BHJs), so a hint on a frame
+    that scales with the fact tables hard-fails above Spark's 8 GB
+    broadcast cap at 100x; the round-8 verdict found 17 such hints
+    sitting green for 7 rounds because no gate read them.  The
     gate reads the declarations from the registry itself — there is no
     hand-maintained allowlist to go stale when a new query lands."""
     from heparchy_spark.queries import REGISTRY, _load_all, spark_queries
@@ -194,15 +201,25 @@ def test_corpus_wide_no_scale_killers(spark):
     _load_all()
     ROW_UDF_OK = {n for n, s in REGISTRY.items() if s.expects_row_udf}
     BNLJ_OK = {n for n, s in REGISTRY.items() if s.expects_bnlj}
+    HINT_OK = {
+        n for n, s in REGISTRY.items() if s.expects_broadcast is not None
+    }
     offenders = []
     for name, fn in spark_queries().items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        qe = fn(spark, SF_DIR)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append((name, "cartesian"))
         if "BatchEvalPython" in plan and name not in ROW_UDF_OK:
             offenders.append((name, "row-python-udf"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "unexpected-BNLJ"))
+        hinted = "ResolvedHint" in qe.analyzed().toString()
+        if hinted and name not in HINT_OK:
+            offenders.append((name, "undeclared-broadcast-hint"))
+        if not hinted and name in HINT_OK:
+            # declarations must not outlive their hints
+            offenders.append((name, "stale-broadcast-declaration"))
     assert not offenders, offenders
 
 

@@ -1215,3 +1215,86 @@ def test_streaming_group_sample_matches_batch(spark, landing):
     for t, _e, _n in got:
         per_group[t] = per_group.get(t, 0) + 1
     assert all(v == 7 for v in per_group.values())
+
+
+def test_streaming_url_dedup_ingest_exactly_once(spark, tmp_path):
+    """Canonical-URL first-crawl-wins dedup at ingest: URL variants that
+    normalize to the same canonical page are suppressed across
+    micro-batches, commits are exactly-once (a checkpointed re-run
+    lands nothing), and the committed union equals the batch
+    min-id-wins keep set (id-ordered arrival)."""
+    from heparchy_spark.operators.web import normalize_url
+    from heparchy_spark.sources.snapshot import SnapshotTable
+    from heparchy_spark.streaming import streaming_url_dedup_ingest
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    # variant matrix: (doc_id % 40) defines the canonical page; casing,
+    # default port, utm params and fragments differ per crawl
+    crawls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.Ex"))
+            .otherwise(F.lit("https://www.ex")),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".COM:443/page"))
+            .otherwise(F.lit(".com/page")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=a"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#top"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+        "text",
+    )
+    # two id-ordered arrival files -> two micro-batches
+    n_mid = 250
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, part in enumerate(
+        [crawls.where(F.col("doc_id") < n_mid),
+         crawls.where(F.col("doc_id") >= n_mid)]
+    ):
+        sub = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        for j, f in enumerate(sorted(sub.glob("*.parquet"))):
+            f.rename(flat / f"part-{i}{j}.parquet")
+
+    def run_once(tbl):
+        stream = (
+            spark.readStream.schema(crawls.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        q = streaming_url_dedup_ingest(
+            stream, "url", "doc_id", tbl, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+
+    table = SnapshotTable(spark, tmp_path / "url_tbl")
+    run_once(table)
+
+    got = {r["doc_id"] for r in table.read().select("doc_id").collect()}
+    # batch twin: min doc_id per canonical URL over the whole crawl set
+    want = {
+        r["keep"]
+        for r in crawls.withColumn("__u", normalize_url("url"))
+        .groupBy("__u")
+        .agg(F.min("doc_id").alias("keep"))
+        .collect()
+    }
+    assert got == want
+    # the variant matrix actually collapsed: 40 canonical pages
+    assert len(got) == 40
+    # landed rows keep the original columns (plus the canonical key)
+    assert set(table.read().columns) >= {"doc_id", "url", "text", "__url_norm"}
+    # every micro-batch banked its token atomically
+    vers = table.versions()
+    assert {v["operation"] for v in vers} == {"append"}
+    assert table.latest_batch_id() == len(vers) - 1
+
+    # checkpointed re-run: engine replays nothing, table unchanged
+    n_before = len(vers)
+    run_once(table)
+    assert len(table.versions()) == n_before
+    assert {
+        r["doc_id"] for r in table.read().select("doc_id").collect()
+    } == want

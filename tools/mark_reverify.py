@@ -115,6 +115,13 @@ def _top_spans(path: Path) -> list[tuple[str, int, int]] | None:
 # decorator lines that are pure plan-shape flag migrations — the one
 # registration edit that does NOT warrant a driver re-check
 _FLAG_ONLY = {"expects_bnlj=True,", "expects_row_udf=True,"}
+# expects_broadcast carries a free-text reason, so match it by shape
+_FLAG_RE = re.compile(r"^expects_broadcast=(\"[^\"]*\"|'[^']*'),$")
+
+
+def _is_flag_line(txt: str) -> bool:
+    s = txt.strip()
+    return s in _FLAG_ONLY or bool(_FLAG_RE.match(s))
 
 
 def _module_changes(since: str) -> dict[str, tuple[set[str], bool, set[str]]]:
@@ -147,7 +154,7 @@ def _module_changes(since: str) -> dict[str, tuple[set[str], bool, set[str]]]:
             if any(bs <= ln <= b for ln in lines)
             or any(
                 a <= ln < bs
-                and (txt is None or txt.strip() not in _FLAG_ONLY)
+                and (txt is None or not _is_flag_line(txt))
                 for ln, txt in lines.items()
             )
         }

@@ -14,7 +14,11 @@ no separate allowlist) to just the queries you touched, in seconds:
 Checks per query (planned at sf0.001 — plan shape, no execution of the
 final frame): no CartesianProduct; no BroadcastNestedLoopJoin unless
 ``expects_bnlj=True`` was declared; no row-at-a-time Python UDF
-(BatchEvalPython) unless ``expects_row_udf=True``; plus a WARN (not a
+(BatchEvalPython) unless ``expects_row_udf=True``; no explicit
+broadcast hint (``ResolvedHint`` in the ANALYZED plan — an explicit
+hint is honored at any size, AQE never demotes it, so a hint on an
+SF-scaling frame hard-fails above Spark's 8 GB broadcast cap) unless
+``expects_broadcast="why bounded"`` was declared; plus a WARN (not a
 failure) for any unpartitioned WindowExec, the single-task sort class.
 Exit code 0 = clean, 1 = offenders found.
 """
@@ -32,21 +36,61 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def changed_query_names() -> list[str]:
-    """Queries whose defining module was touched since HEAD."""
+    """Queries whose defining module — or any module their defining
+    module imports from this package — was touched since HEAD.
+
+    The transitive hop matters: editing ``operators/psl.py`` changes the
+    plans of ``queries/web.py``'s queries even though no query module
+    stem matches the diff (the round-8 advice: bare-stem matching
+    re-gated web/graph/text only by stem coincidence)."""
+    root = Path(__file__).resolve().parent.parent
     out = subprocess.run(
         ["git", "diff", "--name-only", "HEAD"],
         capture_output=True,
         text=True,
-        cwd=Path(__file__).resolve().parent.parent,
+        cwd=root,
     ).stdout.split()
-    touched = {Path(p).stem for p in out if p.endswith(".py")}
+    touched = {
+        p.removesuffix(".py").replace("/", ".")
+        for p in out
+        if p.endswith(".py") and p.startswith("heparchy_spark/")
+    }
+    if not touched:
+        return []
+    import ast
+
     from heparchy_spark.queries import REGISTRY, _load_all
 
     _load_all()
+    # module -> set of heparchy_spark modules it imports (one hop is
+    # enough in practice: query modules import operators directly)
+    dep_cache: dict[str, set[str]] = {}
+
+    def imports_of(module: str) -> set[str]:
+        if module in dep_cache:
+            return dep_cache[module]
+        deps: set[str] = set()
+        path = root / (module.replace(".", "/") + ".py")
+        try:
+            tree = ast.parse(path.read_text())
+        except (OSError, SyntaxError):
+            dep_cache[module] = deps
+            return deps
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                if node.module.startswith("heparchy_spark"):
+                    deps.add(node.module)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith("heparchy_spark"):
+                        deps.add(a.name)
+        dep_cache[module] = deps
+        return deps
+
     names = []
     for name, spec in REGISTRY.items():
-        mod = spec.spark.__module__.rsplit(".", 1)[-1]
-        if mod in touched:
+        mod = spec.spark.__module__
+        if mod in touched or imports_of(mod) & touched:
             names.append(name)
     return names
 
@@ -80,12 +124,9 @@ def main() -> int:
     offenders = []
     for name in names:
         spec = REGISTRY[name]
-        plan = (
-            spec.spark(spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        qe = spec.spark(spark, SF_DIR)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        analyzed = qe.analyzed().toString()
         probs = []
         if "CartesianProduct" in plan:
             probs.append("cartesian")
@@ -93,6 +134,12 @@ def main() -> int:
             probs.append("unexpected-BNLJ")
         if "BatchEvalPython" in plan and not spec.expects_row_udf:
             probs.append("row-python-udf")
+        if "ResolvedHint" in analyzed and spec.expects_broadcast is None:
+            probs.append("undeclared-broadcast-hint")
+        if "ResolvedHint" not in analyzed and spec.expects_broadcast:
+            # a declaration must not outlive its hint — a stale one
+            # would let a future SF-scaling hint slip in undeclared
+            probs.append("stale-broadcast-declaration")
         # unpartitioned window: the spec's FIRST element is an order
         # entry (attr ASC/DESC) or the frame itself — no partition cols
         warn = ""

@@ -55,6 +55,15 @@ SLATE = [
     "graph_pagerank_supply_network",
     "graph_boruvka_forest",
     "web_host_quality_rollup",
+    # round-9 additions (r8 verdict #4): the LLM-pipeline heavies the
+    # first rehearsal skipped, plus two de-hinted TPC-H joins to record
+    # the broadcast->SMJ transition now that the explicit hints are gone
+    "multimodal_dhash_neardups",  # decode-bound mapInPandas: stays linear?
+    "dedup_rouge_l_pairs",  # O(n*m) DP over banded candidates
+    "dataset_leakage_safe_split",  # iterative connected components
+    "similarity_semantic_dedup",  # cluster-bounded pairing
+    "q3_shipping_priority",  # de-hinted: AQE BHJ->SMJ transition
+    "q5_local_supplier",  # de-hinted: AQE BHJ->SMJ transition
 ]
 
 # 20-letter rotation alphabet: R<=20 keeps every copy's text pairwise
@@ -138,7 +147,12 @@ def build_inflated(spark, out_dir: Path, r: int) -> None:
 
 def _shuffle_totals(spark) -> tuple[int, int]:
     """(read_bytes, write_bytes) summed over all completed stages, from
-    the live UI REST API (local mode, default port)."""
+    the live UI REST API (local mode, default port).
+
+    ``spark.ui.retainedStages`` is raised in ``main`` (r8 advice: the
+    default 1000 evicts old stages on long slates, making later r1-r0
+    deltas negative/understated); callers still clamp deltas at 0 and
+    flag rollover as a second guard."""
     try:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
@@ -174,7 +188,12 @@ def main() -> int:
 
     _load_all()
     slate = args.queries or [n for n in SLATE if n in REGISTRY]
-    spark = get_spark("scale-rehearsal")
+    # retainedStages high enough that no stage is evicted mid-slate —
+    # eviction made later per-query shuffle deltas negative (r8 advice)
+    spark = get_spark(
+        "scale-rehearsal",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     scratch = Path(f"/tmp/heparchy_scale_r{args.r}")
     build_inflated(spark, scratch, args.r)
 
@@ -202,11 +221,15 @@ def main() -> int:
                 wall, err = round(time.time() - t0, 2), str(exc)[:200]
             r1, w1 = _shuffle_totals(spark)
             spark.catalog.clearCache()
+            # clamp at 0 + flag: an evicted stage store would otherwise
+            # record a negative/understated delta silently
+            rollover = r1 < r0 or w1 < w0
             row[label] = {
                 "wall": wall,
-                "shuffle_read": r1 - r0,
-                "shuffle_write": w1 - w0,
+                "shuffle_read": max(r1 - r0, 0),
+                "shuffle_write": max(w1 - w0, 0),
                 "error": err,
+                **({"stage_rollover": True} if rollover else {}),
             }
         b, i = row["base"], row["inflated"]
         if not b["error"] and not i["error"] and b["wall"] > 0:
