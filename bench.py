@@ -264,6 +264,8 @@ HEADLINE = [
     "events_ab_msprt",
     "dataset_mixture_manifest",
     "events_theil_sen_trend",
+    # round-9 additions
+    "dedup_lsh_threshold_audit",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_from_hashes",
     "minhash_near_dup_pairs",
+    "lsh_threshold_audit",
     "simhash",
     "simhash_df",
     "simhash_from_hashes",
@@ -394,6 +395,118 @@ def minhash_near_dup_pairs(
         verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_threshold_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sample_k: int = 200,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Empirical LSH S-curve: per true-Jaccard decile, what fraction of
+    pairs does the (num_perm, bands) banding emit as candidates?
+
+    The calibration readout a dedup pipeline needs before trusting its
+    band/row configuration: banding theory says a pair at Jaccard j is a
+    candidate with probability 1-(1-j^r)^b (r = rows per band), and this
+    audit MEASURES that curve on the corpus's own text distribution —
+    a mismatch (e.g. candidate rate far under the theoretical curve near
+    the dedup threshold) means lost recall the verified-pairs output
+    cannot reveal, because pairs the banding never emits are never seen.
+
+    Ground truth needs all-pairs Jaccard, which is exactly what LSH
+    exists to avoid — so the audit runs on a GROWTH-STABLE bounded
+    sample: the bottom-``sample_k`` doc ids by sha256 of the id string
+    (content-independent, stable under corpus growth, TakeOrdered — no
+    global sort).  Everything downstream of the sample is bounded:
+    ~k^2/2 pairs via a declared broadcast nested-loop join, exact
+    shingle-set Jaccard per pair, candidate = the pair shares at least
+    one (band, bucket) under the SAME ``_band_table`` construction the
+    production pairing uses.
+
+    Output: (j_bucket 0..9, n_pairs, n_candidates, cand_rate,
+    scurve_mid) — scurve_mid is the theoretical candidate probability at
+    the bucket midpoint, computed driver-side as a literal (identical
+    plain-Python arithmetic in the oracle mirror; no cross-engine pow).
+    """
+    rows = num_perm // bands
+    sel = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+        .orderBy(F.sha2(F.col("__id").cast("string"), 256))
+        .limit(sample_k)
+    )
+    sets = hashed_shingles_df(sel, "__txt", "__id")
+    bb = (
+        _band_table(sets, num_perm, bands)
+        .groupBy("__id")
+        .agg(
+            F.collect_set(
+                F.concat_ws(
+                    ":",
+                    F.col("band").cast("string"),
+                    F.col("bucket").cast("string"),
+                )
+            ).alias("__bb")
+        )
+    )
+    side = sets.join(bb, "__id")
+    a = side.select(
+        F.col("__id").alias("__ia"),
+        F.col("__shh").alias("__sa"),
+        F.col("__bb").alias("__ba"),
+    )
+    b = side.select(
+        F.col("__id").alias("__ib"),
+        F.col("__shh").alias("__sb"),
+        F.col("__bb").alias("__bb2"),
+    )
+    # bounded all-pairs over the k-doc sample: declared BNLJ class
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("__ia") < F.col("__ib"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (
+        F.size("__sa").cast("double") + F.size("__sb").cast("double") - inter
+    )
+    jac = inter / union
+    bucket = F.least(F.lit(9), F.floor(jac * 10)).cast("int")
+    # theoretical S-curve at bucket midpoints, as driver literals — the
+    # oracle mirror runs the same plain-Python line, so the doubles match
+    # bit-for-bit without trusting two engines' pow() ULP behavior
+    scurve = [
+        round(1.0 - (1.0 - ((i + 0.5) / 10.0) ** rows) ** bands, 6)
+        for i in range(10)
+    ]
+    scurve_arr = F.array(*[F.lit(v) for v in scurve])
+    return (
+        pairs.select(
+            bucket.alias("j_bucket"),
+            F.col("__ba").alias("__ba"),
+            F.col("__bb2").alias("__bb2"),
+        )
+        .withColumn(
+            "__cand", F.arrays_overlap("__ba", "__bb2").cast("int")
+        )
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("__cand").cast("long").alias("n_candidates"),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_candidates",
+            F.round(
+                F.col("n_candidates").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("cand_rate"),
+            F.element_at(scurve_arr, F.col("j_bucket") + 1).alias(
+                "scurve_mid"
+            ),
+        )
     )
 
 

@@ -139,6 +139,34 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_threshold_audit",
+    expected_fixture_sql("dedup_lsh_threshold_audit"),
+    doc="Empirical LSH S-curve calibration: per true-Jaccard decile over "
+    "a growth-stable bottom-200-by-sha256(id) sample, the fraction of "
+    "pairs the production MinHash(64)/16-band construction emits as "
+    "candidates, beside the theoretical 1-(1-j^4)^16 midpoint curve — "
+    "the recall audit the verified-pairs output cannot provide (pairs "
+    "the banding never emits are never seen). All-pairs work is bounded "
+    "by the fixed sample (declared BNLJ); at 100 TB only the k-doc "
+    "TakeOrdered sample scans the corpus. Oracle = plain-Python mirror "
+    "of the full sample/shingle/band/jaccard pipeline, precomputed.",
+    expects_bnlj=True,  # ~k^2/2 pairs over the bounded k-doc sample
+    expects_broadcast="bounded k-doc sample side of the audit pair join",
+)
+def dedup_lsh_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heparchy_spark.operators.dedup import lsh_threshold_audit
+
+    return lsh_threshold_audit(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        sample_k=200,
+        num_perm=64,
+        bands=16,
+    )
+
+
+@register(
     "dedup_incremental_minhash",
     expected_fixture_sql("dedup_incremental_minhash"),
     doc="Incremental near-dup ingest: docs 400+ arrive as a new batch and "

@@ -112,6 +112,7 @@ def test_python_simhash_matches_spark(spark):
         "dedup_simhash_fingerprints",
         "dedup_simhash_pairs",
         "dedup_minhash_lsh_pairs",
+        "dedup_lsh_threshold_audit",
         "multimodal_crc32",
         "multimodal_byte_stats",
         "multimodal_payload_embedding",
@@ -164,3 +165,37 @@ def test_python_seq_fold_matches_spark_dot(spark):
         for x in a:
             n += float(np.float32(x)) * float(np.float32(x))
         assert got[i] == (s, n**0.5), i  # bit-identical, no approx
+
+
+def test_lsh_threshold_audit_planted(spark):
+    """Planted extremes pin the audit's semantics: identical docs (true
+    Jaccard 1.0 -> bucket 9) MUST all be candidates (identical sets ->
+    identical signatures -> every band shared), and disjoint docs
+    (Jaccard 0 -> bucket 0) are overwhelmingly non-candidates. The
+    theoretical midpoint column is ~1.0 at bucket 9 and ~0 at bucket 0."""
+    from heparchy_spark.operators.dedup import lsh_threshold_audit
+
+    rows = []
+    # 6 identical docs -> 15 pairs at jaccard 1.0
+    for i in range(6):
+        rows.append((i, "alpha beta gamma delta epsilon zeta eta theta"))
+    # 8 mutually disjoint docs -> pairs at jaccard 0.0
+    words = "abcdefgh"
+    for i in range(8):
+        w = [f"{words[i]}{j}" for j in range(8)]
+        rows.append((10 + i, " ".join(w)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["j_bucket"]: r
+        for r in lsh_threshold_audit(
+            df, "text", "doc_id", sample_k=50
+        ).collect()
+    }
+    assert got[9]["n_pairs"] >= 15
+    assert got[9]["n_candidates"] == got[9]["n_pairs"]  # all identical pairs
+    assert got[9]["cand_rate"] == 1.0
+    assert got[9]["scurve_mid"] > 0.99
+    assert got[0]["n_pairs"] >= 28
+    assert got[0]["scurve_mid"] < 0.01
+    # a disjoint pair can only collide through a 64-bit hash accident
+    assert got[0]["n_candidates"] == 0

@@ -202,6 +202,61 @@ def minhash_pairs(
     return out
 
 
+def lsh_threshold_audit_rows(
+    docs: list[tuple[int, str | None]],
+    sample_k: int = 200,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> list[tuple]:
+    """Mirror of operators.dedup.lsh_threshold_audit: bottom-k docs by
+    sha256 of the id string, all pairs, true shingle Jaccard decile vs
+    band-bucket candidate flag, plus the theoretical midpoint S-curve
+    (the same plain-Python arithmetic the operator emits as literals)."""
+    import hashlib
+    import math
+
+    rows_per_band = num_perm // bands
+    sel = sorted(
+        docs, key=lambda d: hashlib.sha256(str(d[0]).encode()).hexdigest()
+    )[:sample_k]
+    mask = (1 << 32) - 1
+    sets: dict[int, set[int]] = {}
+    bb: dict[int, set[tuple[int, int]]] = {}
+    for did, text in sel:
+        sh = shingle_hash_set(text)
+        if not sh:
+            continue
+        sets[did] = sh
+        t1 = [h & mask for h in sh]
+        t2 = [xxhash64(h, ("int", 1)) & mask for h in sh]
+        sig = [
+            min(a + j * b for a, b in zip(t1, t2)) for j in range(num_perm)
+        ]
+        bb[did] = {
+            (b, xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(bands)
+        }
+    buckets: dict[int, list[int]] = {}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = float(len(sets[a] & sets[b]))
+            union = float(len(sets[a])) + float(len(sets[b])) - inter
+            jac = inter / union
+            bkt = min(9, int(math.floor(jac * 10)))
+            n, c = buckets.get(bkt, (0, 0))
+            buckets[bkt] = (n + 1, c + (1 if bb[a] & bb[b] else 0))
+    scurve = [
+        round(1.0 - (1.0 - ((i + 0.5) / 10.0) ** rows_per_band) ** bands, 6)
+        for i in range(10)
+    ]
+    return [
+        (bkt, n, c, spark_round(c / n, 6), scurve[bkt])
+        for bkt, (n, c) in sorted(buckets.items())
+    ]
+
+
 def simhash_pairs(
     fps: dict[int, int], max_hamming: int = 3
 ) -> list[tuple[int, int, int]]:
@@ -939,6 +994,21 @@ def main() -> None:
                 "id_a": pa.array([a for a, _, _ in mp], pa.int64()),
                 "id_b": pa.array([b for _, b, _ in mp], pa.int64()),
                 "jaccard": pa.array([j for _, _, j in mp], pa.float64()),
+            }
+        ),
+    )
+
+    # dedup_lsh_threshold_audit
+    au = lsh_threshold_audit_rows(docs)
+    write(
+        "dedup_lsh_threshold_audit",
+        pa.table(
+            {
+                "j_bucket": pa.array([r[0] for r in au], pa.int32()),
+                "n_pairs": pa.array([r[1] for r in au], pa.int64()),
+                "n_candidates": pa.array([r[2] for r in au], pa.int64()),
+                "cand_rate": pa.array([r[3] for r in au], pa.float64()),
+                "scurve_mid": pa.array([r[4] for r in au], pa.float64()),
             }
         ),
     )
