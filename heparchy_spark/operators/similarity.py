@@ -257,14 +257,30 @@ def embedding_near_dup_pairs(
 # IVF (inverted-file) index — the ANN scale path beside LSH.
 # ---------------------------------------------------------------------------
 def _bounded_sample(
-    df: DataFrame, vec_col: str, sample_size: int, order_col: str | None
+    df: DataFrame,
+    vec_col: str,
+    sample_size: int,
+    order_col: str | None,
+    hash_order: bool = False,
 ) -> pd.DataFrame:
     """Driver-side training sample, deterministic when ``order_col`` is
     given (orderBy pushes a TakeOrdered — per-partition top-n then a
-    single bounded merge, no global sort barrier)."""
-    sel = df.select(vec_col) if order_col is None else (
-        df.orderBy(order_col).select(vec_col)
-    )
+    single bounded merge, no global sort barrier).
+
+    ``hash_order`` orders by ``xxhash64(order_col)`` instead of the raw
+    id: still fully deterministic, but the sample SPANS the corpus
+    uniformly instead of taking its head — on time-ordered or
+    append-grown tables the head is one epoch's distribution, and
+    centroids trained on it funnel everything that drifted since into a
+    few mega-cells (measured in the r9 10x rehearsal: top cell held 32%
+    of vectors, sum n_c^2 12.8x uniform — the quadratic pair blow-up a
+    clusterer exists to prevent)."""
+    if order_col is None:
+        sel = df.select(vec_col)
+    elif hash_order:
+        sel = df.orderBy(F.xxhash64(F.col(order_col))).select(vec_col)
+    else:
+        sel = df.orderBy(order_col).select(vec_col)
     return sel.limit(sample_size).toPandas()
 
 
@@ -276,6 +292,7 @@ def train_centroids(
     iters: int = 5,
     seed: int = 7,
     order_col: str | None = None,
+    hash_order: bool = False,
 ) -> np.ndarray:
     """Coarse-quantizer centroids via seeded Lloyd iterations on a bounded
     driver-side sample (the standard IVF training shape: train small,
@@ -285,13 +302,26 @@ def train_centroids(
     on multi-partition input returns an arbitrary subset, so without it
     the k-means trajectory — and any fixture trained from it — is only
     reproducible on single-file sources.  Pass the id column whenever the
-    trained codebook must be deterministic."""
-    pdf = _bounded_sample(df, vec_col, sample_size, order_col)
+    trained codebook must be deterministic.  ``hash_order=True`` samples
+    in xxhash64(id) order — still deterministic, but representative of
+    the WHOLE corpus rather than its id-order head (see
+    ``_bounded_sample``); prefer it whenever the table grows or drifts
+    over time and n exceeds ``sample_size``."""
+    pdf = _bounded_sample(df, vec_col, sample_size, order_col, hash_order)
     x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # chunked over rows so driver memory is O(chunk * k * dim), not
+        # O(sample * k * dim) — bit-identical to the unchunked broadcast
+        # form (same per-row (x-c)^2 expression; committed fixtures were
+        # trained with it, so the dot-product expansion is off-limits)
+        d2 = np.empty((len(x), len(cents)))
+        for i in range(0, len(x), 1024):
+            blk = x[i : i + 1024]
+            d2[i : i + 1024] = (
+                (blk[:, None, :] - cents[None, :, :]) ** 2
+            ).sum(axis=2)
         assign = d2.argmin(axis=1)
         for c in range(len(cents)):
             members = x[assign == c]

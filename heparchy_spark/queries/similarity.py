@@ -432,15 +432,20 @@ def _planted_augmentation(emb: DataFrame) -> DataFrame:
     "similarity_semantic_dedup",
     expected_fixture_sql("similarity_semantic_dedup"),
     doc="SemDeDup semantic deduplication over the planted-duplicate "
-    "augmentation: seeded k-means (8 clusters, deterministic ordered "
-    "sample) partitions the embedding space; within each cluster a "
+    "augmentation: seeded k-means (deterministic ordered sample) "
+    "partitions the embedding space; within each cluster a "
     "vector is dropped when its cosine to a better-ranked member (rank = "
     "centroid distance ASC, id ASC — keep the most central) reaches "
     "0.95.  Oracle = plain-NumPy mirror of the full train/assign/pair "
     "pipeline, precomputed; the planted dups must ALL lose to their "
     "originals for the hash to match.  Candidate pairs are an equi-join "
-    "on the cluster id — n^2/C, never all-pairs.",
-    expects_broadcast="fixed centroid codebook + 1-row stats",
+    "on the cluster id — n^2/C, which is only sub-quadratic when C "
+    "SCALES with n: the r9 10x rehearsal measured wall exponent 2.19 "
+    "with C fixed at 8, so k now grows with the corpus (k ~ n/250, "
+    "constant ~250-vector cells => linear pair volume — the SemDeDup "
+    "paper's own regime).  k stays 8 below 2250 vectors, so the "
+    "committed sf0.01/sf0.001 fixtures and driver hashes are unchanged.",
+    expects_broadcast="centroid codebook (k ~ n/250 rows) + 1-row stats",
 )
 def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.similarity import (
@@ -450,9 +455,16 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     aug = _planted_augmentation(emb)
+    # constant target cell size => pair volume linear in n (bounded-
+    # collect class: one count scalar steers the codebook size);
+    # hash-ordered sample => the trainer sees the whole corpus, not its
+    # id-order head (head-trained centroids funneled drifted vectors
+    # into a 32%-of-corpus mega-cell in the r9 10x rehearsal)
+    k = max(8, aug.count() // 250)
     cents = train_centroids(
-        aug, "embedding", n_centroids=8, sample_size=2000, iters=4, seed=7,
-        order_col="vec_id",
+        aug, "embedding", n_centroids=k,
+        sample_size=max(2000, 10 * k), iters=4, seed=7,
+        order_col="vec_id", hash_order=True,
     )
     return semantic_dedup(
         aug, "embedding", "vec_id", cents, threshold=0.95

@@ -1644,7 +1644,9 @@ def semantic_dedup_rows(
     plant_offset=1_000_000,
 ) -> list[tuple]:
     """Mirror of queries.similarity.similarity_semantic_dedup: planted
-    augmentation -> seeded Lloyd (ordered sample) -> nearest-centroid
+    augmentation -> seeded Lloyd (xxhash64-of-id-ordered sample — the
+    corpus-spanning deterministic order the Spark side uses, see
+    operators.similarity._bounded_sample) -> nearest-centroid
     assignment -> per-cluster rank by (round9 centroid distance, id) ->
     drop on cosine >= threshold to any better-ranked member."""
     ids = list(vec_ids)
@@ -1661,7 +1663,7 @@ def semantic_dedup_rows(
                     dtype="float64",
                 )
             )
-    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    order = sorted(range(len(ids)), key=lambda i: xxhash64(ids[i]))
     ids_s = [ids[i] for i in order]
     x_all = np.stack([xs[i] for i in order])
     x = x_all[:sample_size]
