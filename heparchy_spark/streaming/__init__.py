@@ -33,6 +33,7 @@ from heparchy_spark.streaming.analytics import (
 from heparchy_spark.streaming.pipeline import (
     corpus_gates,
     stream_corpus_pipeline,
+    streaming_domain_cap_ingest,
     streaming_ivf_ingest,
     streaming_url_dedup_ingest,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "EVENT_STREAM_SCHEMA",
     "corpus_gates",
     "stream_corpus_pipeline",
+    "streaming_domain_cap_ingest",
     "streaming_ivf_ingest",
     "streaming_url_dedup_ingest",
     "streaming_count_min",

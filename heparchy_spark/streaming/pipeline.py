@@ -233,6 +233,80 @@ def streaming_url_dedup_ingest(
     return writer.start()
 
 
+def streaming_domain_cap_ingest(
+    stream_df: DataFrame,
+    host_col: str,
+    id_col: str,
+    table,
+    checkpoint: str,
+    cap: int = 20,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Per-registered-domain document cap at ingest: land at most ``cap``
+    documents per PSL registrable domain (``operators.web.url_domain``),
+    first-arrival-wins, exactly once.
+
+    Policy note (vs the batch ``web_domain_cap_sample``): the batch cap
+    ranks quality-passers first then content-hash order — a GLOBAL view
+    a micro-batch cannot have.  The ingest-time policy is arrival-order
+    (min ``id_col`` within a batch, batch order across batches): it
+    bounds a boilerplate mega-domain's footprint the moment it floods
+    in, and the quality-ranked re-cap runs as the periodic batch
+    compaction over the landed shards — the same split every global
+    stage of the corpus pipeline uses.
+
+    Scale shape per micro-batch: domain extraction is a scan-side
+    projection (PSL InSet probe, no join); the in-batch pick is one
+    window partitioned by domain; the only state re-read is the landed
+    table's ``__domain`` COLUMN (column-pruned) folded to per-domain
+    counts — at very large corpora that fold is a counts sidecar
+    maintained at commit time, same contract as the hash/band sidecars.
+    A domain's remaining budget (cap - landed) joins back on the
+    (uniform-by-hash) domain key.
+    """
+    from pyspark.sql import Window
+
+    from heparchy_spark.operators.web import url_domain
+    from heparchy_spark.sources.snapshot import commit_batch_once
+
+    tagged = stream_df.withColumn(
+        "__domain",
+        url_domain(F.concat(F.lit("https://"), F.col(host_col))),
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        last = table.latest_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        w = Window.partitionBy("__domain").orderBy(id_col)
+        ranked = batch.withColumn("__rn", F.row_number().over(w))
+        if table.latest_version() > 0:
+            landed = (
+                table.read()
+                .groupBy("__domain")
+                .agg(F.count(F.lit(1)).alias("__landed"))
+            )
+            ranked = ranked.join(landed, "__domain", "left").withColumn(
+                "__landed", F.coalesce("__landed", F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("__landed", F.lit(0))
+        b = ranked.where(
+            F.col("__rn") + F.col("__landed") <= F.lit(cap)
+        ).drop("__rn", "__landed")
+        # joins reorder columns; keep the table's file layout stable
+        commit_batch_once(table, b.select(*batch.columns), batch_id)
+
+    writer = (
+        tagged.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_ivf_ingest(
     new_stream: DataFrame,
     seen_df: DataFrame,

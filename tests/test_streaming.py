@@ -1298,3 +1298,84 @@ def test_streaming_url_dedup_ingest_exactly_once(spark, tmp_path):
     assert {
         r["doc_id"] for r in table.read().select("doc_id").collect()
     } == want
+
+
+def test_streaming_domain_cap_ingest_exactly_once(spark, tmp_path):
+    """Per-domain cap at ingest: at most `cap` docs per registrable
+    domain land, first-arrival-wins across micro-batches, exactly-once
+    (checkpointed re-run commits nothing), and with id-ordered arrival
+    the landed set equals the batch first-k-by-id-per-domain twin."""
+    from pyspark.sql import Window as W
+
+    from heparchy_spark.operators.web import url_domain
+    from heparchy_spark.sources.snapshot import SnapshotTable
+    from heparchy_spark.streaming import streaming_domain_cap_ingest
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    # 5 distinct registrable domains (hostN.com), ~100 docs each at
+    # sf0.001 — subdomains of one domain would collapse to a single cap
+    crawls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("www.host"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        "text",
+    )
+    n_mid = 250
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, part in enumerate(
+        [crawls.where(F.col("doc_id") < n_mid),
+         crawls.where(F.col("doc_id") >= n_mid)]
+    ):
+        sub = tmp_path / f"b{i}"
+        part.coalesce(1).write.parquet(str(sub))
+        for j, f in enumerate(sorted(sub.glob("*.parquet"))):
+            f.rename(flat / f"part-{i}{j}.parquet")
+
+    def run_once(tbl):
+        stream = (
+            spark.readStream.schema(crawls.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        q = streaming_domain_cap_ingest(
+            stream, "host", "doc_id", tbl, str(tmp_path / "ckpt"), cap=7
+        )
+        q.awaitTermination(180)
+
+    table = SnapshotTable(spark, tmp_path / "cap_tbl")
+    run_once(table)
+
+    got = {r["doc_id"] for r in table.read().select("doc_id").collect()}
+    twin = (
+        crawls.withColumn(
+            "__d",
+            url_domain(F.concat(F.lit("https://"), F.col("host"))),
+        )
+        .withColumn(
+            "__rn", F.row_number().over(W.partitionBy("__d").orderBy("doc_id"))
+        )
+        .where(F.col("__rn") <= 7)
+    )
+    want = {r["doc_id"] for r in twin.select("doc_id").collect()}
+    assert got == want and len(want) == 35  # 5 domains x cap 7
+    # every landed doc is among each domain's 7 lowest ids (arrival order)
+    per_dom = {}
+    for d in sorted(got):
+        per_dom.setdefault(d % 5, []).append(d)
+    assert all(len(v) == 7 for v in per_dom.values())
+    # the cap held ACROSS batches: batch 0 alone had >= 7 per domain, so
+    # nothing from batch 1 (doc_id >= 250) may land
+    assert max(got) < 250
+    vers = table.versions()
+    assert {v["operation"] for v in vers} == {"append"}
+    assert table.latest_batch_id() == len(vers) - 1
+
+    # checkpointed re-run: engine replays nothing, table unchanged
+    n_before = len(vers)
+    run_once(table)
+    assert len(table.versions()) == n_before
+    assert {r["doc_id"] for r in table.read().select("doc_id").collect()} == want
