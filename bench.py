@@ -39,6 +39,11 @@ Round-9 additions (the r8 verdict's "make the 2x rule decidable"):
   (new JVM-side session state, cold code cache paid by one untimed
   warm-up), and both numbers are recorded.  A real regression
   reproduces in the fresh session; VM noise doesn't.
+* ``canary2`` — a second-regime canary (dedup_exact: wide codegen +
+  shuffle) timed at the same checkpoints: the r9 session measured the
+  VM speed factor at 2.6x on the scan+agg canary vs 1.8x on the dedup
+  family between the same two sessions, so per-regime normalizers are
+  recorded and cross-round calls read the one matching the query class.
 
 Noise instrumentation (round-2 verdict: a 22% round-over-round drift on
 byte-identical code was indistinguishable from a real regression):
@@ -383,6 +388,14 @@ def main() -> None:
     run("q1_pricing_summary")  # warm-up: JVM/JIT/codegen startup
 
     CANARY = "q6_forecast_revenue"
+    # Second-regime canary: the r9 session showed the VM's speed factor
+    # is NOT uniform across query classes (the scan+agg canary sped up
+    # 2.6x between sessions while the codegen-wide dedup family moved
+    # 1.8x), so one normalizer can't serve both regimes.  dedup_exact is
+    # byte-stable, cheap, and exercises the wide-codegen + shuffle path;
+    # its median is recorded beside the primary canary's so cross-round
+    # comparisons can normalize per regime.
+    CANARY2 = "dedup_exact"
     STRETCH = 10  # canary checkpoint cadence (queries per stretch)
     schedule = _schedule()
     samples: dict[str, list[float]] = {n: [] for n in schedule}
@@ -399,7 +412,10 @@ def main() -> None:
 
     run(CANARY)  # canary's own codegen warm-up
     run(CANARY)  # second warm-up: C2 steady state, not C1
+    run(CANARY2)
+    run(CANARY2)
     canary_boundary: list[float] = [run(CANARY)]
+    canary2_boundary: list[float] = [run(CANARY2)]
     stretches: list[list[str]] = []
     for i in range(0, len(schedule), STRETCH):
         chunk = schedule[i : i + STRETCH]
@@ -408,6 +424,7 @@ def main() -> None:
             run(name)  # untimed per-query warm-up
             sample(name, 3)  # hot back-to-back min-of-3
         canary_boundary.append(run(CANARY))
+        canary2_boundary.append(run(CANARY2))
 
     # canary-gated stretch retry: a stretch bracketed by a slow canary
     # sample gets one extra timed run per query, min-merged — a machine
@@ -425,7 +442,10 @@ def main() -> None:
                 if name not in failed:
                     sample(name, 1)
     canary_boundary.append(run(CANARY))
+    canary2_boundary.append(run(CANARY2))
     canary_first, canary_last = canary_boundary[0], canary_boundary[-1]
+    c2_srt = sorted(canary2_boundary)
+    canary2_median = c2_srt[len(c2_srt) // 2]
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -518,6 +538,11 @@ def main() -> None:
             "boundary_samples": [round(c, 3) for c in canary_boundary],
             "retried_stretches": retried,
         },
+        "canary2": {
+            "query": CANARY2,
+            "median": round(canary2_median, 3),
+            "boundary_samples": [round(c, 3) for c in canary2_boundary],
+        },
         "suspect_reruns": suspect_reruns,
         "suspects_dropped": dropped_suspects,
         "prev_canary_median": prev_canary,
@@ -547,6 +572,7 @@ def main() -> None:
             "noise_floor": noise_floor,
             "drift": drift,
             "canary_median": round(canary_median, 3),
+            "canary2_median": round(canary2_median, 3),
             "n_suspect_reruns": len(suspect_reruns),
             "sf": sf,
         }
