@@ -271,6 +271,7 @@ HEADLINE = [
     "events_theil_sen_trend",
     # round-9 additions
     "dedup_lsh_threshold_audit",
+    "multimodal_phash128_neardups",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the

@@ -43,6 +43,8 @@ __all__ = [
     "keyframe_select",
     "image_dhash",
     "image_phash",
+    "image_phash128",
+    "phash128_neardup_pairs",
     "image_gradient_energy",
     "dhash_neardup_pairs",
     "audio_vad_segments",
@@ -1020,6 +1022,176 @@ def _phash64(arr: "np.ndarray", basis: "np.ndarray") -> int:
         if bits[i]:
             val |= 1 << i
     return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
+def _phash128(arr: "np.ndarray", basis: "np.ndarray") -> tuple[int, int]:
+    """128-bit DCT perceptual hash — the measured answer to the 64-bit
+    multi-index band floor (SCALE.md round-9 rehearsal: with 4x16-bit
+    bands a random pair collides with p ~ 1/120, so candidates grow
+    ~n^2/120).  Same decode/resample/DCT as :func:`_phash64`, but the
+    code keeps the top-left 8x16 low-frequency block (128
+    coefficients), thresholded at the median of the 127 non-DC values
+    (odd count -> the exact middle element, engine-exact).  Bands over
+    a 128-bit code are 32 bits wide, so the random-collision floor
+    drops to ~4*ball/2^32 (~5e-7 at radius 2) — quadratic-with-a-
+    vanishing-constant instead of 1/120.  Returns (lo, hi) signed
+    int64 words: bit i of the flat block for i < 64 lives in ``lo``,
+    bit i-64 in ``hi``."""
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype("uint32").sum(axis=2) // arr.shape[2]
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g = gray[np.ix_(ys, xs)].astype("float64")
+    co = basis @ g @ basis.T
+    flat = co[:8, :16].ravel()
+    med = np.median(flat[1:])
+    lo = hi = 0
+    for i in range(64):
+        if flat[i] > med:
+            lo |= 1 << i
+        if flat[64 + i] > med:
+            hi |= 1 << i
+    lo = lo - (1 << 64) if lo >= (1 << 63) else lo
+    hi = hi - (1 << 64) if hi >= (1 << 63) else hi
+    return lo, hi
+
+
+def image_phash128(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """128-bit DCT perceptual hash per image: (id, phash_lo, phash_hi,
+    decodable) — same decode and output contract as :func:`image_phash`,
+    twice the code width (see :func:`_phash128` for why width is the
+    scale lever).  Pure Arrow-batched ``mapInPandas``, zero shuffles."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash_lo", T.LongType(), True),
+            T.StructField("phash_hi", T.LongType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        basis = _dct_basis(32)
+        for pdf in batches:
+            ids, los, his, oks = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _png_decode_pixels(bytes(payload or b""))
+                ids.append(mid)
+                if dec is None:
+                    los.append(None)
+                    his.append(None)
+                    oks.append(False)
+                else:
+                    _w, _h, _c, arr = dec
+                    lo, hi = _phash128(arr, basis)
+                    los.append(lo)
+                    his.append(hi)
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "phash_lo": pd.array(los, dtype="Int64"),
+                    "phash_hi": pd.array(his, dtype="Int64"),
+                    "decodable": oks,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def phash128_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs over 128-bit perceptual hashes: (id_a, id_b,
+    hamming) within ``max_hamming`` bits, multi-index banding with four
+    32-BIT bands (word halves) and per-band Hamming-ball probing at
+    radius ``max_hamming // 4`` — recall EXACT by pigeonhole, identical
+    argument to :func:`dhash_neardup_pairs`.
+
+    Why this exists: the r9 10x rehearsal measured the 64-bit/16-bit-band
+    pairing's candidate floor at ~n^2/120 (shuffle exp 1.94) — 16-bit
+    keys saturate as n approaches 2^16.  At 32-bit bands the random
+    floor is ~4 * C(32,<=r)/2^32 (~5e-7 at radius 2): the same corpus
+    would need n ~ 10^5x larger to reach the same candidate rate.  The
+    cost moves to the probe expansion — C(32,<=2) = 529 keys per band
+    per code on ONE side, linear in n — which is the right trade at
+    scale.  Radius >= 3 (5489 keys, >20x the 16-bit ball) is refused:
+    split wider codes instead.
+    """
+    radius = max_hamming // 4
+    if radius >= 3:
+        raise ValueError(
+            "phash128_neardup_pairs: max_hamming >= 12 needs per-band "
+            f"probe radius {radius} (C(32,<=r) > 5000 keys per band); "
+            "use a wider code / more bands instead"
+        )
+    h = hashes.where(F.col("decodable")).select(
+        "media_id", "phash_lo", "phash_hi"
+    )
+    mask32 = F.lit(0xFFFFFFFF).cast("long")
+    band_keys = [
+        F.col("phash_lo").bitwiseAND(mask32),
+        F.shiftright("phash_lo", 32).bitwiseAND(mask32),
+        F.col("phash_hi").bitwiseAND(mask32),
+        F.shiftright("phash_hi", 32).bitwiseAND(mask32),
+    ]
+    bands = None
+    for b, key in enumerate(band_keys):
+        band = h.select(
+            "media_id",
+            "phash_lo",
+            "phash_hi",
+            F.lit(b).alias("band"),
+            key.alias("bkey"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    masks = _hamming_ball_masks(32, radius)
+    probe = bands.select(
+        "media_id",
+        "phash_lo",
+        "phash_hi",
+        "band",
+        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias(
+            "__mask"
+        ),
+        "bkey",
+    ).select(
+        "media_id",
+        "phash_lo",
+        "phash_hi",
+        "band",
+        F.col("bkey").bitwiseXOR(F.col("__mask")).alias("bkey"),
+    )
+    a, b = probe.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash_lo").alias("la"),
+            F.col("a.phash_hi").alias("ha"),
+            F.col("b.phash_lo").alias("lb"),
+            F.col("b.phash_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    ) + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def image_phash(

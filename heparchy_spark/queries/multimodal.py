@@ -413,6 +413,32 @@ def multimodal_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash128_neardups",
+    expected_fixture_sql("multimodal_phash128_neardups"),
+    doc="128-bit DCT perceptual-hash near-duplicate pairs — the measured "
+    "scale fix for the 64-bit band floor (r9 10x rehearsal: 16-bit band "
+    "keys saturate, candidates ~n^2/120): same real PNG decode and "
+    "orthonormal DCT as the 64-bit gate, but the code keeps the 8x16 "
+    "low-frequency block (median-of-127 threshold) and the multi-index "
+    "join bands are 32 BITS wide, dropping the random-collision floor "
+    "to ~5e-7 per pair (probe ball C(32,<=2)=529 keys/band, linear in "
+    "n).  Recall exact by pigeonhole at radius 10//4=2.  Oracle "
+    "fixture computes ALL-PAIRS 128-bit Hamming in plain NumPy, so any "
+    "banding recall loss hash-mismatches.",
+)
+def multimodal_phash128_neardups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.multimodal import (
+        image_phash128,
+        phash128_neardup_pairs,
+    )
+
+    media = _real_png_media_df(spark, sf_dir)
+    return phash128_neardup_pairs(image_phash128(media), max_hamming=10)
+
+
+@register(
     "multimodal_audio_spectral",
     expected_fixture_sql("multimodal_audio_spectral"),
     doc="Frequency-domain audio profile over the REAL WAV payloads: "

@@ -113,6 +113,7 @@ def test_python_simhash_matches_spark(spark):
         "dedup_simhash_pairs",
         "dedup_minhash_lsh_pairs",
         "dedup_lsh_threshold_audit",
+        "multimodal_phash128_neardups",
         "multimodal_crc32",
         "multimodal_byte_stats",
         "multimodal_payload_embedding",

@@ -1297,6 +1297,18 @@ def main() -> None:
         ),
     )
 
+    p128 = phash128_neardup_rows([d for d, _ in docs])
+    write(
+        "multimodal_phash128_neardups",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in p128], pa.int64()),
+                "id_b": pa.array([r[1] for r in p128], pa.int64()),
+                "hamming": pa.array([r[2] for r in p128], pa.int32()),
+            }
+        ),
+    )
+
     # multimodal_resample_audio: WAV frame decimation from generator params
     res = [expected_resample(d, t) for d, t in docs if d % 4 == 2]
     write(
@@ -1485,6 +1497,44 @@ def phash_neardup_rows(doc_ids, max_hamming=8) -> list[tuple]:
             if flat[i] > med:
                 val |= 1 << i
         hashes.append((did, val))
+    out = []
+    for i in range(len(hashes)):
+        a, ha = hashes[i]
+        for j in range(i + 1, len(hashes)):
+            b, hb = hashes[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return out
+
+
+def phash128_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
+    """Mirror of queries.multimodal.multimodal_phash128_neardups:
+    fixture pixels -> 32x32 grayscale -> orthonormal 2-D DCT-II -> 8x16
+    block, median-of-127-non-DC threshold -> 128-bit code, then
+    ALL-PAIRS Hamming — independent of the Spark side's 32-bit-banded
+    join, so any banding recall loss hash-mismatches."""
+    n32 = np.arange(32, dtype="float64")
+    basis = np.cos(np.pi * (2.0 * n32[None, :] + 1.0) * n32[:, None] / 64.0)
+    basis[0] *= np.sqrt(1.0 / 32.0)
+    basis[1:] *= np.sqrt(2.0 / 32.0)
+    hashes = []
+    for did in sorted(d for d in doc_ids if d % 4 == 0):
+        g = did // 8
+        r = np.arange(16, dtype="int64")[:, None]
+        c = np.arange(16, dtype="int64")[None, :]
+        base = ((g + 1) * 2654435761 * (r * 16 + c + 1)) % 251
+        pix = np.minimum(base + 3 * (did % 8), 255)
+        ys = (np.arange(32) * 16) // 32
+        gg = pix[np.ix_(ys, ys)].astype("float64")
+        co = basis @ gg @ basis.T
+        flat = co[:8, :16].ravel()
+        med = np.median(flat[1:])
+        code = 0
+        for i in range(128):
+            if flat[i] > med:
+                code |= 1 << i
+        hashes.append((did, code))
     out = []
     for i in range(len(hashes)):
         a, ha = hashes[i]
