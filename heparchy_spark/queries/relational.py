@@ -915,7 +915,20 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spend
     """,
     doc="Ranking-family window functions (ntile, dense_rank, percent_rank) "
-    "over a pre-aggregated spend table.",
+    "over a pre-aggregated spend table.  Scale shape: NONE of the three "
+    "rankings runs an unpartitioned window over the SF-scaling customer "
+    "frame.  The exact global row order under (total_spend, o_custkey) "
+    "is recovered distributed — range-bucket total_spend from collected "
+    "literal bounds (monotone, so bucket-major order == total order), "
+    "in-bucket row_number over PARTITIONED windows, then a bounded "
+    "<=64-row bucket-count scan turned into a literal offset map.  "
+    "NTILE(10) is the closed-form arithmetic on that exact rank "
+    "(descending rank = n+1-ascending rank); PERCENT_RANK's tie-aware "
+    "rank is min(row order) within each total_spend tie group (a "
+    "partitioned window over tie groups); DENSE_RANK over n_orders "
+    "ranks the DISTINCT order counts — a bounded value domain (orders "
+    "per customer is SF-independent in TPC-H) collected into a literal "
+    "lookup map.  Same machinery as orders_rfm_segments below.",
 )
 def window_ntile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -923,17 +936,57 @@ def window_ntile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("total_spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w_spend = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-    return spend.select(
+    # 1-row global stats -> driver literals (bounded collect): row
+    # count, spend bounds, and the distinct n_orders value domain
+    # (bounded: TPC-H order count per customer is SF-independent)
+    srow = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("total_spend").cast("double")).alias("lo"),
+        F.max(F.col("total_spend").cast("double")).alias("hi"),
+        F.collect_set("n_orders").alias("ovals"),
+    ).collect()[0]
+    n = int(srow["n"])
+    dense_pairs: list = []
+    for rk, v in enumerate(sorted(srow["ovals"], reverse=True), start=1):
+        dense_pairs.extend([F.lit(int(v)), F.lit(rk)])
+    dense_map = F.create_map(*dense_pairs)
+    # exact ascending global rank: range-bucket + partitioned in-bucket
+    # row_number + bucket offsets (<=64-row bounded collect)
+    nb = 64
+    base = spend.withColumn(
+        "__b", _range_bucket("total_spend", float(srow["lo"]), float(srow["hi"]), nb)
+    )
+    w_in = Window.partitionBy("__b").orderBy(
+        F.asc("total_spend"), F.desc("o_custkey")
+    )
+    base = base.withColumn("__rn", F.row_number().over(w_in))
+    crows = base.groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect()
+    acc, pairs = 0, []
+    for b, c in sorted((r["__b"], r["c"]) for r in crows):
+        pairs.extend([F.lit(b), F.lit(acc)])
+        acc += c
+    offmap = F.create_map(*pairs)
+    # ascending order here is (total_spend ASC, o_custkey DESC) — the
+    # exact reverse of the NTILE order, so desc rank = n + 1 - asc rank
+    rn_asc = (F.element_at(offmap, F.col("__b")) + F.col("__rn")).cast("long")
+    base = base.withColumn("__rn_asc", rn_asc).withColumn(
+        "__rn_desc", (F.lit(n + 1) - F.col("__rn_asc")).cast("long")
+    )
+    # PERCENT_RANK's rank() is tie-aware: min row order within each
+    # total_spend tie group (partitioned window over tie groups, which
+    # are bounded — distinct customers rarely share an exact sum)
+    rank_asc = F.min("__rn_asc").over(Window.partitionBy("total_spend"))
+    denom = float(max(n - 1, 1))
+    return base.select(
         "o_custkey",
         F.round("total_spend", 2).alias("total_spend"),
         "n_orders",
-        F.ntile(10).over(w_spend).alias("decile"),
-        F.dense_rank()
-        .over(Window.orderBy(F.desc("n_orders")))
+        _ntile_from_rank("__rn_desc", n, 10).alias("decile"),
+        F.element_at(dense_map, F.col("n_orders").cast("int"))
+        .cast("int")
         .alias("order_count_rank"),
         F.round(
-            F.percent_rank().over(Window.orderBy(F.asc("total_spend"))), 6
+            (rank_asc - F.lit(1)).cast("double") / F.lit(denom), 6
         ).alias("spend_pctl"),
     )
 

@@ -209,11 +209,18 @@ def affected_queries(
     FRONT of the window: (1) queries whose own builder body changed
     (direct edits), (2) queries affected through a module-level change
     or a changed cross-module dependency, (3) decorator-only
-    registration edits."""
+    registration edits.  Within each tier, OLDEST driver evidence first
+    (the round-9 verdict's drain order): a query last checked in r2
+    fronts one checked in r8, so the staleness ceiling falls uniformly
+    instead of alphabetically."""
     sys.path.insert(0, str(ROOT))
-    from heparchy_spark.queries import REGISTRY, _load_all
+    from heparchy_spark.queries import REGISTRY, _driver_evidence, _load_all
 
     _load_all()
+    checked, _retry, _rv = _driver_evidence()
+
+    def by_staleness(names: list[str]) -> list[str]:
+        return sorted(names, key=lambda n: (checked.get(n, 0), n))
     direct, dependent, decorator_only = [], [], []
     word = re.compile(r"\w+")
     for qname, spec in REGISTRY.items():
@@ -247,7 +254,11 @@ def affected_queries(
             dependent.append(qname)
         elif reg is not None and fname in reg[0]:
             decorator_only.append(qname)
-    return sorted(direct) + sorted(dependent) + sorted(decorator_only)
+    return (
+        by_staleness(direct)
+        + by_staleness(dependent)
+        + by_staleness(decorator_only)
+    )
 
 
 def _carryover_entries() -> dict[str, int]:
