@@ -700,11 +700,26 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup id pairs at Hamming distance <= max_hamming on 64-bit SimHash.
 
-    Pigeonhole: split the 64-bit fingerprint into (max_hamming+1) blocks; any
-    pair within distance t agrees exactly on >=1 block -> equi-join per block.
+    Candidate generation is multi-index banding, exact by pigeonhole,
+    with the block width chosen for the 100-TB collision floor:
+
+    * ``max_hamming <= 5`` (the curation regime; default 3): TWO 32-bit
+      blocks, one side probing every key within per-block Hamming radius
+      ``max_hamming // 2`` (distribute d errors over 2 blocks: the best
+      block carries <= floor(d/2), so its probe ball contains the other
+      side's exact key).  The r9 10x rehearsal measured the narrow
+      construction's floor — 16-bit keys saturate as n approaches 2^16,
+      candidates ~n^2/2^16 per block; 32-bit keys push the random floor
+      down ~2^16x for a probe cost of C(32,<=1)=33 (d=3) or
+      C(32,<=2)=529 (d=4..5) keys per block on ONE side, linear in n.
+    * larger radii: the classic (max_hamming+1)-block exact-match
+      banding (radius-0 probe), where the ball for 2 wide blocks would
+      exceed the 16-bit saturation cost itself.
+
+    Both constructions return IDENTICAL pairs (recall is exact either
+    way; the popcount verify bounds distance), so the cutover is purely
+    a physical-plan choice.
     """
-    nblocks = max_hamming + 1
-    width = 64 // nblocks
     sh = simhash_df(df, text_col, id_col).select(
         F.col(id_col).alias("__id"), F.col("simhash64").alias("__sim")
     )
@@ -712,28 +727,71 @@ def simhash_near_dup_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    blocks = sh.select(
-        "__id",
-        "__sim",
-        F.explode(
-            F.array(
-                *[
+    radius = max_hamming // 2
+    if radius <= 2:
+        # wide path: 2 x 32-bit blocks + Hamming-ball probe
+        from heparchy_spark.operators.multimodal import _hamming_ball_masks
+
+        mask32 = F.lit(0xFFFFFFFF).cast("long")
+        blocks = sh.select(
+            "__id",
+            "__sim",
+            F.explode(
+                F.array(
                     F.struct(
-                        F.lit(k).alias("blk"),
-                        F.shiftright(F.col("__sim"), k * width)
-                        .bitwiseAND(
-                            # width=64 (max_hamming=0): (1<<64)-1 does not
-                            # fit a long literal; -1 is the all-ones mask
-                            F.lit(-1 if width == 64 else (1 << width) - 1)
-                        )
+                        F.lit(0).alias("blk"),
+                        F.col("__sim").bitwiseAND(mask32).alias("blkval"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("blk"),
+                        F.shiftright("__sim", 32)
+                        .bitwiseAND(mask32)
                         .alias("blkval"),
-                    )
-                    for k in range(nblocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "__sim", "bb.blk", "bb.blkval")
-    a, b = blocks.alias("a"), blocks.alias("b")
+                    ),
+                )
+            ).alias("bb"),
+        ).select("__id", "__sim", "bb.blk", "bb.blkval")
+        masks = _hamming_ball_masks(32, radius)
+        probe = blocks.select(
+            "__id",
+            "__sim",
+            "blk",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("__mask"),
+            "blkval",
+        ).select(
+            "__id",
+            "__sim",
+            "blk",
+            F.col("blkval").bitwiseXOR(F.col("__mask")).alias("blkval"),
+        )
+        a, b = probe.alias("a"), blocks.alias("b")
+    else:
+        nblocks = max_hamming + 1
+        width = 64 // nblocks
+        blocks = sh.select(
+            "__id",
+            "__sim",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("blk"),
+                            F.shiftright(F.col("__sim"), k * width)
+                            .bitwiseAND(
+                                # width=64 (max_hamming=0): (1<<64)-1 does
+                                # not fit a long literal; -1 is all-ones
+                                F.lit(-1 if width == 64 else (1 << width) - 1)
+                            )
+                            .alias("blkval"),
+                        )
+                        for k in range(nblocks)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("__id", "__sim", "bb.blk", "bb.blkval")
+        a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
             b,

@@ -932,6 +932,78 @@ def _dhash64(arr: "np.ndarray") -> int:
     return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
 
 
+def _dhash128(arr: "np.ndarray") -> tuple[int, int]:
+    """128-bit difference hash of a decoded uint8 [h, w, c] image:
+    integer grayscale (channel mean, floor), nearest-neighbor
+    downsample to a 9x16 grid (9 wide, 16 tall — twice the rows of
+    :func:`_dhash64`), bit r*8+c set iff gray[r, c] < gray[r, c+1];
+    bits 0..63 -> ``lo`` word, 64..127 -> ``hi``.  Twice the code
+    width is the scale lever: 128 bits band into four 32-bit keys
+    whose random collision floor is ~2^16x lower than the 64-bit
+    code's 16-bit bands (see :func:`_neardup_pairs128`).  Pure integer
+    pipeline — deterministic everywhere."""
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype("uint32").sum(axis=2) // arr.shape[2]
+    ys = (np.arange(16) * h) // 16
+    xs = (np.arange(9) * w) // 9
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, :-1] < g[:, 1:]).astype("uint64")
+    weights = (
+        np.uint64(1) << np.arange(64, dtype="uint64").reshape(8, 8)
+    )
+    lo = int((bits[:8] * weights).sum())
+    hi = int((bits[8:] * weights).sum())
+    lo = lo - (1 << 64) if lo >= (1 << 63) else lo
+    hi = hi - (1 << 64) if hi >= (1 << 63) else hi
+    return lo, hi
+
+
+def image_dhash128(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """128-bit difference hash per image: (id, dhash_lo, dhash_hi,
+    decodable) — same decode and output contract as :func:`image_dhash`,
+    twice the code width (see :func:`_dhash128` for why width is the
+    scale lever).  Pure Arrow-batched ``mapInPandas``, zero shuffles."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash_lo", T.LongType(), True),
+            T.StructField("dhash_hi", T.LongType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, los, his, oks = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = _png_decode_pixels(bytes(payload or b""))
+                ids.append(mid)
+                if dec is None:
+                    los.append(None)
+                    his.append(None)
+                    oks.append(False)
+                else:
+                    _w, _h, _c, arr = dec
+                    lo, hi = _dhash128(arr)
+                    los.append(lo)
+                    his.append(hi)
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "dhash_lo": pd.array(los, dtype="Int64"),
+                    "dhash_hi": pd.array(his, dtype="Int64"),
+                    "decodable": oks,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def image_dhash(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1103,49 +1175,55 @@ def image_phash128(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
-def phash128_neardup_pairs(
+def _neardup_pairs128(
     hashes: DataFrame,
-    max_hamming: int = 10,
+    lo_col: str,
+    hi_col: str,
+    max_hamming: int,
+    fn_name: str,
 ) -> DataFrame:
-    """Near-duplicate pairs over 128-bit perceptual hashes: (id_a, id_b,
-    hamming) within ``max_hamming`` bits, multi-index banding with four
-    32-BIT bands (word halves) and per-band Hamming-ball probing at
-    radius ``max_hamming // 4`` — recall EXACT by pigeonhole, identical
-    argument to :func:`dhash_neardup_pairs`.
+    """Shared 128-bit wide-band near-dup pairing: (id_a, id_b, hamming)
+    within ``max_hamming`` bits, multi-index banding with four 32-BIT
+    bands (word halves of the ``lo_col``/``hi_col`` code) and per-band
+    Hamming-ball probing at radius ``max_hamming // 4`` — recall EXACT
+    by pigeonhole (a pair at distance d puts <= floor(d/4) differing
+    bits in its best band).
 
-    Why this exists: the r9 10x rehearsal measured the 64-bit/16-bit-band
-    pairing's candidate floor at ~n^2/120 (shuffle exp 1.94) — 16-bit
-    keys saturate as n approaches 2^16.  At 32-bit bands the random
-    floor is ~4 * C(32,<=r)/2^32 (~5e-7 at radius 2): the same corpus
-    would need n ~ 10^5x larger to reach the same candidate rate.  The
-    cost moves to the probe expansion — C(32,<=2) = 529 keys per band
-    per code on ONE side, linear in n — which is the right trade at
+    Why 32-bit bands: the r9 10x rehearsal measured the 64-bit/
+    16-bit-band pairing's candidate floor at ~n^2/120 (shuffle exp
+    1.94) — 16-bit keys saturate as n approaches 2^16.  At 32-bit bands
+    the random floor is ~4 * C(32,<=r)/2^32 (~5e-7 at radius 2): the
+    same corpus would need n ~ 10^5x larger to reach the same candidate
+    rate.  The cost moves to the probe expansion — C(32,<=2) = 529 keys
+    per band per code on ONE side, linear in n — the right trade at
     scale.  Radius >= 3 (5489 keys, >20x the 16-bit ball) is refused:
     split wider codes instead.
     """
     radius = max_hamming // 4
     if radius >= 3:
         raise ValueError(
-            "phash128_neardup_pairs: max_hamming >= 12 needs per-band "
+            f"{fn_name}: max_hamming >= 12 needs per-band "
             f"probe radius {radius} (C(32,<=r) > 5000 keys per band); "
             "use a wider code / more bands instead"
         )
     h = hashes.where(F.col("decodable")).select(
-        "media_id", "phash_lo", "phash_hi"
+        "media_id",
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
     )
     mask32 = F.lit(0xFFFFFFFF).cast("long")
     band_keys = [
-        F.col("phash_lo").bitwiseAND(mask32),
-        F.shiftright("phash_lo", 32).bitwiseAND(mask32),
-        F.col("phash_hi").bitwiseAND(mask32),
-        F.shiftright("phash_hi", 32).bitwiseAND(mask32),
+        F.col("__lo").bitwiseAND(mask32),
+        F.shiftright("__lo", 32).bitwiseAND(mask32),
+        F.col("__hi").bitwiseAND(mask32),
+        F.shiftright("__hi", 32).bitwiseAND(mask32),
     ]
     bands = None
     for b, key in enumerate(band_keys):
         band = h.select(
             "media_id",
-            "phash_lo",
-            "phash_hi",
+            "__lo",
+            "__hi",
             F.lit(b).alias("band"),
             key.alias("bkey"),
         )
@@ -1153,8 +1231,8 @@ def phash128_neardup_pairs(
     masks = _hamming_ball_masks(32, radius)
     probe = bands.select(
         "media_id",
-        "phash_lo",
-        "phash_hi",
+        "__lo",
+        "__hi",
         "band",
         F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias(
             "__mask"
@@ -1162,8 +1240,8 @@ def phash128_neardup_pairs(
         "bkey",
     ).select(
         "media_id",
-        "phash_lo",
-        "phash_hi",
+        "__lo",
+        "__hi",
         "band",
         F.col("bkey").bitwiseXOR(F.col("__mask")).alias("bkey"),
     )
@@ -1178,10 +1256,10 @@ def phash128_neardup_pairs(
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
-            F.col("a.phash_lo").alias("la"),
-            F.col("a.phash_hi").alias("ha"),
-            F.col("b.phash_lo").alias("lb"),
-            F.col("b.phash_hi").alias("hb"),
+            F.col("a.__lo").alias("la"),
+            F.col("a.__hi").alias("ha"),
+            F.col("b.__lo").alias("lb"),
+            F.col("b.__hi").alias("hb"),
         )
         .distinct()
     )
@@ -1191,6 +1269,32 @@ def phash128_neardup_pairs(
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash128_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs over 128-bit perceptual hashes: the shared
+    32-bit wide-band construction (:func:`_neardup_pairs128`) on the
+    ``phash_lo``/``phash_hi`` code words."""
+    return _neardup_pairs128(
+        hashes, "phash_lo", "phash_hi", max_hamming, "phash128_neardup_pairs"
+    )
+
+
+def dhash128_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs over 128-bit difference hashes
+    (:func:`image_dhash128`): the shared 32-bit wide-band construction
+    on the ``dhash_lo``/``dhash_hi`` code words — the measured scale fix
+    (r9 10x rehearsal: 64-bit/16-bit-band pairing wall exp 1.38 from
+    band-key saturation; the 32-bit-band path measured 1.10)."""
+    return _neardup_pairs128(
+        hashes, "dhash_lo", "dhash_hi", max_hamming, "dhash128_neardup_pairs"
     )
 
 

@@ -367,22 +367,26 @@ def _real_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected_fixture_sql("multimodal_dhash_neardups"),
     doc="Perceptual near-duplicate image pairs over REAL decoded PNGs: "
     "stdlib PNG encode of deterministic fixture pixels (brightness-"
-    "shifted in-group copies), full decode -> 64-bit dHash -> "
-    "multi-index banded candidate join (per-band Hamming-ball probe, "
-    "radius 10, recall EXACT by pigeonhole) -> popcount verify.  The "
+    "shifted in-group copies), full decode -> 128-bit dHash (9x16 "
+    "grid, two code words) -> four 32-BIT band keys + per-band "
+    "Hamming-ball probe (radius 2, recall EXACT by pigeonhole) -> "
+    "popcount verify.  Migrated off the 64-bit/16-bit-band pairing "
+    "after the r9 10x rehearsal measured its band-key saturation "
+    "(wall exp 1.38, candidates ~n^2/120 as keys approach 2^16); the "
+    "32-bit keys push the random collision floor down ~2^16x.  The "
     "oracle fixture is a genuinely independent check: it computes "
     "ALL-PAIRS Hamming distances in plain NumPy and keeps d <= 10, so "
     "any banding recall loss hash-mismatches.  Never all-pairs on the "
-    "Spark side — candidates are the 16-bit-band equi-join.",
+    "Spark side — candidates are the banded equi-join.",
 )
 def multimodal_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.multimodal import (
-        dhash_neardup_pairs,
-        image_dhash,
+        dhash128_neardup_pairs,
+        image_dhash128,
     )
 
     media = _real_png_media_df(spark, sf_dir)
-    return dhash_neardup_pairs(image_dhash(media), max_hamming=10)
+    return dhash128_neardup_pairs(image_dhash128(media), max_hamming=10)
 
 
 @register(

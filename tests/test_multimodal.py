@@ -542,6 +542,88 @@ def test_dhash_neardup_recall_is_exact_across_bands(spark):
     assert pairs == {(0, 1): 10}
 
 
+def test_dhash128_pairs_recall_equals_all_pairs(spark):
+    """128-bit dHash + the 32-bit wide-band pairing: the banded probe
+    join must return EXACTLY the all-pairs 128-bit popcount truth —
+    including a distance-10 pair whose differing bits spread 3/3/2/2
+    across the four 32-bit bands (needs the radius-2 ball; exact-match
+    banding drops it) — and a brightness-shifted copy must pair with
+    its base over REAL decoded PNGs."""
+    import numpy as np
+
+    from heparchy_spark.operators.multimodal import (
+        _png_encode,
+        dhash128_neardup_pairs,
+        image_dhash128,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 200, (32, 32, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    rows = [
+        (0, bytearray(_png_encode(base))),
+        (1, bytearray(_png_encode(shifted))),
+        (2, bytearray(_png_encode(other))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\x08header-only")),  # not a PNG
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hs = {r.media_id: r for r in image_dhash128(df).collect()}
+    assert hs[3].decodable is False and hs[3].dhash_lo is None
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin(((a.dhash_lo ^ b.dhash_lo) & mask)).count("1") + bin(
+            ((a.dhash_hi ^ b.dhash_hi) & mask)
+        ).count("1")
+
+    assert ham(hs[0], hs[1]) <= 10 < ham(hs[0], hs[2])
+    truth = {
+        (a, b): ham(hs[a], hs[b])
+        for a in (0, 1, 2)
+        for b in (0, 1, 2)
+        if a < b and ham(hs[a], hs[b]) <= 10
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash128_neardup_pairs(
+            image_dhash128(df), max_hamming=10
+        ).collect()
+    }
+    assert got == truth
+
+    # synthetic codes: 3/2/3/2 band spread at d=10 (kept: best band has
+    # 2 differing bits == the radius), d=12 at 3/3/3/3 (cut: no band
+    # within radius AND above the verify threshold)
+    b0 = 0x0123_4567_89AB_CDEF
+    lo10 = b0 ^ 0b111 ^ (0b101 << 32)  # 3 bits band0, 2 bits band1
+    hi10 = b0 ^ (0b1011 << 8) ^ (0b1001 << 40)  # 3 band2, 2 band3
+    lo12 = b0 ^ (0b111 << 4) ^ (0b111 << 36)
+    hi12 = b0 ^ (0b111 << 4) ^ (0b111 << 36)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    hdf = spark.createDataFrame(
+        [
+            (0, signed(b0), signed(b0), True),
+            (1, signed(lo10), signed(hi10), True),
+            (2, signed(lo12), signed(hi12), True),
+        ],
+        "media_id long, dhash_lo long, dhash_hi long, decodable boolean",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash128_neardup_pairs(hdf, max_hamming=10).collect()
+    }
+    assert pairs == {(0, 1): 10}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash128_neardup_pairs(hdf, max_hamming=12)
+
+
 def test_audio_vad_finds_planted_burst(spark):
     """A WAV of silence + loud burst + silence must yield exactly one
     voiced segment covering the burst windows, with the mirror-exact

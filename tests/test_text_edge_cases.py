@@ -85,6 +85,34 @@ def test_simhash_on_edge_corpus(docs):
     assert (0, 8) in pairs
 
 
+@pytest.mark.parametrize("max_hamming", [0, 3, 5, 7])
+def test_simhash_pairs_recall_equals_all_pairs(docs, max_hamming):
+    """The banded candidate join — 2x32-bit blocks with Hamming-ball
+    probing for max_hamming <= 5, classic (d+1)-block exact banding
+    beyond — must return EXACTLY the all-pairs popcount truth at every
+    radius on either side of the cutover (recall is exact by
+    pigeonhole; the verify filter bounds precision)."""
+    fps = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash_df(docs, "text", "doc_id").collect()
+    }
+    mask = (1 << 64) - 1
+    ids = sorted(fps)
+    truth = {
+        (a, b): bin((fps[a] ^ fps[b]) & mask).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & mask).count("1") <= max_hamming
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=max_hamming
+        ).collect()
+    }
+    assert got == truth
+
+
 def test_fingerprints_deterministic(docs):
     a = {r["doc_id"]: r["fp64"] for r in fingerprint_df(docs, "text", "doc_id").collect()}
     b = {r["doc_id"]: r["fp64"] for r in fingerprint_df(docs, "text", "doc_id").collect()}

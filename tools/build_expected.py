@@ -177,11 +177,12 @@ def minhash_pairs(
         if not sh:
             continue
         sets[did] = sh
-        t1 = [h & mask for h in sh]
-        t2 = [xxhash64(h, ("int", 1)) & mask for h in sh]
-        sig = [
-            min(a + j * b for a, b in zip(t1, t2)) for j in range(num_perm)
-        ]
+        # one pass over the set: the (t1, t2) pairing per element must
+        # come from the SAME iteration — two separate comprehensions
+        # were only paired correctly by CPython's stable iteration of
+        # an unmutated set (round-9 advice)
+        t12 = [(h & mask, xxhash64(h, ("int", 1)) & mask) for h in sh]
+        sig = [min(a + j * b for a, b in t12) for j in range(num_perm)]
         sigs[did] = sig
         for b in range(bands):
             bucket = xxhash64(*sig[b * rows : (b + 1) * rows])
@@ -227,11 +228,12 @@ def lsh_threshold_audit_rows(
         if not sh:
             continue
         sets[did] = sh
-        t1 = [h & mask for h in sh]
-        t2 = [xxhash64(h, ("int", 1)) & mask for h in sh]
-        sig = [
-            min(a + j * b for a, b in zip(t1, t2)) for j in range(num_perm)
-        ]
+        # one pass over the set: the (t1, t2) pairing per element must
+        # come from the SAME iteration — two separate comprehensions
+        # were only paired correctly by CPython's stable iteration of
+        # an unmutated set (round-9 advice)
+        t12 = [(h & mask, xxhash64(h, ("int", 1)) & mask) for h in sh]
+        sig = [min(a + j * b for a, b in t12) for j in range(num_perm)]
         bb[did] = {
             (b, xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]))
             for b in range(bands)
@@ -1439,10 +1441,11 @@ def ann_ivf_topk(
 def dhash_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
     """Mirror of queries.multimodal.multimodal_dhash_neardups: the
     fixture pixel recipe (group base pattern + in-group brightness
-    shift), the integer dHash pipeline (channel-mean grayscale,
-    nearest-neighbor 9x8 grid, gradient signs), then ALL-PAIRS Hamming
-    — deliberately NOT the banded join the Spark side uses, so this
-    fixture independently audits the multi-index recall guarantee."""
+    shift), the integer 128-bit dHash pipeline (channel-mean grayscale,
+    nearest-neighbor 9x16 grid, gradient signs — bit r*8+c), then
+    ALL-PAIRS Hamming — deliberately NOT the banded join the Spark side
+    uses, so this fixture independently audits the multi-index recall
+    guarantee of the 32-bit wide-band construction."""
     hashes = []
     for did in sorted(d for d in doc_ids if d % 4 == 0):
         g = did // 8
@@ -1452,12 +1455,15 @@ def dhash_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
         pix = np.minimum(base + 3 * (did % 8), 255)
         # three identical channels -> integer channel-mean == pix
         gray = pix
-        ys = (np.arange(8) * 16) // 8
+        ys = (np.arange(16) * 16) // 16
         xs = (np.arange(9) * 16) // 9
         gg = gray[np.ix_(ys, xs)]
-        bits = (gg[:, :-1] < gg[:, 1:]).astype("uint64")
-        weights = np.uint64(1) << np.arange(64, dtype="uint64").reshape(8, 8)
-        hashes.append((did, int((bits * weights).sum())))
+        bits = (gg[:, :-1] < gg[:, 1:]).astype("uint64").ravel()
+        code = 0
+        for i in range(128):
+            if bits[i]:
+                code |= 1 << i
+        hashes.append((did, code))
     out = []
     for i in range(len(hashes)):
         a, ha = hashes[i]
