@@ -443,8 +443,17 @@ def _planted_augmentation(emb: DataFrame) -> DataFrame:
     "SCALES with n: the r9 10x rehearsal measured wall exponent 2.19 "
     "with C fixed at 8, so k now grows with the corpus (k ~ n/250, "
     "constant ~250-vector cells => linear pair volume — the SemDeDup "
-    "paper's own regime).  k stays 8 below 2250 vectors, so the "
-    "committed sf0.01/sf0.001 fixtures and driver hashes are unchanged.",
+    "paper's own regime; k stays 8 below 2250 vectors, and the "
+    "r9 hash-ordered training sample intentionally regenerated the "
+    "sf0.01 fixture — only k is scale-stable, not the fixture bytes).  "
+    "Residual cell-occupancy VARIANCE still measured wall exp 1.37 at "
+    "10x, so candidate pairs are additionally rank-banded "
+    "(rank_window=512: each vector screens only against the 512 "
+    "immediately better-ranked cluster members, chunked into the join "
+    "key — pair volume <= 2*512 per vector at ANY skew).  Exact (and "
+    "fixture-identical) while every cell holds <= 513 vectors — true "
+    "at the sf0.01 driver scale; at 10x it is the documented "
+    "sorted-neighborhood bound on the (centroid distance, id) order.",
     expects_broadcast="centroid codebook (k ~ n/250 rows) + 1-row stats",
 )
 def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +476,7 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="vec_id", hash_order=True,
     )
     return semantic_dedup(
-        aug, "embedding", "vec_id", cents, threshold=0.95
+        aug, "embedding", "vec_id", cents, threshold=0.95, rank_window=512
     ).select(
         "vec_id",
         "cluster",

@@ -1698,13 +1698,17 @@ def semantic_dedup_rows(
     threshold=0.95,
     plant_k=25,
     plant_offset=1_000_000,
+    rank_window=512,
 ) -> list[tuple]:
     """Mirror of queries.similarity.similarity_semantic_dedup: planted
     augmentation -> seeded Lloyd (xxhash64-of-id-ordered sample — the
     corpus-spanning deterministic order the Spark side uses, see
     operators.similarity._bounded_sample) -> nearest-centroid
     assignment -> per-cluster rank by (round9 centroid distance, id) ->
-    drop on cosine >= threshold to any better-ranked member."""
+    drop on cosine >= threshold to a better-ranked member within
+    ``rank_window`` ranks (the operator's skew bound; identical to the
+    unbounded sweep while every cell holds <= rank_window+1 vectors,
+    which holds at the sf0.01 fixture scale)."""
     ids = list(vec_ids)
     xs = [np.asarray(v, dtype="float64") for v in vecs]
     for vid, v in zip(vec_ids, vecs):
@@ -1760,7 +1764,7 @@ def semantic_dedup_rows(
                 and norms[y] > 0
                 and _seq_dot(x_all[i], x_all[y])
                 >= threshold * norms[i] * norms[y]
-                for y in members[:pos]
+                for y in members[max(0, pos - rank_window) : pos]
             )
     return [
         (ids_s[i], int(cell[i]), spark_round(dists[i], 6), kept[i])
