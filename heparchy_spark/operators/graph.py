@@ -783,9 +783,13 @@ def link_prediction_jaccard(
     Scale shape: candidate pairs come from the item-keyed equi-join
     (the LSH-bucket shape — pairs are generated per shared item, never
     all-pairs), one combinable count per pair, degrees from one
-    map-side count, and the global top-k is a WindowGroupLimit-pruned
-    rank over |candidate-pairs| rows.  A hot item with d nodes fans out
-    d^2/2 pairs — cap or salt upstream if item degrees are skewed
+    map-side count, and the global top-k is a distributed sort-limit
+    (TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global row_number window over |candidate-pairs| rows; the
+    r10 gate measured Spark 4.1 does NOT insert WindowGroupLimit for
+    the rank-then-filter form, so the sort-limit is explicit) followed
+    by a rank over the k surviving rows.  A hot item with d nodes fans
+    out d^2/2 pairs — cap or salt upstream if item degrees are skewed
     (same contract as the dedup pair generators).
     """
     from pyspark.sql import Window
@@ -821,10 +825,14 @@ def link_prediction_jaccard(
             ).alias("jaccard"),
         )
     )
+    # distributed top-k first (TakeOrderedAndProject), THEN the rank
+    # window — which now sorts k rows, not |candidate-pairs| rows
+    top = scored.orderBy(
+        F.desc("jaccard"), F.asc("src"), F.asc("dst")
+    ).limit(k)
     w = Window.orderBy(F.desc("jaccard"), F.asc("src"), F.asc("dst"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("src", "dst", "n_common", "jaccard", F.col("rank").cast("long").alias("rank"))
     )
 

@@ -86,6 +86,17 @@ class QuerySpec:
     # hinted at all — AQE/autoBroadcastJoinThreshold picks BHJ when the
     # side genuinely fits and SMJ when it doesn't.
     expects_broadcast: str | None = None
+    # Unpartitioned windows (Window.orderBy / a global frame with no
+    # partition columns) funnel the whole frame through ONE task — the
+    # single-partition-sort scale killer the r8 Theil/RFM and r10 NTILE
+    # fixes eliminated.  Any query whose physical plan retains one must
+    # declare WHY the windowed frame is bounded (e.g. "9-row Benford
+    # digit table", "<=2k-row KMV sketch merge", "n_buckets boundary
+    # rows"); undeclared global windows fail the plan gate.  Frames
+    # that scale with the corpus must use the distributed rank
+    # machinery (range-bucket + partitioned in-bucket windows + offset
+    # maps — see queries/relational.py orders_rfm_segments) instead.
+    expects_global_window: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -99,6 +110,7 @@ def register(
     expects_bnlj: bool = False,
     expects_row_udf: bool = False,
     expects_broadcast: str | None = None,
+    expects_global_window: str | None = None,
 ):
     """Decorator: register a Spark query builder with its oracle SQL.
 
@@ -109,6 +121,10 @@ def register(
     query's plan, naming the bounded frame(s) hinted — required because
     explicit hints are honored at ANY size (AQE never demotes them), so
     only frames with a scale-independent bound may carry one.
+    ``expects_global_window`` declares every UNPARTITIONED window in the
+    plan, naming the bounded frame it sorts — a global window funnels
+    its whole input through one task, so only frames with a
+    scale-independent bound may keep one.
     """
 
     def deco(fn: SparkBuilder) -> SparkBuilder:
@@ -122,6 +138,7 @@ def register(
             expects_bnlj=expects_bnlj,
             expects_row_udf=expects_row_udf,
             expects_broadcast=expects_broadcast,
+            expects_global_window=expects_global_window,
         )
         return fn
 

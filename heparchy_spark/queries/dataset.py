@@ -607,6 +607,7 @@ def _auc_sql(
     "never a per-row global rank window, which would funnel 100 TB "
     "through one reducer.",
     expects_broadcast="fixed hashed-feature weight vector (2^k buckets)",
+    expects_global_window="round-6 score-grid histogram frame (value-domain bounded)",
 )
 def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -982,6 +983,7 @@ def _curriculum_sql() -> str:
     "prefix the same way.",
     expects_bnlj=True,
     expects_broadcast="per-source/stage quota frames (bounded source domain)",
+    expects_global_window="prefix_sum's n_buckets(=64)-row bucket-offset scan",
 )
 def dataset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1091,6 +1093,7 @@ def _pr_curve_sql() -> str:
     "broadcast, and a 10-row window.",
     expects_bnlj=True,
     expects_broadcast="fixed threshold grid + 1-row totals",
+    expects_global_window="bounded bin histogram + 10-row threshold window",
 )
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1301,6 +1304,7 @@ def dataset_kcenter_coreset(
     "scale swap the exact rank for bottomk_sample_quantiles.",
     expects_bnlj=True,
     expects_broadcast="1-row conformal quantile threshold",
+    expects_global_window="rounded-residual count frame (2-decimal value grid)",
 )
 def quality_conformal_coverage(
     spark: SparkSession, sf_dir: str

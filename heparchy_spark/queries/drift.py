@@ -77,6 +77,7 @@ def _halved_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "serial global window the operator replaces.",
     expects_bnlj=True,
     expects_broadcast="1-row totals + bounded bin frames",
+    expects_global_window="prefix_sum's 64-row bucket-offset scan",
 )
 def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(
@@ -130,6 +131,7 @@ def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/drift.py wasserstein_1d).",
     expects_bnlj=True,
     expects_broadcast="1-row totals + bounded bin frames",
+    expects_global_window="prefix_sum's 64-row bucket-offset scan",
 )
 def drift_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.drift import wasserstein_1d
@@ -542,6 +544,7 @@ def drift_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum(t^3 - t) from exact integer tie counts.",
     expects_bnlj=True,
     expects_broadcast="1-row group totals",
+    expects_global_window="prefix_sum's 64-row bucket-offset scan over the folded value frame",
 )
 def drift_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sweep import prefix_sum
@@ -704,6 +707,7 @@ def _c2st_oracle() -> str:
     "histogram AUC over the score grid — no per-row global rank "
     "window.  Full SQL oracle (unrolled training trajectory).",
     expects_broadcast="fixed 65-bucket histogram + 1-row totals",
+    expects_global_window="round-6 score-grid histogram frame (value-domain bounded)",
 )
 def drift_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.queries.dataset import logreg_label_auc

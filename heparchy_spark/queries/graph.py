@@ -934,6 +934,7 @@ def graph_boruvka_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double division, IEEE-identical cross-engine, so the oracle "
     "needs no rounding grid (operators/graph.py "
     "link_prediction_jaccard).",
+    expects_global_window="k-row sort-limit frame (top-k rank after TakeOrdered)",
 )
 def graph_link_prediction_jaccard(
     spark: SparkSession, sf_dir: str

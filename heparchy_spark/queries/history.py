@@ -236,6 +236,7 @@ def events_last_touch_attribution(
     "days, not by its row count.",
     expects_bnlj=True,
     expects_broadcast="1-row study-end bound + 1-row total",
+    expects_global_window="per-lifetime-day frame (bounded day domain)",
 )
 def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -220,9 +220,20 @@ def join_salted_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coefficient (sum formulation over rank-ordered counts, decimal-"
     "accumulated) — the 'do I need salting or AQE skew-join here?' "
     "number. One combinable count aggregate; everything after runs on "
-    "the |keys|-sized frame.",
+    "the per-count-VALUE frame: the oracle's per-key global rank "
+    "window folds to closed-form rank algebra over groups of equal n "
+    "(sum of ranks in a tie group = cnt*start + cnt*(cnt+1)/2 — "
+    "order-independent, so the key tie-break never enters), and the "
+    "top-10 share reads the same tiny frame's descending cumulative "
+    "counts.  The only windows left run over the distinct-n frame, "
+    "whose size is the VALUE DOMAIN of orders-per-customer — "
+    "SF-independent (TPC-H customers average ~10 orders at every "
+    "scale), never the |keys|-sized frame the r10-fixed NTILE class "
+    "sorted through one task.",
     expects_bnlj=True,
     expects_broadcast="1-row global totals",
+    expects_global_window="distinct orders-per-customer count frame "
+    "(bounded value domain, ~50 rows at any SF)",
 )
 def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -238,24 +249,43 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_key_rows"),
     )
-    w_asc = Window.orderBy(F.asc("n"), F.asc("key"))
-    ranked = c.select(
-        "n", F.row_number().over(w_asc).alias("rk")
+    # fold the |keys|-sized frame to one row per DISTINCT n (bounded
+    # value domain); all rank algebra below is over this tiny frame
+    g1 = c.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    w_asc = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    w_desc = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    g = ranked.join(F.broadcast(tot)).agg(
-        dsum(
-            (2 * F.col("rk") - F.col("n_keys") - 1).cast("double")
-            * F.col("n"),
-            4,
-        ).alias("gsum")
+    grp = g1.select(
+        "n",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_asc), F.lit(0)).alias("start"),
+        F.coalesce(F.sum("cnt").over(w_desc), F.lit(0)).alias("prior"),
     )
-    w_desc = Window.orderBy(F.desc("n"), F.asc("key"))
-    topk = (
-        c.select("n", F.row_number().over(w_desc).alias("drk"))
-        .agg(
-            F.sum(F.when(F.col("drk") <= 10, F.col("n")).otherwise(0))
-            .alias("top10_rows")
-        )
+
+    def d0(col):  # exact integer algebra in decimal — no long overflow
+        return col.cast("decimal(38,0)")
+
+    # sum over a tie group of the oracle's per-row (2*rk - K - 1) * n:
+    # ranks rk = start+1 .. start+cnt, so 2*sum(rk) = 2*cnt*start +
+    # cnt*(cnt+1); per-row terms are integers, so the grouped decimal
+    # sum is bit-identical to the oracle's per-row decimal sum
+    two_sumrk = d0(F.col("cnt")) * d0(F.col("start")) * F.lit(2) + d0(
+        F.col("cnt")
+    ) * d0(F.col("cnt") + 1)
+    gterm = d0(F.col("n")) * (
+        two_sumrk - d0(F.col("cnt")) * d0(F.col("n_keys") + 1)
+    )
+    g = grp.join(F.broadcast(tot)).agg(dsum(gterm, 4).alias("gsum"))
+    # top-10 keys by n: all tied keys share n, so the boundary group
+    # contributes (10 - prior) of its cnt keys — identical to the
+    # oracle's ROW_NUMBER <= 10 regardless of the key tie-break
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cnt"), F.lit(10) - F.col("prior")),
+    )
+    topk = grp.agg(
+        F.sum(F.col("n") * take).cast("long").alias("top10_rows")
     )
     return (
         tot.join(F.broadcast(g))
@@ -511,6 +541,7 @@ def profile_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string), never float log10, so the grouping is engine-identical; "
     "expected shares log10(1+1/d) and the chi-square contributions ride "
     "on the bounded 9-row grouped frame.",
+    expects_global_window="9-row leading-digit table",
 )
 def profile_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1741,6 +1772,7 @@ def events_ab_uplift_by_segment(
     "exp overflow), round-6 outputs.  Windows ride the bounded "
     "day frame (~hundreds of rows after the one grouped aggregate — "
     "the AUC-histogram exception class).  Full SQL oracle.",
+    expects_global_window="per-day cumulative frame (bounded calendar-day domain)",
 )
 def events_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -437,6 +437,7 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only sketch rows (<= 2k per comparison), never the raw sets; the "
     "union ranking is a single-partition window over <= 128 rows, "
     "bounded by construction.",
+    expects_global_window="<=2k-row KMV sketch union",
 )
 def sketch_kmv_jaccard_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.sketch import kmv_jaccard, kmv_sketch

@@ -36,6 +36,7 @@ from heparchy_spark.queries.tables import load
     "compares two different algorithms for the same frontier.",
     expects_bnlj=True,
     expects_broadcast="1-row bounds + <=64-row bucket-prefix frame",
+    expects_global_window="n_buckets(=64)-row bucket-max table",
 )
 def skyline_cheap_big_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")

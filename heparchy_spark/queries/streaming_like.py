@@ -879,6 +879,7 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "average two exact doubles.  Full SQL oracle.",
     expects_bnlj=True,  # bounded day-frame self-join + 1-row medians
     expects_broadcast="bounded day-frame medians (declared bounded BNLJ)",
+    expects_global_window="pairwise-slope medians over the bounded calendar-day frame",
 )
 def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -52,6 +52,7 @@ from heparchy_spark.queries.tables import load
     "textbook sweep line.",
     expects_bnlj=True,
     expects_broadcast="per-bucket offset frame (|buckets| rows) + 1-row bounds",
+    expects_global_window="prefix_sum's 64-row bucket-offset scan",
 )
 def events_peak_concurrent_users(
     spark: SparkSession, sf_dir: str

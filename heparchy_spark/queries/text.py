@@ -928,6 +928,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round-6 outputs) so both engines produce identical doubles.",
     expects_bnlj=True,
     expects_broadcast="1-row regression aggregates",
+    expects_global_window="top-100 sort-limit frame",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1618,17 +1619,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what share of the HELD-OUT half's token occurrences and distinct "
     "types it covers (high-resource languages transfer well, "
     "low-resource ones expose the fixed-budget cost — the alpha-"
-    "sampling motivation measured directly).  Vocab rank with "
+    "sampling motivation measured directly).  Vocab cut with "
     "(count desc, token) total tiebreak; the top-1000 cut is a "
-    "WindowGroupLimit-pruned rank over the bounded token table, the "
+    "distributed sort-limit (TakeOrderedAndProject: per-partition "
+    "top-1000 then a 1000-row merge — the r10 gate measured Spark 4.1 "
+    "does NOT insert WindowGroupLimit for the rank-then-filter form, "
+    "so no global row_number window ever sees the token table), the "
     "vocab broadcasts into the coverage join (1000 rows), and the "
     "rollup is one grouped aggregate with exact distincts (Expand; "
     "approx_count_distinct swap documented).  Full SQL oracle.",
     expects_broadcast="top-1000 vocabulary table",
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from heparchy_spark.operators.dedup import normalize_text
 
     docs = load(spark, sf_dir, "documents")
@@ -1640,13 +1642,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.length("tok") > 0)
     )
-    w = W.orderBy(F.desc("cnt"), F.asc("tok"))
     vocab = (
         toks.where(F.col("doc_id") % 2 == 0)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 1000)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
         .select("tok", F.lit(1).alias("__in_vocab"))
     )
     held = toks.where(F.col("doc_id") % 2 == 1).select("lang", "tok")

@@ -193,9 +193,15 @@ def test_corpus_wide_no_scale_killers(spark):
     demotes it, unlike threshold-chosen BHJs), so a hint on a frame
     that scales with the fact tables hard-fails above Spark's 8 GB
     broadcast cap at 100x; the round-8 verdict found 17 such hints
-    sitting green for 7 rounds because no gate read them.  The
-    gate reads the declarations from the registry itself — there is no
-    hand-maintained allowlist to go stale when a new query lands."""
+    sitting green for 7 rounds because no gate read them.  Also: no
+    UNPARTITIONED window (``Window.orderBy`` with no partition — the
+    whole frame funnels through one task, the single-partition-sort
+    class the r8 Theil/RFM and r10 NTILE fixes eliminated) unless
+    ``expects_global_window="why the frame is bounded"`` was declared.
+    The gate reads the declarations from the registry itself — there is
+    no hand-maintained allowlist to go stale when a new query lands."""
+    import re
+
     from heparchy_spark.queries import REGISTRY, _load_all, spark_queries
 
     _load_all()
@@ -204,6 +210,17 @@ def test_corpus_wide_no_scale_killers(spark):
     HINT_OK = {
         n for n, s in REGISTRY.items() if s.expects_broadcast is not None
     }
+    GWIN_OK = {
+        n
+        for n, s in REGISTRY.items()
+        if s.expects_global_window is not None
+    }
+    # unpartitioned window: the spec's FIRST element is an order entry
+    # (attr ASC/DESC) or the frame itself — no partition columns
+    gwin_re = re.compile(
+        r"windowspecdefinition\((?:\w+#\d+\w* (?:ASC|DESC)"
+        r"|specifiedwindowframe)"
+    )
     offenders = []
     for name, fn in spark_queries().items():
         qe = fn(spark, SF_DIR)._jdf.queryExecution()
@@ -220,6 +237,11 @@ def test_corpus_wide_no_scale_killers(spark):
         if not hinted and name in HINT_OK:
             # declarations must not outlive their hints
             offenders.append((name, "stale-broadcast-declaration"))
+        gwin = bool(gwin_re.search(plan))
+        if gwin and name not in GWIN_OK:
+            offenders.append((name, "undeclared-global-window"))
+        if not gwin and name in GWIN_OK:
+            offenders.append((name, "stale-global-window-declaration"))
     assert not offenders, offenders
 
 

@@ -18,8 +18,10 @@ final frame): no CartesianProduct; no BroadcastNestedLoopJoin unless
 broadcast hint (``ResolvedHint`` in the ANALYZED plan — an explicit
 hint is honored at any size, AQE never demotes it, so a hint on an
 SF-scaling frame hard-fails above Spark's 8 GB broadcast cap) unless
-``expects_broadcast="why bounded"`` was declared; plus a WARN (not a
-failure) for any unpartitioned WindowExec, the single-task sort class.
+``expects_broadcast="why bounded"`` was declared; no unpartitioned
+window (the single-task sort class) unless
+``expects_global_window="why bounded"`` was declared.  Stale
+declarations (a flag outliving its plan shape) fail too.
 Exit code 0 = clean, 1 = offenders found.
 """
 
@@ -62,19 +64,18 @@ def changed_query_names() -> list[str]:
     from heparchy_spark.queries import REGISTRY, _load_all
 
     _load_all()
-    # module -> set of heparchy_spark modules it imports (one hop is
-    # enough in practice: query modules import operators directly)
+    # module -> set of heparchy_spark modules it DIRECTLY imports
     dep_cache: dict[str, set[str]] = {}
 
     def imports_of(module: str) -> set[str]:
         if module in dep_cache:
             return dep_cache[module]
         deps: set[str] = set()
+        dep_cache[module] = deps  # pre-seed: cycles terminate
         path = root / (module.replace(".", "/") + ".py")
         try:
             tree = ast.parse(path.read_text())
         except (OSError, SyntaxError):
-            dep_cache[module] = deps
             return deps
         for node in ast.walk(tree):
             if isinstance(node, ast.ImportFrom) and node.module:
@@ -84,13 +85,26 @@ def changed_query_names() -> list[str]:
                 for a in node.names:
                     if a.name.startswith("heparchy_spark"):
                         deps.add(a.name)
-        dep_cache[module] = deps
         return deps
+
+    def closure_of(module: str) -> set[str]:
+        # TRANSITIVE closure over the per-module dep sets (round-9
+        # advice: one hop misses an operator reachable only through
+        # another operator's import)
+        seen: set[str] = set()
+        stack = [module]
+        while stack:
+            m = stack.pop()
+            for d in imports_of(m):
+                if d not in seen:
+                    seen.add(d)
+                    stack.append(d)
+        return seen
 
     names = []
     for name, spec in REGISTRY.items():
         mod = spec.spark.__module__
-        if mod in touched or imports_of(mod) & touched:
+        if mod in touched or closure_of(mod) & touched:
             names.append(name)
     return names
 
@@ -141,16 +155,22 @@ def main() -> int:
             # would let a future SF-scaling hint slip in undeclared
             probs.append("stale-broadcast-declaration")
         # unpartitioned window: the spec's FIRST element is an order
-        # entry (attr ASC/DESC) or the frame itself — no partition cols
-        warn = ""
-        if re.search(
-            r"windowspecdefinition\((?:\w+#\d+\w* (?:ASC|DESC)"
-            r"|specifiedwindowframe)",
-            plan,
-        ):
-            warn = "  [warn: unpartitioned window]"
+        # entry (attr ASC/DESC) or the frame itself — no partition
+        # cols.  A FAILURE unless declared bounded (r9 verdict #4):
+        # a global window funnels its whole frame through one task.
+        global_win = bool(
+            re.search(
+                r"windowspecdefinition\((?:\w+#\d+\w* (?:ASC|DESC)"
+                r"|specifiedwindowframe)",
+                plan,
+            )
+        )
+        if global_win and spec.expects_global_window is None:
+            probs.append("undeclared-global-window")
+        if not global_win and spec.expects_global_window:
+            probs.append("stale-global-window-declaration")
         status = "FAIL " + ",".join(probs) if probs else "ok"
-        print(f"{name}: {status}{warn}")
+        print(f"{name}: {status}")
         if probs:
             offenders.append((name, probs))
     spark.stop()

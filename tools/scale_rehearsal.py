@@ -254,7 +254,18 @@ def main() -> int:
         )
 
     out = Path(__file__).resolve().parent.parent / "SCALE_REHEARSAL.json"
-    out.write_text(json.dumps({"r": args.r, "results": results}, indent=1))
+    # MERGE into the committed file: a targeted re-run of a few queries
+    # must not drop the rest of the slate's rows or the notes block
+    merged: dict = {"r": args.r, "results": {}, "notes": {}}
+    try:
+        prev = json.loads(out.read_text())
+        if int(prev.get("r", args.r)) == args.r:
+            merged["results"].update(prev.get("results", {}))
+        merged["notes"].update(prev.get("notes", {}))
+    except (OSError, ValueError):
+        pass
+    merged["results"].update(results)
+    out.write_text(json.dumps(merged, indent=1))
     print(f"wrote {out}", file=sys.stderr)
     spark.stop()
     return 0
