@@ -272,6 +272,9 @@ HEADLINE = [
     # round-9 additions
     "dedup_lsh_threshold_audit",
     "multimodal_phash128_neardups",
+    # round-10 additions (the 16-bit twin is a deliberately-undersized
+    # rehearsal control, not a production path — rehearsed, not benched)
+    "multimodal_phash128_uniform_neardups",
 ]
 
 # The fixed subset whose timings go on the printed JSON line — exactly the
@@ -507,7 +510,15 @@ def main() -> None:
         try:
             run(CANARY)
             fresh_canary = round(run(CANARY), 3)
-            for n in rerun_names:
+        except Exception as exc:  # noqa: BLE001 - reruns are best-effort
+            print(f"fresh canary failed: {exc}", file=sys.stderr)
+        # per-query try/except: one failing rerun must not silently
+        # skip the rest — a skipped name would be in neither
+        # suspect_reruns nor suspects_dropped, making the record look
+        # complete when it isn't (round-9 advice; the same class as the
+        # r8 partial-samples fix)
+        for n in rerun_names:
+            try:
                 run(n)  # untimed warm-up in the fresh session
                 fresh = round(run(n), 3)
                 suspect_reruns[n] = {
@@ -518,8 +529,15 @@ def main() -> None:
                     if fresh_canary > 0
                     else -1.0,
                 }
-        except Exception as exc:  # noqa: BLE001 - reruns are best-effort
-            print(f"suspect rerun failed: {exc}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                print(f"suspect rerun {n} failed: {exc}", file=sys.stderr)
+                suspect_reruns[n] = {
+                    "prev": prev_timings.get(n),
+                    "this": timings[n],
+                    "fresh": -1.0,
+                    "fresh_normalized": -1.0,
+                    "error": str(exc)[:200],
+                }
 
     details = {
         "queries": timings,

@@ -1199,11 +1199,31 @@ def _neardup_pairs128(
     scale.  Radius >= 3 (5489 keys, >20x the 16-bit ball) is refused:
     split wider codes instead.
     """
-    radius = max_hamming // 4
-    if radius >= 3:
+    return _neardup_pairs128_banded(
+        hashes, lo_col, hi_col, max_hamming, 32, fn_name
+    )
+
+
+def _neardup_pairs128_banded(
+    hashes: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    max_hamming: int,
+    band_bits: int,
+    fn_name: str,
+) -> DataFrame:
+    """The banded construction at an explicit band width — 32 is the
+    production path; 16 exists for the band-saturation calibration pair
+    (``multimodal_phash128_uniform*``), measuring exactly what key
+    width buys at the same radius guarantee."""
+    n_bands = 128 // band_bits
+    radius = max_hamming // n_bands
+    if n_bands * (radius + 1) <= max_hamming:  # pragma: no cover
+        raise ValueError(f"{fn_name}: pigeonhole violated")
+    if len(_hamming_ball_masks(band_bits, radius)) > 5000:
         raise ValueError(
-            f"{fn_name}: max_hamming >= 12 needs per-band "
-            f"probe radius {radius} (C(32,<=r) > 5000 keys per band); "
+            f"{fn_name}: max_hamming {max_hamming} needs per-band "
+            f"probe radius {radius} (> 5000 keys per band); "
             "use a wider code / more bands instead"
         )
     h = hashes.where(F.col("decodable")).select(
@@ -1211,12 +1231,13 @@ def _neardup_pairs128(
         F.col(lo_col).alias("__lo"),
         F.col(hi_col).alias("__hi"),
     )
-    mask32 = F.lit(0xFFFFFFFF).cast("long")
+    bmask = F.lit((1 << band_bits) - 1).cast("long")
+    per_word = 64 // band_bits
     band_keys = [
-        F.col("__lo").bitwiseAND(mask32),
-        F.shiftright("__lo", 32).bitwiseAND(mask32),
-        F.col("__hi").bitwiseAND(mask32),
-        F.shiftright("__hi", 32).bitwiseAND(mask32),
+        F.shiftright(
+            ["__lo", "__hi"][b // per_word], (b % per_word) * band_bits
+        ).bitwiseAND(bmask)
+        for b in range(n_bands)
     ]
     bands = None
     for b, key in enumerate(band_keys):
@@ -1228,7 +1249,7 @@ def _neardup_pairs128(
             key.alias("bkey"),
         )
         bands = band if bands is None else bands.unionByName(band)
-    masks = _hamming_ball_masks(32, radius)
+    masks = _hamming_ball_masks(band_bits, radius)
     probe = bands.select(
         "media_id",
         "__lo",
@@ -1275,12 +1296,22 @@ def _neardup_pairs128(
 def phash128_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 10,
+    band_bits: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs over 128-bit perceptual hashes: the shared
-    32-bit wide-band construction (:func:`_neardup_pairs128`) on the
-    ``phash_lo``/``phash_hi`` code words."""
-    return _neardup_pairs128(
-        hashes, "phash_lo", "phash_hi", max_hamming, "phash128_neardup_pairs"
+    wide-band construction (:func:`_neardup_pairs128`) on the
+    ``phash_lo``/``phash_hi`` code words.  ``band_bits`` defaults to the
+    32-bit production path; 16 keeps the same pigeonhole recall
+    guarantee (8 bands, per-band radius ``max_hamming // 8``) and exists
+    for the band-saturation calibration twin
+    (``multimodal_phash128_uniform16_neardups``)."""
+    return _neardup_pairs128_banded(
+        hashes,
+        "phash_lo",
+        "phash_hi",
+        max_hamming,
+        band_bits,
+        "phash128_neardup_pairs",
     )
 
 

@@ -329,13 +329,51 @@ def _dhash_fixture_pixels(doc_id: int):
     return np.repeat(pix[:, :, None], 3, axis=2)
 
 
-def _real_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _uniform_fixture_pixels(doc_id: int):
+    """Avalanche-hashed 16x16 RGB pixels — the UNIFORM-KEY calibration
+    fixture (r9 verdict: the mod-251 recipe above has structurally
+    correlated DCT coefficients, so pHash band keys collide far above
+    the random floor at ANY band width, pinning the rehearsal shuffle
+    exponent at ~1.9 regardless of key width).  Each cell's base is a
+    splitmix64 finalizer over (group, cell) reduced mod 200 — full
+    avalanche, so cross-group DCT coefficients (hence band keys) sit in
+    the uniform-bit regime the wide-band analysis assumes.  The in-group
+    member at ``doc_id % 8`` rides a +3*offset brightness shift that
+    NEVER clips (base <= 199, shift <= 21): a constant shift moves only
+    the DC coefficient of an orthonormal DCT, so in-group images share
+    all 127 non-DC coefficients exactly — pHash-128 distance 0 — while
+    cross-group codes are ~uniform 128-bit (expected distance 64, never
+    near 10).  Shared verbatim with the plain-NumPy fixture mirror in
+    tools/build_expected.py."""
+    import numpy as np
+
+    g = doc_id // 8
+    mask = (1 << 64) - 1
+    pix = np.empty((16, 16), dtype="int64")
+    for r in range(16):
+        for c in range(16):
+            z = (
+                g * 0x9E3779B97F4A7C15
+                + (r * 16 + c + 1) * 0xBF58476D1CE4E5B9
+            ) & mask
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            pix[r, c] = z % 200
+    out = (pix + 3 * (doc_id % 8)).astype("uint8")
+    return np.repeat(out[:, :, None], 3, axis=2)
+
+
+def _real_png_media_df(
+    spark: SparkSession, sf_dir: str, pixels_fn=None
+) -> DataFrame:
     """(media_id, payload) of REAL pixel-bearing PNGs — the stdlib
     encoder over the deterministic fixture pixels, one per image-kind
     doc (doc_id % 4 == 0).  Arrow-batched generation, pure map."""
     import pandas as pd
     import pyspark.sql.types as T
 
+    pixels_fn = pixels_fn or _dhash_fixture_pixels
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 4 == 0)
@@ -356,7 +394,7 @@ def _real_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 ids.append(did)
-                payloads.append(_png_encode(_dhash_fixture_pixels(did)))
+                payloads.append(_png_encode(pixels_fn(did)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.mapInPandas(gen, schema=schema)
@@ -440,6 +478,64 @@ def multimodal_phash128_neardups(
 
     media = _real_png_media_df(spark, sf_dir)
     return phash128_neardup_pairs(image_phash128(media), max_hamming=10)
+
+
+@register(
+    "multimodal_phash128_uniform_neardups",
+    expected_fixture_sql("multimodal_phash128_uniform_neardups"),
+    doc="128-bit pHash near-dup pairs over the AVALANCHE-UNIFORM pixel "
+    "fixture (splitmix64 per-cell bases, non-clipping in-group "
+    "brightness shift): the regime the wide-band analysis actually "
+    "targets.  The r9 rehearsal measured the structural mod-251 "
+    "fixture's shuffle exponent pinned at ~1.9 at EVERY band width — "
+    "its DCT coefficients are correlated across groups, so band keys "
+    "collide structurally, not randomly.  Here cross-group codes are "
+    "~uniform 128-bit (in-group pairs sit at exact distance 0: a "
+    "constant shift moves only the DC coefficient), so 32-bit band "
+    "keys hit their ~5e-7 random-collision floor and candidate volume "
+    "stays linear in n.  Same real PNG encode/decode path and 32-bit "
+    "banded join as the production gate; oracle fixture computes "
+    "ALL-PAIRS 128-bit Hamming in plain NumPy.",
+)
+def multimodal_phash128_uniform_neardups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.multimodal import (
+        image_phash128,
+        phash128_neardup_pairs,
+    )
+
+    media = _real_png_media_df(spark, sf_dir, _uniform_fixture_pixels)
+    return phash128_neardup_pairs(image_phash128(media), max_hamming=10)
+
+
+@register(
+    "multimodal_phash128_uniform16_neardups",
+    expected_fixture_sql("multimodal_phash128_uniform16_neardups"),
+    doc="The 16-BIT-BAND calibration twin of "
+    "multimodal_phash128_uniform_neardups: identical uniform-pixel "
+    "corpus, identical recall guarantee (8 bands x per-band radius 1 "
+    "covers Hamming <= 10 by pigeonhole), identical output — ONLY the "
+    "band-key width differs.  Exists so the 10x scale rehearsal can "
+    "measure exactly what 32-bit keys buy in the uniform regime: "
+    "16-bit keys saturate as n approaches 2^16 (random collision "
+    "floor ~8*17/2^16 per pair) and candidate shuffle goes ~n^2, "
+    "while the 32-bit twin's floor (~529*4/2^32) keeps it linear.  "
+    "NOT the production path — a deliberately-undersized control.  "
+    "Oracle is the same all-pairs NumPy fixture.",
+)
+def multimodal_phash128_uniform16_neardups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from heparchy_spark.operators.multimodal import (
+        image_phash128,
+        phash128_neardup_pairs,
+    )
+
+    media = _real_png_media_df(spark, sf_dir, _uniform_fixture_pixels)
+    return phash128_neardup_pairs(
+        image_phash128(media), max_hamming=10, band_bits=16
+    )
 
 
 @register(

@@ -114,6 +114,8 @@ def test_python_simhash_matches_spark(spark):
         "dedup_minhash_lsh_pairs",
         "dedup_lsh_threshold_audit",
         "multimodal_phash128_neardups",
+        "multimodal_phash128_uniform_neardups",
+        "multimodal_phash128_uniform16_neardups",
         "multimodal_crc32",
         "multimodal_byte_stats",
         "multimodal_payload_embedding",

@@ -624,6 +624,48 @@ def test_dhash128_pairs_recall_equals_all_pairs(spark):
         dhash128_neardup_pairs(hdf, max_hamming=12)
 
 
+def test_phash128_band_widths_agree_on_adversarial_spread(spark):
+    """The 16-bit-band calibration twin and the 32-bit production path
+    are BOTH exact-recall by pigeonhole, so they must return the same
+    pair set — pinned on codes whose differing bits are spread to
+    stress each width's worst case: d=10 at 2 bits in every 16-bit
+    band's first 10 bit-pairs (16-bit radius 1 survives only via the
+    three empty bands; 32-bit radius 2 survives via band 3), and d=11
+    (cut by the popcount verify in both)."""
+    from heparchy_spark.operators.multimodal import phash128_neardup_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    b0 = 0x7EDC_BA98_7654_3210
+    # d=10: 16-bit bands (within each word: nibble-groups of 16 bits)
+    # carry 2/2/2/2 on lo and 2/0/0/0 on hi -> three empty 16-bit bands,
+    # while the 32-bit view sees 4/4/2/0 (band at exactly radius 2)
+    lo10 = b0 ^ 0b11 ^ (0b11 << 16) ^ (0b11 << 32) ^ (0b11 << 48)
+    hi10 = b0 ^ (0b11 << 2)
+    # d=11: 2/2/2/2 on lo and 2/1/0/0 on hi -> a 16-bit band within
+    # radius 1 and a 32-bit band within radius 2 BOTH generate the
+    # candidate, but the exact popcount verify cuts it at max_hamming=10
+    hi11 = hi10 ^ (1 << 20)
+    hdf = spark.createDataFrame(
+        [
+            (0, signed(b0), signed(b0), True),
+            (1, signed(lo10), signed(hi10), True),
+            (2, signed(lo10), signed(hi11), True),
+        ],
+        "media_id long, phash_lo long, phash_hi long, decodable boolean",
+    )
+    expect = {(0, 1): 10, (1, 2): 1}  # (0,2)=11 cut in both widths
+    for band_bits in (16, 32):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash128_neardup_pairs(
+                hdf, max_hamming=10, band_bits=band_bits
+            ).collect()
+        }
+        assert pairs == expect, band_bits
+
+
 def test_audio_vad_finds_planted_burst(spark):
     """A WAV of silence + loud burst + silence must yield exactly one
     voiced segment covering the burst windows, with the mirror-exact

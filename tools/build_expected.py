@@ -1311,6 +1311,24 @@ def main() -> None:
         ),
     )
 
+    # the uniform-fixture calibration pair share one all-pairs mirror:
+    # both band widths must return exactly these rows (pigeonhole)
+    pu = phash128_uniform_rows([d for d, _ in docs])
+    for nm in (
+        "multimodal_phash128_uniform_neardups",
+        "multimodal_phash128_uniform16_neardups",
+    ):
+        write(
+            nm,
+            pa.table(
+                {
+                    "id_a": pa.array([r[0] for r in pu], pa.int64()),
+                    "id_b": pa.array([r[1] for r in pu], pa.int64()),
+                    "hamming": pa.array([r[2] for r in pu], pa.int32()),
+                }
+            ),
+        )
+
     # multimodal_resample_audio: WAV frame decimation from generator params
     res = [expected_resample(d, t) for d, t in docs if d % 4 == 2]
     write(
@@ -1531,6 +1549,63 @@ def phash128_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
         c = np.arange(16, dtype="int64")[None, :]
         base = ((g + 1) * 2654435761 * (r * 16 + c + 1)) % 251
         pix = np.minimum(base + 3 * (did % 8), 255)
+        ys = (np.arange(32) * 16) // 32
+        gg = pix[np.ix_(ys, ys)].astype("float64")
+        co = basis @ gg @ basis.T
+        flat = co[:8, :16].ravel()
+        med = np.median(flat[1:])
+        code = 0
+        for i in range(128):
+            if flat[i] > med:
+                code |= 1 << i
+        hashes.append((did, code))
+    out = []
+    for i in range(len(hashes)):
+        a, ha = hashes[i]
+        for j in range(i + 1, len(hashes)):
+            b, hb = hashes[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return out
+
+
+def _uniform_pixels(did: int) -> "np.ndarray":
+    """Verbatim mirror of queries.multimodal._uniform_fixture_pixels
+    (single grayscale plane — the three channels are identical, so the
+    integer channel-mean equals the plane): splitmix64 finalizer over
+    (group, cell) mod 200 + a non-clipping +3*(did%8) shift."""
+    g = did // 8
+    mask = (1 << 64) - 1
+    pix = np.empty((16, 16), dtype="int64")
+    for r in range(16):
+        for c in range(16):
+            z = (
+                g * 0x9E3779B97F4A7C15
+                + (r * 16 + c + 1) * 0xBF58476D1CE4E5B9
+            ) & mask
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z ^= z >> 31
+            pix[r, c] = z % 200
+    return pix + 3 * (did % 8)
+
+
+def phash128_uniform_rows(doc_ids, max_hamming=10) -> list[tuple]:
+    """Mirror of queries.multimodal.multimodal_phash128_uniform_neardups
+    (and its 16-bit-band calibration twin — identical output by the
+    pigeonhole recall guarantee): avalanche-uniform fixture pixels ->
+    32x32 grayscale -> orthonormal 2-D DCT-II -> 8x16 block,
+    median-of-127-non-DC threshold -> 128-bit code, then ALL-PAIRS
+    Hamming — independent of the Spark side's banded join at either
+    band width."""
+    n32 = np.arange(32, dtype="float64")
+    basis = np.cos(np.pi * (2.0 * n32[None, :] + 1.0) * n32[:, None] / 64.0)
+    basis[0] *= np.sqrt(1.0 / 32.0)
+    basis[1:] *= np.sqrt(2.0 / 32.0)
+    hashes = []
+    for did in sorted(d for d in doc_ids if d % 4 == 0):
+        pix = _uniform_pixels(did)
         ys = (np.arange(32) * 16) // 32
         gg = pix[np.ix_(ys, ys)].astype("float64")
         co = basis @ gg @ basis.T
