@@ -1226,10 +1226,20 @@ def _neardup_pairs128_banded(
             f"probe radius {radius} (> 5000 keys per band); "
             "use a wider code / more bands instead"
         )
-    h = hashes.where(F.col("decodable")).select(
-        "media_id",
-        F.col(lo_col).alias("__lo"),
-        F.col(hi_col).alias("__hi"),
+    from pyspark import StorageLevel
+
+    # decode ONCE: the code words are ~32 bytes/image, so the persisted
+    # frame is tiny next to the decode it amortizes (the banded self-join
+    # reads the hash frame from both sides — unpersisted, each side
+    # would re-run the full image-decode mapInPandas)
+    h = (
+        hashes.where(F.col("decodable"))
+        .select(
+            "media_id",
+            F.col(lo_col).alias("__lo"),
+            F.col(hi_col).alias("__hi"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bmask = F.lit((1 << band_bits) - 1).cast("long")
     per_word = 64 // band_bits
@@ -1239,16 +1249,23 @@ def _neardup_pairs128_banded(
         ).bitwiseAND(bmask)
         for b in range(n_bands)
     ]
-    bands = None
-    for b, key in enumerate(band_keys):
-        band = h.select(
-            "media_id",
-            "__lo",
-            "__hi",
-            F.lit(b).alias("band"),
-            key.alias("bkey"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # one explode, not an n_bands-way union: a union re-scans the hash
+    # frame once per band
+    bands = h.select(
+        "media_id",
+        "__lo",
+        "__hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), key.alias("bkey")
+                    )
+                    for b, key in enumerate(band_keys)
+                ]
+            )
+        ).alias("__bb"),
+    ).select("media_id", "__lo", "__hi", "__bb.band", "__bb.bkey")
     masks = _hamming_ball_masks(band_bits, radius)
     probe = bands.select(
         "media_id",
@@ -1266,7 +1283,14 @@ def _neardup_pairs128_banded(
         "band",
         F.col("bkey").bitwiseXOR(F.col("__mask")).alias("bkey"),
     )
-    a, b = probe.alias("a"), bands.alias("b")
+    # merge hint: Catalyst's size estimate for the probe side descends
+    # from the column-pruned doc-id scan (~8 bytes/row), NOT the
+    # exploded row count, so the planner happily BROADCASTS the probe —
+    # measured at 10x as a 26M-row broadcast build repeated per task
+    # (2781 s executor time vs 4 s at 1x), and a guaranteed driver OOM
+    # at 100x.  A shuffled sort-merge join on the (band, bkey) key is
+    # linear, spillable, and AQE-skew-splittable at any corpus size.
+    a, b = probe.alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -1417,20 +1441,32 @@ def dhash_neardup_pairs(
             f" radius {radius} (> 6885x key expansion); split the code"
             " into more bands instead"
         )
-    h = hashes.where(F.col("decodable")).select(
-        "media_id", F.col(hash_col).alias("dhash")
+    from pyspark import StorageLevel
+
+    # decode once (see _neardup_pairs128_banded: both join sides read
+    # the hash frame, and the persisted code words are ~16 bytes/image)
+    h = (
+        hashes.where(F.col("decodable"))
+        .select("media_id", F.col(hash_col).alias("dhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = None
-    for b in range(4):
-        band = h.select(
-            "media_id",
-            "dhash",
-            F.lit(b).alias("band"),
-            F.shiftright("dhash", b * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("bkey"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("dhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__bb"),
+    ).select("media_id", "dhash", "__bb.band", "__bb.bkey")
     masks = _hamming_ball_masks(16, radius)
     probe = bands.select(
         F.col("media_id"),
@@ -1446,7 +1482,10 @@ def dhash_neardup_pairs(
         "band",
         F.col("bkey").bitwiseXOR(F.col("__mask")).alias("bkey"),
     )
-    a, b = probe.alias("a"), bands.alias("b")
+    # merge hint: the planner's size estimate descends from the pruned
+    # doc-id scan and would broadcast the exploded probe side — see the
+    # measured 10x blow-up note in _neardup_pairs128_banded
+    a, b = probe.alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,

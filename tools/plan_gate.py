@@ -148,9 +148,16 @@ def main() -> int:
             probs.append("unexpected-BNLJ")
         if "BatchEvalPython" in plan and not spec.expects_row_udf:
             probs.append("row-python-udf")
-        if "ResolvedHint" in analyzed and spec.expects_broadcast is None:
+        # classify hint strategies: merge/shuffle_hash are DEMOTIONS
+        # (never pin a growing frame in memory; SMJ/SHJ spill and AQE
+        # skew-splits them) and need no declaration — everything else
+        # (broadcast, shuffle_replicate_nl) escalates and does
+        escalating = set(
+            re.findall(r"ResolvedHint \(strategy=(\w+)", analyzed)
+        ) - {"merge", "shuffle_hash"}
+        if escalating and spec.expects_broadcast is None:
             probs.append("undeclared-broadcast-hint")
-        if "ResolvedHint" not in analyzed and spec.expects_broadcast:
+        if not escalating and spec.expects_broadcast:
             # a declaration must not outlive its hint — a stale one
             # would let a future SF-scaling hint slip in undeclared
             probs.append("stale-broadcast-declaration")
