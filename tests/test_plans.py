@@ -231,7 +231,18 @@ def test_corpus_wide_no_scale_killers(spark):
             offenders.append((name, "row-python-udf"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "unexpected-BNLJ"))
-        hinted = "ResolvedHint" in qe.analyzed().toString()
+        # merge/shuffle_hash hints are DEMOTIONS (spillable, AQE-skew-
+        # splittable at any size) and need no declaration; broadcast and
+        # shuffle_replicate_nl escalate and do (mirrors tools/plan_gate)
+        hinted = bool(
+            set(
+                re.findall(
+                    r"ResolvedHint \(strategy=(\w+)",
+                    qe.analyzed().toString(),
+                )
+            )
+            - {"merge", "shuffle_hash"}
+        )
         if hinted and name not in HINT_OK:
             offenders.append((name, "undeclared-broadcast-hint"))
         if not hinted and name in HINT_OK:

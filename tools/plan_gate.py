@@ -15,10 +15,14 @@ Checks per query (planned at sf0.001 — plan shape, no execution of the
 final frame): no CartesianProduct; no BroadcastNestedLoopJoin unless
 ``expects_bnlj=True`` was declared; no row-at-a-time Python UDF
 (BatchEvalPython) unless ``expects_row_udf=True``; no explicit
-broadcast hint (``ResolvedHint`` in the ANALYZED plan — an explicit
-hint is honored at any size, AQE never demotes it, so a hint on an
-SF-scaling frame hard-fails above Spark's 8 GB broadcast cap) unless
-``expects_broadcast="why bounded"`` was declared; no unpartitioned
+ESCALATING join hint (``ResolvedHint`` in the ANALYZED plan with
+strategy broadcast / shuffle_replicate_nl — an explicit hint is
+honored at any size, AQE never demotes it, so a hint on an SF-scaling
+frame hard-fails above Spark's 8 GB broadcast cap) unless
+``expects_broadcast="why bounded"`` was declared; demotion hints
+(merge, shuffle_hash) are always allowed — they pin a spillable,
+AQE-skew-splittable shape, the defense AGAINST planner-misestimate
+broadcasts of Python-map-derived frames; no unpartitioned
 window (the single-task sort class) unless
 ``expects_global_window="why bounded"`` was declared.  Stale
 declarations (a flag outliving its plan shape) fail too.
