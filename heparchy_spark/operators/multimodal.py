@@ -1086,7 +1086,15 @@ def _phash64(arr: "np.ndarray", basis: "np.ndarray") -> int:
     xs = (np.arange(32) * w) // 32
     g = gray[np.ix_(ys, xs)].astype("float64")
     co = basis @ g @ basis.T
-    flat = co[:8, :8].ravel()
+    # round to 1e-6 before the median compare: the structural fixtures
+    # produce coefficient pairs that are mathematically EQUAL but land
+    # +-1 ulp apart depending on the BLAS kernel (DYNAMIC_ARCH OpenBLAS
+    # picks per-CPU matmul paths), so a bare float compare against the
+    # median flips bits across machines.  1e-6 is ~7 orders above ulp
+    # noise (~1e-13 at these magnitudes) and ~5 orders below the
+    # smallest genuine coefficient gap — same ULP-robustness rule as
+    # the corpus's ROUND-before-transcendentals convention.
+    flat = np.round(co[:8, :8].ravel(), 6)
     med = np.median(flat[1:])
     bits = flat > med
     val = 0
@@ -1115,7 +1123,9 @@ def _phash128(arr: "np.ndarray", basis: "np.ndarray") -> tuple[int, int]:
     xs = (np.arange(32) * w) // 32
     g = gray[np.ix_(ys, xs)].astype("float64")
     co = basis @ g @ basis.T
-    flat = co[:8, :16].ravel()
+    # 1e-6 rounding before the median compare — see _phash64 (BLAS
+    # kernel choice decides exact-tie bits without it)
+    flat = np.round(co[:8, :16].ravel(), 6)
     med = np.median(flat[1:])
     lo = hi = 0
     for i in range(64):

@@ -1514,7 +1514,10 @@ def phash_neardup_rows(doc_ids, max_hamming=8) -> list[tuple]:
         ys = (np.arange(32) * 16) // 32
         gg = pix[np.ix_(ys, ys)].astype("float64")
         co = basis @ gg @ basis.T
-        flat = co[:8, :8].ravel()
+        # 1e-6 rounding before the median compare, mirroring
+        # operators/multimodal._phash64: exact-tie coefficients land
+        # +-1 ulp apart depending on the BLAS matmul kernel
+        flat = np.round(co[:8, :8].ravel(), 6)
         med = np.median(flat[1:])
         val = 0
         for i in range(64):
@@ -1552,7 +1555,8 @@ def phash128_neardup_rows(doc_ids, max_hamming=10) -> list[tuple]:
         ys = (np.arange(32) * 16) // 32
         gg = pix[np.ix_(ys, ys)].astype("float64")
         co = basis @ gg @ basis.T
-        flat = co[:8, :16].ravel()
+        # 1e-6 rounding before the median compare (see _phash64 mirror)
+        flat = np.round(co[:8, :16].ravel(), 6)
         med = np.median(flat[1:])
         code = 0
         for i in range(128):
@@ -1609,7 +1613,8 @@ def phash128_uniform_rows(doc_ids, max_hamming=10) -> list[tuple]:
         ys = (np.arange(32) * 16) // 32
         gg = pix[np.ix_(ys, ys)].astype("float64")
         co = basis @ gg @ basis.T
-        flat = co[:8, :16].ravel()
+        # 1e-6 rounding before the median compare (see _phash64 mirror)
+        flat = np.round(co[:8, :16].ravel(), 6)
         med = np.median(flat[1:])
         code = 0
         for i in range(128):

@@ -285,6 +285,38 @@ def _carryover_entries() -> dict[str, int]:
     }
 
 
+def _oracle_fixture_changed(since: str) -> list[str]:
+    """Query names whose committed expected-value fixture
+    (``tests/fixtures/expected_sf0_01/<name>.parquet``) changed since
+    ``since`` — an oracle-VALUE change is the strongest possible reason
+    for a driver re-check, so these front the whole window regardless
+    of driver-evidence staleness.  The boundary is the LAST DRIVER RUN
+    (the commit that added the newest ``CORRECTNESS_r*.json``), not the
+    round snapshot: a fixture regenerated before the driver ran was
+    already checked against its new values."""
+    newest = max(
+        ROOT.glob("CORRECTNESS_r*.json"),
+        key=lambda p: p.name,
+        default=None,
+    )
+    if newest is not None:
+        last_check = _git(
+            "log", "-1", "--format=%H", "--", newest.name
+        ).strip()
+        if last_check:
+            since = last_check
+    diff = _git(
+        "diff", "--name-only", since, "--",
+        "tests/fixtures/expected_sf0_01/",
+    )
+    names = []
+    for line in diff.splitlines():
+        p = Path(line)
+        if p.suffix == ".parquet":
+            names.append(p.stem)
+    return sorted(names)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--since", default=None, help="commit to diff against")
@@ -292,6 +324,8 @@ def main() -> None:
     since = args.since or _latest_snapshot_commit()
     changes = _transitive_hop(_module_changes(since))
     names = affected_queries(changes)
+    oracle_changed = [n for n in _oracle_fixture_changed(since) if n in names]
+    names = oracle_changed + [n for n in names if n not in oracle_changed]
     rnd = _current_round()
     entries = {n: rnd for n in names}
     n_carry = 0
