@@ -379,6 +379,10 @@ def main() -> None:
     qs = spark_queries()
 
     def run(name: str) -> float:
+        # label every job with its query so the UI/event log and any
+        # warning in the session stderr attribute to a query, not to an
+        # anonymous noop write (guide §1.5)
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -387,6 +391,7 @@ def main() -> None:
         # otherwise accumulate storage across runs; keep each run
         # self-contained so timings are independent.
         spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(None)
         return dt
 
     run("q1_pricing_summary")  # warm-up: JVM/JIT/codegen startup
