@@ -65,11 +65,18 @@ def pagerank(
     """Fixed-iteration PageRank over an edge list: (node, rank) with
     ``rank`` = int64 ticks / 1e12 cast to double at the end.
 
-    Scale shape per iteration: one shuffle summing contributions on the
-    destination key (map-side combinable longs) plus one join back to
-    the node set; out-degrees compute once.  Ranks ``localCheckpoint``
-    each round so lineage stays one iteration deep (same rationale as
-    ``connected_components``).  Dangling nodes follow the standard
+    Scale shape per iteration: on the broadcast-rank path the
+    contribution sum needs NO shuffle — the edge list persists once
+    hash-partitioned by ``__dst`` (``persist``, not ``localCheckpoint``:
+    InMemoryRelation keeps the cached plan's outputPartitioning, an
+    ExistingRDD scan does not), so the ``groupBy`` on the aliased
+    destination key is satisfied by the cached partitioning and the
+    partial aggregate combines fully (all rows of a key co-located; the
+    old unpartitioned layout degraded to ~E shuffled rows per round at
+    10x, shuffle exponent 1.34).  That leaves one N-sized join back to
+    the node set per round; out-degrees compute once.  Ranks
+    ``localCheckpoint`` each round so lineage stays one iteration deep
+    (same rationale as ``connected_components``).  Dangling nodes follow the standard
     simplification — contribute nothing, keep receiving teleport mass.
 
     ``damping_pct`` is an integer percentage so the damping step is
@@ -85,12 +92,18 @@ def pagerank(
     references, which the loop does each round — at most two snapshots
     are strongly referenced at any time.
     """
-    # Materialize the edge list once: each per-round eager checkpoint
-    # below runs as its own job, and without this the at-rest source
-    # scan re-runs inside every one of them.
-    e = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    # Materialize the edge list once, hash-partitioned by destination
+    # (see docstring): each per-round checkpoint job reads the cache
+    # instead of re-running the at-rest source scan.
+    e = (
+        edges.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        )
+        .repartition("__dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
@@ -113,44 +126,56 @@ def pagerank(
     )
     base = (SCALE * (100 - damping_pct)) // 100 // n  # teleport ticks
     wrap = _score_side(n)
-    ranks = nodes.select(
-        "node", F.lit(SCALE // n).cast("long").alias("__r")
-    ).localCheckpoint(eager=True)
+    # No per-round node fill-in (the HITS pattern): the rank of a node
+    # ABSENT from the round's dst-sum table is exactly
+    # ``base + (damping * 0) div 100``, so the rank expression is
+    # FOLDED into the next round's contribution via a left join and
+    # coalesce instead of materializing an N-row rank frame and joining
+    # it back to the node set every round — bit-identical trajectory
+    # (same integer expression, evaluated per edge source instead of
+    # per node), 8 fewer N-sized joins, and the per-round state shrinks
+    # to the reached destination set.  Zeros/danglers are restored once
+    # on the final output.
+    rank_expr = (
+        f"{base}L + ({damping_pct} * coalesce(__s, 0L)) div 100"
+    )
+    contribs = None  # None = the exact uniform first-round ranks
     for _ in range(iters):
+        if contribs is None:
+            esrc = e.join(wrap(deg), "__src")
+            contrib = F.expr(f"{SCALE // n}L div __deg")
+        else:
+            esrc = e.join(
+                wrap(contribs), e["__src"] == contribs["node"], "left"
+            ).join(wrap(deg), "__src")
+            contrib = F.expr(f"({rank_expr}) div __deg")
         contribs = (
-            e.join(wrap(ranks), e["__src"] == ranks["node"])
-            .join(wrap(deg), "__src")
-            .select(
-                F.col("__dst").alias("node"),
-                F.expr("__r div __deg").alias("__c"),
+            esrc.select(
+                F.col("__dst").alias("node"), contrib.alias("__c")
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
-        )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(__s, 0L)) div 100"
-                    )
-                ).cast("long").alias("__r"),
-            )
             # Lazy: all rounds materialize inside the single final
             # persist job, each round's rows cached as computed (the
-            # HITS pattern — ~12% at sf0.1, bit-identical ranks).
+            # HITS pattern — bit-identical ranks).  Dropping the old
+            # reference lets the ContextCleaner reclaim the superseded
+            # checkpoint's RDD blocks.
             .localCheckpoint(eager=False)
         )
-        # dropping the reference lets the ContextCleaner reclaim the
-        # superseded checkpoint's RDD blocks (Dataset.unpersist is a
-        # CacheManager call and cannot release localCheckpoint storage)
-        ranks = new_ranks
-    out = ranks.select(
-        "node", (F.col("__r").cast("double") / F.lit(float(SCALE))).alias("rank")
-    ).persist()
+    out = (
+        nodes.join(contribs, "node", "left")
+        .select(
+            "node",
+            (
+                F.expr(rank_expr).cast("double") / F.lit(float(SCALE))
+            ).alias("rank"),
+        )
+        .persist()
+    )
     out.count()
+    # all per-round checkpoints are materialized by the count above;
+    # the partitioned edge cache is dead weight from here on
+    e.unpersist()
     return out
 
 
@@ -273,12 +298,19 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     sweeps on real graphs).
 
     Scale shape per round: propagate labels across edges (one join on
-    the neighbour key), count votes per (node, label) — map-side
-    combinable — then a bounded per-node window for the argmax.  Labels
-    ``localCheckpoint`` each round so lineage stays one round deep.
-    ``edges`` must be canonical undirected (src < dst, distinct); both
-    directions are derived here so every endpoint votes.
+    the neighbour key — broadcast while |V| fits), then count votes per
+    (node, label) and take the bounded per-node argmax window — BOTH
+    shuffle-free: the doubled edge list persists once hash-partitioned
+    by ``src`` (``persist``, not ``localCheckpoint``: InMemoryRelation
+    keeps the cached plan's outputPartitioning), which satisfies the
+    clustered distribution of the (node, label) aggregate AND the
+    window's partitionBy(node), so neither inserts an exchange and the
+    vote partial-aggregate combines fully.  Labels ``localCheckpoint``
+    each round so lineage stays one round deep.  ``edges`` must be
+    canonical undirected (src < dst, distinct); both directions are
+    derived here so every endpoint votes.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     e = (
@@ -288,7 +320,8 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         e.select(F.col("src").alias("node"))
@@ -312,6 +345,9 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
+    # every round is eagerly checkpointed above; the partitioned edge
+    # cache is dead weight from here on
+    e.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -613,21 +649,38 @@ def hits(
     (~1e-4 at realistic fan-in), well under the 1e-3 the centrality use
     cares about.
 
-    Scale shape per iteration: two map-side-combinable shuffles (sum by
-    dst, sum by src) and two single-row max aggregates that ride as
-    broadcast joins — no driver collect, no per-round node-set join
-    (zero-score nodes are restored once on the final output).  ``localCheckpoint`` per round caps lineage exactly as in
+    Scale shape per iteration: ZERO shuffles on the broadcast-score
+    path — the edge list is materialized twice up-front, hash-
+    partitioned by ``__dst`` (authority half) and ``__src`` (hub half),
+    so each half-round's sum groups on its side's partitioning key and
+    the exchange is elided entirely (the partial aggregate also
+    combines fully, since every occurrence of a key is co-located);
+    the two single-row max quotients ride as broadcast joins — no
+    driver collect, no per-round node-set join (zero-score nodes are
+    restored once on the final output).  The copies must be ``persist``
+    (InMemoryRelation keeps the cached plan's outputPartitioning);
+    ``localCheckpoint`` would scan as an ExistingRDD with UNKNOWN
+    partitioning and re-insert the per-round exchange — measured at 10x
+    this was ~E shuffled rows per half-round (map-side combine degrades
+    to nothing once keys/partition ~ 1), shuffle exponent 1.39.
+    ``localCheckpoint`` per round still caps lineage exactly as in
     ``pagerank``.  Overflow bound: max fan-in * 2*SCALE < 2^63 -> fan-in
     < ~4.6e6; beyond that drop SCALE a decade.
     """
-    # Materialize the edge list once: the 2*iters eager checkpoint jobs
-    # below would each re-run the at-rest source scan without this.
+    from pyspark import StorageLevel
+
+    # Two partitioned, persisted edge copies (see docstring); e_src is
+    # derived FROM e_dst's cache so the at-rest source scans once.
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).localCheckpoint(eager=True)
+    )
+    e_dst = e.repartition("__dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e_src = e_dst.repartition("__src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nodes = (
-        e.select(F.col("__src").alias("node"))
-        .union(e.select(F.col("__dst").alias("node")))
+        e_src.select(F.col("__src").alias("node"))
+        .union(e_src.select(F.col("__dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -670,7 +723,7 @@ def hits(
         contrib_h = (
             F.expr("__s div __q") if hq is not None else F.col("__s")
         )
-        pairs_h = e.join(wrap(hraw), e["__src"] == hraw["node"])
+        pairs_h = e_dst.join(wrap(hraw), e_dst["__src"] == hraw["node"])
         if hq is not None:
             pairs_h = pairs_h.join(F.broadcast(hq))
         araw = (
@@ -683,7 +736,7 @@ def hits(
         aq = araw.agg(qexpr)
         # hub half: same fold with the fresh authority quotient
         hraw = (
-            e.join(wrap(araw), e["__dst"] == araw["node"])
+            e_src.join(wrap(araw), e_src["__dst"] == araw["node"])
             .join(F.broadcast(aq))
             .select(F.col("__src"), F.expr("__s div __q").alias("__c"))
             .groupBy("__src")
@@ -715,6 +768,10 @@ def hits(
         .persist()
     )
     out.count()
+    # every per-round checkpoint is materialized by the count above;
+    # the partitioned edge caches are dead weight from here on
+    e_dst.unpersist()
+    e_src.unpersist()
     return out
 
 
