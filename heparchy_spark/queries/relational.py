@@ -825,8 +825,15 @@ def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # >= any validation-scale group size -> exact-mode sketch (see doc).
-    acc = F.lit(10_000_000)
+    # >= any validation-scale group size (max ~300k at sf0.1, 3.3x
+    # margin) -> exact-mode sketch, hash-identical to quantile_disc
+    # (measured identical at sf0.001/0.01/0.1 for 1e6 AND the previous
+    # 1e7).  1e6 instead of 1e7 because the summary's stored-sample
+    # bound (and so per-task memory and the <=|groups|-task final-merge
+    # cost at real scale, where n >> accuracy) is O(accuracy): the
+    # tighter budget is 10x less sketch state at 100 TB and measured 3x
+    # faster at sf0.1 (6.7 s -> 2.1 s) with identical output.
+    acc = F.lit(1_000_000)
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_quantity", F.lit(0.25), acc).alias("q25_approx"),
         F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("q50_approx"),
