@@ -276,12 +276,49 @@ def _bounded_sample(
     of vectors, sum n_c^2 12.8x uniform — the quadratic pair blow-up a
     clusterer exists to prevent)."""
     if order_col is None:
-        sel = df.select(vec_col)
-    elif hash_order:
-        sel = df.orderBy(F.xxhash64(F.col(order_col))).select(vec_col)
-    else:
-        sel = df.orderBy(order_col).select(vec_col)
-    return sel.limit(sample_size).toPandas()
+        return df.select(vec_col).limit(sample_size).toPandas()
+    key = (
+        F.xxhash64(F.col(order_col)) if hash_order else F.col(order_col)
+    )
+    keyed = df.select(F.col(vec_col).alias("__vec"), key.alias("__ord"))
+    # Pre-filter before the sort-limit: Spark's ordered limit shuffles
+    # each partition's partial top-n into ONE merge task, so the merge
+    # reads sample_size * n_partitions rows — 0 bytes on single-file
+    # sf0.1 but k*P at scale (measured: the whole 10x shuffle-exponent
+    # excess of similarity_pq_recall_at_k, 0 -> 5.3 MB).  One O(1)-state
+    # combinable pass (count/min/max) interpolates an order-key cutoff
+    # near the sample_size-th value — exact for the two key families
+    # this is called with (dense ids, uniform xxhash64) — and
+    # `key <= cutoff` is prefix-closed under the sort order (every kept
+    # key precedes every dropped key, ties kept), so as long as the
+    # EXACT survivor count >= sample_size the filtered top-n is
+    # identical to the unfiltered one.  That count is checked, with a
+    # widen-once retry and an unfiltered fallback, so a skewed key
+    # distribution can cost the optimization but never change the
+    # sample.
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__ord").alias("__lo"),
+        F.max("__ord").alias("__hi"),
+    ).collect()[0]
+    n, lo, hi = stats["__n"] or 0, stats["__lo"], stats["__hi"]
+    bounded = keyed
+    if n > 4 * sample_size and lo is not None and hi is not None and hi > lo:
+        span = int(hi) - int(lo)
+        for margin in (4, 32):
+            cut = int(lo) + int(span * min(1.0, margin * sample_size / n))
+            if cut >= hi:
+                break
+            filtered = keyed.where(F.col("__ord") <= F.lit(cut))
+            if filtered.count() >= sample_size:
+                bounded = filtered
+                break
+    return (
+        bounded.orderBy("__ord")
+        .limit(sample_size)
+        .select(F.col("__vec").alias(vec_col))
+        .toPandas()
+    )
 
 
 def train_centroids(

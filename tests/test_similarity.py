@@ -766,3 +766,33 @@ def test_cluster_purity_planted_blobs(spark):
     # each cluster holds exactly one planted label's 20 members
     assert sorted(lab for lab, _n in got.values()) == [0, 1]
     assert all(n == 20 for _lab, n in got.values())
+
+
+def test_bounded_sample_prefilter_identical_to_naive_sort_limit(spark):
+    """The cutoff pre-filter in ``_bounded_sample`` bounds the ordered
+    limit's single merge task at ~4*sample_size rows (instead of
+    sample_size per input partition) and must return EXACTLY the rows
+    the naive global sort-limit returns — for dense-id order, hash
+    order, and the small-frame fallback path."""
+    from heparchy_spark.operators.similarity import _bounded_sample
+
+    df = spark.range(0, 20000, 1, 16).select(
+        (F.col("id") * 7 % 100003).alias("vid"),
+        F.array(
+            *[(F.col("id") % (i + 3)).cast("float") for i in range(4)]
+        ).alias("v"),
+    )
+    for hashed in (False, True):
+        key = F.xxhash64(F.col("vid")) if hashed else F.col("vid")
+        ref = df.orderBy(key).select("v").limit(1000).toPandas()
+        got = _bounded_sample(df, "v", 1000, "vid", hash_order=hashed)
+        assert len(got) == 1000
+        assert all(
+            list(a) == list(b) for a, b in zip(got["v"], ref["v"])
+        ), f"sample changed (hash_order={hashed})"
+    # frame smaller than 4*sample_size: fallback path, every row kept
+    tiny = df.limit(300)
+    got = _bounded_sample(tiny, "v", 1000, "vid")
+    ref = tiny.orderBy("vid").select("v").toPandas()
+    assert len(got) == 300
+    assert all(list(a) == list(b) for a, b in zip(got["v"], ref["v"]))
