@@ -351,29 +351,38 @@ def bm25_topk(
 
     terms = queries.select("term").distinct()
     norm = normalize_text(text_col)
+    toks = F.split(norm, " ")
     dl_expr = (
         F.when(F.length(norm) == 0, F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
+        .otherwise(F.size(toks))
         .cast("double")
     )
-    # dl must NOT ride along the explode: CollapseProject inlines the
-    # projection into the generator output, re-running the two
+    # dl must NOT ride ABOVE the explode: CollapseProject inlines a
+    # projection into the generator OUTPUT, re-running the two
     # normalization regexes once per TOKEN instead of once per document
-    # (measured 20.6s vs 0.3s for the exploded stream at sf0.1).  A
-    # narrow (doc_id, dl) frame joined onto the candidate postings costs
-    # one doc-keyed exchange of two columns — linear, and only the
-    # candidates pay the join.
-    ts = df.select(
+    # (measured 20.6s vs 0.3s for the exploded stream at sf0.1).  It is
+    # safe — and one corpus regex pass plus one doc-keyed exchange
+    # cheaper than a separate (doc_id, dl) frame joined back on — to
+    # compute dl BELOW the Generate, in the same projection as the
+    # token split: whole-stage codegen's subexpression elimination
+    # evaluates the shared normalize/split once per document, and
+    # Generate copies the dl child column through per output row
+    # without re-evaluating it (verified in the executed plan: one
+    # document scan feeding the postings stream, regex stage count
+    # 3 -> 2 per call).
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(norm, " ")).alias("term"),
+        dl_expr.alias("dl"),
+        toks.alias("__toks"),
+    )
+    ts = base.select(
+        "doc_id", "dl", F.explode("__toks").alias("term")
     ).where(F.length("term") > 0)
     tf = (
         ts.join(F.broadcast(terms), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
-    dl = df.select(F.col(id_col).alias("doc_id"), dl_expr.alias("dl"))
-    tf = tf.join(dl, "doc_id")
     stats = df.select(dl_expr.alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         davg("dl").alias("avgdl"),

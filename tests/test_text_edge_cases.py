@@ -879,3 +879,58 @@ def test_winnowing_overlap_pairs_catches_local_excerpt(spark):
         df3, "text", "doc_id", min_shared=2, max_df=2
     ).collect()
     assert got == []
+
+
+def test_bm25_scores_match_python_reference(spark, docs):
+    """Exact BM25 score values against a pure-Python mirror of the
+    Lucene-flavoured formula over the SAME normalization — pins the
+    dl-below-the-Generate pass-through (dl computed once per document in
+    the token projection, copied through the explode) to the value the
+    separate dl-frame join used to produce."""
+    import math
+    import re
+
+    from heparchy_spark.operators.text import bm25_topk
+
+    k1, b = 1.2, 0.75
+
+    def norm_tokens(t):
+        if t is None:
+            return []
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        t = re.sub(r"\s+", " ", t).strip()
+        return [w for w in t.split(" ") if w]
+
+    toks = {did: norm_tokens(t) for did, t in ROWS}
+    n_docs = len(ROWS)
+    # dl is NULL for a null text column, and the decimal avg skips
+    # nulls while n_docs counts every row — mirror that split exactly
+    avgdl = sum(len(v) for v in toks.values()) / sum(
+        1 for _, t in ROWS if t is not None
+    )
+    terms = ["fox", "cat"]
+
+    def score(did):
+        s = 0.0
+        dl = float(len(toks[did]))
+        for term in terms:
+            tf = toks[did].count(term)
+            if not tf:
+                continue
+            df_ = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+            s += (
+                idf * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+        return s
+
+    queries = spark.createDataFrame(
+        [(0, t) for t in terms], "query_id int, term string"
+    )
+    out = bm25_topk(docs, "text", "doc_id", queries, k1=k1, b=b, k=10)
+    got = {r.doc_id: r.score for r in out.collect()}
+    assert set(got) == {0, 1, 8}
+    for did, sc in got.items():
+        # engine scores are rounded to 6dp on output
+        assert sc == pytest.approx(score(did), abs=1e-6), did
