@@ -267,14 +267,17 @@ def test_bm25_broadcasts_terms_and_stats(spark):
     df = REGISTRY["text_bm25_topk"].spark(spark, SF_DIR)
     assert has_broadcast_join(df)
     # exchanges: term distinct (tiny) + tf agg (the one fat shuffle) +
-    # dl join + single-row stats + per-(query,doc) agg + rank window
+    # single-row stats + per-(query,doc) agg + rank window
     assert shuffle_count(df) <= 6
-    # three corpus scans, all narrow: candidate postings, the (doc, dl)
-    # frame, and the single-row stats pass. dl deliberately does NOT
-    # ride the explode: CollapseProject would re-run the normalization
-    # regexes per token (see bm25_topk docstring).
+    # two corpus scans, both narrow: the candidate postings pass (which
+    # now also carries dl — computed in the SAME projection as the token
+    # split, BELOW the Generate, so subexpression elimination evaluates
+    # the normalize/split once per document and no separate (doc, dl)
+    # scan or doc-keyed join remains) and the single-row stats pass.
+    # dl still does NOT ride ABOVE the explode: that would re-run the
+    # normalization regexes per token (see bm25_topk docstring).
     plan = physical_plan(df)
-    assert plan.count("FileScan parquet") == 3
+    assert plan.count("FileScan parquet") == 2
 
 
 def test_scd2_single_shuffle_single_scan(spark):
