@@ -37,6 +37,7 @@ __all__ = [
     "bpe_ish_token_count",
     "bm25_topk",
     "chunk_documents",
+    "word_freqs",
     "bpe_train",
     "bpe_encode_counts",
     "unigram_lm_train",
@@ -616,11 +617,36 @@ def split_sentences(spark, df: DataFrame, text_col: str, id_col: str) -> DataFra
     )
 
 
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word-frequency table ``(w, freq)`` over normalized
+    whitespace tokens — the one corpus-scale wordcount pass every
+    tokenizer train/apply operator in this module starts from.
+
+    Exposed so a train-then-apply query can compute it ONCE, persist
+    it, and hand the same frame to both the trainer (``words=``) and
+    the applier (``distinct_words=``): at 100 TB each avoided rebuild
+    is a full corpus decompress + normalize-regex pass plus a
+    corpus-scale distinct aggregate (guide §6 scan-once; the same
+    measured win as the BM25 dl fusion).
+    """
+    from heparchy_spark.operators.dedup import normalize_text
+
+    return (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n_merges: int = 8,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016)
     over the corpus: learn ``n_merges`` merge rules from word
@@ -641,18 +667,14 @@ def bpe_train(
 
     Tie-break: (pair_count DESC, left ASC, right ASC) — fully
     deterministic, mirrored by the plain-Python fixture oracle.
-    """
-    from heparchy_spark.operators.dedup import normalize_text
 
+    ``words`` optionally supplies a precomputed (persisted)
+    :func:`word_freqs` frame so a train-then-apply query scans the
+    corpus once for both phases; content is identical either way.
+    """
     spark = df.sparkSession
-    words = (
-        df.select(
-            F.explode(F.split(normalize_text(text_col), " ")).alias("w")
-        )
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    if words is None:
+        words = word_freqs(df, text_col)
     # initial symbol sequence: characters + end-of-word marker
     vocab = words.select(
         "freq",
@@ -812,6 +834,7 @@ def bpe_encode_counts(
     text_col: str,
     id_col: str,
     merges: list[tuple[str, str]],
+    distinct_words: DataFrame | None = None,
 ) -> DataFrame:
     """Apply learned BPE merge rules and report per-document token
     economics: (id, n_words, n_char_symbols, n_bpe_tokens, bpe_per_word)
@@ -828,6 +851,12 @@ def bpe_encode_counts(
     table (sublinear but UNBOUNDED at web scale, so the join carries no
     broadcast hint — AQE picks broadcast vs shuffle-hash at runtime)
     followed by one combinable aggregate.
+
+    ``distinct_words`` optionally supplies a precomputed one-row-per-
+    distinct-word frame (column ``w`` — e.g. the trainer's persisted
+    :func:`word_freqs` table, already unique by construction) so the
+    encode pass does not re-scan and re-aggregate the corpus just to
+    rebuild the DP table's key set; the encoded values are identical.
     """
     from heparchy_spark.operators.dedup import normalize_text
 
@@ -859,7 +888,12 @@ def bpe_encode_counts(
         F.col(id_col).alias("__id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
     ).where(F.length("w") > 0)
-    vocab = ts.select("w").distinct().withColumn("n_bpe", encode_len("w"))
+    dw = (
+        distinct_words.select("w")
+        if distinct_words is not None
+        else ts.select("w").distinct()
+    )
+    vocab = dw.withColumn("n_bpe", encode_len("w"))
     # NOTE: no explicit broadcast hint here — ``vocab`` is the corpus
     # DISTINCT-WORD table, sublinear in corpus size but UNBOUNDED
     # (10^8-10^9 distinct tokens on web-scale text, multi-GB).  AQE
@@ -1046,6 +1080,7 @@ def unigram_lm_train(
     iters: int = 3,
     seed_size: int = 192,
     max_sub_len: int = 4,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram-LM tokenizer vocabulary induction (Kudo 2018, the
     SentencePiece unigram model) — the probabilistic counterpart to
@@ -1078,19 +1113,16 @@ def unigram_lm_train(
     and updates only on strictly-better scores, so equal-probability
     ties resolve to the longest-first-token path — the plain-Python
     fixture mirror replicates each rule bit-for-bit.
-    """
-    from heparchy_spark.operators.dedup import normalize_text
 
-    words = (
-        df.select(
-            F.explode(F.split(normalize_text(text_col), " ")).alias("w")
-        )
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
-    )
-    words.count()
+    ``words`` optionally supplies a precomputed, already-persisted
+    :func:`word_freqs` frame (the caller owns its lifecycle) so a
+    train-then-apply query scans the corpus once for both phases;
+    content — and therefore the trained artifact — is identical.
+    """
+    owns_words = words is None
+    if owns_words:
+        words = word_freqs(df, text_col).persist()
+        words.count()
 
     # seed candidates: every substring of length 1..max_sub_len, with
     # multiplicity, weighted by word frequency
@@ -1179,7 +1211,8 @@ def unigram_lm_train(
         (i + 1, s, int(n), round(lp[s], 6))
         for i, (s, n) in enumerate(ranked)
     ]
-    words.unpersist()
+    if owns_words:
+        words.unpersist()
     return df.sparkSession.createDataFrame(
         out, "rank long, subword string, n_uses long, logprob double"
     )
@@ -1190,6 +1223,7 @@ def unigram_encode_counts(
     text_col: str,
     id_col: str,
     vocab: list[tuple[str, float]],
+    distinct_words: DataFrame | None = None,
 ) -> DataFrame:
     """Encode documents under a trained unigram-LM vocabulary
     (:func:`unigram_lm_train`'s (subword, logprob) artifact) and report
@@ -1205,6 +1239,12 @@ def unigram_encode_counts(
     stream back to the encoded distinct-word table — AQE-sized, no
     broadcast hint, since the frame is unbounded at web scale — plus
     one combinable aggregate.
+
+    ``distinct_words`` optionally supplies a precomputed one-row-per-
+    distinct-word frame (column ``w``, e.g. the trainer's persisted
+    :func:`word_freqs` table) so the encode pass does not re-scan and
+    re-aggregate the corpus to rebuild the DP key set; values are
+    identical.
     """
     from heparchy_spark.operators.dedup import normalize_text
 
@@ -1223,9 +1263,12 @@ def unigram_encode_counts(
         F.col(id_col).alias("__id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
     ).where(F.length("w") > 0)
-    vocab_df = ts.select("w").distinct().withColumn(
-        "n_uni", encode_len("w")
+    dw = (
+        distinct_words.select("w")
+        if distinct_words is not None
+        else ts.select("w").distinct()
     )
+    vocab_df = dw.withColumn("n_uni", encode_len("w"))
     # Distinct-word table: AQE-sized join (no explicit broadcast hint —
     # the frame is unbounded at web scale; see bpe_encode_counts).
     return (
@@ -1343,6 +1386,7 @@ def lm_perplexity(
     text_col: str,
     id_col: str,
     vocab: list[tuple[str, float]],
+    distinct_words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document negative log-likelihood under a trained unigram-LM
     vocabulary (:func:`unigram_lm_train`'s (subword, logprob) artifact)
@@ -1366,6 +1410,12 @@ def lm_perplexity(
     runs once per DISTINCT word (Arrow-batched pandas over the
     distinct-word table), totals come from the AQE-sized token-stream
     join plus one combinable aggregate.  Zero driver collects.
+
+    ``distinct_words`` optionally supplies a precomputed one-row-per-
+    distinct-word frame (column ``w``, e.g. the trainer's persisted
+    :func:`word_freqs` table) so the scoring pass does not re-scan and
+    re-aggregate the corpus to rebuild the DP key set; values are
+    identical.
     """
     from heparchy_spark.operators.dedup import normalize_text
 
@@ -1396,10 +1446,13 @@ def lm_perplexity(
         F.col(id_col).alias("__id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
     ).where(F.length("w") > 0)
+    dw = (
+        distinct_words.select("w")
+        if distinct_words is not None
+        else ts.select("w").distinct()
+    )
     wtab = (
-        ts.select("w")
-        .distinct()
-        .withColumn("__e", enc("w"))
+        dw.withColumn("__e", enc("w"))
         .select(
             "w",
             F.col("__e.n_tok").alias("__n_tok"),

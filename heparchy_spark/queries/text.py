@@ -994,16 +994,28 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plain-Python mirror over the same learned rules, precomputed.",
 )
 def text_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from heparchy_spark.operators.text import bpe_encode_counts, bpe_train
+    from heparchy_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_train,
+        word_freqs,
+    )
 
     docs = load(spark, sf_dir, "documents")
+    # One corpus wordcount pass shared by trainer and encoder (guide §6
+    # scan-once): the persisted (w, freq) table feeds BOTH the merge-rule
+    # induction and the encode pass's distinct-word DP key set, replacing
+    # two further corpus normalize+explode passes.  The bench clears the
+    # cache between runs, so nothing survives a timed run.
+    words = word_freqs(docs, "text").persist()
     merges = [
         (r.left, r.right)
-        for r in bpe_train(docs, "text", "doc_id", n_merges=8)
+        for r in bpe_train(docs, "text", "doc_id", n_merges=8, words=words)
         .orderBy("merge_idx")
         .collect()
     ]
-    return bpe_encode_counts(docs, "text", "doc_id", merges)
+    return bpe_encode_counts(
+        docs, "text", "doc_id", merges, distinct_words=words
+    )
 
 
 @register(
@@ -1405,14 +1417,22 @@ def text_unigram_encode_counts(
     from heparchy_spark.operators.text import (
         unigram_encode_counts,
         unigram_lm_train,
+        word_freqs,
     )
 
     docs = load(spark, sf_dir, "documents")
+    # Shared corpus wordcount for trainer + encoder (guide §6 scan-once;
+    # see text_bpe_encode_counts).
+    words = word_freqs(docs, "text").persist()
     vocab = [
         (r["subword"], r["logprob"])
-        for r in unigram_lm_train(docs, "text", "doc_id").collect()
+        for r in unigram_lm_train(
+            docs, "text", "doc_id", words=words
+        ).collect()
     ]
-    return unigram_encode_counts(docs, "text", "doc_id", vocab)
+    return unigram_encode_counts(
+        docs, "text", "doc_id", vocab, distinct_words=words
+    )
 
 
 @register(
@@ -1531,14 +1551,22 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from heparchy_spark.operators.text import (
         lm_perplexity,
         unigram_lm_train,
+        word_freqs,
     )
 
     docs = load(spark, sf_dir, "documents")
+    # Shared corpus wordcount for trainer + scorer (guide §6 scan-once;
+    # see text_bpe_encode_counts).
+    words = word_freqs(docs, "text").persist()
     vocab = [
         (r["subword"], r["logprob"])
-        for r in unigram_lm_train(docs, "text", "doc_id").collect()
+        for r in unigram_lm_train(
+            docs, "text", "doc_id", words=words
+        ).collect()
     ]
-    return lm_perplexity(docs, "text", "doc_id", vocab)
+    return lm_perplexity(
+        docs, "text", "doc_id", vocab, distinct_words=words
+    )
 
 
 @register(

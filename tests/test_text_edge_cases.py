@@ -732,6 +732,73 @@ def test_unigram_encode_counts_fallback_and_ratio(spark):
     assert got[2].unigram_per_word == 2.5
 
 
+def test_shared_word_table_identical_to_self_built(spark):
+    """The r10 scan-once path: handing the trainer/appliers a
+    precomputed word_freqs frame (words= / distinct_words=) must be
+    output-IDENTICAL to each operator rebuilding the word table itself
+    — the optimization only removes redundant corpus passes, never
+    changes what is computed."""
+    from heparchy_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_train,
+        lm_perplexity,
+        unigram_encode_counts,
+        unigram_lm_train,
+        word_freqs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "cats and dogs and logs"),
+            (3, "zz q"),
+        ],
+        "doc_id long, text string",
+    )
+    words = word_freqs(df, "text").persist()
+
+    def rows(d):
+        return sorted(map(tuple, d.collect()))
+
+    # trainers: artifact identical with a supplied word table
+    base_m = rows(bpe_train(df, "text", "doc_id", n_merges=4))
+    assert rows(
+        bpe_train(df, "text", "doc_id", n_merges=4, words=words)
+    ) == base_m
+    base_v = rows(unigram_lm_train(df, "text", "doc_id", vocab_size=12))
+    assert rows(
+        unigram_lm_train(df, "text", "doc_id", vocab_size=12, words=words)
+    ) == base_v
+
+    # appliers: per-doc outputs identical with a supplied distinct-word
+    # frame (the trainer's table, unique by construction)
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(df, "text", "doc_id", n_merges=4, words=words)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert rows(
+        bpe_encode_counts(df, "text", "doc_id", merges, distinct_words=words)
+    ) == rows(bpe_encode_counts(df, "text", "doc_id", merges))
+    vocab = [
+        (r["subword"], r["logprob"])
+        for r in unigram_lm_train(
+            df, "text", "doc_id", vocab_size=12, words=words
+        ).collect()
+    ]
+    assert rows(
+        unigram_encode_counts(
+            df, "text", "doc_id", vocab, distinct_words=words
+        )
+    ) == rows(unigram_encode_counts(df, "text", "doc_id", vocab))
+    assert rows(
+        lm_perplexity(df, "text", "doc_id", vocab, distinct_words=words)
+    ) == rows(lm_perplexity(df, "text", "doc_id", vocab))
+    words.unpersist()
+
+
 def test_rouge_l_pairs_hand_cases(spark):
     """ROUGE-L on hand pairs: identical docs score 1.0; an order
     reversal keeps tokens (Jaccard-identical) but drops LCS; disjoint
