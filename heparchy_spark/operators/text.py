@@ -690,16 +690,30 @@ def bpe_train(
 
     merges: list[tuple[int, str, str, int]] = []
     for idx in range(n_merges):
+        # Adjacent-pair stream.  A word whose symbols have FULLY merged
+        # into one token has no pairs — but ``sequence(1, size-1)``
+        # with size == 1 yields the DESCENDING [1, 0] and the transform
+        # then evaluates element_at(syms, 2) on a 1-element array
+        # (runtime fault; first hit by the 10x rehearsal, where a hot
+        # rotated word completed all 8 merges — any 100 TB corpus would
+        # contain such a word).  try_element_at + a null filter gives
+        # the fully-merged word an empty pair array instead, matching
+        # the plain-Python fixture mirror's adjacent-pair semantics.
         pairs = (
             vocab.select(
                 "freq",
                 F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at("syms", i).alias("l"),
-                            F.element_at("syms", i + 1).alias("r"),
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms")),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.try_element_at(
+                                    "syms", i + F.lit(1)
+                                ).alias("r"),
+                            ),
                         ),
+                        lambda s: s["r"].isNotNull(),
                     )
                 ).alias("p"),
             )

@@ -732,6 +732,27 @@ def test_unigram_encode_counts_fallback_and_ratio(spark):
     assert got[2].unigram_per_word == 2.5
 
 
+def test_bpe_train_survives_fully_merged_word(spark):
+    """A word whose symbol sequence fully merges into ONE token within
+    the merge budget must simply stop contributing pairs — the old
+    adjacent-pair explode built sequence(1, size-1), which for size==1
+    DESCENDS to [1, 0] and faults on element_at(syms, 2) (first hit at
+    the 10x rehearsal; inevitable on any large corpus)."""
+    from heparchy_spark.operators.text import bpe_train
+
+    # 'aa' dominates: merge 1 = (a, </w>) (ties break '<' before 'a'),
+    # merge 2 = (a, a</w>) -> the word is then the single symbol
+    # 'aa</w>' and iterations 3-4 must see no pairs from it.
+    df = spark.createDataFrame(
+        [(0, "aa aa aa aa xy")], "doc_id long, text string"
+    )
+    out = bpe_train(df, "text", "doc_id", n_merges=4).collect()
+    got = [(r.left, r.right) for r in sorted(out, key=lambda r: r.merge_idx)]
+    assert got[:2] == [("a", "</w>"), ("a", "a</w>")]
+    # remaining merges come from the surviving 'xy' word, not a crash
+    assert got[2:] == [("x", "y"), ("xy", "</w>")]
+
+
 def test_shared_word_table_identical_to_self_built(spark):
     """The r10 scan-once path: handing the trainer/appliers a
     precomputed word_freqs frame (words= / distinct_words=) must be
