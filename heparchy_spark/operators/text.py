@@ -1322,19 +1322,34 @@ def rouge_l_pairs(
     generator (MinHash LSH, simhash, dHash...), so the two text joins
     ship only candidate documents and the O(n*m) LCS dynamic program
     runs in Arrow-batched ``mapInPandas`` over pair count, never corpus
-    size.  Integer LCS + int/int divisions keep scores engine-exact;
-    the plain-Python mirror shares the arithmetic by construction.
+    size.  ``normalize_text`` is evaluated ABOVE the candidate joins —
+    per surviving pair row, not per corpus row — so the corpus pays
+    zero extra regex passes beyond the generator's own (the BM25
+    scan-once rule; the Project sits above the join and Catalyst never
+    pushes expressions back down through one).  Integer LCS (row-
+    vectorized: cur = running-max of max(prev[j], prev[j-1]+eq), exact
+    by the DP table's unit-step monotonicity) + int/int divisions keep
+    scores engine-exact; the plain-Python mirror shares the arithmetic
+    by construction.
     """
     from heparchy_spark.operators.dedup import normalize_text
 
     ta = docs.select(
-        F.col(id_col).alias("id_a"), normalize_text(text_col).alias("__ta")
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ra")
     )
     tb = docs.select(
-        F.col(id_col).alias("id_b"), normalize_text(text_col).alias("__tb")
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__rb")
     )
     joined = (
-        pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            normalize_text("__ra").alias("__ta"),
+            normalize_text("__rb").alias("__tb"),
+        )
     )
     schema = T.StructType(
         [
@@ -1348,20 +1363,36 @@ def rouge_l_pairs(
     )
 
     def score(batches: ty.Iterator[pd.DataFrame]) -> ty.Iterator[pd.DataFrame]:
+        import numpy as np
+
         def lcs(a: list, b: list) -> int:
+            # Row-vectorized LCS: dp[i][j] = max(prev[j-1] + eq,
+            # prev[j], cur[j-1]).  The extra cur[j-1]/prev[j] terms in
+            # the eq case are subsumed by dp's unit-step monotonicity
+            # (dp[i][j-1] <= dp[i-1][j-1]+1 and dp[i-1][j] <=
+            # dp[i-1][j-1]+1), so the value equals the textbook
+            # recurrence cell for cell; the cur[j-1] running max is
+            # np.maximum.accumulate.  Same integer table, NumPy row
+            # ops instead of a Python cell loop.
             if not a or not b:
                 return 0
-            prev = [0] * (len(b) + 1)
+            if len(a) > len(b):
+                a, b = b, a  # loop over the shorter side (LCS symmetric)
+            codes: dict = {}
+            bc = np.fromiter(
+                (codes.setdefault(w, len(codes)) for w in b),
+                dtype=np.int64,
+                count=len(b),
+            )
+            prev = np.zeros(len(b) + 1, dtype=np.int32)
+            cur = np.empty(len(b) + 1, dtype=np.int32)
             for x in a:
-                cur = [0] * (len(b) + 1)
-                for j, y in enumerate(b, start=1):
-                    cur[j] = (
-                        prev[j - 1] + 1
-                        if x == y
-                        else max(prev[j], cur[j - 1])
-                    )
-                prev = cur
-            return prev[-1]
+                xc = codes.get(x, -1)
+                np.maximum(prev[1:], prev[:-1] + (bc == xc), out=cur[1:])
+                cur[0] = 0
+                np.maximum.accumulate(cur, out=cur)
+                prev, cur = cur, prev
+            return int(prev[-1])
 
         for pdf in batches:
             rows = []

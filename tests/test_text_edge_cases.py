@@ -850,6 +850,50 @@ def test_rouge_l_pairs_hand_cases(spark):
     assert got[(0, 4)].lcs_len == 0 and got[(0, 4)].rouge_p == 0.0
 
 
+def test_rouge_l_pairs_vectorized_lcs_matches_textbook_dp(spark):
+    """The row-vectorized NumPy LCS inside rouge_l_pairs must equal the
+    textbook O(n*m) cell-loop DP exactly (the r10 optimization changed
+    the operator's internals; the fixture mirror still runs the
+    cell-loop form).  Random token lists across lengths 0..40, plus the
+    high-overlap / disjoint extremes."""
+    import random
+
+    from heparchy_spark.operators.text import rouge_l_pairs
+
+    def lcs_ref(a: list, b: list) -> int:
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, start=1):
+                cur[j] = (
+                    prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    docs_rows, pair_rows, expected = [], [], {}
+    did = 0
+    for pid in range(60):
+        vocab = rng.randint(1, 8)
+        a = [f"w{rng.randint(0, vocab)}" for _ in range(rng.randint(0, 40))]
+        b = [f"w{rng.randint(0, vocab)}" for _ in range(rng.randint(0, 40))]
+        docs_rows.append((did, " ".join(a)))
+        docs_rows.append((did + 1, " ".join(b)))
+        pair_rows.append((did, did + 1))
+        expected[(did, did + 1)] = lcs_ref(a, b)
+        did += 2
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.lcs_len
+        for r in rouge_l_pairs(docs, pairs, "text", "doc_id").collect()
+    }
+    assert got == expected
+
+
 def test_lm_perplexity_scores_fallback_and_totals(spark):
     """Perplexity under a hand vocabulary: coverable words sum their
     Viterbi-path log-probs, uncoverable words pay len(word) tokens at
