@@ -362,12 +362,19 @@ def minhash_near_dup_pairs(
     # costs more than its recompute): sets once, signature derived from the
     # cached sets. The same staging MLlib's LSH does.
     sets = hashed_shingles_df(df, text_col, id_col, shingle_n)
+    banded = _band_table(sets, num_perm, bands)
     if materialize:
         from pyspark import StorageLevel
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-
-    banded = _band_table(sets, num_perm, bands)
+        # The band table is ALSO per-doc bounded (bands rows/doc) and its
+        # signature aggregate (num_perm min-aggregates over the shingle
+        # explode) is the pipeline's hottest expression; the self-join
+        # below re-runs it per side — exchange reuse does NOT cover the
+        # broadcast-built side, and an aggregate above a reused exchange
+        # re-runs regardless.  Persisting computes the signature once
+        # (measured ~2x the signature CPU without it).
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
