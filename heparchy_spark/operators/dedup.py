@@ -889,6 +889,16 @@ def ngram_jaccard_pairs(
             - F.ceil(F.col("sz") * F.lit(t)).cast("int")
             + F.lit(1)
         ).select("__id", "tok", "rk", "sz")
+        if materialize:
+            from pyspark import StorageLevel
+
+            # The prefix table is per-doc bounded (~(1-t)|S| rows/doc)
+            # and its df-aggregate + rank window is the exact path's
+            # hottest subtree; the self-join below re-runs it per side
+            # (a Window above a reused exchange re-runs, and the
+            # broadcast-built side reuses nothing).  Persist computes
+            # the ranking once — the minhash band-table pattern.
+            pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
         a, b = pref.alias("a"), pref.alias("b")
         length_ok = (
             F.col("b.sz") >= F.floor(F.lit(t) * F.col("a.sz"))
