@@ -897,8 +897,23 @@ def ngram_jaccard_pairs(
             # hottest subtree; the self-join below re-runs it per side
             # (a Window above a reused exchange re-runs, and the
             # broadcast-built side reuses nothing).  Persist computes
-            # the ranking once — the minhash band-table pattern.
-            pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+            # the ranking once — the minhash band-table pattern — and
+            # the cache is HASH-PARTITIONED ON THE JOIN KEY first:
+            # InMemoryRelation keeps the cached plan's output
+            # partitioning, so once the candidate self-join outgrows
+            # broadcast (SMJ at 10x+) BOTH sides read the cache already
+            # tok-distributed and insert no exchange (10x interleaved
+            # A/B: shuffle 127->84 MB, CPU 90->67 s vs the unpersisted
+            # shape; an unpartitioned persist measured 347 MB — the
+            # cache kills the old plan's exchange reuse, so partitioning
+            # must come with it).  Prefixes hold each set's RAREST
+            # tokens by construction, so the tok hash key has no hot
+            # keys to skew.  repartition(col) with no explicit N stays
+            # AQE-coalescible (scale-adaptive, not pinned to the local
+            # core count).
+            pref = pref.repartition("tok").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         a, b = pref.alias("a"), pref.alias("b")
         length_ok = (
             F.col("b.sz") >= F.floor(F.lit(t) * F.col("a.sz"))
