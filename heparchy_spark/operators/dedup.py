@@ -1140,15 +1140,30 @@ def connected_components(
     # sym is read EVERY round; without staging, the full upstream edge
     # pipeline (e.g. a candidate-pair join feeding dedup clustering)
     # re-executes once per propagation round.  localCheckpoint severs
-    # the lineage the same way the per-round labels do.
+    # the lineage the same way the per-round labels do.  Both directions
+    # come from ONE struct explode, not a union of swapped projections:
+    # the union's two branches each re-run the upstream pair pipeline's
+    # post-shuffle work (verification joins, array_intersect, filters)
+    # during this one materialization — exchange reuse dedupes only the
+    # shuffle write below them.
     sym = (
-        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
-        .union(
-            edges.select(
-                F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")
-            )
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("__a"),
+                        F.col(dst_col).alias("__b"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("__a"),
+                        F.col(src_col).alias("__b"),
+                    ),
+                )
+            ).alias("__e")
         )
-    ).localCheckpoint(eager=True)
+        .select("__e.__a", "__e.__b")
+        .localCheckpoint(eager=True)
+    )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).localCheckpoint(eager=True)

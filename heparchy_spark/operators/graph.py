@@ -497,21 +497,26 @@ def boruvka_forest(
             .join(lv, "dst")
             .where(F.col("lu") != F.col("lv"))
         )
+        # Both directions from ONE pass over the candidate join: a union
+        # of two swapped projections plans the edge+label join subtree
+        # twice per round (exchange reuse dedupes the shuffle writes,
+        # not the joins above them); a 2-way struct explode emits the
+        # same rows from a single subtree.
         both = cand.select(
-            F.col("lu").alias("comp"),
-            F.col("lv").alias("other"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lu").alias("comp"), F.col("lv").alias("other")
+                    ),
+                    F.struct(
+                        F.col("lv").alias("comp"), F.col("lu").alias("other")
+                    ),
+                )
+            ).alias("__d"),
             "w",
             "src",
             "dst",
-        ).union(
-            cand.select(
-                F.col("lv").alias("comp"),
-                F.col("lu").alias("other"),
-                "w",
-                "src",
-                "dst",
-            )
-        )
+        ).select("__d.comp", "__d.other", "w", "src", "dst")
         # Each comp's unique (w, src, dst)-min candidate; `other` rides
         # along (the edge key is already unique) as the merge partner.
         pick_full = checkpoint_stats_barrier(
@@ -916,9 +921,17 @@ def degree_assortativity(
 
     Input must already be the deduplicated src < dst undirected form.
     """
-    both = edges.select(src, dst).unionByName(
-        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    # Both directions from ONE pass over the edge subtree (a union of
+    # swapped projections would re-run the upstream pipeline per branch
+    # — and `both` is referenced twice below, doubling that again).
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias(src), F.col(dst).alias(dst)),
+                F.struct(F.col(dst).alias(src), F.col(src).alias(dst)),
+            )
+        ).alias("__e")
+    ).select(f"__e.{src}", f"__e.{dst}")
     deg = both.groupBy(F.col(src).alias("__n")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
