@@ -497,26 +497,28 @@ def boruvka_forest(
             .join(lv, "dst")
             .where(F.col("lu") != F.col("lv"))
         )
-        # Both directions from ONE pass over the candidate join: a union
-        # of two swapped projections plans the edge+label join subtree
-        # twice per round (exchange reuse dedupes the shuffle writes,
-        # not the joins above them); a 2-way struct explode emits the
-        # same rows from a single subtree.
+        # Union of two swapped projections, NOT a 2-way struct explode:
+        # the r11 interleaved A/B (sf0.1, two session pairs) measured the
+        # explode variant 1.5-2.2x slower wall on this loop (10.3/7.3 s
+        # vs 4.7/5.5 s) and the r10 10x rehearsal recorded 10.9 -> 49.0 s
+        # with it; the union's two branches reuse the candidate join's
+        # exchange and run as parallel stages, which beats the single
+        # serial Generate pipeline at every measured scale.
         both = cand.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("lu").alias("comp"), F.col("lv").alias("other")
-                    ),
-                    F.struct(
-                        F.col("lv").alias("comp"), F.col("lu").alias("other")
-                    ),
-                )
-            ).alias("__d"),
+            F.col("lu").alias("comp"),
+            F.col("lv").alias("other"),
             "w",
             "src",
             "dst",
-        ).select("__d.comp", "__d.other", "w", "src", "dst")
+        ).union(
+            cand.select(
+                F.col("lv").alias("comp"),
+                F.col("lu").alias("other"),
+                "w",
+                "src",
+                "dst",
+            )
+        )
         # Each comp's unique (w, src, dst)-min candidate; `other` rides
         # along (the edge key is already unique) as the merge partner.
         pick_full = checkpoint_stats_barrier(

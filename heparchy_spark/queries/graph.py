@@ -76,26 +76,16 @@ def graph_pagerank_supply_network(
 ) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supply = li.select("l_partkey", "l_suppkey").distinct()
-    # Both directions from ONE pass over the distinct supply pairs: a
-    # union of two swapped projections re-runs the distinct finalize per
-    # branch (exchange reuse dedupes only the shuffle write); the 2-way
-    # struct explode emits the same rows from a single subtree.
-    edges = supply.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("l_partkey").alias("src"),
-                    (F.col("l_suppkey") + _OFFSET).alias("dst"),
-                ),
-                F.struct(
-                    (F.col("l_suppkey") + _OFFSET).alias("src"),
-                    F.col("l_partkey").alias("dst"),
-                ),
-            )
-        ).alias("__e")
-    ).select("__e.src", "__e.dst")
+    fwd = supply.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + _OFFSET).alias("dst"),
+    )
+    bwd = supply.select(
+        (F.col("l_suppkey") + _OFFSET).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
     return pagerank(
-        edges, "src", "dst", damping_pct=_D_PCT, iters=_ITERS
+        fwd.unionByName(bwd), "src", "dst", damping_pct=_D_PCT, iters=_ITERS
     )
 
 
@@ -721,26 +711,19 @@ def graph_ppr_supply_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     sup = load(spark, sf_dir, "supplier")
     supply = li.select("l_partkey", "l_suppkey").distinct()
-    # One-pass bidirectional edge build (see graph_pagerank_supply_network).
-    edges = supply.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("l_partkey").alias("src"),
-                    (F.col("l_suppkey") + _OFFSET).alias("dst"),
-                ),
-                F.struct(
-                    (F.col("l_suppkey") + _OFFSET).alias("src"),
-                    F.col("l_partkey").alias("dst"),
-                ),
-            )
-        ).alias("__e")
-    ).select("__e.src", "__e.dst")
+    fwd = supply.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + _OFFSET).alias("dst"),
+    )
+    bwd = supply.select(
+        (F.col("l_suppkey") + _OFFSET).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
     seeds = sup.where(F.col("s_suppkey") <= 5).select(
         (F.col("s_suppkey") + _OFFSET).alias("node")
     )
     pr = personalized_pagerank(
-        edges,
+        fwd.unionByName(bwd),
         seeds,
         damping_pct=_D_PCT,
         iters=_PPR_ITERS,

@@ -1357,25 +1357,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = cand.select(
         F.col("__tok").alias("a"), F.lead("__tok").over(w).alias("b")
     ).where(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-    # Both edge directions from ONE pass over the adjacency stream: a
-    # union of two swapped projections plans the corpus-scale
-    # tokenize+window subtree twice (exchange reuse dedupes the shuffle
-    # write, not the post-shuffle sort+window), while a 2-way struct
-    # explode emits the same rows from a single subtree.
     edges = (
-        adj.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("a").alias("src"), F.col("b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("b").alias("src"), F.col("a").alias("dst")
-                    ),
-                )
-            ).alias("__e")
-        )
-        .select("__e.src", "__e.dst")
+        adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(adj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
     pr = pagerank(
