@@ -598,6 +598,11 @@ def main() -> None:
             "canary_median": round(canary_median, 3),
             "canary2_median": round(canary2_median, 3),
             "n_suspect_reruns": len(suspect_reruns),
+            # r10 verdict item 4: the driver's PERF compared 32-core and
+            # 8-core runs without the core count on the line; carry it
+            # (additions-only) so regressions are adjudicable from the
+            # printed JSON alone.  canary_median is already printed.
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "sf": sf,
         }
     )

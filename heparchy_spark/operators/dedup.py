@@ -287,16 +287,134 @@ def duplicated_ngram_spans(
     )
 
 
+# xxHash-64 primes (public algorithm constants; same values as
+# tools/xxh64.py, restated here so executors need no tools/ import)
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _np_xxh64_long(value, seed):  # pragma: no cover - exercised via Spark
+    """Vectorized XXH64 of int64 words (Spark's ``XxHash64.hashLong``),
+    NumPy uint64 in/out, bit-identical to ``tools/xxh64.hash_long``."""
+    import numpy as np
+
+    u = np.uint64
+    h = seed + u((_XXP5 + 8) & ((1 << 64) - 1))
+    k1 = value * u(_XXP2)
+    k1 = ((k1 << u(31)) | (k1 >> u(33))) * u(_XXP1)
+    h = h ^ k1
+    h = ((h << u(27)) | (h >> u(37))) * u(_XXP1) + u(_XXP4)
+    h = h ^ (h >> u(33))
+    h = h * u(_XXP2)
+    h = h ^ (h >> u(29))
+    h = h * u(_XXP3)
+    return h ^ (h >> u(32))
+
+
+def _np_xxh64_int(value: int, seed):  # pragma: no cover - via Spark
+    """Vectorized XXH64 4-byte path (Spark hashes int literals this way):
+    scalar int ``value`` against a uint64 seed array."""
+    import numpy as np
+
+    u = np.uint64
+    h = seed + u((_XXP5 + 4) & ((1 << 64) - 1))
+    h = h ^ u(((value & 0xFFFFFFFF) * _XXP1) & ((1 << 64) - 1))
+    h = ((h << u(23)) | (h >> u(41))) * u(_XXP2) + u(_XXP3)
+    h = h ^ (h >> u(33))
+    h = h * u(_XXP2)
+    h = h ^ (h >> u(29))
+    h = h * u(_XXP3)
+    return h ^ (h >> u(32))
+
+
 def _band_table(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(__id, band, bucket) LSH band table from a (__id, __shh) sets frame.
 
-    Signature: num_perm scalar min-aggregates over the set explode (the
-    array is a materialized column, so the explode is cheap and safe);
-    each band's bucket is the hash of its row slice.  This is the
-    persistable near-dup index sidecar shape: banding any two tables
-    built with the same (num_perm, bands, shingle_n) is a plain
-    (band, bucket) equi-join.
+    One vectorized Arrow pass per partition (guide §4.2) instead of the
+    old ``num_perm`` scalar min-aggregates over a set explode: the r10
+    CPU probes put the 64-expression signature aggregate as the corpus's
+    hottest genuinely CPU-parallel path (dedup_minhash_lsh_pairs was the
+    ONLY query slower at 8 cores than 32 by >3x), and the JVM evaluates
+    64 multiply-add-min expression trees per shingle occurrence where
+    NumPy does 64 SIMD passes over the contiguous value buffer.  The
+    arithmetic is bit-identical by construction: ``t1 = h & 2^32-1``,
+    ``t2 = xxh64_int(1, xxh64_long(h, 42)) & 2^32-1`` (exactly Spark's
+    ``xxhash64(__e, lit(1))`` chain), ``sig_j = min(t1 + j*t2)`` (values
+    < 2^38, no wrap in either engine), band bucket = chained
+    ``xxh64_long`` over the band's row slice seeded 42 (Spark's
+    multi-arg ``xxhash64``) — pinned by tests/test_expected_fixtures.py
+    and the _band_table equivalence test.  Only (__id, __shh) crosses
+    the Python boundary (column-pruned select before mapInArrow).
+
+    This is the persistable near-dup index sidecar shape: banding any
+    two tables built with the same (num_perm, bands, shingle_n) is a
+    plain (band, bucket) equi-join.
     """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    rows = num_perm // bands
+    out_type = StructType(
+        [
+            sets.schema["__id"],
+            StructField("band", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+
+    def gen(batches):  # pragma: no cover - runs on executors
+        import numpy as np
+        import pyarrow as pa
+
+        u = np.uint64
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            shh = batch.column(1)
+            off = shh.offsets.to_numpy().astype(np.int64)
+            vals = shh.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            # a sliced ListArray's offsets are absolute into the shared
+            # values buffer; rebase so reduceat's implicit final segment
+            # ends exactly at the last list's end
+            vals = vals[off[0] : off[-1]]
+            off = off - off[0]
+            # docs with no shingles have no row by construction
+            # (hashed_shingles_df groups an existing stream); an empty
+            # list would silently corrupt reduceat, so refuse loudly
+            if (off[1:] == off[:-1]).any():
+                raise ValueError("_band_table: empty shingle set")
+            starts = off[:-1]
+            t1 = vals & u(0xFFFFFFFF)
+            t2 = _np_xxh64_int(1, _np_xxh64_long(vals, u(42))) & u(0xFFFFFFFF)
+            sig = np.empty((n, num_perm), dtype=np.uint64)
+            for j in range(num_perm):
+                sig[:, j] = np.minimum.reduceat(t1 + u(j) * t2, starts)
+            buckets = np.empty((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                h = np.full(n, 42, dtype=np.uint64)
+                for r in range(rows):
+                    h = _np_xxh64_long(sig[:, b * rows + r], h)
+                buckets[:, b] = h
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.repeat(np.arange(n), bands))),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(buckets.reshape(-1).view(np.int64)),
+                ],
+                names=["__id", "band", "bucket"],
+            )
+
+    return sets.select("__id", "__shh").mapInArrow(gen, out_type)
+
+
+def _band_table_expr(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """The original JVM-expression band table (num_perm min-aggregates
+    over the set explode) — kept as the equivalence reference for
+    tests/test_minhash_band_equivalence; not on any query path."""
     rows = num_perm // bands
     mask = F.lit((1 << 32) - 1).cast("long")
     exploded = sets.select("__id", F.explode("__shh").alias("__e")).select(
@@ -368,16 +486,28 @@ def minhash_near_dup_pairs(
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
         # The band table is ALSO per-doc bounded (bands rows/doc) and its
-        # signature aggregate (num_perm min-aggregates over the shingle
-        # explode) is the pipeline's hottest expression; the self-join
-        # below re-runs it per side — exchange reuse does NOT cover the
-        # broadcast-built side, and an aggregate above a reused exchange
-        # re-runs regardless.  Persisting computes the signature once
-        # (measured ~2x the signature CPU without it).
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        # vectorized signature pass is the pipeline's hottest CPU; the
+        # self-join below reads it twice — persisting computes the
+        # signature once (measured ~2x the signature CPU without it).
+        # The cache is HASH-PARTITIONED ON THE JOIN KEY first (the r10
+        # PPJoin prefix pattern): InMemoryRelation keeps the cached
+        # plan's output partitioning, so the merge self-join below reads
+        # both sides already (band, bucket)-distributed and inserts no
+        # exchange.  repartition(cols) with no explicit N stays
+        # AQE-coalescible (scale-adaptive).
+        banded = banded.repartition("band", "bucket").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     a = banded.alias("a")
-    b = banded.alias("b")
+    # merge demotion hint (always allowed undeclared per plan-gate
+    # policy): both sides descend from mapInArrow over a column-pruned
+    # scan, which Catalyst sizes at ~bytes/row from the scan — the r10
+    # multimodal lesson was that it then statically broadcasts a side
+    # that GROWS with the corpus (bands x n_docs rows here), and AQE
+    # cannot demote a planner-chosen BHJ with no shuffle boundary.  SMJ
+    # over the key-partitioned cache is exchange-free and spillable.
+    b = banded.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -567,7 +697,10 @@ def incremental_minhash_near_dups(
     sb = _band_table(seen_sets, num_perm, bands).withColumnsRenamed(
         {"__id": "seen_id"}
     )
-    cand = nb.join(sb, ["band", "bucket"]).select(
+    # merge demotion: both band tables descend from mapInArrow (garbage
+    # planner sizing — see minhash_near_dup_pairs); at 100 TB the seen
+    # side is corpus-sized and must never be statically broadcast.
+    cand = nb.join(sb.hint("merge"), ["band", "bucket"]).select(
         "new_id", "seen_id"
     ).dropDuplicates(["new_id", "seen_id"])
     sh_n = new_sets.select(
