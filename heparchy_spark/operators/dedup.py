@@ -17,6 +17,7 @@ UDFs.  Scale notes:
 
 from __future__ import annotations
 
+import os
 import typing as ty
 
 import pyspark.sql.functions as F
@@ -955,6 +956,36 @@ def simhash_near_dup_pairs(
     )
 
 
+# Measured in-memory-columnar expansion of zstd-compressed document
+# parquet bytes into the PPJoin prefix cache (long id, long tok, int rk,
+# int sz per prefix token): 34 MB cache / 5.8 MB parquet at the 10x
+# rehearsal scale, ~5.9x.  Deliberately rounded UP so the narrow
+# mis-estimate band near the broadcast flip lands on the partitioned
+# (scale-safe) side.  Corpus-shape dependent (doc length / threshold),
+# hence env-overridable for deployments whose corpora differ.
+_PPJOIN_PREF_EXPANSION = float(
+    os.environ.get("HEPARCHY_PPJOIN_PREF_EXPANSION", "6.0")
+)
+
+
+def _source_bytes(df: DataFrame) -> int:
+    """Total bytes of the frame's source files — driver-side file
+    metadata only, no Spark job.  0 when the frame has no file source
+    (in-memory test frames), which callers treat as the small regime."""
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            total += os.path.getsize(p)
+        return total
+    except Exception:
+        return 0
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -1030,23 +1061,49 @@ def ngram_jaccard_pairs(
             # hottest subtree; the self-join below re-runs it per side
             # (a Window above a reused exchange re-runs, and the
             # broadcast-built side reuses nothing).  Persist computes
-            # the ranking once — the minhash band-table pattern — and
-            # the cache is HASH-PARTITIONED ON THE JOIN KEY first:
-            # InMemoryRelation keeps the cached plan's output
-            # partitioning, so once the candidate self-join outgrows
-            # broadcast (SMJ at 10x+) BOTH sides read the cache already
-            # tok-distributed and insert no exchange (10x interleaved
-            # A/B: shuffle 127->84 MB, CPU 90->67 s vs the unpersisted
-            # shape; an unpartitioned persist measured 347 MB — the
-            # cache kills the old plan's exchange reuse, so partitioning
-            # must come with it).  Prefixes hold each set's RAREST
-            # tokens by construction, so the tok hash key has no hot
-            # keys to skew.  repartition(col) with no explicit N stays
-            # AQE-coalescible (scale-adaptive, not pinned to the local
-            # core count).
-            pref = pref.repartition("tok").persist(
-                StorageLevel.MEMORY_AND_DISK
+            # the ranking once — the minhash band-table pattern.
+            #
+            # Whether the cache is HASH-PARTITIONED ON THE JOIN KEY
+            # first follows the planner's own broadcast decision for
+            # the candidate self-join (r10 verdict item 2):
+            # * SMJ regime (prefix table above the broadcast
+            #   threshold): InMemoryRelation keeps the cached plan's
+            #   output partitioning, so BOTH join sides read the cache
+            #   already tok-distributed and insert no exchange (10x
+            #   interleaved A/B: shuffle write 394 MB unpartitioned vs
+            #   84-131 MB tok-partitioned per full query).  Prefixes
+            #   hold each set's RAREST tokens by construction, so the
+            #   tok hash key has no hot keys to skew.  repartition(col)
+            #   with no explicit N stays AQE-coalescible
+            #   (scale-adaptive, not pinned to the local core count).
+            # * broadcast regime: the join never uses the cache's
+            #   partitioning, so the pre-cache exchange is pure loss —
+            #   measured 2.29 s -> 1.06 s per call at sf0.1 (it also
+            #   defeats AQE coalescing of the tiny cached exchange).
+            # The regime is decided the same way the planner will size
+            # the join side — estimated in-memory prefix bytes vs
+            # autoBroadcastJoinThreshold — WITHOUT running a job:
+            # source parquet bytes (driver-side file metadata) times a
+            # measured text->prefix-cache expansion factor.  An eager
+            # exact count was measured and rejected: collecting it
+            # pre-materializes the sets cache, which costs ~1 s of
+            # serial toy-scale wall AND flips every downstream join's
+            # size estimate from scan-derived (grows with input, so the
+            # planner's broadcasts stay bounded near the 10 MB flip) to
+            # actual cache bytes (pure SMJ: measured 472 MB vs 84-131
+            # MB shuffle write at 10x for identical output).
+            in_bytes = _source_bytes(df)
+            bcast_thr = int(
+                df.sparkSession._jsparkSession.sessionState()
+                .conf()
+                .autoBroadcastJoinThreshold()
             )
+            if bcast_thr >= 0 and in_bytes * _PPJOIN_PREF_EXPANSION <= bcast_thr:
+                pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                pref = pref.repartition("tok").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
         a, b = pref.alias("a"), pref.alias("b")
         length_ok = (
             F.col("b.sz") >= F.floor(F.lit(t) * F.col("a.sz"))
