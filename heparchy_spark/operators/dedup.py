@@ -859,7 +859,19 @@ def simhash_near_dup_pairs(
 
     Both constructions return IDENTICAL pairs (recall is exact either
     way; the popcount verify bounds distance), so the cutover is purely
-    a physical-plan choice.
+    a physical-plan choice.  The wide path additionally gates on corpus
+    size (r11, measured): its Hamming-ball probe explodes
+    2*C(32,<=radius) rows per doc (66 at the default radius 1), which
+    dominates the narrow path's collision floor until roughly
+    4n + 4n^2/2^16 = 66n  =>  n ~ 1M docs — measured narrow vs wide
+    candidates 1.26M vs 324k at sf0.1 yet wall 0.50 vs 0.73 s, and
+    2.4 vs 4.1 s at the 10x rehearsal scale (50k docs).  Below the
+    gate the narrow banding wins on wall at every measured scale;
+    above it the 16-bit saturation (~n^2/2^16 candidates) takes over
+    and the wide path's linear probe cost is the only scalable shape.
+    The gate errs LOW (flips to wide early) because a wrong narrow
+    choice is quadratic while a wrong wide choice costs a bounded
+    constant factor.
     """
     sh = simhash_df(df, text_col, id_col).select(
         F.col(id_col).alias("__id"), F.col("simhash64").alias("__sim")
@@ -869,7 +881,12 @@ def simhash_near_dup_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     radius = max_hamming // 2
-    if radius <= 2:
+    # narrow-below-gate only while its blocks stay >= 16 bits wide
+    # (max_hamming <= 3); at 4-5 the (mh+1)-block keys drop to 12/10
+    # bits and saturate ~100x earlier, so wide applies at any size.
+    if radius <= 2 and (
+        max_hamming > 3 or _source_bytes(df) >= _SIMHASH_WIDE_MIN_BYTES
+    ):
         # wide path: 2 x 32-bit blocks + Hamming-ball probe
         from heparchy_spark.operators.multimodal import _hamming_ball_masks
 
@@ -965,6 +982,16 @@ def simhash_near_dup_pairs(
 # hence env-overridable for deployments whose corpora differ.
 _PPJOIN_PREF_EXPANSION = float(
     os.environ.get("HEPARCHY_PPJOIN_PREF_EXPANSION", "6.0")
+)
+
+# Corpus-size gate for the wide (2x32-bit + Hamming-ball probe) SimHash
+# banding: ~64 MB of document parquet ~ 550k docs at the measured
+# ~580 B/doc — deliberately BELOW the ~1M-doc cost crossover so the
+# flip to the scale-safe wide construction happens early (a wrong
+# narrow choice is quadratic in n; a wrong wide choice costs a bounded
+# ~2x constant).  See simhash_near_dup_pairs for the derivation.
+_SIMHASH_WIDE_MIN_BYTES = int(
+    os.environ.get("HEPARCHY_SIMHASH_WIDE_MIN_BYTES", str(64 * 1024 * 1024))
 )
 
 
