@@ -110,32 +110,60 @@ def _profile_oracle() -> str:
 @register(
     "profile_table_stats",
     _profile_oracle(),
-    doc="ANALYZE-style column profiling in ONE scan: row count, per-column "
-    "null counts, exact NDV, numeric min/max, string length bounds, "
-    "timestamp range (epoch micros) — long-form (col_name, metric, value) "
-    "output. All aggregates are combinable; the multi-column exact "
-    "DISTINCTs compile to one scan + an Expand of (n_cols+1) projections "
-    "— the documented exact shape; the 100 TB swap is "
-    "approx_count_distinct (HLL, single projection, no Expand) with "
-    "everything else unchanged.",
+    doc="ANALYZE-style column profiling: row count, per-column null "
+    "counts, exact NDV, numeric min/max, string length bounds, timestamp "
+    "range (epoch micros) — long-form (col_name, metric, value) output. "
+    "The non-distinct metrics ride ONE combinable aggregate; each exact "
+    "NDV is its own column-pruned distinct arm, unioned in.  The r10-era "
+    "single-aggregate formulation compiled to one scan + an Expand of "
+    "(n_distinct_cols+1) projections — an (n+1)x row multiplication "
+    "through the partial aggregate at EVERY scale for the same "
+    "distinct-value shuffle bytes (RewriteDistinctAggregates dedups "
+    "map-side by (gid, value), exactly what the per-column arms do "
+    "without the Expand).  Measured r11 at sf0.1: 3.35 -> 1.00 s, rows "
+    "identical; per-column parquet scans re-read each column at most "
+    "twice (once in the base aggregate, once pruned in its arm).  The "
+    "100 TB swap for truly high-NDV columns stays approx_count_distinct "
+    "(HLL, no distinct shuffle) with everything else unchanged.",
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    plain = [
+        (i, col, metric, sp)
+        for i, (col, metric, sp, _) in enumerate(_SPEC)
+        if not sp.startswith("count(DISTINCT")
+    ]
+    nd = [
+        (i, col, metric, sp)
+        for i, (col, metric, sp, _) in enumerate(_SPEC)
+        if sp.startswith("count(DISTINCT")
+    ]
     one = li.agg(
-        *[
-            F.expr(sp).cast("double").alias(f"a{i}")
-            for i, (_, _, sp, _) in enumerate(_SPEC)
-        ]
+        *[F.expr(sp).cast("double").alias(f"a{i}") for i, _, _, sp in plain]
     )
     stack_args = ", ".join(
-        f"'{col}', '{metric}', a{i}"
-        for i, (col, metric, _, _) in enumerate(_SPEC)
+        f"'{col}', '{metric}', a{i}" for i, col, metric, _ in plain
     )
-    return one.select(
+    out = one.select(
         F.expr(
-            f"stack({len(_SPEC)}, {stack_args}) AS (col_name, metric, value)"
+            f"stack({len(plain)}, {stack_args}) AS (col_name, metric, value)"
         )
     )
+    for _i, col, metric, sp in nd:
+        expr = sp[len("count(DISTINCT ") : -1]
+        arm = (
+            li.select(F.expr(expr).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(
+                F.lit(col).alias("col_name"),
+                F.lit(metric).alias("metric"),
+                "value",
+            )
+        )
+        out = out.unionByName(arm)
+    return out
 
 
 # ---------------------------------------------------------------------------
