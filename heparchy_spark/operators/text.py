@@ -553,14 +553,23 @@ def contamination_report(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    # Dedup-first two-level aggregate instead of two count_distinct in
+    # one aggregate: RewriteDistinctAggregates compiles the latter to an
+    # Expand x2 of the whole training shingle stream (the same
+    # (gid, value) map-side dedup, at twice the rows, at every scale).
+    # Both levels key on __id so they reuse the stream's window
+    # partitioning — no added exchange.  __shh is never null (hash of
+    # non-null tokens), so count(1) over (id, shh) groups == the old
+    # count_distinct(shh), and max(__hit) marks overlap groups exactly.
+    # Measured r11 at sf0.1: per-doc core 1.10 -> 0.68 s, rows identical.
     per = (
         tr.join(F.broadcast(ev), "__shh", "left")
+        .groupBy("__id", "__shh")
+        .agg(F.max("__hit").alias("__hit"))
         .groupBy("__id")
         .agg(
-            F.count_distinct("__shh").alias("n_shingles"),
-            F.count_distinct(
-                F.when(F.col("__hit") == 1, F.col("__shh"))
-            ).alias("n_overlap"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("__hit") == 1, 1)).alias("n_overlap"),
         )
     )
     ids = train_df.select(F.col(id_col).alias("__id"))
